@@ -1,0 +1,60 @@
+"""Column-expression helpers shared across operators.
+
+All helpers keep arithmetic exact (DECIMAL / integer) until the final
+cast, so Spark and the DuckDB oracle produce bit-identical values —
+the engine's equivalent of the reference's decimal-as-string policy
+(reference sources/debezium/config.py:66 ``decimal.handling.mode``)
+taken one step further: decimals stay *numbers*, but every hashed
+output is either exact or a deterministic double derived from an exact
+value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Monetary / fraction columns in the fixtures carry <= 2 decimal digits;
+# DECIMAL(18,2) holds them exactly at any realistic magnitude.
+MONEY = "decimal(18,2)"
+
+
+def money(col: str | Column) -> Column:
+    """Exact-decimal view of a 2-dp double column (price, discount, value)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(MONEY)
+
+
+def dsum(col: str | Column, alias: str) -> Column:
+    """Deterministic SUM: exact decimal sum, surfaced as DOUBLE."""
+    return F.sum(money(col)).cast("double").alias(alias)
+
+
+def davg(col: str | Column, alias: str) -> Column:
+    """Deterministic AVG: exact decimal sum cast to double, / count (IEEE).
+
+    Spark's AVG(decimal) and DuckDB's AVG(decimal) round differently;
+    sum-exact-then-IEEE-divide is identical on both engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(money(c)).cast("double") / F.count(c)).alias(alias)
+
+
+def revenue(price: str = "l_extendedprice", discount: str = "l_discount") -> Column:
+    """Exact extended revenue term price*(1-discount) as DECIMAL."""
+    return money(price) * (F.lit(1).cast(MONEY) - money(discount))
+
+
+def oracle_davg(col: str) -> str:
+    """DuckDB SQL fragment matching :func:`davg`."""
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({col})"
+
+
+def oracle_dsum(col: str) -> str:
+    """DuckDB SQL fragment matching :func:`dsum`."""
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+ORACLE_REVENUE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
