@@ -1,1 +1,270 @@
-"""Placeholder — filled in subsequent milestones."""
+"""CDC materialization operators (SURVEY.md §2B Q26-Q30).
+
+These re-express the reference platform's core dataflow semantics on
+the driver's ``events`` fixture:
+
+- envelope projection + metadata enrichment (ref P2-P6:
+  sources/wal/reader.py:187-220, sinks/iceberg.py:124-130),
+- append vs latest-per-key upsert materialization (ref K3/J1/W2:
+  sinks/iceberg.py:124-197),
+- min-watermark offset commit math (ref A1: pipeline/runner.py:355-383),
+- DLQ accounting (ref P7: streaming/dlq.py:41-56),
+- exactly-once = replay + idempotent dedup (ref J4: README.md:411-419).
+
+Fixture mapping (events: event_id, ts/ts_ns, user_id, event_type,
+value, props):
+- ``seq``/``offset``   := event_id  (globally monotone, unique)
+- ``pk``               := user_id
+- ``op``               := signup->'c', error->'d', else 'u'
+- ``partition``        := pmod(user_id, 8)  (keyed partitioning, ref W1)
+- ``topic``            := 'cdc.public.users'
+
+Scale notes: latest-per-key is one shuffle on pk (window or
+max_by-style aggregation — both map-side combinable); at 100 TB this
+becomes MERGE INTO an Iceberg table per micro-batch (storage-side
+state), never driver-side. The watermark/DLQ queries are pure
+groupBy aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_platform_spark.functions import MONEY, money
+from cdc_platform_spark.operators import register
+from cdc_platform_spark.sources.registry import load_table
+
+TOPIC = "cdc.public.users"
+
+# Shared DuckDB fragment: the envelope view of `events`.
+ORACLE_ENVELOPE = f"""
+    SELECT event_id AS seq,
+           '{TOPIC}' AS topic,
+           CAST(user_id % 8 AS BIGINT) AS partition,
+           event_id AS "offset",
+           CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+           user_id AS pk,
+           event_type,
+           value,
+           props
+    FROM events
+"""
+
+
+def envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> CDC envelope projection (ref P3/P4, sources/wal/reader.py:202-220)."""
+    e = load_table(spark, "events", sf_dir)
+    return e.select(
+        F.col("event_id").alias("seq"),
+        F.lit(TOPIC).alias("topic"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("long").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+        .alias("op"),
+        F.col("user_id").alias("pk"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+@register(
+    "q26_cdc_append",
+    category="cdc",
+    doc=(
+        "Append materialization: envelope + _cdc_* metadata columns, one row per "
+        "change event (ref K3 append path, sinks/iceberg.py:124-133)."
+    ),
+    oracle=f"""
+        WITH env AS ({ORACLE_ENVELOPE})
+        SELECT seq, pk, op, value,
+               topic AS _cdc_topic,
+               partition AS _cdc_partition,
+               "offset" AS _cdc_offset
+        FROM env
+        ORDER BY seq
+    """,
+)
+def q26_cdc_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = envelope(spark, sf_dir)
+    return (
+        env.select(
+            "seq",
+            "pk",
+            "op",
+            "value",
+            F.col("topic").alias("_cdc_topic"),
+            F.col("partition").alias("_cdc_partition"),
+            F.col("offset").alias("_cdc_offset"),
+        )
+        .orderBy("seq")
+    )
+
+
+@register(
+    "q27_cdc_upsert_latest",
+    category="cdc",
+    doc=(
+        "THE core CDC query: latest state per key from the change stream — upsert "
+        "apply with delete removal (ref J1/W2, sinks/iceberg.py:187-197; oracle form "
+        "FIXTURES.md §3b). Order key = offset (arrival order per partition, "
+        "ref pipeline/runner.py:140-162)."
+    ),
+    oracle=f"""
+        WITH env AS ({ORACLE_ENVELOPE}),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY "offset" DESC) AS rn
+            FROM env
+        )
+        SELECT pk, "offset" AS last_offset, event_type AS last_event_type, value AS last_value
+        FROM ranked
+        WHERE rn = 1 AND op <> 'd'
+        ORDER BY pk
+    """,
+)
+def q27_cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = envelope(spark, sf_dir)
+    w = Window.partitionBy("pk").orderBy(F.col("offset").desc())
+    return (
+        env.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select(
+            "pk",
+            F.col("offset").alias("last_offset"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("pk")
+    )
+
+
+@register(
+    "q28_min_watermark",
+    category="cdc",
+    doc=(
+        "Min-watermark commit math: per partition, each sink's max durably-flushed "
+        "offset; commit = min over sinks + 1 (ref A1/A2, pipeline/runner.py:355-383, "
+        "sinks/iceberg.py:202-205). Sinks simulated by deterministic flush predicates."
+    ),
+    oracle=f"""
+        WITH env AS ({ORACLE_ENVELOPE})
+        SELECT partition,
+               CAST(MAX(CASE WHEN value < 150.0 THEN "offset" END) AS BIGINT) AS sink_a_max,
+               CAST(MAX(CASE WHEN op <> 'd' THEN "offset" END) AS BIGINT) AS sink_b_max,
+               CAST(LEAST(MAX(CASE WHEN value < 150.0 THEN "offset" END),
+                          MAX(CASE WHEN op <> 'd' THEN "offset" END)) + 1 AS BIGINT) AS committed
+        FROM env
+        GROUP BY partition
+        ORDER BY partition
+    """,
+)
+def q28_min_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = envelope(spark, sf_dir)
+    sink_a = F.max(F.when(F.col("value") < 150.0, F.col("offset")))
+    sink_b = F.max(F.when(F.col("op") != "d", F.col("offset")))
+    return (
+        env.groupBy("partition")
+        .agg(
+            sink_a.cast("long").alias("sink_a_max"),
+            sink_b.cast("long").alias("sink_b_max"),
+            (F.least(sink_a, sink_b) + 1).cast("long").alias("committed"),
+        )
+        .orderBy("partition")
+    )
+
+
+@register(
+    "q29_dlq_accounting",
+    category="cdc",
+    doc=(
+        "DLQ accounting: failed ('d'/error) events quarantined with diagnostics, "
+        "aggregated per (topic, partition) and joined back to per-partition totals "
+        "(ref P7, streaming/dlq.py:41-56)."
+    ),
+    oracle=f"""
+        WITH env AS ({ORACLE_ENVELOPE}),
+        dlq AS (
+            SELECT topic, partition, COUNT(*) AS n_failed,
+                   COUNT(DISTINCT pk) AS n_failed_keys,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS failed_value
+            FROM env WHERE op = 'd'
+            GROUP BY topic, partition
+        ),
+        tot AS (SELECT partition, COUNT(*) AS n_total FROM env GROUP BY partition)
+        SELECT t.partition, d.topic AS dlq_topic, d.n_failed, d.n_failed_keys,
+               d.failed_value, t.n_total
+        FROM tot t LEFT JOIN dlq d ON t.partition = d.partition
+        ORDER BY t.partition
+    """,
+)
+def q29_dlq_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = envelope(spark, sf_dir)
+    dlq = (
+        env.filter(F.col("op") == "d")
+        .groupBy("topic", "partition")
+        .agg(
+            F.count(F.lit(1)).alias("n_failed"),
+            F.countDistinct("pk").alias("n_failed_keys"),
+            F.sum(money("value")).cast("double").alias("failed_value"),
+        )
+    )
+    tot = env.groupBy("partition").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tot.join(dlq, "partition", "left")
+        .select(
+            "partition",
+            F.col("topic").alias("dlq_topic"),
+            "n_failed",
+            "n_failed_keys",
+            "failed_value",
+            "n_total",
+        )
+        .orderBy("partition")
+    )
+
+
+@register(
+    "q30_dedup_exactly_once",
+    category="cdc",
+    doc=(
+        "Exactly-once: at-least-once redelivery (replay of the top-10%% offset "
+        "suffix) + idempotent dedup on (partition, offset); final upsert state must "
+        "equal single-delivery state (ref J4, README.md:411-419). Oracle is the "
+        "single-delivery Q27 state — dedup must make the union collapse to it."
+    ),
+    oracle=f"""
+        WITH env AS ({ORACLE_ENVELOPE}),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY "offset" DESC) AS rn
+            FROM env
+        )
+        SELECT pk, "offset" AS last_offset, event_type AS last_event_type, value AS last_value
+        FROM ranked
+        WHERE rn = 1 AND op <> 'd'
+        ORDER BY pk
+    """,
+)
+def q30_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = envelope(spark, sf_dir)
+    # Replay the suffix: redeliver every event in the top 10% of offsets (per full
+    # stream) — duplicates with identical (partition, offset), like a consumer
+    # restart from an old checkpoint.
+    cutoff = env.agg(F.expr("percentile_approx(offset, 0.9, 2147483647)")).collect()[0][0]
+    replay = env.filter(F.col("offset") >= F.lit(cutoff))
+    redelivered = env.unionAll(replay)
+    deduped = redelivered.dropDuplicates(["partition", "offset"])
+    w = Window.partitionBy("pk").orderBy(F.col("offset").desc())
+    return (
+        deduped.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select(
+            "pk",
+            F.col("offset").alias("last_offset"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("pk")
+    )

@@ -1,1 +1,137 @@
-"""Placeholder — filled in subsequent milestones."""
+"""Event-time windowing operators (SURVEY.md §2B SQ2/SQ4 batch forms).
+
+The reference has no event-time windows — its only windows are
+wall-clock flush timers (ref W3: sinks/iceberg.py:214-224) and the
+offset watermark (ref A1).  These operators add the standard
+event-time analytics surface with Spark built-ins; the streaming forms
+(withWatermark + the same window exprs) live in
+cdc_platform_spark/streaming and are tested for batch≡stream
+equivalence in tests/.
+
+Determinism: window boundaries are exact integer floor operations on
+epoch time; outputs carry epoch-second BIGINTs, never raw timestamps
+(events.ts is ns-precision, which Spark truncates to us — see
+sources/registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_platform_spark.functions import money
+from cdc_platform_spark.operators import register
+from cdc_platform_spark.sources.registry import load_table
+
+
+@register(
+    "w_tumbling_hourly",
+    category="window-time",
+    doc="Tumbling 1h event-time window: counts + exact value sum per (window, event_type).",
+    oracle="""
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM events
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+)
+def w_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(money("value")).cast("double").alias("value_sum"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "w_sliding_2h_1h",
+    category="window-time",
+    doc=(
+        "Sliding window (2h length, 1h slide): every event lands in two windows. "
+        "Oracle expands the assignment explicitly (event at t -> windows starting "
+        "at trunc(t) and trunc(t)-1h)."
+    ),
+    oracle="""
+        WITH assign AS (
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, value FROM events
+            UNION ALL
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600 AS window_start, value FROM events
+        )
+        SELECT window_start, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM assign
+        GROUP BY window_start
+        ORDER BY window_start
+    """,
+)
+def w_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(money("value")).cast("double").alias("value_sum"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "n",
+            "value_sum",
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "w_session_per_user",
+    category="window-time",
+    doc=(
+        "Session windows (30 min gap) per user — gaps-and-islands oracle. A new "
+        "session starts when the gap from the previous event is >= 30 min "
+        "(session_window semantics: event windows [t, t+gap) merge iff they overlap)."
+    ),
+    oracle="""
+        WITH t AS (
+            SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_us, value
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, t_us, value,
+                   CASE WHEN t_us - LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us) >= 1800000000
+                        OR LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM t
+        ),
+        sessions AS (
+            SELECT user_id, t_us, value,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY t_us
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+            FROM marked
+        )
+        SELECT user_id, CAST(MIN(t_us) AS BIGINT) AS session_start_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM sessions
+        GROUP BY user_id, session_no
+        ORDER BY user_id, session_start_us
+    """,
+)
+def w_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(money("value")).cast("double").alias("value_sum"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).cast("long").alias("session_start_us"),
+            "n_events",
+            "value_sum",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
