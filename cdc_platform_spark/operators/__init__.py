@@ -54,6 +54,7 @@ def load_all() -> dict[str, EngineQuery]:
     from cdc_platform_spark.operators import (  # noqa: F401
         cdc,
         dedup,
+        multimodal,
         relational,
         similarity,
         text,

@@ -1,1 +1,457 @@
-"""Placeholder — filled in subsequent milestones."""
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families over the ``documents`` / ``embeddings`` tables:
+exact, MinHash+LSH, SimHash, blocked n-gram Jaccard, and embedding
+cosine.  All are expressed as shuffle-based DataFrame plans (no
+driver-side state), so they scale: candidate generation is always a
+bucket/band equi-join, never an all-pairs product.
+
+Cross-engine determinism:
+- the only hash primitive is md5 (identical in Spark / DuckDB /
+  hashlib); 60-bit ints via hex prefix (Spark ``conv``, DuckDB
+  ``CAST('0x..' AS BIGINT)``),
+- float embeddings go through a fixed-point projection
+  (round(x*1e6) as BIGINT) so dot products and norms are exact
+  integer sums; only the final cosine division is IEEE double (both
+  engines produce the identical double).
+
+At 100 TB: the shingle explode is the dominant shuffle; band-bucket
+join keys are (band_id, hash) which distribute uniformly by
+construction (hash output), so no skew salting is needed. The
+all-pairs-within-block joins here bound block size by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_platform_spark.operators import register
+from cdc_platform_spark.sources.registry import load_table
+
+N_MINHASH = 16
+MINHASH_JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 4 bands x 8 bits
+SIMHASH_MAX_HAMMING = 6
+NGRAM_JACCARD_THRESHOLD = 0.9
+COSINE_DUP_THRESHOLD = 0.9
+
+
+def md5_60bit(col: Column) -> Column:
+    """60-bit integer from the md5 hex prefix — identical in DuckDB via
+    CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+ORACLE_MD5_60BIT = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.select("doc_id", "lang", "source", F.split(F.col("text"), " ").alias("words"))
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word 3-gram shingles per document (exploded)."""
+    w = doc_words(spark, sf_dir)
+    shingles = F.when(
+        F.size("words") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at("words", i), F.element_at("words", i + 1), F.element_at("words", i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return w.select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
+
+
+ORACLE_SHINGLES = """
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(words)-1),
+                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS s
+    FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents)
+"""
+
+
+@register(
+    "dedup_exact",
+    category="dedup",
+    doc=(
+        "Exact dedup by content hash: canonical (minimum) doc_id per md5(text) "
+        "group — the distributed form of the reference's idempotent-upsert dedup "
+        "(ref J4). One shuffle on the 128-bit content hash."
+    ),
+    oracle="""
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+               CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy(F.md5(F.col("text")))
+    return (
+        d.select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("canonical_id"),
+            F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_minhash_hash = ORACLE_MD5_60BIT.format(x="i.range || '|' || s")
+
+@register(
+    "dedup_minhash_lsh",
+    category="dedup",
+    doc=(
+        f"MinHash ({N_MINHASH} hashes) + LSH banding (r=1) near-dup detection on "
+        "word 3-gram shingles: shingle -> minhash signature -> band bucket join -> "
+        f"candidate pairs -> exact Jaccard >= {MINHASH_JACCARD_THRESHOLD}. "
+        "Candidate generation is an equi-join on (band, minhash); exact Jaccard is "
+        "computed only for candidates (never all pairs)."
+    ),
+    oracle=f"""
+        WITH sh AS ({ORACLE_SHINGLES}),
+        mh AS (
+            SELECT doc_id, i.range AS i, MIN({_minhash_hash}) AS h
+            FROM sh, range({N_MINHASH}) i
+            GROUP BY doc_id, i.range
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM mh a JOIN mh b ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.da, c.db, COUNT(*) AS ni
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.da
+            JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+            GROUP BY c.da, c.db
+        )
+        SELECT da AS doc_a, db AS doc_b,
+               CAST(ni AS BIGINT) AS n_common,
+               CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
+        FROM inter
+        JOIN sizes sa ON da = sa.doc_id
+        JOIN sizes sb ON db = sb.doc_id
+        WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= {MINHASH_JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(spark, sf_dir)
+    seeds = spark.range(N_MINHASH).select(F.col("id").alias("i"))
+    mh = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "i",
+            md5_60bit(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("s"))).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("h"))
+    )
+    a, b = mh.alias("a"), mh.alias("b")
+    cand = (
+        a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    shx, shy = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(shx, F.col("da") == F.col("x.doc_id"))
+        .join(shy, (F.col("db") == F.col("y.doc_id")) & (F.col("y.s") == F.col("x.s")))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("ni").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("ni"))
+    return (
+        inter.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .filter(jac >= MINHASH_JACCARD_THRESHOLD)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("ni").cast("long").alias("n_common"),
+            jac.alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_oracle_sql() -> str:
+    word_hash = ORACLE_MD5_60BIT.format(x="word")
+    terms = " + ".join(
+        f"(CASE WHEN SUM(cnt * (CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH wc AS (
+            SELECT doc_id, word, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents)
+            GROUP BY doc_id, word
+        ),
+        wh AS (SELECT doc_id, cnt, {word_hash} AS h FROM wc)
+        SELECT doc_id, CAST({terms} AS BIGINT) AS simhash
+        FROM wh
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    wc = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", md5_60bit(F.col("word")))
+    )
+    bit_cols = [
+        F.when(
+            F.sum(
+                F.col("cnt")
+                * F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            )
+            > 0,
+            F.lit(1 << b),
+        )
+        .otherwise(0)
+        .alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = wc.groupBy("doc_id").agg(*bit_cols)
+    fingerprint = sum((F.col(f"b{b}") for b in range(1, SIMHASH_BITS)), F.col("b0"))
+    return agg.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    category="dedup",
+    doc=(
+        f"{SIMHASH_BITS}-bit SimHash fingerprint per document: word-frequency "
+        "weighted bit votes over md5 word hashes. One narrow shuffle "
+        "(doc_id, word) then a per-doc aggregation."
+    ),
+    oracle=_simhash_oracle_sql(),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_df(spark, sf_dir).orderBy("doc_id")
+
+
+@register(
+    "dedup_simhash_pairs",
+    category="dedup",
+    doc=(
+        f"SimHash near-dup pairs: {SIMHASH_BANDS} bands of "
+        f"{SIMHASH_BITS // SIMHASH_BANDS} bits; candidates share any band; "
+        f"kept if Hamming distance <= {SIMHASH_MAX_HAMMING}. Band bucket join, "
+        "no all-pairs product."
+    ),
+    oracle=f"""
+        WITH sh AS ({_simhash_oracle_sql().replace('ORDER BY doc_id', '')}),
+        bands AS (
+            SELECT doc_id, simhash, b.range AS band,
+                   (simhash >> (b.range * {SIMHASH_BITS // SIMHASH_BANDS})) & {(1 << (SIMHASH_BITS // SIMHASH_BANDS)) - 1} AS band_val
+            FROM sh, range({SIMHASH_BANDS}) b
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS da, a.simhash AS ha, b.doc_id AS db, b.simhash AS hb
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        )
+        SELECT da AS doc_a, db AS doc_b,
+               CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HAMMING}
+        ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _simhash_df(spark, sf_dir)
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_width) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bd).cast("long").alias("band"),
+                F.shiftright(F.col("simhash"), bd * band_width).bitwiseAND(F.lit(mask)).alias("band_val"),
+            )
+            for bd in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = sh.select("doc_id", "simhash", F.explode(band_structs).alias("bv")).select(
+        "doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+        .filter(hamming <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    category="dedup",
+    doc=(
+        "Blocked exact word-set Jaccard: pairs within the same (lang, source) "
+        f"block with Jaccard >= {NGRAM_JACCARD_THRESHOLD}. Blocking bounds the "
+        "pair count; the join key is (lang, source, word)."
+    ),
+    oracle=f"""
+        WITH ws AS (
+            SELECT doc_id, lang, source, unnest(list_distinct(str_split(text, ' '))) AS word
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+            FROM ws a JOIN ws b
+              ON a.lang = b.lang AND a.source = b.source AND a.word = b.word
+             AND a.doc_id < b.doc_id
+            GROUP BY da, db
+        )
+        SELECT da AS doc_a, db AS doc_b,
+               CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
+        FROM inter
+        JOIN sizes sa ON da = sa.doc_id
+        JOIN sizes sb ON db = sb.doc_id
+        WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= {NGRAM_JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = doc_words(spark, sf_dir)
+    ws = w.select("doc_id", "lang", "source", F.explode(F.array_distinct("words")).alias("word"))
+    sizes = ws.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ws.alias("a"), ws.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("ni").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("ni"))
+    return (
+        inter.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .filter(jac >= NGRAM_JACCARD_THRESHOLD)
+        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), jac.alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- fixed-point embedding helpers (shared with similarity.py) -------------
+def fixed_point(col: Column) -> Column:
+    """float32 array -> exact BIGINT micro-units; both engines round half away
+    from zero, so the projection is deterministic."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast("long"))
+
+
+def dot_long(a: Column, b: Column) -> Column:
+    """Exact integer dot product via zip_with + aggregate (array-native, no explode)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+ORACLE_EMB_UNNEST = """
+    SELECT vec_id, label,
+           unnest(list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS v,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    category="dedup",
+    doc=(
+        "Embedding near-dup: nearest neighbor per vector within its label block "
+        f"by exact fixed-point cosine; flagged duplicate at >= {COSINE_DUP_THRESHOLD}. "
+        "Dot products are exact integer sums; only the final division is IEEE double."
+    ),
+    oracle=f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        dots AS (
+            SELECT x.vec_id AS ia, y.vec_id AS ib, SUM(x.v * y.v) AS d
+            FROM u x JOIN u y ON x.i = y.i AND x.label = y.label AND x.vec_id <> y.vec_id
+            GROUP BY ia, ib
+        ),
+        norms AS (SELECT vec_id, SUM(v * v) AS n FROM u GROUP BY vec_id),
+        cos AS (
+            SELECT ia, ib, d / (sqrt(na.n) * sqrt(nb.n)) AS c
+            FROM dots JOIN norms na ON ia = na.vec_id JOIN norms nb ON ib = nb.vec_id
+        ),
+        ranked AS (
+            SELECT ia, ib, c, ROW_NUMBER() OVER (PARTITION BY ia ORDER BY c DESC, ib) AS rn
+            FROM cos
+        )
+        SELECT ia AS vec_id, ib AS nn_id, c AS cosine,
+               CAST(CASE WHEN c >= {COSINE_DUP_THRESHOLD} THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        FROM ranked WHERE rn = 1
+        ORDER BY vec_id
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", fixed_point(F.col("embedding")).alias("a")
+    )
+    e = e.withColumn("norm", dot_long(F.col("a"), F.col("a")))
+    x = e.alias("x")
+    y = e.alias("y")
+    cos = (F.col("d") / (F.sqrt(F.col("nx")) * F.sqrt(F.col("ny")))).alias("cosine")
+    pairs = (
+        x.join(y, (F.col("x.label") == F.col("y.label")) & (F.col("x.vec_id") != F.col("y.vec_id")))
+        .select(
+            F.col("x.vec_id").alias("ia"),
+            F.col("y.vec_id").alias("ib"),
+            dot_long(F.col("x.a"), F.col("y.a")).alias("d"),
+            F.col("x.norm").alias("nx"),
+            F.col("y.norm").alias("ny"),
+        )
+    )
+    w = Window.partitionBy("ia").orderBy(F.col("c").desc(), F.col("ib"))
+    return (
+        pairs.withColumn("c", F.col("d") / (F.sqrt("nx") * F.sqrt("ny")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("ia").alias("vec_id"),
+            F.col("ib").alias("nn_id"),
+            F.col("c").alias("cosine"),
+            F.when(F.col("c") >= COSINE_DUP_THRESHOLD, 1).otherwise(0).cast("long").alias("is_dup"),
+        )
+        .orderBy("vec_id")
+    )

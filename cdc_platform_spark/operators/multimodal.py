@@ -1,1 +1,124 @@
-"""Placeholder — filled in subsequent milestones."""
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched ``mapInPandas`` UDFs — the Spark
+pattern for decode / feature-extract / resize / frame-sample stages.
+
+The real decode libraries are not in this container, so the decode
+step is a STUB: :func:`fake_decode_batch` derives deterministic
+pseudo-metadata from the payload's md5 (hashlib.md5 == Spark md5 ==
+DuckDB md5, so the whole pipeline stays oracle-verifiable end to end).
+A production deployment swaps ``fake_decode_batch`` for a real decoder
+with the same signature — the Spark-side plumbing (binary encoding,
+schema, Arrow batch shape, partitioning) is exactly what ships.
+
+``real_decode_batch`` marks the unimplemented real path explicitly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_platform_spark.operators import register
+from cdc_platform_spark.sources.registry import load_table
+
+DECODE_SCHEMA = "doc_id long, n_bytes long, format string, width long, height long"
+FORMATS = ("jpeg", "png", "webp")
+
+
+def real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Real image decode — requires PIL/libvips, not present in this container."""
+    raise NotImplementedError(
+        "real image decode requires an imaging library; use fake_decode_batch "
+        "for the deterministic test path"
+    )
+
+
+def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in decoder over Arrow batches of (doc_id, payload).
+
+    Pseudo-metadata from md5(payload): format = h % 3, width/height from
+    further residues — bit-identical to the SQL oracle's md5 arithmetic.
+    """
+    for pdf in batches:
+        h60 = pdf["payload"].map(lambda b: int(hashlib.md5(bytes(b)).hexdigest()[:15], 16))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "format": (h60 % 3).map(lambda i: FORMATS[int(i)]),
+                "width": (16 * (1 + h60 % 120)).astype("int64"),
+                "height": (16 * (1 + (h60 // 120) % 68)).astype("int64"),
+            }
+        )
+
+
+@register(
+    "mm_decode_metadata",
+    category="multimodal",
+    doc=(
+        "Binary-column pipeline: utf-8 payload bytes -> Arrow-batched mapInPandas "
+        "'decode' (stub) -> typed metadata. Verifies the binary encoding, UDF "
+        "batch shape, and schema plumbing end to end via md5 parity."
+    ),
+    oracle="""
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CASE CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 3
+                    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+               CAST(16 * (1 + CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 120) AS BIGINT) AS width,
+               CAST(16 * (1 + (CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) // 120) % 68) AS BIGINT) AS height
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return payloads.mapInPandas(fake_decode_batch, schema=DECODE_SCHEMA).orderBy("doc_id")
+
+
+@register(
+    "mm_frame_sample",
+    category="multimodal",
+    doc=(
+        "Frame-sampling plumbing: each binary payload expands to a deterministic "
+        "number of 'frames' (1 + md5 % 4) with per-frame offsets — the mapInPandas "
+        "1-to-N expansion shape used for video frame extraction."
+    ),
+    oracle="""
+        WITH meta AS (
+            SELECT doc_id,
+                   1 + CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 4 AS n_frames
+            FROM documents
+        )
+        SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+               CAST(f * 40 AS BIGINT) AS ts_ms
+        FROM meta, unnest([0, 1, 2, 3]) AS t(f)
+        WHERE f < n_frames
+        ORDER BY doc_id, frame_idx
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "ts_ms": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h60 = int(hashlib.md5(bytes(payload)).hexdigest()[:15], 16)
+                for i in range(1 + h60 % 4):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["ts_ms"].append(i * 40)
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(
+        sample_frames, schema="doc_id long, frame_idx long, ts_ms long"
+    ).orderBy("doc_id", "frame_idx")

@@ -1,1 +1,197 @@
-"""Placeholder — filled in subsequent milestones."""
+"""Similarity search over the embedding column (ANN operators).
+
+Two paths over ``embeddings(vec_id, embedding array<float>, label)``:
+
+- ``sim_topk_bruteforce`` — exact top-k cosine for a probe set; the
+  correctness baseline. At scale this is broadcast(probes) x full
+  scan: one pass, no shuffle of the big side, map-side top-k then a
+  tiny global merge (window over per-probe candidates).
+- ``sim_ann_lsh`` — random-hyperplane LSH (sign-random-projection):
+  deterministic ±1 hyperplanes derived from md5, 16-bit signatures,
+  bucket-join candidates, exact cosine re-rank. The 100 TB path: the
+  signature is a cheap narrow column; candidates are an equi-join on
+  (signature) buckets instead of a cross product.
+
+Both use the fixed-point (1e-6) integer projection from dedup.py so
+every dot product/norm is exact and cross-engine deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_platform_spark.operators import register
+from cdc_platform_spark.operators.dedup import (
+    ORACLE_EMB_UNNEST,
+    ORACLE_MD5_60BIT,
+    dot_long,
+    fixed_point,
+    md5_60bit,
+)
+from cdc_platform_spark.sources.registry import load_table
+
+N_PROBES = 8  # probe set = vec_id < 8
+TOP_K = 5
+N_PLANES = 16
+DIM = 64
+
+
+def _fixed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", fixed_point(F.col("embedding")).alias("a")
+    )
+    return e.withColumn("norm", dot_long(F.col("a"), F.col("a")))
+
+
+@register(
+    "sim_topk_bruteforce",
+    category="similarity",
+    doc=(
+        f"Exact top-{TOP_K} cosine neighbors for probe vectors (vec_id < {N_PROBES}): "
+        "broadcast probes x full scan, exact integer dot products, window top-k."
+    ),
+    oracle=f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        p AS (SELECT * FROM u WHERE vec_id < {N_PROBES}),
+        dots AS (
+            SELECT p.vec_id AS qid, x.vec_id AS nid, SUM(p.v * x.v) AS d
+            FROM p JOIN u x ON p.i = x.i AND p.vec_id <> x.vec_id
+            GROUP BY qid, nid
+        ),
+        norms AS (SELECT vec_id, SUM(v * v) AS n FROM u GROUP BY vec_id),
+        cos AS (
+            SELECT qid, nid, d / (sqrt(nq.n) * sqrt(nn.n)) AS c
+            FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nn ON nid = nn.vec_id
+        )
+        SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid AS neighbor_id, c AS cosine
+        FROM (SELECT qid, nid, c, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk FROM cos)
+        WHERE rnk <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _fixed_embeddings(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("a").alias("qa"), F.col("norm").alias("qn")
+    )
+    pairs = (
+        e.join(F.broadcast(probes), F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            (dot_long(F.col("qa"), F.col("a")) / (F.sqrt("qn") * F.sqrt("norm"))).alias("c"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("nid").alias("neighbor_id"),
+            F.col("c").alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_plane_hash = ORACLE_MD5_60BIT.format(x="p.range || ',' || d.range")
+
+@register(
+    "sim_ann_lsh",
+    category="similarity",
+    doc=(
+        f"ANN via sign-random-projection LSH: {N_PLANES} deterministic md5-derived "
+        "±1 hyperplanes -> 16-bit signature -> bucket join -> exact cosine re-rank "
+        f"top-{TOP_K} within bucket. The scale path: candidates via equi-join on "
+        "signature, cross product avoided entirely."
+    ),
+    oracle=f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        hyper AS (
+            SELECT p.range AS p, d.range AS d,
+                   CASE WHEN {_plane_hash} % 2 = 0 THEN 1 ELSE -1 END AS w
+            FROM range({N_PLANES}) p, range({DIM}) d
+        ),
+        proj AS (
+            SELECT u.vec_id, h.p, SUM(h.w * u.v) AS s
+            FROM u JOIN hyper h ON u.i = h.d + 1
+            GROUP BY u.vec_id, h.p
+        ),
+        sigs AS (
+            SELECT vec_id, CAST(SUM(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sig
+            FROM proj GROUP BY vec_id
+        ),
+        norms AS (SELECT vec_id, SUM(v * v) AS n FROM u GROUP BY vec_id),
+        cand AS (
+            SELECT q.vec_id AS qid, x.vec_id AS nid
+            FROM sigs q JOIN sigs x ON q.sig = x.sig AND q.vec_id <> x.vec_id
+            WHERE q.vec_id < {N_PROBES}
+        ),
+        dots AS (
+            SELECT c.qid, c.nid, SUM(a.v * b.v) AS d
+            FROM cand c JOIN u a ON a.vec_id = c.qid JOIN u b ON b.vec_id = c.nid AND b.i = a.i
+            GROUP BY c.qid, c.nid
+        ),
+        cos AS (
+            SELECT qid, nid, d / (sqrt(nq.n) * sqrt(nn.n)) AS c
+            FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nn ON nid = nn.vec_id
+        )
+        SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid AS neighbor_id, c AS cosine
+        FROM (SELECT qid, nid, c, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk FROM cos)
+        WHERE rnk <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _fixed_embeddings(spark, sf_dir)
+    planes = (
+        spark.range(N_PLANES)
+        .select(F.col("id").alias("p"))
+        .crossJoin(spark.range(DIM).select(F.col("id").alias("d")))
+        .select(
+            "p",
+            "d",
+            F.when(
+                F.pmod(md5_60bit(F.concat(F.col("p").cast("string"), F.lit(","), F.col("d").cast("string"))), F.lit(2)) == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("w"),
+        )
+    )
+    # signature: explode embedding to (vec_id, d, v), join tiny broadcast plane
+    # table, two partial-aggregations — all map-side combinable.
+    u = e.select("vec_id", F.posexplode(F.col("a")).alias("d", "v"))
+    proj = (
+        u.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("w") * F.col("v")).alias("s"))
+    )
+    sigs = proj.groupBy("vec_id").agg(
+        F.expr("CAST(SUM(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(p AS INT)) ELSE 0 END) AS BIGINT)").alias("sig")
+    )
+    with_sig = e.join(sigs, "vec_id")
+    q = with_sig.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("sig").alias("qsig"), F.col("a").alias("qa"), F.col("norm").alias("qn")
+    )
+    cand = with_sig.join(F.broadcast(q), (F.col("qsig") == F.col("sig")) & (F.col("qid") != F.col("vec_id")))
+    w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nid"))
+    return (
+        cand.select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            (dot_long(F.col("qa"), F.col("a")) / (F.sqrt("qn") * F.sqrt("norm"))).alias("c"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("nid").alias("neighbor_id"),
+            F.col("c").alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )
