@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "events_per_sec": ...}
+
+Each query is executed to completion with the no-op sink (full plan
+runs, nothing is collected to the driver).  The CDC envelope->append
+path timing is also expressed as events/s for comparison against the
+reference's consume-throughput baseline (BASELINE.md: 38,647 msg/s
+tuned; gate = within 2x at the same scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the scale-relevant
+# paths (shuffle agg, multiway join, window, CDC materialize, dedup, ANN).
+HEADLINE = [
+    "q10_agg_pricing_summary",
+    "q05_join_multiway",
+    "q16_window_frames",
+    "q17_topk_per_group",
+    "q26_cdc_append",
+    "q27_cdc_upsert_latest",
+    "w_session_per_user",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "sim_topk_bruteforce",
+    "text_quality",
+    "mm_decode_metadata",
+]
+
+
+def main() -> None:
+    from cdc_platform_spark.operators import load_all
+    from cdc_platform_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark(app_name="cdc-platform-bench")
+
+    # Warm up the JVM/codegen path outside the timed region.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def run(name: str) -> float:
+        df = registry[name].builder(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run(name), 3)
+
+    total = round(sum(timings.values()), 3)
+
+    # events/s on the CDC append path (the reference's headline metric).
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    eps = round(n_events / timings["q26_cdc_append"], 1) if timings["q26_cdc_append"] > 0 else None
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "events_per_sec": eps,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
