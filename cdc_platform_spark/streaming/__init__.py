@@ -1,0 +1,7 @@
+from cdc_platform_spark.streaming.pipeline import (  # noqa: F401
+    AppendSink,
+    CdcPipeline,
+    DlqWriter,
+    UpsertSink,
+    to_envelope,
+)

@@ -1,0 +1,224 @@
+"""Structured Streaming CDC pipeline: envelope -> multi-sink fan-out -> DLQ.
+
+The Spark-first re-expression of the reference platform's runner
+(reference pipeline/runner.py):
+
+| Reference (asyncio)                            | Here (Structured Streaming)        |
+|------------------------------------------------|------------------------------------|
+| per-partition bounded queues + workers (128-162)| Spark tasks per source partition   |
+| `_dispatch_to_sinks` asyncio.gather (210-250)  | foreachBatch: persist + N writes   |
+| per-sink failure -> DLQ producer (222-248)     | per-sink try/except -> DLQ table   |
+| min-watermark offset commit (355-383)          | Spark checkpoint/commit log        |
+| backpressure via queue bound (128-138)         | maxFilesPerTrigger / trigger pacing|
+| Iceberg upsert `table.upsert` (sinks/iceberg.py:187-197) | keyed MERGE in foreachBatch |
+
+Exactly-once: Spark's checkpoint gives at-least-once foreachBatch
+delivery; sinks are idempotent (upsert = keyed merge; append = keyed
+dedup view), the same at-least-once + idempotency contract the
+reference documents (README.md:411-419).
+
+The upsert sink here merges into a keyed parquet state table (read +
+union + latest-per-key + atomic swap). On a lakehouse deployment the
+identical batch logic is one `MERGE INTO` on Iceberg/Delta — the
+in-batch dedup-by-latest then merge is exactly what this class does;
+parquet-swap is the container-friendly stand-in for the table format's
+transactional commit.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import traceback
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+CDC_TOPIC = "cdc.public.users"
+
+
+def to_envelope(df: DataFrame, topic: str = CDC_TOPIC, n_partitions: int = 8) -> DataFrame:
+    """events -> CDC envelope (same mapping as operators/cdc.py, stream-safe)."""
+    ts = F.col("ts")
+    if dict(df.dtypes).get("ts") == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    return df.select(
+        F.col("event_id").alias("seq"),
+        F.lit(topic).alias("topic"),
+        F.pmod(F.col("user_id"), F.lit(n_partitions)).cast("long").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+        .alias("op"),
+        F.col("user_id").alias("pk"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+        ts.alias("event_ts"),
+    )
+
+
+class AppendSink:
+    """Append materialization with _cdc_* metadata (ref K3 append,
+    sinks/iceberg.py:124-133). Idempotent read via `exactly_once_view`."""
+
+    def __init__(self, path: str, fail_predicate: str | None = None) -> None:
+        self.path = path
+        self.fail_predicate = fail_predicate  # test hook: simulate a poison sink
+
+    def write(self, batch: DataFrame) -> None:
+        if self.fail_predicate is not None:
+            n_bad = batch.filter(self.fail_predicate).limit(1).count()
+            if n_bad:
+                raise RuntimeError(f"sink rejected batch: predicate {self.fail_predicate!r} matched")
+        out = batch.select(
+            "seq",
+            "pk",
+            "op",
+            "event_type",
+            "value",
+            "event_ts",
+            F.col("topic").alias("_cdc_topic"),
+            F.col("partition").alias("_cdc_partition"),
+            F.col("offset").alias("_cdc_offset"),
+        )
+        out.write.mode("append").parquet(self.path)
+
+    def exactly_once_view(self, spark: SparkSession) -> DataFrame:
+        """At-least-once delivery + keyed dedup = exactly-once read (ref J4)."""
+        return (
+            spark.read.parquet(self.path).dropDuplicates(["_cdc_partition", "_cdc_offset"])
+        )
+
+
+class UpsertSink:
+    """Latest-per-key merge materialization (ref J1/W2, sinks/iceberg.py:187-197).
+
+    Batch algebra (identical to a lakehouse MERGE INTO with a
+    `source.offset > target.offset` match condition):
+      1. in-batch dedup-by-latest on (pk) ordered by offset — the reference's
+         per-partition arrival order made explicit,
+      2. union with current state, keep latest per pk,
+      3. KEEP delete tombstones in the state (micro-batches from a file
+         source are not offset-ordered across files; dropping a tombstone
+         would let an older out-of-order update resurrect a deleted key),
+      4. transactional swap (here: write tmp + atomic dir rename).
+    ``state()`` exposes the live (non-tombstone) view.
+    """
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, batch: DataFrame) -> None:
+        spark = batch.sparkSession
+        w = Window.partitionBy("pk").orderBy(F.col("offset").desc())
+        latest_in_batch = (
+            batch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+        )
+        cols = ["pk", "offset", "op", "event_type", "value"]
+        updates = latest_in_batch.select(*cols)
+        if os.path.isdir(self.path):
+            current = spark.read.parquet(self.path).select(*cols)
+            merged = current.unionByName(updates)
+        else:
+            merged = updates
+        merged = (
+            merged.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+        )
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{self.path}.old-{uuid.uuid4().hex}"
+        if os.path.isdir(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def state(self, spark: SparkSession) -> DataFrame:
+        """Live state: latest row per key, tombstones filtered out."""
+        return spark.read.parquet(self.path).filter(F.col("op") != "d")
+
+
+class DlqWriter:
+    """Quarantine failed batches with the reference's diagnostic headers
+    (ref P7, streaming/dlq.py:41-56): source coordinates + error metadata."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, batch: DataFrame, sink_id: str, error: Exception) -> None:
+        (
+            batch.select(
+                F.col("topic").alias("dlq_source_topic"),
+                F.col("partition").alias("dlq_source_partition"),
+                F.col("offset").alias("dlq_source_offset"),
+                F.to_json(F.struct("seq", "pk", "op", "event_type", "value", "props")).alias("payload"),
+            )
+            .withColumn("dlq_error_message", F.lit(str(error)[:500]))
+            .withColumn("dlq_error_type", F.lit(type(error).__name__))
+            .withColumn("dlq_error_stacktrace", F.lit(traceback.format_exc()[:2000]))
+            .withColumn("dlq_timestamp", F.lit(int(time.time() * 1000)))
+            .withColumn("dlq_sink_id", F.lit(sink_id))
+            .write.mode("append")
+            .parquet(self.path)
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+
+@dataclass
+class CdcPipeline:
+    """File-source streaming pipeline with multi-sink fan-out and DLQ.
+
+    ``run_available_now`` processes everything currently in ``source_dir``
+    through micro-batches and stops — the deterministic test mode.  A
+    continuous deployment uses the same object with a processing-time
+    trigger (and a Kafka source instead of files; the envelope transform
+    and sink protocol are source-agnostic).
+    """
+
+    spark: SparkSession
+    source_dir: str
+    checkpoint_dir: str
+    sinks: dict[str, object] = field(default_factory=dict)
+    dlq: DlqWriter | None = None
+    schema: str = EVENTS_SCHEMA
+    max_files_per_trigger: int | None = None  # backpressure (ref F3)
+
+    def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        env = to_envelope(batch)
+        # fan-out: persist once, write to every sink; per-sink failures are
+        # isolated and quarantined (ref F1 + P7, pipeline/runner.py:210-250).
+        env.persist()
+        try:
+            for sink_id, sink in self.sinks.items():
+                try:
+                    sink.write(env)
+                except Exception as e:  # noqa: BLE001 - per-sink isolation
+                    if self.dlq is None:
+                        raise
+                    self.dlq.write(env, sink_id, e)
+        finally:
+            env.unpersist()
+
+    def run_available_now(self) -> None:
+        reader = self.spark.readStream.schema(self.schema)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        stream = reader.parquet(self.source_dir)
+        query = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()

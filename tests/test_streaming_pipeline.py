@@ -1,0 +1,198 @@
+"""Tier-2 streaming tests: availableNow pipelines over fixture replays.
+
+Replaces the reference's Docker-based integration tier (SURVEY.md §5)
+with deterministic file-source streams, asserting the semantics the
+reference guarantees:
+
+- multi-sink fan-out with per-sink failure isolation (F1/P7)
+- append + latest-per-key upsert materialization (K3/J1/W2) — final
+  state must equal the batch oracle (Q27 batch≡stream equivalence)
+- DLQ capture with diagnostic columns (streaming/dlq.py:41-56 shape)
+- replay-from-checkpoint without duplicates (exactly-once, J4/SQ7)
+- watermarked window aggregation batch≡stream equivalence (SQ2-SQ4)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_platform_spark.operators import load_all
+from cdc_platform_spark.streaming.pipeline import (
+    AppendSink,
+    CdcPipeline,
+    DlqWriter,
+    UpsertSink,
+    to_envelope,
+)
+from cdc_platform_spark.streaming.windows import session_counts, tumbling_counts
+
+from .conftest import SF_SMOKE
+
+REGISTRY = load_all()
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path)
+
+
+def _stage_source(spark, workdir: str, n_chunks: int = 4) -> str:
+    """Copy the events fixture into n_chunks files so availableNow produces
+    multiple micro-batches (per-file splits)."""
+    src = f"{workdir}/source"
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    events.repartition(n_chunks).write.mode("overwrite").parquet(src)
+    return src
+
+
+def _pipeline(spark, workdir, sinks, dlq=None, **kw):
+    return CdcPipeline(
+        spark=spark,
+        source_dir=_stage_source(spark, workdir),
+        checkpoint_dir=f"{workdir}/checkpoint",
+        sinks=sinks,
+        dlq=dlq,
+        **kw,
+    )
+
+
+def test_append_and_upsert_match_batch_oracle(spark, workdir):
+    append = AppendSink(f"{workdir}/append")
+    upsert = UpsertSink(f"{workdir}/state")
+    pipe = _pipeline(spark, workdir, {"append": append, "upsert": upsert}, max_files_per_trigger=1)
+    pipe.run_available_now()
+
+    # append table: one row per event, exactly-once view == batch Q26 row count
+    appended = append.exactly_once_view(spark)
+    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert appended.count() == n_events
+
+    # upsert state == batch Q27 (latest per key, deletes removed)
+    expected = (
+        REGISTRY["q27_cdc_upsert_latest"].builder(spark, SF_SMOKE).toPandas().sort_values("pk").reset_index(drop=True)
+    )
+    got = (
+        upsert.state(spark)
+        .select(
+            "pk",
+            F.col("offset").alias("last_offset"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        .toPandas()
+        .sort_values("pk")
+        .reset_index(drop=True)
+    )
+    assert got.equals(expected[got.columns]), "streamed upsert state != batch oracle"
+
+
+def test_per_sink_failure_isolated_and_quarantined(spark, workdir):
+    good = UpsertSink(f"{workdir}/state")
+    poison = AppendSink(f"{workdir}/poison", fail_predicate="op = 'd'")
+    dlq = DlqWriter(f"{workdir}/dlq")
+    pipe = _pipeline(spark, workdir, {"good": good, "poison": poison}, dlq=dlq)
+    pipe.run_available_now()
+
+    # the healthy sink is unaffected by the failing one (ref F1 isolation)
+    expected = REGISTRY["q27_cdc_upsert_latest"].builder(spark, SF_SMOKE)
+    assert good.state(spark).count() == expected.count()
+
+    # DLQ captured the failed batches with the reference's diagnostic columns
+    q = dlq.read(spark)
+    cols = set(q.columns)
+    assert {
+        "dlq_source_topic",
+        "dlq_source_partition",
+        "dlq_source_offset",
+        "dlq_error_message",
+        "dlq_error_type",
+        "dlq_error_stacktrace",
+        "dlq_timestamp",
+        "dlq_sink_id",
+        "payload",
+    } <= cols
+    assert q.filter(F.col("dlq_sink_id") == "poison").count() > 0
+    assert q.select("dlq_error_type").distinct().collect()[0][0] == "RuntimeError"
+
+
+def test_replay_from_checkpoint_no_duplicates(spark, workdir):
+    """Re-running with the same checkpoint must be a no-op; re-running after a
+    partial checkpoint wipe must not corrupt idempotent sinks (SQ7/J4)."""
+    append = AppendSink(f"{workdir}/append")
+    upsert = UpsertSink(f"{workdir}/state")
+    pipe = _pipeline(spark, workdir, {"append": append, "upsert": upsert})
+    pipe.run_available_now()
+    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    state_before = upsert.state(spark).toPandas().sort_values("pk").reset_index(drop=True)
+
+    # 1) same checkpoint -> no new data processed
+    pipe.run_available_now()
+    assert append.exactly_once_view(spark).count() == n_events
+
+    # 2) simulated consumer restart from an OLD checkpoint (redelivery):
+    #    wipe the checkpoint entirely -> everything is redelivered -> the
+    #    exactly-once view and the idempotent upsert must be unchanged.
+    shutil.rmtree(pipe.checkpoint_dir)
+    pipe.run_available_now()
+    raw_rows = spark.read.parquet(append.path).count()
+    assert raw_rows == 2 * n_events, "redelivery should have appended duplicates"
+    assert append.exactly_once_view(spark).count() == n_events, "dedup view must collapse replays"
+    state_after = upsert.state(spark).toPandas().sort_values("pk").reset_index(drop=True)
+    assert state_after.equals(state_before), "idempotent upsert must be replay-stable"
+
+
+def test_streaming_windows_match_batch(spark, workdir):
+    """SQ2/SQ4: watermarked streaming windows over availableNow == batch result."""
+    src = _stage_source(spark, workdir)
+    out: dict[str, list] = {}
+
+    def sink_factory(name):
+        def write(batch, batch_id):
+            out.setdefault(name, []).append(batch.toPandas())
+
+        return write
+
+    stream = spark.readStream.schema(
+        "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).parquet(src)
+    env = to_envelope(stream)
+
+    for name, agg in [("tumbling", tumbling_counts(env)), ("session", session_counts(env))]:
+        q = (
+            agg.writeStream.outputMode("complete" if name == "tumbling" else "complete")
+            .foreachBatch(sink_factory(name))
+            .option("checkpointLocation", f"{workdir}/ck-{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    import pandas as pd
+
+    # batch equivalents over the same fixture
+    batch_env = to_envelope(spark.read.parquet(src))
+    tumb_batch = (
+        batch_env.groupBy(F.window("event_ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").cast("long").alias("window_start"), "event_type", "n")
+        .toPandas()
+    )
+    tumb_stream = out["tumbling"][-1][["window_start", "event_type", "n"]]
+    a = tumb_stream.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    b = tumb_batch.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    assert a.equals(b), "streaming tumbling window != batch"
+
+    sess_stream = out["session"][-1]
+    sess_batch = (
+        batch_env.groupBy(F.session_window("event_ts", "30 minutes").alias("w"), "pk")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("pk", F.unix_micros("w.start").cast("long").alias("session_start_us"), "n_events")
+        .toPandas()
+    )
+    a = sess_stream.sort_values(["pk", "session_start_us"]).reset_index(drop=True)
+    b = sess_batch.sort_values(["pk", "session_start_us"]).reset_index(drop=True)
+    assert a[["pk", "session_start_us", "n_events"]].equals(b[["pk", "session_start_us", "n_events"]])
