@@ -31,6 +31,27 @@ from cdc_platform_spark.sources.registry import load_table
 
 N_MINHASH = 16
 MINHASH_JACCARD_THRESHOLD = 0.5
+
+
+def _minhash_coeffs() -> list[tuple[int, int, int]]:
+    """Deterministic universal-hash coefficients (A,B,C per minhash function),
+    derived from md5 so the oracle can embed the same literals.
+
+    h_i(s) = A_i*lo(s) + B_i*hi(s) + C_i  with lo/hi the 30-bit halves of the
+    base md5; A,B < 2^28 keep every product < 2^58, so the sum stays well
+    inside BIGINT on both engines (DuckDB errors on overflow, Java wraps —
+    neither may happen).
+    """
+    import hashlib
+
+    def h28(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:7], 16) | 1
+
+    return [(h28(f"a{i}"), h28(f"b{i}"), h28(f"c{i}")) for i in range(N_MINHASH)]
+
+
+MINHASH_COEFFS = _minhash_coeffs()
+_M30 = (1 << 30) - 1
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 4 bands x 8 bits
 SIMHASH_MAX_HAMMING = 6
@@ -52,8 +73,13 @@ def doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", "source", F.split(F.col("text"), " ").alias("words"))
 
 
-def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word 3-gram shingles per document (exploded)."""
+def doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word 3-gram shingles per document, as one array column.
+
+    Array-native on purpose: signatures and set intersections compute
+    per-row with no explode, so the only shuffles in the LSH pipeline
+    are the (band, minhash) bucket join and the candidate-pair join.
+    """
     w = doc_words(spark, sf_dir)
     shingles = F.when(
         F.size("words") >= 3,
@@ -64,7 +90,12 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return w.select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
+    return w.select("doc_id", F.array_distinct(shingles).alias("shingles"))
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word 3-gram shingles per document (exploded)."""
+    return doc_shingle_arrays(spark, sf_dir).select("doc_id", F.explode("shingles").alias("s"))
 
 
 ORACLE_SHINGLES = """
@@ -104,7 +135,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_minhash_hash = ORACLE_MD5_60BIT.format(x="i.range || '|' || s")
+_base_hash = ORACLE_MD5_60BIT.format(x="s")
+_oracle_minhash_rows = "\n            UNION ALL\n".join(
+    f"            SELECT doc_id, {i} AS i, MIN({a} * (bh & {_M30}) + {b} * ((bh >> 30) & {_M30}) + {c}) AS h FROM bh GROUP BY doc_id"
+    for i, (a, b, c) in enumerate(MINHASH_COEFFS)
+)
 
 @register(
     "dedup_minhash_lsh",
@@ -114,14 +149,14 @@ _minhash_hash = ORACLE_MD5_60BIT.format(x="i.range || '|' || s")
         "word 3-gram shingles: shingle -> minhash signature -> band bucket join -> "
         f"candidate pairs -> exact Jaccard >= {MINHASH_JACCARD_THRESHOLD}. "
         "Candidate generation is an equi-join on (band, minhash); exact Jaccard is "
-        "computed only for candidates (never all pairs)."
+        "computed only for candidates (never all pairs). One md5 per shingle; the "
+        f"{N_MINHASH} hash functions are a derived universal family."
     ),
     oracle=f"""
         WITH sh AS ({ORACLE_SHINGLES}),
+        bh AS (SELECT doc_id, {_base_hash} AS bh FROM sh),
         mh AS (
-            SELECT doc_id, i.range AS i, MIN({_minhash_hash}) AS h
-            FROM sh, range({N_MINHASH}) i
-            GROUP BY doc_id, i.range
+{_oracle_minhash_rows}
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
@@ -146,45 +181,54 @@ _minhash_hash = ORACLE_MD5_60BIT.format(x="i.range || '|' || s")
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = doc_shingles(spark, sf_dir)
-    seeds = spark.range(N_MINHASH).select(F.col("id").alias("i"))
-    mh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "i",
-            md5_60bit(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("s"))).alias("h"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("h"))
+    # Signatures compute per-row (array_min over transform) — no explode, no
+    # shuffle; the 16 minhash values then explode to 16 narrow rows per doc
+    # for the band-bucket join. Exact Jaccard runs only on candidate pairs
+    # via array_intersect — never an all-pairs product. localCheckpoint
+    # materializes the shared subtrees once (docs feeds 3 joins, sig feeds 2);
+    # on a lakehouse deployment these are intermediate tables.
+    docs = (
+        doc_shingle_arrays(spark, sf_dir)
+        .filter(F.size("shingles") > 0)
+        .withColumn("bh", F.transform(F.col("shingles"), lambda s: md5_60bit(s)))
+        .localCheckpoint(eager=False)
     )
-    a, b = mh.alias("a"), mh.alias("b")
+
+    def minhash(i: int):
+        a, b, c = MINHASH_COEFFS[i]
+        return F.array_min(
+            F.transform(
+                F.col("bh"),
+                lambda h: F.lit(a) * h.bitwiseAND(F.lit(_M30))
+                + F.lit(b) * F.shiftright(h, 30).bitwiseAND(F.lit(_M30))
+                + F.lit(c),
+            )
+        ).alias(f"h{i}")
+
+    sig = docs.select("doc_id", *[minhash(i) for i in range(N_MINHASH)])
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("i"), F.col(f"h{i}").alias("h")) for i in range(N_MINHASH)])
+        ).alias("b"),
+    ).select("doc_id", F.col("b.i").alias("i"), F.col("b.h").alias("h"))
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    shx, shy = sh.alias("x"), sh.alias("y")
-    inter = (
-        cand.join(shx, F.col("da") == F.col("x.doc_id"))
-        .join(shy, (F.col("db") == F.col("y.doc_id")) & (F.col("y.s") == F.col("x.s")))
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("ni").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("ni"))
+    da = docs.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("db"), F.col("shingles").alias("sb"))
+    ni = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = ni.cast("double") / (F.size("sa") + F.size("sb") - ni)
     return (
-        inter.join(sa, F.col("da") == F.col("sa.doc_id"))
-        .join(sb, F.col("db") == F.col("sb.doc_id"))
-        .filter(jac >= MINHASH_JACCARD_THRESHOLD)
-        .select(
-            F.col("da").alias("doc_a"),
-            F.col("db").alias("doc_b"),
-            F.col("ni").cast("long").alias("n_common"),
-            jac.alias("jaccard"),
-        )
+        cand.join(da, "da")
+        .join(db, "db")
+        .withColumn("n_common", ni.cast("long"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
+        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), "n_common", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
