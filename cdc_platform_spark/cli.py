@@ -1,0 +1,90 @@
+"""CLI mirroring the reference's command surface (reference cli.py):
+
+    cdc-spark run <pipeline.yaml>             (cli.py:168-192  `cdc run`)
+    cdc-spark snapshots <table_root>          (cli.py:251-291  `cdc lakehouse snapshots`)
+    cdc-spark query <table_root> [--snapshot-id N] [--limit N]
+                                              (cli.py:294-325  `cdc lakehouse query`)
+    cdc-spark rollback <table_root> <snapshot_id>
+                                              (cli.py:328-365  `cdc lakehouse rollback`)
+    cdc-spark compact <table_root> [--max-files N]
+    cdc-spark expire <table_root> --older-than-ms N
+
+argparse instead of Typer (not in the container); same verbs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="cdc-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_run = sub.add_parser("run", help="run a pipeline from YAML (availableNow)")
+    p_run.add_argument("config")
+    p_run.add_argument("--platform-config", default=None)
+
+    p_snap = sub.add_parser("snapshots", help="list table snapshots")
+    p_snap.add_argument("table_root")
+
+    p_query = sub.add_parser("query", help="scan a table (optionally at a snapshot)")
+    p_query.add_argument("table_root")
+    p_query.add_argument("--snapshot-id", default=None)
+    p_query.add_argument("--limit", type=int, default=20)
+
+    p_roll = sub.add_parser("rollback", help="roll the table back to a snapshot")
+    p_roll.add_argument("table_root")
+    p_roll.add_argument("snapshot_id")
+
+    p_comp = sub.add_parser("compact", help="compact small file groups")
+    p_comp.add_argument("table_root")
+    p_comp.add_argument("--max-files", type=int, default=4)
+
+    p_exp = sub.add_parser("expire", help="expire old snapshots")
+    p_exp.add_argument("table_root")
+    p_exp.add_argument("--older-than-ms", type=int, required=True)
+
+    args = ap.parse_args(argv)
+
+    from cdc_platform_spark.session import get_spark
+
+    spark = get_spark(app_name=f"cdc-spark-{args.cmd}")
+
+    if args.cmd == "run":
+        from cdc_platform_spark.config import load_pipeline_config, load_platform_config
+        from cdc_platform_spark.plans.compiler import compile_pipeline
+
+        cfg = load_pipeline_config(args.config)
+        platform = load_platform_config(args.platform_config)
+        pipe = compile_pipeline(spark, cfg, platform)
+        pipe.run_available_now()
+        print(json.dumps({"pipeline_id": cfg.pipeline_id, "status": "completed"}))
+        return 0
+
+    from cdc_platform_spark.lakehouse.table import VersionedTable
+
+    table = VersionedTable(spark, args.table_root)
+    if args.cmd == "snapshots":
+        for s in table.snapshots():
+            print(json.dumps(s))
+    elif args.cmd == "query":
+        df = table.read(snapshot_id=args.snapshot_id)
+        for row in df.limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "rollback":
+        table.rollback(args.snapshot_id)
+        print(json.dumps({"head": table.current_snapshot_id()}))
+    elif args.cmd == "compact":
+        sid = table.compact(max_files=args.max_files)
+        print(json.dumps({"rewrote": sid}))
+    elif args.cmd == "expire":
+        n = table.expire_snapshots(older_than_ms=args.older_than_ms)
+        print(json.dumps({"expired": n}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

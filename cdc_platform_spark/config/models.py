@@ -1,0 +1,59 @@
+"""Declarative pipeline configuration (YAML + Pydantic).
+
+Same front-end shape as the reference (reference config/models.py:
+332-338 ``PipelineConfig{pipeline_id, topic_prefix, source, sinks[]}``,
+strict ``extra="forbid"``, cross-field sink validation 317-329), but it
+compiles to a Spark job spec — readStream source, sink writers,
+checkpoint location — instead of asyncio tasks.
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+from pydantic import BaseModel, Field, model_validator
+
+
+class SourceConfig(BaseModel, extra="forbid"):
+    type: Literal["parquet_stream", "parquet_batch"] = "parquet_stream"
+    path: str
+    schema_ddl: str | None = None  # None -> engine default events schema
+    max_files_per_trigger: int | None = Field(default=None, ge=1)  # backpressure (ref F3)
+
+
+class SinkConfig(BaseModel, extra="forbid"):
+    id: str
+    type: Literal["append", "upsert", "lakehouse_append", "lakehouse_upsert"]
+    path: str
+    enabled: bool = True
+    # test/chaos hook mirroring the reference's per-sink failure isolation tests
+    fail_predicate: str | None = None
+
+    @model_validator(mode="after")
+    def _check(self) -> SinkConfig:
+        if self.fail_predicate is not None and self.type != "append":
+            raise ValueError("fail_predicate is only supported on append sinks")
+        return self
+
+
+class PipelineConfig(BaseModel, extra="forbid"):
+    pipeline_id: str
+    topic_prefix: str = "cdc"
+    source: SourceConfig
+    sinks: list[SinkConfig] = Field(min_length=1)
+    dlq_path: str | None = None
+    checkpoint_dir: str | None = None  # default: <platform.checkpoint_root>/<pipeline_id>
+
+    @model_validator(mode="after")
+    def _unique_sink_ids(self) -> PipelineConfig:
+        ids = [s.id for s in self.sinks]
+        if len(set(ids)) != len(ids):
+            raise ValueError(f"duplicate sink ids: {ids}")
+        return self
+
+
+class PlatformConfig(BaseModel, extra="forbid"):
+    checkpoint_root: str = "/tmp/cdc-platform-spark/checkpoints"
+    shuffle_partitions: int = 32
+    master: str | None = None
+    session_conf: dict[str, str] = Field(default_factory=dict)

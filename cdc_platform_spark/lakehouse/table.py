@@ -1,0 +1,186 @@
+"""Versioned lakehouse table: snapshots, time travel, rollback, compaction.
+
+The reference ships these as PyIceberg wrappers (reference
+lakehouse/time_travel.py:19-58 — snapshot listing, point-in-time scan,
+rollback; lakehouse/maintenance.py:106-244 — snapshot expiry and
+compaction).  On a production Spark deployment every one of them is an
+Iceberg built-in (`tbl.snapshots` metadata table, `VERSION AS OF`,
+`rollback_to_snapshot`, `expire_snapshots`, `rewrite_data_files`).
+
+This module provides the same table semantics on plain parquet + JSON
+snapshot manifests so the whole surface is testable in-container, with
+two deliberate design upgrades over the reference:
+
+- compaction is a distributed Spark rewrite — the reference refuses to
+  compact tables over 500k rows because it compacts in driver memory
+  (maintenance.py:157-166, the documented anti-pattern we remove);
+- every snapshot records files + row counts, so maintenance planning is
+  metadata-only (same property the reference gets from Iceberg
+  manifests, maintenance.py:149-156).
+
+Layout:
+    <root>/data/<uuid>/part-*.parquet     (immutable file groups)
+    <root>/snapshots/<seq>-<id>.json      {id, parent, ts_ms, op, files, rows}
+    <root>/HEAD                           current snapshot id
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(f"{root}/data", exist_ok=True)
+        os.makedirs(f"{root}/snapshots", exist_ok=True)
+
+    # --- snapshot bookkeeping ------------------------------------------------
+    def _snapshot_files(self) -> list[str]:
+        return sorted(os.listdir(f"{self.root}/snapshots"))
+
+    def snapshots(self) -> list[dict]:
+        """All snapshots, oldest first (ref time_travel.py:19-23)."""
+        out = []
+        for name in self._snapshot_files():
+            with open(f"{self.root}/snapshots/{name}") as f:
+                out.append(json.load(f))
+        return out
+
+    def current_snapshot_id(self) -> str | None:
+        head = f"{self.root}/HEAD"
+        if not os.path.exists(head):
+            return None
+        with open(head) as f:
+            return f.read().strip()
+
+    def _snapshot(self, snapshot_id: str) -> dict:
+        for s in self.snapshots():
+            if s["id"] == snapshot_id:
+                return s
+        raise KeyError(f"unknown snapshot {snapshot_id!r}")
+
+    def _commit(self, files: list[str], op: str, rows: int) -> str:
+        sid = uuid.uuid4().hex[:16]
+        seq = len(self._snapshot_files())
+        snap = {
+            "id": sid,
+            "parent": self.current_snapshot_id(),
+            "ts_ms": int(time.time() * 1000),
+            "op": op,
+            "files": files,
+            "rows": rows,
+        }
+        path = f"{self.root}/snapshots/{seq:06d}-{sid}.json"
+        with open(f"{path}.tmp", "w") as f:
+            json.dump(snap, f)
+        os.rename(f"{path}.tmp", path)
+        with open(f"{self.root}/HEAD.tmp", "w") as f:
+            f.write(sid)
+        os.rename(f"{self.root}/HEAD.tmp", f"{self.root}/HEAD")
+        return sid
+
+    def _write_group(self, df: DataFrame) -> tuple[str, int]:
+        group = f"{self.root}/data/{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(group)
+        rows = self.spark.read.parquet(group).count()
+        return group, rows
+
+    # --- write paths ---------------------------------------------------------
+    def append(self, df: DataFrame) -> str:
+        """New snapshot = parent files + new file group (ref K3 append)."""
+        group, rows = self._write_group(df)
+        cur = self.current_snapshot_id()
+        files = (self._snapshot(cur)["files"] if cur else []) + [group]
+        prev_rows = self._snapshot(cur)["rows"] if cur else 0
+        return self._commit(files, "append", prev_rows + rows)
+
+    def overwrite(self, df: DataFrame) -> str:
+        group, rows = self._write_group(df)
+        return self._commit([group], "overwrite", rows)
+
+    # --- read paths ----------------------------------------------------------
+    def read(self, snapshot_id: str | None = None) -> DataFrame:
+        """Scan HEAD or a point-in-time snapshot (ref time_travel.py:25-31;
+        Iceberg `VERSION AS OF`)."""
+        sid = snapshot_id or self.current_snapshot_id()
+        if sid is None:
+            raise ValueError("empty table")
+        files = self._snapshot(sid)["files"]
+        return self.spark.read.parquet(*files)
+
+    def snapshots_df(self) -> DataFrame:
+        """Snapshot metadata as a DataFrame (Iceberg `tbl.snapshots` shape)."""
+        rows = [
+            Row(
+                snapshot_id=s["id"],
+                parent_id=s["parent"],
+                committed_at_ms=s["ts_ms"],
+                operation=s["op"],
+                n_files=len(s["files"]),
+                n_rows=s["rows"],
+            )
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(rows)
+
+    # --- maintenance ---------------------------------------------------------
+    def rollback(self, snapshot_id: str) -> None:
+        """Reset HEAD to an existing snapshot (ref time_travel.py:33-58:
+        validate id, then set current)."""
+        self._snapshot(snapshot_id)  # raises on unknown id
+        with open(f"{self.root}/HEAD.tmp", "w") as f:
+            f.write(snapshot_id)
+        os.rename(f"{self.root}/HEAD.tmp", f"{self.root}/HEAD")
+
+    def expire_snapshots(self, older_than_ms: int) -> int:
+        """Drop snapshot metadata older than the cutoff, keeping HEAD and any
+        file groups still referenced (ref maintenance.py:106-124). Returns the
+        number of expired snapshots."""
+        head = self.current_snapshot_id()
+        keep: list[str] = []
+        expired = 0
+        for name in self._snapshot_files():
+            with open(f"{self.root}/snapshots/{name}") as f:
+                s = json.load(f)
+            if s["id"] == head or s["ts_ms"] >= older_than_ms:
+                keep.append(name)
+            else:
+                expired += 1
+                os.remove(f"{self.root}/snapshots/{name}")
+        # garbage-collect unreferenced file groups
+        referenced: set[str] = set()
+        for s in self.snapshots():
+            referenced.update(s["files"])
+        for group in os.listdir(f"{self.root}/data"):
+            path = f"{self.root}/data/{group}"
+            if path not in referenced:
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
+        return expired
+
+    def compact(self, max_files: int = 4) -> str | None:
+        """Distributed compaction: if the current snapshot references more
+        than ``max_files`` file groups, rewrite them as one group via a full
+        Spark job (ref maintenance.py:138-176 — minus the driver-memory
+        500k-row limit: Spark spills, so no safety valve is needed).
+
+        Planning is metadata-only (file counts from the snapshot manifest,
+        same as the reference's manifest-based planning).
+        """
+        cur = self.current_snapshot_id()
+        if cur is None:
+            return None
+        snap = self._snapshot(cur)
+        if len(snap["files"]) <= max_files:
+            return None
+        df = self.spark.read.parquet(*snap["files"])
+        group, rows = self._write_group(df.coalesce(max(1, df.rdd.getNumPartitions() // 4)))
+        return self._commit([group], "rewrite", rows)

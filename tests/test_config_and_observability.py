@@ -1,0 +1,178 @@
+"""Config front-end + compiler + observability tests (ref §1.4, M1-M5):
+YAML loading with env interpolation, validation matrices (the reference's
+tests/unit/test_config_models.py shape), config->pipeline compilation E2E,
+schema-drift detection, retry/backoff."""
+
+from __future__ import annotations
+
+import pytest
+from pydantic import ValidationError
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdc_platform_spark.config import load_pipeline_config
+from cdc_platform_spark.config.loader import deep_merge, interpolate_env
+from cdc_platform_spark.config.models import PipelineConfig, SinkConfig, SourceConfig
+from cdc_platform_spark.observability import (
+    SchemaDriftError,
+    SchemaMonitor,
+    retry_with_backoff,
+)
+from cdc_platform_spark.operators import load_all
+from cdc_platform_spark.plans.compiler import compile_pipeline
+
+from .conftest import SF_SMOKE
+
+
+# --- loader -----------------------------------------------------------------
+def test_env_interpolation(monkeypatch):
+    monkeypatch.setenv("CDC_TEST_PATH", "/data/x")
+    assert interpolate_env("${CDC_TEST_PATH}/events") == "/data/x/events"
+    assert interpolate_env("${CDC_MISSING:-fallback}") == "fallback"
+    with pytest.raises(KeyError):
+        interpolate_env("${CDC_MISSING_NO_DEFAULT}")
+    assert interpolate_env({"a": ["${CDC_TEST_PATH}"]}) == {"a": ["/data/x"]}
+
+
+def test_deep_merge():
+    assert deep_merge({"a": {"b": 1, "c": 2}}, {"a": {"b": 9}, "d": 3}) == {
+        "a": {"b": 9, "c": 2},
+        "d": 3,
+    }
+
+
+def test_yaml_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setenv("OUT", str(tmp_path))
+    cfg_file = tmp_path / "p.yaml"
+    cfg_file.write_text(
+        """
+pipeline_id: demo
+source:
+  path: ${OUT}/src
+sinks:
+  - id: a
+    type: append
+    path: ${OUT}/append
+dlq_path: ${OUT}/dlq
+"""
+    )
+    cfg = load_pipeline_config(str(cfg_file))
+    assert cfg.pipeline_id == "demo"
+    assert cfg.source.path == f"{tmp_path}/src"
+    assert cfg.topic_prefix == "cdc"  # default merged in
+
+
+# --- validation matrix (ref tests/unit/test_config_models.py shape) ---------
+def test_config_validation_matrix():
+    src = SourceConfig(path="/tmp/x")
+    ok = PipelineConfig(pipeline_id="p", source=src, sinks=[SinkConfig(id="s", type="append", path="/t")])
+    assert ok.sinks[0].enabled
+    with pytest.raises(ValidationError):  # no sinks
+        PipelineConfig(pipeline_id="p", source=src, sinks=[])
+    with pytest.raises(ValidationError):  # duplicate sink ids
+        PipelineConfig(
+            pipeline_id="p",
+            source=src,
+            sinks=[SinkConfig(id="s", type="append", path="/a"), SinkConfig(id="s", type="upsert", path="/b")],
+        )
+    with pytest.raises(ValidationError):  # extra="forbid"
+        PipelineConfig(pipeline_id="p", source=src, sinks=[SinkConfig(id="s", type="append", path="/t")], bogus=1)
+    with pytest.raises(ValidationError):  # fail_predicate only on append
+        SinkConfig(id="s", type="upsert", path="/t", fail_predicate="op = 'd'")
+
+
+# --- config -> pipeline E2E -------------------------------------------------
+def test_compiled_pipeline_runs_lakehouse_sinks(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("OUT", str(tmp_path))
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").repartition(3).write.parquet(f"{tmp_path}/src")
+    cfg_file = tmp_path / "p.yaml"
+    cfg_file.write_text(
+        """
+pipeline_id: demo
+source:
+  path: ${OUT}/src
+  max_files_per_trigger: 1
+checkpoint_dir: ${OUT}/ck
+sinks:
+  - id: lake
+    type: lakehouse_upsert
+    path: ${OUT}/lake
+  - id: raw
+    type: lakehouse_append
+    path: ${OUT}/raw
+"""
+    )
+    cfg = load_pipeline_config(str(cfg_file))
+    pipe = compile_pipeline(spark, cfg)
+    pipe.run_available_now()
+
+    lake = pipe.sinks["lake"]
+    expected = load_all()["q27_cdc_upsert_latest"].builder(spark, SF_SMOKE)
+    assert lake.state().count() == expected.count()
+    # append table accumulated one snapshot per micro-batch (3 files staged)
+    raw = pipe.sinks["raw"].table
+    assert len(raw.snapshots()) == 3
+    assert raw.read().count() == spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+
+
+# --- schema monitor (M1) ----------------------------------------------------
+def test_schema_monitor_halts_on_incompatible(spark):
+    base = spark.range(5).select(F.col("id"), F.lit("x").alias("name"))
+    mon = SchemaMonitor(expected=base.schema, mode="halt")
+    assert mon.check(base)
+    # added nullable column -> compatible drift, recorded not raised
+    evolved = base.withColumn("extra", F.lit(1))
+    assert mon.check(evolved)
+    assert mon.drift_log[-1]["incompatible"] is False
+    # type change -> incompatible -> halt (ref schema_monitor halt semantics)
+    changed = spark.range(5).select(F.col("id").cast("string"), F.lit("x").alias("name"))
+    with pytest.raises(SchemaDriftError):
+        mon.check(changed)
+    mon_warn = SchemaMonitor(expected=base.schema, mode="warn")
+    assert mon_warn.check(changed) is False
+    assert mon_warn.drift_log[-1]["incompatible"] is True
+
+
+def test_schema_monitor_missing_column_incompatible(spark):
+    base = spark.range(5).select(F.col("id"), F.lit("x").alias("name"))
+    mon = SchemaMonitor(expected=base.schema, mode="halt")
+    with pytest.raises(SchemaDriftError):
+        mon.check(base.drop("name"))
+
+
+# --- retry (M5) -------------------------------------------------------------
+def test_retry_with_backoff_succeeds_then_exhausts():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert retry_with_backoff(flaky, max_attempts=5, base_delay=0.001) == "ok"
+    assert calls["n"] == 3
+
+    def always_fails():
+        raise RuntimeError("permanent")
+
+    with pytest.raises(RuntimeError, match="permanent"):
+        retry_with_backoff(always_fails, max_attempts=3, base_delay=0.001)
+
+
+# --- CLI --------------------------------------------------------------------
+def test_cli_lakehouse_roundtrip(spark, tmp_path, capsys):
+    from cdc_platform_spark.cli import main
+    from cdc_platform_spark.lakehouse.table import VersionedTable
+
+    root = str(tmp_path / "tbl")
+    t = VersionedTable(spark, root)
+    t.append(spark.range(10).selectExpr("id", "id*2 AS v"))
+    t.append(spark.range(10, 20).selectExpr("id", "id*2 AS v"))
+
+    assert main(["snapshots", root]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2
+
+    assert main(["query", root, "--limit", "5"]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 5

@@ -1,0 +1,72 @@
+"""Lakehouse table semantics (ref L1-L6): snapshots accumulate, time travel
+returns point-in-time rows, rollback, expiry, distributed compaction —
+the same scenario shape as the reference's lakehouse E2E test
+(tests/integration/test_lakehouse_e2e.py:20-100)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from cdc_platform_spark.lakehouse.table import VersionedTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return VersionedTable(spark, str(tmp_path / "tbl"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def test_snapshots_accumulate_and_time_travel(spark, table):
+    s1 = table.append(_df(spark, 0, 10))
+    s2 = table.append(_df(spark, 10, 30))
+    s3 = table.overwrite(_df(spark, 0, 5))
+    snaps = table.snapshots()
+    assert [s["op"] for s in snaps] == ["append", "append", "overwrite"]
+    assert [s["rows"] for s in snaps] == [10, 30, 5]
+    # HEAD reads the overwrite; point-in-time reads see history (L5)
+    assert table.read().count() == 5
+    assert table.read(snapshot_id=s1).count() == 10
+    assert table.read(snapshot_id=s2).count() == 30
+    assert table.current_snapshot_id() == s3
+    # metadata-only planning surface (Iceberg tbl.snapshots shape)
+    meta = table.snapshots_df()
+    assert meta.count() == 3
+    assert {"snapshot_id", "operation", "n_files", "n_rows"} <= set(meta.columns)
+
+
+def test_rollback(spark, table):
+    s1 = table.append(_df(spark, 0, 10))
+    table.overwrite(_df(spark, 0, 2))
+    table.rollback(s1)
+    assert table.read().count() == 10
+    with pytest.raises(KeyError):
+        table.rollback("nonexistent")
+
+
+def test_expire_snapshots_keeps_head_and_gc_files(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.overwrite(_df(spark, 0, 3))
+    cutoff = int(time.time() * 1000) + 10_000  # everything is "old"
+    expired = table.expire_snapshots(older_than_ms=cutoff)
+    assert expired == 1  # HEAD survives even though it is old
+    assert table.read().count() == 3
+    assert len(table.snapshots()) == 1
+
+
+def test_compaction_rewrites_many_groups(spark, table):
+    for i in range(6):
+        table.append(_df(spark, i * 10, (i + 1) * 10))
+    before = table._snapshot(table.current_snapshot_id())
+    assert len(before["files"]) == 6
+    sid = table.compact(max_files=4)
+    assert sid is not None
+    after = table._snapshot(table.current_snapshot_id())
+    assert len(after["files"]) == 1
+    assert table.read().count() == 60  # logical rows preserved
+    # second compact is a metadata-only no-op
+    assert table.compact(max_files=4) is None
