@@ -56,6 +56,7 @@ def load_all() -> dict[str, EngineQuery]:
         dedup,
         multimodal,
         relational,
+        relational_ext,
         similarity,
         text,
         windows,

@@ -1,0 +1,547 @@
+"""Extended relational surface: subqueries, pivot/unpivot, percentiles,
+distribution windows, string aggregation, exact statistical moments,
+HAVING, lateral expansion, and CDC enrichment joins.
+
+Extends §2B beyond the minimum inventory so a user of the reference (plus
+a normal analytics workload) finds every query shape they need.  Same
+determinism rules as operators/relational.py.
+
+Note on statistics: Spark's stddev/var/corr use streaming single-pass
+algorithms whose float accumulation is partition-order dependent — NOT
+reproducible across engines or even runs.  `q47_stats_moments` therefore
+computes moments from exact decimal power sums (the map-side-combinable
+form), which is both deterministic and the correct distributed design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_platform_spark.functions import MONEY, money
+from cdc_platform_spark.operators import register
+from cdc_platform_spark.sources.registry import load_table
+
+
+def _t(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+@register(
+    "q31_subquery_scalar_correlated",
+    category="subquery",
+    doc="Correlated scalar subquery: orders priced above their customer's average "
+        "(decorrelates to an aggregate + join — Catalyst does the rewrite).",
+    oracle="""
+        WITH avg_per_cust AS (
+            SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o JOIN avg_per_cust a ON o.o_custkey = a.o_custkey
+        WHERE o.o_totalprice > a.avg_price
+        ORDER BY o.o_orderkey
+    """,
+)
+def q31_subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, "orders", sf_dir)
+    avg_pc = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        (F.sum(money("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_price")
+    )
+    return (
+        o.join(F.broadcast(avg_pc), o.o_custkey == avg_pc.k)
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q32_subquery_in",
+    category="subquery",
+    doc="IN / NOT IN subqueries over derived key sets.",
+    oracle="""
+        SELECT p_partkey, p_retailprice
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+          AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity <= 2)
+        ORDER BY p_partkey
+    """,
+)
+def q32_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, "part", sf_dir)
+    l = _t(spark, "lineitem", sf_dir)
+    hi = l.filter("l_quantity >= 49").select(F.col("l_partkey").alias("k")).distinct()
+    lo = l.filter("l_quantity <= 2").select(F.col("l_partkey").alias("k")).distinct()
+    return (
+        p.join(hi, p.p_partkey == hi.k, "left_semi")
+        .join(lo, p.p_partkey == lo.k, "left_anti")
+        .select("p_partkey", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q33_conditional_agg",
+    category="aggregate",
+    doc="Conditional aggregation (FILTER / CASE inside agg) — per-nation order-status mix.",
+    oracle="""
+        SELECT c.c_nationkey,
+               COUNT(*) AS n_orders,
+               CAST(COUNT(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+               CAST(COUNT(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_done,
+               CAST(SUM(CASE WHEN o.o_totalprice > 100000.0 THEN CAST(o.o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS big_value
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey
+        ORDER BY c.c_nationkey
+    """,
+)
+def q33_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, "orders", sf_dir)
+    c = _t(spark, "customer", sf_dir)
+    zero = F.lit(0).cast(MONEY)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_done"),
+            F.sum(F.when(F.col("o_totalprice") > 100000.0, money("o_totalprice")).otherwise(zero))
+            .cast("double")
+            .alias("big_value"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q34_percentiles",
+    category="aggregate",
+    doc="Exact interpolated percentiles (median/quartiles) per group — Spark "
+        "percentile ≡ DuckDB quantile_cont (same linear interpolation).",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS median_qty,
+               quantile_cont(l_extendedprice, 0.25) AS p25_price,
+               quantile_cont(l_extendedprice, 0.75) AS p75_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def q34_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, "lineitem", sf_dir)
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("median_qty"),
+            F.percentile("l_extendedprice", 0.25).alias("p25_price"),
+            F.percentile("l_extendedprice", 0.75).alias("p75_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q35_pivot",
+    category="aggregate",
+    doc="Pivot: order counts + exact value sums by (year x status) — wide form.",
+    oracle="""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_O,
+               CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_F,
+               CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_P,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS v_O,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS v_F,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS v_P
+        FROM orders
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+)
+def q35_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, "orders", sf_dir)
+    pivoted = (
+        o.select(F.year("o_orderdate").cast("long").alias("o_year"), "o_orderstatus", money("o_totalprice").alias("v"))
+        .groupBy("o_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("v"))
+    )
+    zero = F.lit(0).cast(MONEY)
+    return (
+        pivoted.select(
+            "o_year",
+            F.coalesce(F.col("O_n"), F.lit(0)).cast("long").alias("n_O"),
+            F.coalesce(F.col("F_n"), F.lit(0)).cast("long").alias("n_F"),
+            F.coalesce(F.col("P_n"), F.lit(0)).cast("long").alias("n_P"),
+            F.coalesce(F.col("O_v"), zero).cast("double").alias("v_O"),
+            F.coalesce(F.col("F_v"), zero).cast("double").alias("v_F"),
+            F.coalesce(F.col("P_v"), zero).cast("double").alias("v_P"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q36_window_distribution",
+    category="window",
+    doc="Distribution window functions: ntile/percent_rank/cume_dist per segment.",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               CAST(NTILE(4) OVER w_u AS BIGINT) AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal),
+               w_u AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_custkey
+    """,
+)
+def q36_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    w_u = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.ntile(4).over(w_u).cast("long").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q37_string_agg",
+    category="aggregate",
+    doc="Ordered string aggregation (LISTAGG): nation roster per region.",
+    oracle="""
+        SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY r.r_name
+    """,
+)
+def q37_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, "nation", sf_dir)
+    r = _t(spark, "region", sf_dir)
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "q38_first_last_nth",
+    category="window",
+    doc="first_value/last_value/nth_value with explicit full-partition frames.",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               FIRST_VALUE(o_orderkey) OVER w AS first_order,
+               LAST_VALUE(o_orderkey)  OVER w AS last_order,
+               NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q38_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "q39_unpivot",
+    category="setop",
+    doc="Unpivot (wide->long melt) of per-part numeric attributes.",
+    oracle="""
+        SELECT p_partkey, attr, val FROM (
+            SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+            UNION ALL
+            SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
+        )
+        ORDER BY p_partkey, attr
+    """,
+)
+def q39_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, "part", sf_dir)
+    return (
+        p.unpivot(
+            "p_partkey",
+            [F.col("p_size").cast("double").alias("size"), F.col("p_retailprice").alias("retailprice")],
+            "attr",
+            "val",
+        )
+        .orderBy("p_partkey", "attr")
+    )
+
+
+@register(
+    "q40_having",
+    category="aggregate",
+    doc="Group filter (HAVING): suppliers with heavy shipment volume.",
+    oracle="""
+        SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 1000 AND COUNT(*) > 10
+        ORDER BY l_suppkey
+    """,
+)
+def q40_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, "lineitem", sf_dir)
+    return (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.sum(money("l_quantity")).alias("qty_dec"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .filter((F.col("qty_dec") > 1000) & (F.col("n_lines") > 10))
+        .select("l_suppkey", F.col("qty_dec").cast("double").alias("total_qty"), "n_lines")
+        .orderBy("l_suppkey")
+    )
+
+
+@register(
+    "q41_case_bucketing",
+    category="filter",
+    doc="Searched CASE bucketing + group-by on the derived bucket.",
+    oracle="""
+        SELECT CASE WHEN o_totalprice < 50000.0 THEN 'small'
+                    WHEN o_totalprice < 150000.0 THEN 'medium'
+                    WHEN o_totalprice < 300000.0 THEN 'large'
+                    ELSE 'jumbo' END AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+)
+def q41_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, "orders", sf_dir)
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000.0, "small")
+        .when(F.col("o_totalprice") < 150000.0, "medium")
+        .when(F.col("o_totalprice") < 300000.0, "large")
+        .otherwise("jumbo")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(money("o_totalprice")).cast("double").alias("total"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q42_correlated_exists_agg",
+    category="subquery",
+    doc="Correlated EXISTS with aggregate condition: customers whose max order tops 300k.",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      GROUP BY o.o_custkey HAVING MAX(o.o_totalprice) > 300000.0)
+        ORDER BY c_custkey
+    """,
+)
+def q42_correlated_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, "customer", sf_dir)
+    o = _t(spark, "orders", sf_dir)
+    hot = (
+        o.groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("mx"))
+        .filter(F.col("mx") > 300000.0)
+        .select("o_custkey")
+    )
+    return (
+        c.join(hot, c.c_custkey == hot.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q43_lateral_explode",
+    category="functions",
+    doc="Lateral expansion (posexplode): word positions for short documents.",
+    oracle="""
+        SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos, t.word
+        FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents WHERE n_chars < 150) d,
+             LATERAL (SELECT unnest(d.words) AS word, generate_subscripts(d.words, 1) AS i) t
+        ORDER BY doc_id, pos
+    """,
+)
+def q43_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, "documents", sf_dir).filter("n_chars < 150")
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .select("doc_id", F.col("pos").cast("long"), "word")
+        .orderBy("doc_id", "pos")
+    )
+
+
+@register(
+    "q47_stats_moments",
+    category="aggregate",
+    doc="Deterministic distributed statistics: stddev/variance from exact decimal "
+        "power sums (map-side combinable; never the order-dependent streaming form).",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+               sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+                    / (COUNT(*) - 1)) AS stddev_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def q47_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, "lineitem", sf_dir)
+    q = money("l_quantity")
+    s1 = F.sum(q).cast("double")
+    s2 = F.sum(q * q).cast("double")
+    n = F.count(F.lit(1))
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            s1.alias("s1"),
+            s2.alias("s2"),
+            F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("stddev_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q48_cdc_enrichment_join",
+    category="cdc",
+    doc="Stream-table enrichment: events joined to the latest materialized state "
+        "of their key (the canonical CDC lookup-join: Q27 state as dimension).",
+    oracle="""
+        WITH env AS (
+            SELECT event_id AS seq, user_id AS pk,
+                   CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+                   event_type, value
+            FROM events
+        ),
+        state AS (
+            SELECT pk, event_type AS last_event_type, value AS last_value
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) rn FROM env)
+            WHERE rn = 1 AND op <> 'd'
+        )
+        SELECT e.seq, e.pk, e.value,
+               s.last_event_type, s.last_value,
+               CAST(CASE WHEN s.pk IS NULL THEN 0 ELSE 1 END AS BIGINT) AS key_live
+        FROM env e LEFT JOIN state s ON e.pk = s.pk
+        WHERE e.op = 'u'
+        ORDER BY e.seq
+    """,
+)
+def q48_cdc_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.operators.cdc import envelope
+
+    env = envelope(spark, sf_dir)
+    w = Window.partitionBy("pk").orderBy(F.col("seq").desc())
+    state = (
+        env.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select(
+            F.col("pk").alias("s_pk"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+    return (
+        env.filter(F.col("op") == "u")
+        .join(F.broadcast(state), env.pk == state.s_pk, "left")
+        .select(
+            "seq",
+            "pk",
+            "value",
+            "last_event_type",
+            "last_value",
+            F.when(F.col("s_pk").isNull(), 0).otherwise(1).cast("long").alias("key_live"),
+        )
+        .orderBy("seq")
+    )
+
+
+@register(
+    "q49_funnel",
+    category="window",
+    doc="Conversion funnel: per user, first click -> first purchase within 1h "
+        "(sequence analytics over event time).",
+    oracle="""
+        WITH c AS (SELECT user_id, MIN(CAST(epoch_us(ts) AS BIGINT)) AS first_click_us
+                   FROM events WHERE event_type = 'click' GROUP BY user_id),
+             p AS (SELECT e.user_id, MIN(CAST(epoch_us(ts) AS BIGINT)) AS first_purchase_us
+                   FROM events e JOIN c ON e.user_id = c.user_id
+                   WHERE e.event_type = 'purchase' AND CAST(epoch_us(ts) AS BIGINT) > c.first_click_us
+                   GROUP BY e.user_id)
+        SELECT c.user_id, c.first_click_us, p.first_purchase_us,
+               CAST(CASE WHEN p.first_purchase_us IS NOT NULL
+                          AND p.first_purchase_us - c.first_click_us <= 3600000000
+                         THEN 1 ELSE 0 END AS BIGINT) AS converted_1h
+        FROM c LEFT JOIN p ON c.user_id = p.user_id
+        ORDER BY c.user_id
+    """,
+)
+def q49_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, "events", sf_dir).withColumn("t_us", F.expr("ts_ns div 1000"))
+    clicks = (
+        e.filter("event_type = 'click'").groupBy("user_id").agg(F.min("t_us").alias("first_click_us"))
+    )
+    purchases = (
+        e.filter("event_type = 'purchase'")
+        .join(clicks, "user_id")
+        .filter(F.col("t_us") > F.col("first_click_us"))
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("first_purchase_us"))
+    )
+    return (
+        clicks.join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            "first_click_us",
+            "first_purchase_us",
+            F.when(
+                F.col("first_purchase_us").isNotNull()
+                & (F.col("first_purchase_us") - F.col("first_click_us") <= 3_600_000_000),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("converted_1h"),
+        )
+        .orderBy("user_id")
+    )
