@@ -58,3 +58,14 @@ def oracle_dsum(col: str) -> str:
 ORACLE_REVENUE = (
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 )
+
+
+def spread(df, min_factor: int = 2):
+    """Repartition a coarsely-partitioned input ahead of compute-bound narrow
+    transforms (single-row-group fixture files read as one split). On a real
+    cluster with many input splits this is a no-op."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target // min_factor:
+        return df.repartition(target)
+    return df

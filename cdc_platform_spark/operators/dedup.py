@@ -70,6 +70,12 @@ ORACLE_MD5_60BIT = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
 
 def doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
+    # The fixture is a single-row-group parquet file (one input split); the
+    # downstream shingle/hash transforms are compute-bound, so spread the
+    # corpus across cores before them. On a real cluster with many input
+    # splits this shuffle is skipped (upstream parallelism is sufficient).
+    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism // 2:
+        d = d.repartition(spark.sparkContext.defaultParallelism)
     return d.select("doc_id", "lang", "source", F.split(F.col("text"), " ").alias("words"))
 
 
@@ -255,6 +261,8 @@ def _simhash_oracle_sql() -> str:
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
+    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism // 2:
+        d = d.repartition(spark.sparkContext.defaultParallelism)
     wc = (
         d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
         .groupBy("doc_id", "word")
@@ -322,7 +330,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _simhash_df(spark, sf_dir)
+    # materialize the fingerprint subtree once — it feeds both sides of the
+    # band self-join (Spark does not dedupe common subplans across joins)
+    sh = _simhash_df(spark, sf_dir).localCheckpoint(eager=False)
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << band_width) - 1
     band_structs = F.array(

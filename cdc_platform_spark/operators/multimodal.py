@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_platform_spark.functions import spread
 from cdc_platform_spark.operators import register
 from cdc_platform_spark.sources.registry import load_table
 
@@ -78,7 +79,7 @@ def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     """,
 )
 def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
+    d = spread(load_table(spark, "documents", sf_dir))
     payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     return payloads.mapInPandas(fake_decode_batch, schema=DECODE_SCHEMA).orderBy("doc_id")
 
@@ -105,7 +106,7 @@ def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
+    d = spread(load_table(spark, "documents", sf_dir))
     payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
 
     def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_platform_spark.operators import register
+from cdc_platform_spark.functions import spread
 from cdc_platform_spark.operators.dedup import ORACLE_MD5_60BIT, md5_60bit
 from cdc_platform_spark.sources.registry import load_table
 
@@ -68,7 +69,7 @@ def _in_set(col, values: tuple[str, ...]):
     """,
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
+    d = spread(load_table(spark, "documents", sf_dir))
     words = F.split(F.col("text"), " ")
     def marker_score(lg: str):
         markers = LANG_MARKERS[lg]
@@ -127,7 +128,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
+    d = spread(load_table(spark, "documents", sf_dir))
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
@@ -168,7 +169,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
+    d = spread(load_table(spark, "documents", sf_dir))
     words = F.split(F.col("text"), " ")
     sub = F.aggregate(
         F.transform(words, lambda w: F.ceil(F.length(w) / 4.0).cast("long")),
@@ -211,7 +212,7 @@ _gram_hash = ORACLE_MD5_60BIT.format(
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
+    d = spread(load_table(spark, "documents", sf_dir))
     words = F.split(F.col("text"), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(words) - 3),
