@@ -1,0 +1,77 @@
+"""Webhook sink: per-event HTTP delivery with retry/backoff (ref K1).
+
+The reference posts each event as ``{key, value, metadata{topic,
+partition, offset}}`` with bearer auth and exponential-backoff retries
+(reference sinks/webhook.py:22-135).  Here delivery runs on the
+executors via ``foreachPartition`` — each partition opens its own
+connection pool-free stdlib client (no extra deps in this container) —
+preserving per-partition ordering exactly like the reference's
+per-partition workers.
+
+Delivery is at-least-once (the reference documents the same contract,
+README.md:411-419): receivers must be idempotent on (topic, partition,
+offset).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class WebhookSink:
+    def __init__(
+        self,
+        url: str,
+        method: str = "POST",
+        auth_token: str | None = None,
+        max_attempts: int = 5,
+        base_delay: float = 0.05,
+        timeout: float = 10.0,
+    ) -> None:
+        self.url = url
+        self.method = method
+        self.auth_token = auth_token
+        self.max_attempts = max_attempts
+        self.base_delay = base_delay
+        self.timeout = timeout
+
+    def write(self, batch: DataFrame) -> None:
+        payloads = batch.select(
+            F.to_json(
+                F.struct(
+                    F.struct(F.col("pk")).alias("key"),
+                    F.struct("seq", "op", "event_type", "value", "props").alias("value"),
+                    F.struct("topic", "partition", "offset").alias("metadata"),
+                )
+            ).alias("payload")
+        )
+        url, method, token = self.url, self.method, self.auth_token
+        max_attempts, base_delay, timeout = self.max_attempts, self.base_delay, self.timeout
+
+        def deliver(rows) -> None:
+            headers = {"Content-Type": "application/json"}
+            if token:
+                headers["Authorization"] = f"Bearer {token}"
+            for row in rows:
+                body = row["payload"].encode("utf-8")
+                attempt = 0
+                while True:
+                    req = urllib.request.Request(url, data=body, method=method, headers=headers)
+                    try:
+                        with urllib.request.urlopen(req, timeout=timeout) as resp:
+                            if resp.status < 400:
+                                break
+                            raise urllib.error.HTTPError(url, resp.status, "bad status", resp.headers, None)
+                    except Exception:  # noqa: BLE001 - transport + HTTP errors retry alike
+                        attempt += 1
+                        if attempt >= max_attempts:
+                            raise
+                        time.sleep(min(base_delay * (2 ** (attempt - 1)), 60.0))
+
+        payloads.foreachPartition(deliver)

@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the core CDC merge semantics.
+
+The reference's test strategy has no property-based tier (SURVEY.md §5
+"Not present"); this adds one for the highest-risk semantics: the
+latest-per-key merge must converge to the single-delivery batch oracle
+under ANY partition of the event log into micro-batches, ANY batch
+ordering, and ANY replay duplication (at-least-once delivery).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cdc_platform_spark.streaming.pipeline import UpsertSink
+
+# events: (offset unique, pk small domain, op in c/u/d)
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 7), st.sampled_from(["c", "u", "d"]), st.integers(0, 1000)),
+    min_size=1,
+    max_size=40,
+).map(lambda rows: [(off, pk, op, val) for off, (pk, op, val) in enumerate(rows)])
+
+
+def oracle_state(events: list[tuple[int, int, str, int]]) -> dict[int, tuple[int, int]]:
+    """Single-delivery latest-per-key with delete removal (pandas form)."""
+    latest: dict[int, tuple[int, str, int]] = {}
+    for off, pk, op, val in events:
+        if pk not in latest or off > latest[pk][0]:
+            latest[pk] = (off, op, val)
+    return {pk: (off, val) for pk, (off, op, val) in latest.items() if op != "d"}
+
+
+@pytest.fixture(scope="module")
+def mkdf(spark):
+    def make(events):
+        return spark.createDataFrame(
+            [(off, pk, op, f"t{op}", float(val)) for off, pk, op, val in events],
+            "offset long, pk long, op string, event_type string, value double",
+        )
+
+    return make
+
+
+@given(
+    events=events_strategy,
+    split_seed=st.integers(0, 2**16),
+    n_batches=st.integers(1, 5),
+    shuffle_batches=st.booleans(),
+    replay_suffix=st.booleans(),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_merge_converges_under_any_batching(
+    spark, tmp_path_factory, mkdf, events, split_seed, n_batches, shuffle_batches, replay_suffix
+):
+    import random
+
+    rng = random.Random(split_seed)
+    batches: list[list] = [[] for _ in range(n_batches)]
+    for ev in events:
+        batches[rng.randrange(n_batches)].append(ev)
+    if replay_suffix and events:
+        # redeliver a suffix into a random batch (at-least-once)
+        batches[rng.randrange(n_batches)].extend(events[-max(1, len(events) // 3):])
+    if shuffle_batches:
+        rng.shuffle(batches)
+
+    sink = UpsertSink(str(tmp_path_factory.mktemp("prop") / "state"))
+    for batch in batches:
+        if batch:
+            sink.write(mkdf(batch))
+
+    expected = oracle_state(events)
+    got = {
+        r["pk"]: (r["offset"], int(r["value"]))
+        for r in sink.state(spark).select("pk", "offset", "value").collect()
+    }
+    assert got == expected, f"merge diverged: got={got} expected={expected}"
+
+
+@given(events=events_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_single_batch_equals_oracle(spark, tmp_path_factory, mkdf, events):
+    sink = UpsertSink(str(tmp_path_factory.mktemp("prop1") / "state"))
+    sink.write(mkdf(events))
+    expected = oracle_state(events)
+    got = {
+        r["pk"]: (r["offset"], int(r["value"]))
+        for r in sink.state(spark).select("pk", "offset", "value").collect()
+    }
+    assert got == expected
