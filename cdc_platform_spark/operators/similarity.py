@@ -195,3 +195,110 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+N_CELLS = 8
+N_PROBE = 2
+
+_cent_hash = ORACLE_MD5_60BIT.format(x="CAST(vec_id AS VARCHAR)")
+
+@register(
+    "sim_ann_ivf",
+    category="similarity",
+    doc=(
+        f"ANN via IVF-style coarse quantization: {N_CELLS} deterministic centroids "
+        "(pseudo-random md5 sample of the corpus), every vector assigned to its "
+        f"nearest centroid cell, queries probe their {N_PROBE} nearest cells, exact "
+        f"cosine re-rank top-{TOP_K} within the probed cells. The inverted-file "
+        "scale path: candidate set is a cell equi-join, ~n/cells of the corpus "
+        "per probe instead of a full scan."
+    ),
+    oracle=f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        norms AS (SELECT vec_id, SUM(v * v) AS n FROM u GROUP BY vec_id),
+        cents AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {N_CELLS}
+        ),
+        cu AS (SELECT u.* FROM u JOIN cents ON u.vec_id = cents.cent_id),
+        vc_dots AS (
+            SELECT x.vec_id, c.vec_id AS cent_id, SUM(x.v * c.v) AS d
+            FROM u x JOIN cu c ON x.i = c.i
+            GROUP BY x.vec_id, c.vec_id
+        ),
+        vc_cos AS (
+            SELECT v.vec_id, v.cent_id, v.d / (sqrt(nx.n) * sqrt(nc.n)) AS c
+            FROM vc_dots v JOIN norms nx ON v.vec_id = nx.vec_id
+                           JOIN norms nc ON v.cent_id = nc.vec_id
+        ),
+        assign AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT vec_id, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM vc_cos) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS qid, cent_id FROM (
+                SELECT vec_id, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM vc_cos) WHERE rn <= {N_PROBE} AND vec_id < {N_PROBES}
+        ),
+        cand AS (
+            SELECT DISTINCT p.qid, a.vec_id AS nid
+            FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+            WHERE a.vec_id <> p.qid
+        ),
+        dots AS (
+            SELECT c.qid, c.nid, SUM(a.v * b.v) AS d
+            FROM cand c JOIN u a ON a.vec_id = c.qid JOIN u b ON b.vec_id = c.nid AND b.i = a.i
+            GROUP BY c.qid, c.nid
+        ),
+        cos AS (
+            SELECT qid, nid, d / (sqrt(nq.n) * sqrt(nn.n)) AS c
+            FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nn ON nid = nn.vec_id
+        )
+        SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid AS neighbor_id, c AS cosine
+        FROM (SELECT qid, nid, c, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk FROM cos)
+        WHERE rnk <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _fixed_embeddings(spark, sf_dir).localCheckpoint(eager=False)
+    # deterministic pseudo-random centroid sample (stand-in for trained k-means
+    # centroids; the cell-assignment/probe/re-rank plumbing is identical)
+    cents = (
+        e.orderBy(md5_60bit(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(N_CELLS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("a").alias("ca"), F.col("norm").alias("cn"))
+    )
+    vc = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        (dot_long(F.col("a"), F.col("ca")) / (F.sqrt("norm") * F.sqrt("cn"))).alias("c"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cent_id"))
+    ranked = vc.withColumn("rn", F.row_number().over(w_assign)).localCheckpoint(eager=False)
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    probes = (
+        ranked.filter((F.col("rn") <= N_PROBE) & (F.col("vec_id") < N_PROBES))
+        .select(F.col("vec_id").alias("qid"), "cent_id")
+    )
+    cand = (
+        probes.join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"))
+        .distinct()
+    )
+    q = e.select(F.col("vec_id").alias("qid"), F.col("a").alias("qa"), F.col("norm").alias("qn"))
+    n = e.select(F.col("vec_id").alias("nid"), F.col("a").alias("na"), F.col("norm").alias("nn"))
+    w_rank = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nid"))
+    return (
+        cand.join(q, "qid")
+        .join(n, "nid")
+        .select("qid", "nid", (dot_long(F.col("qa"), F.col("na")) / (F.sqrt("qn") * F.sqrt("nn"))).alias("c"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(F.col("qid").alias("query_id"), "rank", F.col("nid").alias("neighbor_id"), F.col("c").alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
