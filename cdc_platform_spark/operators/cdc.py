@@ -268,3 +268,85 @@ def q30_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pk")
     )
+
+
+@register(
+    "q50_debezium_envelope_roundtrip",
+    category="cdc",
+    doc=(
+        "Debezium envelope fidelity: build the reference's canonical wire form "
+        "(op/ts_ms/before/after/source — tests/benchmark/helpers.py:103-160) from "
+        "the event stream with windowed before-images, serialize to JSON, parse "
+        "back via the explicit envelope schema (sources/debezium.py), and "
+        "materialize. Construct->parse must be the identity (oracle computes the "
+        "flat form directly)."
+    ),
+    oracle="""
+        WITH ordered AS (
+            SELECT event_id, user_id, event_type, value,
+                   CAST(epoch_ns(ts) AS BIGINT) // 1000000 AS ts_ms,
+                   CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+                   LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+            FROM events
+        )
+        SELECT event_id AS lsn, user_id AS pk, op, ts_ms,
+               CASE WHEN op = 'c' THEN NULL ELSE prev_value END AS before_value,
+               CASE WHEN op = 'd' THEN NULL ELSE value END AS after_value,
+               'users' AS source_table
+        FROM ordered
+        ORDER BY lsn
+    """,
+)
+def q50_debezium_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.sources.debezium import parse_debezium
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    row = lambda val: F.struct(  # noqa: E731
+        F.col("user_id").alias("id"), F.col("event_type"), val.alias("value")
+    )
+    staged = e.withColumn("prev_value", F.lag("value").over(w)).withColumn("op", op)
+    frames = staged.select(
+        F.lit(TOPIC).alias("topic"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.to_json(F.struct(F.col("user_id").alias("id"))).alias("key_json"),
+        F.to_json(
+            F.struct(
+                F.col("op"),
+                F.expr("ts_ns div 1000000").alias("ts_ms"),
+                F.when(F.col("op") != "c", row(F.col("prev_value"))).alias("before"),
+                F.when(F.col("op") != "d", row(F.col("value"))).alias("after"),
+                F.struct(
+                    F.lit("2.5").alias("version"),
+                    F.lit("postgresql").alias("connector"),
+                    F.lit("cdc").alias("name"),
+                    F.expr("ts_ns div 1000000").alias("ts_ms"),
+                    F.lit("false").alias("snapshot"),
+                    F.lit("app").alias("db"),
+                    F.lit("public").alias("schema"),
+                    F.lit("users").alias("table"),
+                    F.col("event_id").alias("txId"),
+                    F.col("event_id").alias("lsn"),
+                ).alias("source"),
+            )
+        ).alias("value_json"),
+    )
+    parsed = parse_debezium(frames)
+    return (
+        parsed.select(
+            F.col("lsn"),
+            "pk",
+            "op",
+            "ts_ms",
+            F.col("before")["value"].alias("before_value"),
+            F.col("after")["value"].alias("after_value"),
+            "source_table",
+        )
+        .orderBy("lsn")
+    )

@@ -1,0 +1,79 @@
+"""Debezium envelope schema + parser (the reference's canonical wire form).
+
+The reference's Kafka path carries the standard Debezium envelope
+``{op: c|u|d|r, ts_ms, before, after, source{connector, db, schema,
+table, txId, lsn, ...}}`` (reference tests/benchmark/helpers.py:103-160,
+asserted in tests/integration/test_postgres_cdc.py:96-108), decoded via
+Schema Registry Avro.  In Spark the same normalization is one
+``from_json`` (or ``from_avro``) with an explicit schema — no registry
+round-trips in the hot path, schema pinned in code.
+
+``parse_debezium`` turns a raw transport frame (topic, partition,
+offset, key/value JSON strings) into the engine's flat envelope —
+exactly the reference's consumer-normalization step
+(sources/kafka/source.py:47-66) as a column expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("version", T.StringType()),
+        T.StructField("connector", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("snapshot", T.StringType()),
+        T.StructField("db", T.StringType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("txId", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+    ]
+)
+
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("before", ROW_SCHEMA),
+        T.StructField("after", ROW_SCHEMA),
+        T.StructField("source", SOURCE_SCHEMA),
+    ]
+)
+
+KEY_SCHEMA = T.StructType([T.StructField("id", T.LongType())])
+
+
+def parse_debezium(frames: DataFrame) -> DataFrame:
+    """(topic, partition, offset, key_json, value_json) -> flat engine envelope.
+
+    Debezium op codes map directly: c/r (snapshot read) create, u update,
+    d delete; the order key is (partition, offset) exactly as in the
+    reference's per-partition workers.
+    """
+    v = F.from_json(F.col("value_json"), ENVELOPE_SCHEMA)
+    k = F.from_json(F.col("key_json"), KEY_SCHEMA)
+    return frames.select(
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),
+        k["id"].alias("pk"),
+        v["op"].alias("op"),
+        v["ts_ms"].alias("ts_ms"),
+        v["before"].alias("before"),
+        v["after"].alias("after"),
+        v["source"]["lsn"].alias("lsn"),
+        v["source"]["table"].alias("source_table"),
+    )
