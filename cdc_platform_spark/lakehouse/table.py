@@ -34,10 +34,18 @@ import uuid
 from pyspark.sql import DataFrame, Row, SparkSession
 
 
+def _json_safe(v):
+    """Stats values must survive JSON roundtrip losslessly."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
         self.root = root
+        self._group_stats: dict[str, dict] = {}
         os.makedirs(f"{root}/data", exist_ok=True)
         os.makedirs(f"{root}/snapshots", exist_ok=True)
 
@@ -69,13 +77,18 @@ class VersionedTable:
     def _commit(self, files: list[str], op: str, rows: int) -> str:
         sid = uuid.uuid4().hex[:16]
         seq = len(self._snapshot_files())
+        # carry stats forward: inherited groups keep the parent's manifest stats
+        parent_id = self.current_snapshot_id()
+        parent_stats = self._snapshot(parent_id).get("stats", {}) if parent_id else {}
+        stats = {g: (self._group_stats.get(g) or parent_stats.get(g) or {}) for g in files}
         snap = {
             "id": sid,
-            "parent": self.current_snapshot_id(),
+            "parent": parent_id,
             "ts_ms": int(time.time() * 1000),
             "op": op,
             "files": files,
             "rows": rows,
+            "stats": stats,
         }
         path = f"{self.root}/snapshots/{seq:06d}-{sid}.json"
         with open(f"{path}.tmp", "w") as f:
@@ -89,8 +102,27 @@ class VersionedTable:
     def _write_group(self, df: DataFrame) -> tuple[str, int]:
         group = f"{self.root}/data/{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(group)
-        rows = self.spark.read.parquet(group).count()
-        return group, rows
+        written = self.spark.read.parquet(group)
+        # per-group column stats for scan pruning (the role of Iceberg
+        # manifest entries, ref maintenance.py:149-156 metadata-only planning)
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        statable = [
+            f.name
+            for f in written.schema.fields
+            if isinstance(f.dataType, (T.NumericType, T.StringType, T.TimestampType, T.DateType))
+        ]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in statable:
+            aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
+        row = written.agg(*aggs).collect()[0].asDict()
+        stats = {
+            c: {"min": _json_safe(row[f"min__{c}"]), "max": _json_safe(row[f"max__{c}"])}
+            for c in statable
+        }
+        self._group_stats[group] = stats
+        return group, int(row["__rows"])
 
     # --- write paths ---------------------------------------------------------
     def append(self, df: DataFrame) -> str:
@@ -114,6 +146,46 @@ class VersionedTable:
             raise ValueError("empty table")
         files = self._snapshot(sid)["files"]
         return self.spark.read.parquet(*files)
+
+    def read_where(self, column: str, op: str, value, snapshot_id: str | None = None) -> DataFrame:
+        """Stats-pruned scan: skip file groups whose [min, max] range for
+        ``column`` cannot satisfy ``column <op> value`` — metadata-only
+        planning from the snapshot manifest (the Iceberg manifest-pruning
+        pattern; ref maintenance.py:149-156), then apply the residual filter.
+        """
+        sid = snapshot_id or self.current_snapshot_id()
+        if sid is None:
+            raise ValueError("empty table")
+        snap = self._snapshot(sid)
+
+        def may_match(stats: dict) -> bool:
+            cs = stats.get(column)
+            if not cs or cs["min"] is None:
+                return True  # no stats -> cannot prune
+            lo, hi = cs["min"], cs["max"]
+            if op == "=":
+                return lo <= value <= hi
+            if op == ">":
+                return hi > value
+            if op == ">=":
+                return hi >= value
+            if op == "<":
+                return lo < value
+            if op == "<=":
+                return lo <= value
+            raise ValueError(f"unsupported op {op!r}")
+
+        keep = [g for g in snap["files"] if may_match(snap.get("stats", {}).get(g, {}))]
+        self.last_scan_files = (len(keep), len(snap["files"]))
+        if not keep:
+            empty = self.spark.read.parquet(*snap["files"]).limit(0)
+            return empty
+        from pyspark.sql import functions as F
+
+        ops = {"=": "==", ">": ">", ">=": ">=", "<": "<", "<=": "<="}
+        return self.spark.read.parquet(*keep).filter(
+            F.expr(f"{column} {ops[op]} {value!r}")
+        )
 
     def snapshots_df(self) -> DataFrame:
         """Snapshot metadata as a DataFrame (Iceberg `tbl.snapshots` shape)."""

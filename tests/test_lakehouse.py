@@ -70,3 +70,25 @@ def test_compaction_rewrites_many_groups(spark, table):
     assert table.read().count() == 60  # logical rows preserved
     # second compact is a metadata-only no-op
     assert table.compact(max_files=4) is None
+
+
+def test_stats_pruned_scan(spark, table):
+    # three disjoint id ranges -> three file groups with disjoint stats
+    table.append(_df(spark, 0, 100))
+    table.append(_df(spark, 100, 200))
+    table.append(_df(spark, 200, 300))
+    out = table.read_where("id", ">=", 250)
+    assert out.count() == 50
+    kept, total = table.last_scan_files
+    assert (kept, total) == (1, 3), "manifest stats should have pruned 2 of 3 groups"
+    # equality probe in the middle group
+    assert table.read_where("id", "=", 150).count() == 1
+    assert table.last_scan_files == (1, 3)
+    # predicate matching nothing prunes everything
+    assert table.read_where("id", ">", 10_000).count() == 0
+    # stats survive the JSON manifest roundtrip on a fresh handle
+    from cdc_platform_spark.lakehouse.table import VersionedTable
+
+    fresh = VersionedTable(spark, table.root)
+    assert fresh.read_where("id", "<", 100).count() == 100
+    assert fresh.last_scan_files == (1, 3)
