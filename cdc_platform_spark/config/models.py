@@ -23,16 +23,20 @@ class SourceConfig(BaseModel, extra="forbid"):
 
 class SinkConfig(BaseModel, extra="forbid"):
     id: str
-    type: Literal["append", "upsert", "lakehouse_append", "lakehouse_upsert"]
+    type: Literal["append", "relational_append", "upsert", "lakehouse_append", "lakehouse_upsert"]
     path: str
     enabled: bool = True
     # test/chaos hook mirroring the reference's per-sink failure isolation tests
     fail_predicate: str | None = None
+    # inline small-file compaction cadence (lakehouse_append only; 0 = off)
+    compact_every_n_batches: int = Field(default=0, ge=0)
 
     @model_validator(mode="after")
     def _check(self) -> SinkConfig:
         if self.fail_predicate is not None and self.type != "append":
             raise ValueError("fail_predicate is only supported on append sinks")
+        if self.compact_every_n_batches and self.type != "lakehouse_append":
+            raise ValueError("compact_every_n_batches is only supported on lakehouse_append sinks")
         return self
 
 

@@ -16,19 +16,31 @@ from cdc_platform_spark.streaming.pipeline import (
     AppendSink,
     CdcPipeline,
     DlqWriter,
+    RelationalAppendSink,
     UpsertSink,
 )
 
 
 class LakehouseAppendSink:
     """Append sink writing into a VersionedTable (snapshot per batch) —
-    the reference's Iceberg append path (sinks/iceberg.py:124-133)."""
+    the reference's Iceberg append path (sinks/iceberg.py:124-133).
 
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    ``compact_every_n_batches`` runs small-file compaction inline every N
+    micro-batches — the reference's periodic maintenance loop
+    (lakehouse/maintenance.py:74-104) without its write-lock: maintenance
+    runs in the same foreachBatch sequence as writes, so there is no
+    concurrent-writer race by construction."""
+
+    def __init__(self, spark: SparkSession, path: str, compact_every_n_batches: int = 0) -> None:
         self.table = VersionedTable(spark, path)
+        self.compact_every_n_batches = compact_every_n_batches
+        self._batches = 0
 
     def write(self, batch) -> None:
         self.table.append(batch)
+        self._batches += 1
+        if self.compact_every_n_batches and self._batches % self.compact_every_n_batches == 0:
+            self.table.compact(max_files=self.compact_every_n_batches)
 
 
 class LakehouseUpsertSink:
@@ -71,10 +83,12 @@ def compile_pipeline(
             continue
         if s.type == "append":
             sinks[s.id] = AppendSink(s.path, fail_predicate=s.fail_predicate)
+        elif s.type == "relational_append":
+            sinks[s.id] = RelationalAppendSink(s.path)
         elif s.type == "upsert":
             sinks[s.id] = UpsertSink(s.path)
         elif s.type == "lakehouse_append":
-            sinks[s.id] = LakehouseAppendSink(spark, s.path)
+            sinks[s.id] = LakehouseAppendSink(spark, s.path, compact_every_n_batches=s.compact_every_n_batches)
         elif s.type == "lakehouse_upsert":
             sinks[s.id] = LakehouseUpsertSink(spark, s.path)
         else:  # pragma: no cover - pydantic Literal already forbids

@@ -99,6 +99,33 @@ class AppendSink:
         )
 
 
+class RelationalAppendSink:
+    """The reference's Postgres sink table shape, exactly (FIXTURES.md §3a;
+    ref sinks/postgres.py:101-107,136-146): 5 columns
+    (event_key, event_value, source_topic, source_partition, source_offset),
+    key/value as JSON text, unique on the source coordinates. The
+    exactly-once read is the dedup view on that unique key — the ON CONFLICT
+    analogue."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, batch: DataFrame) -> None:
+        out = batch.select(
+            F.to_json(F.struct(F.col("pk").alias("id"))).alias("event_key"),
+            F.to_json(F.struct("seq", "op", "event_type", "value", "props")).alias("event_value"),
+            F.col("topic").alias("source_topic"),
+            F.col("partition").cast("int").alias("source_partition"),
+            F.col("offset").alias("source_offset"),
+        )
+        out.write.mode("append").parquet(self.path)
+
+    def exactly_once_view(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path).dropDuplicates(
+            ["source_topic", "source_partition", "source_offset"]
+        )
+
+
 class UpsertSink:
     """Latest-per-key merge materialization (ref J1/W2, sinks/iceberg.py:187-197).
 
@@ -118,6 +145,8 @@ class UpsertSink:
         self.path = path
 
     def write(self, batch: DataFrame) -> None:
+        if not batch.take(1):
+            return  # empty micro-batch: nothing to merge
         spark = batch.sparkSession
         w = Window.partitionBy("pk").orderBy(F.col("offset").desc())
         latest_in_batch = (

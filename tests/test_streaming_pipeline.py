@@ -196,3 +196,41 @@ def test_streaming_windows_match_batch(spark, workdir):
     a = sess_stream.sort_values(["pk", "session_start_us"]).reset_index(drop=True)
     b = sess_batch.sort_values(["pk", "session_start_us"]).reset_index(drop=True)
     assert a[["pk", "session_start_us", "n_events"]].equals(b[["pk", "session_start_us", "n_events"]])
+
+
+def test_relational_append_sink_reference_schema(spark, workdir):
+    from cdc_platform_spark.streaming.pipeline import RelationalAppendSink
+
+    sink = RelationalAppendSink(f"{workdir}/pg")
+    pipe = _pipeline(spark, workdir, {"pg": sink})
+    pipe.run_available_now()
+    view = sink.exactly_once_view(spark)
+    # the reference's exact 5-column Postgres sink schema (FIXTURES.md §3a)
+    assert view.columns == [
+        "event_key",
+        "event_value",
+        "source_topic",
+        "source_partition",
+        "source_offset",
+    ]
+    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert view.count() == n_events
+    row = view.orderBy("source_offset").first()
+    import json as _json
+
+    assert set(_json.loads(row["event_key"])) == {"id"}
+    assert {"seq", "op", "event_type"} <= set(_json.loads(row["event_value"]))
+
+
+def test_inline_compaction_during_stream(spark, workdir):
+    from cdc_platform_spark.plans.compiler import LakehouseAppendSink
+
+    sink = LakehouseAppendSink(spark, f"{workdir}/lake", compact_every_n_batches=2)
+    pipe = _pipeline(spark, workdir, {"lake": sink}, max_files_per_trigger=1)
+    pipe.run_available_now()  # 4 staged files -> 4 micro-batches, compaction after 2 and 4
+    snaps = sink.table.snapshots()
+    ops = [s["op"] for s in snaps]
+    assert ops.count("append") == 4
+    assert ops.count("rewrite") >= 1, f"inline compaction never ran: {ops}"
+    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert sink.table.read().count() == n_events  # logical rows preserved through maintenance
