@@ -545,3 +545,139 @@ def q49_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q51_shipping_priority",
+    category="composite",
+    doc="TPC-H Q3-shaped composite: unshipped-revenue per order for one segment, "
+        "top 10 by revenue — selective join + agg + top-k in one plan.",
+    oracle="""
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15'
+          AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+        GROUP BY l.l_orderkey, orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+)
+def q51_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.functions import revenue
+
+    c = _t(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, "orders", sf_dir).filter(F.col("o_orderdate") < "1995-03-15")
+    l = _t(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(revenue()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q52_returned_items",
+    category="composite",
+    doc="TPC-H Q10-shaped composite: revenue lost to returns per customer, "
+        "top 20 — the selective-fact + dim-enrich + top-k pattern.",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+)
+def q52_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.functions import revenue
+
+    c = _t(spark, "customer", sf_dir)
+    o = _t(spark, "orders", sf_dir)
+    l = _t(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    n = _t(spark, "nation", sf_dir)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue()).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .select("c_custkey", "c_name", "n_name", "revenue", "n_items")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q53_region_share",
+    category="composite",
+    doc="Market-share-shaped composite: each region's yearly share of global "
+        "revenue — two aggregation levels, deterministic share division.",
+    oracle="""
+        WITH rev AS (
+            SELECT r.r_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, o_year
+        )
+        SELECT r_name, o_year,
+               CAST(rev AS DOUBLE) AS revenue,
+               CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY o_year) AS DOUBLE) AS share
+        FROM rev
+        ORDER BY r_name, o_year
+    """,
+)
+def q53_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cdc_platform_spark.functions import revenue
+
+    l = _t(spark, "lineitem", sf_dir)
+    o = _t(spark, "orders", sf_dir)
+    c = _t(spark, "customer", sf_dir)
+    n = _t(spark, "nation", sf_dir)
+    r = _t(spark, "region", sf_dir)
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(revenue()).alias("rev"))
+    )
+    total = F.sum("rev").over(W.partitionBy("o_year"))
+    return (
+        rev.select(
+            "r_name",
+            "o_year",
+            F.col("rev").cast("double").alias("revenue"),
+            (F.col("rev").cast("double") / total.cast("double")).alias("share"),
+        )
+        .orderBy("r_name", "o_year")
+    )

@@ -234,3 +234,61 @@ def test_inline_compaction_during_stream(spark, workdir):
     assert ops.count("rewrite") >= 1, f"inline compaction never ran: {ops}"
     n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
     assert sink.table.read().count() == n_events  # logical rows preserved through maintenance
+
+
+def test_stream_stream_interval_join(spark, workdir):
+    """Stream-stream inner join with watermarks + event-time range condition
+    (purchases joined to clicks within the preceding hour) — final result
+    equals the batch interval join over the same fixture."""
+    src = _stage_source(spark, workdir)
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+    def prepared(df, side):
+        env = to_envelope(df)
+        return (
+            env.filter(F.col("event_type") == ("purchase" if side == "p" else "click"))
+            .select(
+                F.col("pk").alias(f"{side}_user"),
+                F.col("offset").alias(f"{side}_id"),
+                F.col("event_ts").alias(f"{side}_ts"),
+            )
+            .withWatermark(f"{side}_ts", "1 hour")
+        )
+
+    purchases = prepared(spark.readStream.schema(schema).parquet(src), "p")
+    clicks = prepared(spark.readStream.schema(schema).parquet(src), "c")
+    joined = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
+        "inner",
+    ).select("p_id", "c_id")
+    out: list = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: out.append(b.toPandas()))
+        .option("checkpointLocation", f"{workdir}/ck-ssj")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import pandas as pd
+
+    got = pd.concat(out, ignore_index=True).sort_values(["p_id", "c_id"]).reset_index(drop=True)
+
+    batch_env = to_envelope(spark.read.parquet(src))
+    p = batch_env.filter("event_type = 'purchase'").select(
+        F.col("pk").alias("p_user"), F.col("offset").alias("p_id"), F.col("event_ts").alias("p_ts")
+    )
+    c = batch_env.filter("event_type = 'click'").select(
+        F.col("pk").alias("c_user"), F.col("offset").alias("c_id"), F.col("event_ts").alias("c_ts")
+    )
+    expected = (
+        p.join(c, F.expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
+        .select("p_id", "c_id")
+        .toPandas()
+        .sort_values(["p_id", "c_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expected) and got.equals(expected), (
+        f"stream-stream join diverged: {len(got)} vs {len(expected)} rows"
+    )
