@@ -35,8 +35,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "sim_topk_bruteforce",
+    "sim_ann_ivf",
     "text_quality",
     "mm_decode_metadata",
+    "q51_shipping_priority",
+    "q53_region_share",
 ]
 
 

@@ -125,13 +125,34 @@ class VersionedTable:
         return group, int(row["__rows"])
 
     # --- write paths ---------------------------------------------------------
-    def append(self, df: DataFrame) -> str:
-        """New snapshot = parent files + new file group (ref K3 append)."""
-        group, rows = self._write_group(df)
+    def append(self, df: DataFrame, partition_by: str | None = None) -> str:
+        """New snapshot = parent files + new file group(s) (ref K3 append).
+
+        With ``partition_by`` the batch splits into one file group per
+        partition value (the reference's optional Iceberg partition spec,
+        sinks/iceberg.py config `partition_spec`); partition values land in
+        the group stats, so partition pruning is the ordinary stats pruning
+        of read_where and compaction can run per partition (L3).
+        """
         cur = self.current_snapshot_id()
-        files = (self._snapshot(cur)["files"] if cur else []) + [group]
+        files = list(self._snapshot(cur)["files"]) if cur else []
         prev_rows = self._snapshot(cur)["rows"] if cur else 0
-        return self._commit(files, "append", prev_rows + rows)
+        added_rows = 0
+        if partition_by is None:
+            group, rows = self._write_group(df)
+            files.append(group)
+            added_rows = rows
+        else:
+            values = [r[0] for r in df.select(partition_by).distinct().collect()]
+            for v in sorted(values, key=str):
+                from pyspark.sql import functions as F
+
+                part_df = df.filter(F.col(partition_by) == v)
+                group, rows = self._write_group(part_df)
+                self._group_stats[group]["__partition__"] = {"min": _json_safe(v), "max": _json_safe(v)}
+                files.append(group)
+                added_rows += rows
+        return self._commit(files, "append", prev_rows + added_rows)
 
     def overwrite(self, df: DataFrame) -> str:
         group, rows = self._write_group(df)
@@ -237,6 +258,30 @@ class VersionedTable:
 
                 shutil.rmtree(path, ignore_errors=True)
         return expired
+
+    def compact_partition(self, partition_by: str, value, max_files: int = 4) -> str | None:
+        """Per-partition compaction (ref L3, maintenance.py:178-244): rewrite
+        only the file groups of one partition when it exceeds the small-file
+        threshold. Planning is metadata-only (manifest stats); other
+        partitions' groups are untouched."""
+        cur = self.current_snapshot_id()
+        if cur is None:
+            return None
+        snap = self._snapshot(cur)
+        key = _json_safe(value)
+
+        def in_partition(g: str) -> bool:
+            ps = snap.get("stats", {}).get(g, {}).get("__partition__")
+            return bool(ps) and ps["min"] == key
+
+        part_groups = [g for g in snap["files"] if in_partition(g)]
+        if len(part_groups) <= max_files:
+            return None
+        df = self.spark.read.parquet(*part_groups)
+        group, rows = self._write_group(df.coalesce(1))
+        self._group_stats[group]["__partition__"] = {"min": key, "max": key}
+        other = [g for g in snap["files"] if g not in part_groups]
+        return self._commit(other + [group], "rewrite", snap["rows"])
 
     def compact(self, max_files: int = 4) -> str | None:
         """Distributed compaction: if the current snapshot references more

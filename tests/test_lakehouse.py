@@ -92,3 +92,25 @@ def test_stats_pruned_scan(spark, table):
     fresh = VersionedTable(spark, table.root)
     assert fresh.read_where("id", "<", 100).count() == 100
     assert fresh.last_scan_files == (1, 3)
+
+
+def test_partitioned_append_and_per_partition_compaction(spark, table):
+    from pyspark.sql import functions as F
+
+    # 5 appends, each writing partitions A and B -> 10 file groups
+    for i in range(5):
+        df = spark.range(i * 10, (i + 1) * 10).select(
+            "id", F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("part")
+        )
+        table.append(df, partition_by="part")
+    snap = table._snapshot(table.current_snapshot_id())
+    assert len(snap["files"]) == 10
+    # compact only partition A: 5 groups -> 1; partition B untouched
+    sid = table.compact_partition("part", "A", max_files=2)
+    assert sid is not None
+    snap2 = table._snapshot(table.current_snapshot_id())
+    assert len(snap2["files"]) == 6  # 5 B-groups + 1 rewritten A-group
+    assert table.read().count() == 50
+    assert table.read().filter("part = 'A'").count() == 25
+    # below threshold -> metadata-only no-op
+    assert table.compact_partition("part", "A", max_files=2) is None
