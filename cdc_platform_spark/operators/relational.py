@@ -8,8 +8,11 @@ relational surface on Spark, declared query-by-query with a DuckDB
 oracle for the driver's hash-match gate.
 
 Scale notes (100 TB design point):
-- Dimension joins (region/nation/supplier/customer) use explicit
-  ``broadcast()`` hints — no shuffle for the small side.
+- Only FIXED-SIZE dimensions (region, nation, supplier) carry explicit
+  ``broadcast()`` hints. Tables that scale with the data volume
+  (customer, part, derived per-key aggregates) are left to AQE's
+  statistics-based planning: at test scale they auto-broadcast under
+  the threshold; at 100 TB they correctly become shuffle joins.
 - Fact-fact joins shuffle on their keys and rely on AQE for skew.
 - Every aggregation is expressed so map-side partial aggregation
   applies (plain groupBy/agg over built-in functions).
@@ -134,7 +137,7 @@ def q04_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, "orders", sf_dir)
     c = _t(spark, "customer", sf_dir)
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
         .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
         .orderBy("o_orderkey")
     )
@@ -165,7 +168,7 @@ def q05_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, "region", sf_dir)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -297,7 +300,7 @@ def q08_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, "part", sf_dir)
     return (
         l.join(
-            F.broadcast(p),
+            p,
             (l.l_partkey == p.p_partkey)
             & (l.l_quantity >= p.p_size - 2)
             & (l.l_quantity <= p.p_size + 2),
@@ -455,7 +458,7 @@ def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, "region", sf_dir)
     joined = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("r_name", F.year("o_orderdate").cast("long").alias("o_year"), revenue().alias("rev"))

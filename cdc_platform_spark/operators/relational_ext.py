@@ -49,7 +49,7 @@ def q31_subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFram
         (F.sum(money("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_price")
     )
     return (
-        o.join(F.broadcast(avg_pc), o.o_custkey == avg_pc.k)
+        o.join(avg_pc, o.o_custkey == avg_pc.k)
         .filter(F.col("o_totalprice") > F.col("avg_price"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
@@ -101,7 +101,7 @@ def q33_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, "customer", sf_dir)
     zero = F.lit(0).cast(MONEY)
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -483,7 +483,7 @@ def q48_cdc_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         env.filter(F.col("op") == "u")
-        .join(F.broadcast(state), env.pk == state.s_pk, "left")
+        .join(state, env.pk == state.s_pk, "left")
         .select(
             "seq",
             "pk",
@@ -577,7 +577,7 @@ def q51_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > "1995-03-15")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -619,7 +619,7 @@ def q52_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, "nation", sf_dir)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(revenue()).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
@@ -665,7 +665,7 @@ def q53_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, "region", sf_dir)
     rev = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", F.year("o_orderdate").cast("long").alias("o_year"))
