@@ -350,3 +350,42 @@ def q50_debezium_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("lsn")
     )
+
+
+@register(
+    "q54_scd2_history",
+    category="cdc",
+    doc=(
+        "SCD Type-2 reconstruction: the change stream becomes per-key version "
+        "history with validity intervals [offset, next_offset) and a current-row "
+        "flag (open interval + not deleted). The history-table materialization "
+        "complementing Q26 (append) and Q27 (latest-state)."
+    ),
+    oracle=f"""
+        WITH env AS ({ORACLE_ENVELOPE})
+        SELECT pk,
+               "offset" AS valid_from_offset,
+               LEAD("offset") OVER w AS valid_to_offset,
+               op, event_type, value,
+               CAST(CASE WHEN LEAD("offset") OVER w IS NULL AND op <> 'd' THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        FROM env
+        WINDOW w AS (PARTITION BY pk ORDER BY "offset")
+        ORDER BY pk, valid_from_offset
+    """,
+)
+def q54_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = envelope(spark, sf_dir)
+    w = Window.partitionBy("pk").orderBy("offset")
+    nxt = F.lead("offset").over(w)
+    return (
+        env.select(
+            "pk",
+            F.col("offset").alias("valid_from_offset"),
+            nxt.alias("valid_to_offset"),
+            "op",
+            "event_type",
+            "value",
+            F.when(nxt.isNull() & (F.col("op") != "d"), 1).otherwise(0).cast("long").alias("is_current"),
+        )
+        .orderBy("pk", "valid_from_offset")
+    )
