@@ -509,3 +509,72 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs by iterative label propagation
+    (small-star style): every doc converges to the minimum doc_id reachable
+    through the pair graph — the canonical-representative assignment that
+    turns pairwise similarity into dedup clusters.
+
+    Iterative and distributed (join + groupBy-min per round, converges in
+    O(log n) rounds for realistic dup clusters); genuinely not expressible
+    as one SQL query, so the registry entry is rows-only and the semantics
+    are property-tested against a union-find oracle in tests/.
+    """
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionAll(edges.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # truncate the iterative lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_clusters",
+    category="dedup",
+    doc=(
+        "Near-dup clusters: connected components over the MinHash-LSH pair graph "
+        "by iterative label propagation; output (doc_id, cluster_id=min reachable "
+        "doc_id). Iterative algorithm -> rows-only driver check; semantics "
+        "property-tested against a union-find oracle in tests/."
+    ),
+    oracle=None,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    return (
+        connected_components(pairs.select("doc_a", "doc_b"))
+        .select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        .orderBy("doc_id")
+    )

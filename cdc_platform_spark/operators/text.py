@@ -233,3 +233,74 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_curation_pipeline",
+    category="text",
+    doc=(
+        "End-to-end training-data curation composite: quality-filter (length, "
+        "distinct-ratio) -> exact-dedup (keep canonical doc per content hash) -> "
+        "language selection -> per-language token budget accounting. The whole "
+        "LLM-data funnel as one declarative plan."
+    ),
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang, text,
+                   str_split(text, ' ') AS words,
+                   md5(text) AS content_md5
+            FROM documents
+        ),
+        quality AS (
+            SELECT doc_id, lang, content_md5, len(words) AS n_words,
+                   CAST(list_sum(list_transform(words, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS subword_tokens
+            FROM scored
+            WHERE len(words) >= 20
+              AND CAST(len(list_distinct(words)) AS DOUBLE) / len(words) >= 0.15
+        ),
+        canonical AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+                FROM quality) WHERE rn = 1
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS total_words,
+               CAST(SUM(subword_tokens) AS BIGINT) AS total_tokens
+        FROM canonical
+        WHERE lang IN ('en', 'de', 'fr')
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, "documents", sf_dir))
+    words = F.split(F.col("text"), " ")
+    subtok = F.aggregate(
+        F.transform(words, lambda w: F.ceil(F.length(w) / 4.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("content_md5"),
+        F.size(words).alias("n_words"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("distinct_ratio"),
+        subtok.alias("subword_tokens"),
+    )
+    quality = scored.filter((F.col("n_words") >= 20) & (F.col("distinct_ratio") >= 0.15))
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    canonical = quality.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return (
+        canonical.filter(F.col("lang").isin("en", "de", "fr"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("subword_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )

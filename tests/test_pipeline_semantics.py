@@ -107,3 +107,33 @@ def test_column_pruning_reaches_scan(spark):
     for col in ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"]:
         assert col in read_schema
     assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_dedup_clusters_match_union_find(spark):
+    """Connected components over the LSH pair graph must equal the union-find
+    closure of the same pairs (cluster id = min member)."""
+    pairs = [(r["doc_a"], r["doc_b"]) for r in REGISTRY["dedup_minhash_lsh"].builder(spark, SF_SMOKE).collect()]
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in REGISTRY["dedup_clusters"].builder(spark, SF_SMOKE).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+    assert got == expected, "label propagation diverged from union-find closure"
+    assert len(got) > 0
