@@ -681,3 +681,121 @@ def q53_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "o_year")
     )
+
+
+@register(
+    "q55_string_distance",
+    category="functions",
+    doc="Edit-distance family: levenshtein between name fields (fuzzy-matching "
+        "primitive for entity resolution).",
+    oracle="""
+        SELECT s.s_suppkey,
+               CAST(levenshtein(s.s_name, c.c_name) AS BIGINT) AS dist_to_cust,
+               CAST(levenshtein(s.s_name, UPPER(s.s_name)) AS BIGINT) AS dist_to_upper
+        FROM supplier s JOIN customer c ON s.s_suppkey = c.c_custkey
+        ORDER BY s.s_suppkey
+    """,
+)
+def q55_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, "supplier", sf_dir)
+    c = _t(spark, "customer", sf_dir)
+    return (
+        s.join(c, s.s_suppkey == c.c_custkey)
+        .select(
+            "s_suppkey",
+            F.levenshtein("s_name", "c_name").cast("long").alias("dist_to_cust"),
+            F.levenshtein(F.col("s_name"), F.upper("s_name")).cast("long").alias("dist_to_upper"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q56_bitwise_funcs",
+    category="functions",
+    doc="Bitwise family: and/or/xor/shift/bit_count over key columns.",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_orderkey & 255 AS BIGINT) AS k_and,
+               CAST(l_orderkey | 15 AS BIGINT) AS k_or,
+               CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS k_xor,
+               CAST(l_orderkey >> 4 AS BIGINT) AS k_shr,
+               CAST(bit_count(l_orderkey) AS BIGINT) AS k_bits
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, l_partkey
+    """,
+)
+def q56_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, "lineitem", sf_dir)
+    return (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_orderkey").bitwiseAND(F.lit(255)).cast("long").alias("k_and"),
+            F.col("l_orderkey").bitwiseOR(F.lit(15)).cast("long").alias("k_or"),
+            F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).cast("long").alias("k_xor"),
+            F.shiftright(F.col("l_orderkey"), 4).cast("long").alias("k_shr"),
+            F.bit_count(F.col("l_orderkey")).cast("long").alias("k_bits"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+    )
+
+
+@register(
+    "q57_histogram",
+    category="aggregate",
+    doc="Fixed-width histogram of order values via integer bucketing — the "
+        "distribution-profiling primitive, exact integer math.",
+    oracle="""
+        SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+        FROM orders
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+)
+def q57_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, "orders", sf_dir)
+    bucket = F.floor(F.col("o_totalprice") / 25000.0).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q58_deterministic_sample",
+    category="sampling",
+    doc="Deterministic hash sampling: ~10%% of documents per language selected by "
+        "md5(doc_id) residue — the reproducible, cluster-stable sampling every "
+        "training-data pipeline needs (df.sample() is neither).",
+    oracle="""
+        WITH sampled AS (
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+        )
+        SELECT lang, COUNT(*) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+        FROM sampled
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def q58_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.operators.dedup import md5_60bit
+
+    d = _t(spark, "documents", sf_dir)
+    sampled = d.filter(F.pmod(md5_60bit(F.col("doc_id").cast("string")), F.lit(10)) == 0)
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.sum("n_chars").cast("long").alias("sampled_chars"))
+        .orderBy("lang")
+    )

@@ -100,3 +100,40 @@ def test_single_batch_equals_oracle(spark, tmp_path_factory, mkdf, events):
         for r in sink.state(spark).select("pk", "offset", "value").collect()
     }
     assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Label propagation over arbitrary random graphs equals union-find closure."""
+    from cdc_platform_spark.operators.dedup import connected_components
+
+    norm = [(min(a, b), max(a, b)) for a, b in edges]
+    df = spark.createDataFrame(norm, "doc_a long, doc_b long")
+    got = {r["node"]: r["label"] for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in norm:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+    assert got == expected
