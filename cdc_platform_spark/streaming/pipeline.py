@@ -144,9 +144,28 @@ class UpsertSink:
     def __init__(self, path: str) -> None:
         self.path = path
 
+    def _recover(self) -> None:
+        """Crash recovery for the two-rename swap: if the live dir is missing
+        but a displaced `.old-*` snapshot exists (crash between the renames),
+        restore the newest one. Idempotent-merge semantics make the restored
+        older state safe: the batch replays and re-merges."""
+        if os.path.isdir(self.path):
+            return
+        parent = os.path.dirname(self.path) or "."
+        base = os.path.basename(self.path)
+        if not os.path.isdir(parent):
+            return
+        candidates = sorted(
+            (f"{parent}/{name}" for name in os.listdir(parent) if name.startswith(f"{base}.old-")),
+            key=os.path.getmtime,
+        )
+        if candidates:
+            os.rename(candidates[-1], self.path)
+
     def write(self, batch: DataFrame) -> None:
         if not batch.take(1):
             return  # empty micro-batch: nothing to merge
+        self._recover()
         spark = batch.sparkSession
         w = Window.partitionBy("pk").orderBy(F.col("offset").desc())
         latest_in_batch = (
@@ -173,6 +192,7 @@ class UpsertSink:
 
     def state(self, spark: SparkSession) -> DataFrame:
         """Live state: latest row per key, tombstones filtered out."""
+        self._recover()
         return spark.read.parquet(self.path).filter(F.col("op") != "d")
 
 
@@ -202,6 +222,27 @@ class DlqWriter:
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
+
+
+class TopicRouterSink:
+    """Per-topic routing fan-out (ref P2 topic routing + F1 fan-out,
+    sources/wal/reader.py:187-200): each envelope row is dispatched to the
+    sink registered for its topic; unrouted topics go to the fallback (or
+    raise). With topic derived per-row, this is the multi-table CDC
+    multiplexing path — one stream, N destination tables."""
+
+    def __init__(self, routes: dict[str, object], fallback: object | None = None) -> None:
+        self.routes = routes
+        self.fallback = fallback
+
+    def write(self, batch: DataFrame) -> None:
+        topics = [r[0] for r in batch.select("topic").distinct().collect()]
+        for topic in sorted(topics):
+            sub = batch.filter(F.col("topic") == topic)
+            sink = self.routes.get(topic, self.fallback)
+            if sink is None:
+                raise KeyError(f"no route for topic {topic!r} and no fallback sink")
+            sink.write(sub)
 
 
 @dataclass

@@ -292,3 +292,59 @@ def test_stream_stream_interval_join(spark, workdir):
     assert len(got) == len(expected) and got.equals(expected), (
         f"stream-stream join diverged: {len(got)} vs {len(expected)} rows"
     )
+
+
+def test_topic_router_fan_out(spark, workdir):
+    """Multi-table routing: per-row topics dispatch to per-topic sinks (P2)."""
+    from cdc_platform_spark.streaming.pipeline import TopicRouterSink
+
+    env = to_envelope(spark.read.parquet(f"{SF_SMOKE}/events.parquet")).withColumn(
+        "topic", F.concat(F.lit("cdc.public."), F.col("event_type"))
+    )
+    click_sink = AppendSink(f"{workdir}/t_click")
+    purchase_sink = AppendSink(f"{workdir}/t_purchase")
+    other_sink = AppendSink(f"{workdir}/t_other")
+    router = TopicRouterSink(
+        {"cdc.public.click": click_sink, "cdc.public.purchase": purchase_sink},
+        fallback=other_sink,
+    )
+    router.write(env)
+    counts = {
+        t: spark.read.parquet(f"{workdir}/t_{t}").count() for t in ["click", "purchase", "other"]
+    }
+    by_type = {
+        r["event_type"]: r["count"]
+        for r in env.groupBy("event_type").count().collect()
+    }
+    assert counts["click"] == by_type["click"]
+    assert counts["purchase"] == by_type["purchase"]
+    assert counts["other"] == sum(v for k, v in by_type.items() if k not in ("click", "purchase"))
+    # routed rows carry their own topic in the metadata column
+    t = spark.read.parquet(f"{workdir}/t_click").select("_cdc_topic").distinct().collect()
+    assert [r[0] for r in t] == ["cdc.public.click"]
+
+    import pytest as _pytest
+
+    strict = TopicRouterSink({"cdc.public.click": click_sink})
+    with _pytest.raises(KeyError):
+        strict.write(env)
+
+
+def test_upsert_swap_crash_recovery(spark, workdir):
+    """A crash between the two swap renames leaves only `.old-*`; the sink
+    must transparently restore it on the next write/read."""
+    import os
+
+    sink = UpsertSink(f"{workdir}/state")
+    env = to_envelope(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    first_half = env.filter("offset < 500")
+    rest = env.filter("offset >= 500")
+    sink.write(first_half)
+    n_before = sink.state(spark).count()
+    # simulate the crash window: live dir displaced, new dir never renamed in
+    os.rename(sink.path, f"{sink.path}.old-deadbeef")
+    assert sink.state(spark).count() == n_before  # read-side recovery
+    os.rename(sink.path, f"{sink.path}.old-deadbee2")
+    sink.write(rest)  # write-side recovery + merge continues
+    expected = REGISTRY["q27_cdc_upsert_latest"].builder(spark, SF_SMOKE)
+    assert sink.state(spark).count() == expected.count()
