@@ -208,6 +208,19 @@ class VersionedTable:
             F.expr(f"{column} {ops[op]} {value!r}")
         )
 
+    def diff(self, from_snapshot: str, to_snapshot: str) -> DataFrame:
+        """Row-level change feed between two snapshots: every row tagged
+        '+' (added) or '-' (removed), multiset semantics (exceptAll both
+        ways). The Delta/Iceberg `table_changes()` readout for a table
+        without per-commit row tracking — derived purely from state."""
+        from pyspark.sql import functions as F
+
+        before = self.read(snapshot_id=from_snapshot)
+        after = self.read(snapshot_id=to_snapshot)
+        added = after.exceptAll(before).withColumn("_change", F.lit("+"))
+        removed = before.exceptAll(after).withColumn("_change", F.lit("-"))
+        return added.unionByName(removed)
+
     def snapshots_df(self) -> DataFrame:
         """Snapshot metadata as a DataFrame (Iceberg `tbl.snapshots` shape)."""
         rows = [

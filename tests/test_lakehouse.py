@@ -114,3 +114,20 @@ def test_partitioned_append_and_per_partition_compaction(spark, table):
     assert table.read().filter("part = 'A'").count() == 25
     # below threshold -> metadata-only no-op
     assert table.compact_partition("part", "A", max_files=2) is None
+
+
+def test_snapshot_diff_change_feed(spark, table):
+    from pyspark.sql import functions as F
+
+    s1 = table.append(_df(spark, 0, 10))
+    # next version: drop ids < 3, add 10..15 (overwrite with the new state)
+    s2 = table.overwrite(
+        _df(spark, 3, 16)
+    )
+    changes = table.diff(s1, s2).toPandas()
+    added = sorted(changes[changes._change == "+"]["id"])
+    removed = sorted(changes[changes._change == "-"]["id"])
+    assert added == [10, 11, 12, 13, 14, 15]
+    assert removed == [0, 1, 2]
+    # no-op diff is empty
+    assert table.diff(s2, s2).count() == 0
