@@ -209,7 +209,17 @@ class DlqWriter:
                 F.col("topic").alias("dlq_source_topic"),
                 F.col("partition").alias("dlq_source_partition"),
                 F.col("offset").alias("dlq_source_offset"),
-                F.to_json(F.struct("seq", "pk", "op", "event_type", "value", "props")).alias("payload"),
+                F.to_json(
+                    F.struct(
+                        "seq",
+                        "pk",
+                        "op",
+                        "event_type",
+                        "value",
+                        "props",
+                        F.unix_micros(F.col("event_ts")).alias("event_ts_us"),
+                    )
+                ).alias("payload"),
             )
             .withColumn("dlq_error_message", F.lit(str(error)[:500]))
             .withColumn("dlq_error_type", F.lit(type(error).__name__))
@@ -222,6 +232,44 @@ class DlqWriter:
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
+
+    def replay(self, spark: SparkSession, sink, sink_id: str | None = None) -> int:
+        """Reprocess quarantined events through a (now healthy) sink.
+
+        Payloads are parsed back into the envelope schema from the stored
+        JSON; the source coordinates come from the dlq_source_* columns, so
+        idempotent sinks dedup any rows that also succeeded elsewhere.
+        Returns the number of replayed events.
+        """
+        q = self.read(spark)
+        if sink_id is not None:
+            q = q.filter(F.col("dlq_sink_id") == sink_id)
+        payload_schema = (
+            "seq long, pk long, op string, event_type string, value double, props string, event_ts_us long"
+        )
+        env = q.select(
+            F.col("dlq_source_topic").alias("topic"),
+            F.col("dlq_source_partition").alias("partition"),
+            F.col("dlq_source_offset").alias("offset"),
+            F.from_json(F.col("payload"), payload_schema).alias("p"),
+        ).select(
+            "topic",
+            "partition",
+            "offset",
+            "p.seq",
+            "p.pk",
+            "p.op",
+            "p.event_type",
+            "p.value",
+            "p.props",
+            F.timestamp_micros(F.col("p.event_ts_us")).alias("event_ts"),
+        )
+        # the same (partition, offset) may be quarantined by several batches
+        env = env.dropDuplicates(["partition", "offset"])
+        n = env.count()
+        if n:
+            sink.write(env)
+        return n
 
 
 class TopicRouterSink:

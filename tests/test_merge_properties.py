@@ -137,3 +137,42 @@ def test_connected_components_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {x: find(x) for x in parent}
     assert got == expected
+
+
+@given(
+    cents=st.lists(st.integers(-10**12, 10**12), min_size=1, max_size=300),
+    n_groups=st.integers(1, 5),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_decimal_sum_avg_recipe_matches_duckdb(spark, cents, n_groups):
+    """The engine's determinism recipe (exact DECIMAL sum -> deterministic
+    DOUBLE cast; avg = double(sum)/count) produces bit-identical values in
+    Spark and DuckDB for arbitrary 2-dp inputs, including the pathological
+    ones float summation would reorder."""
+    import duckdb
+
+    from cdc_platform_spark.functions import davg, dsum
+
+    rows = [(i % n_groups, c / 100.0) for i, c in enumerate(cents)]
+    df = spark.createDataFrame(rows, "g int, x double")
+    got = {
+        r["g"]: (r["s"], r["a"])
+        for r in df.groupBy("g").agg(dsum("x", "s"), davg("x", "a")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(rows, columns=["g", "x"]))
+    exp = {
+        g: (s, a)
+        for g, s, a in con.sql(
+            "SELECT g, CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE),"
+            " CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(x) FROM t GROUP BY g"
+        ).fetchall()
+    }
+    assert set(got) == set(exp)
+    for g in got:
+        assert got[g][0] == exp[g][0], f"sum mismatch group {g}: {got[g][0]} vs {exp[g][0]}"
+        assert got[g][1] == exp[g][1], f"avg mismatch group {g}: {got[g][1]} vs {exp[g][1]}"

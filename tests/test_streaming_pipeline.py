@@ -348,3 +348,26 @@ def test_upsert_swap_crash_recovery(spark, workdir):
     sink.write(rest)  # write-side recovery + merge continues
     expected = REGISTRY["q27_cdc_upsert_latest"].builder(spark, SF_SMOKE)
     assert sink.state(spark).count() == expected.count()
+
+
+def test_dlq_replay_converges(spark, workdir):
+    """Failure -> quarantine -> replay: a sink that rejected delete events gets
+    them replayed after the 'fix'; the exactly-once view then equals a run
+    that never failed."""
+    poison = AppendSink(f"{workdir}/sink", fail_predicate="op = 'd'")
+    dlq = DlqWriter(f"{workdir}/dlq")
+    pipe = _pipeline(spark, workdir, {"sink": poison}, dlq=dlq, max_files_per_trigger=1)
+    pipe.run_available_now()
+
+    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    # every micro-batch that contained a delete was rejected whole; with
+    # deletes spread across the stream that can be all of them (dir absent)
+    n_delivered = (
+        poison.exactly_once_view(spark).count() if os.path.isdir(poison.path) else 0
+    )
+    assert n_delivered < n_events  # batches containing deletes were rejected
+
+    poison.fail_predicate = None  # the sink is "fixed"
+    replayed = dlq.replay(spark, poison, sink_id="sink")
+    assert replayed == n_events - n_delivered
+    assert poison.exactly_once_view(spark).count() == n_events, "replay must converge to full delivery"
