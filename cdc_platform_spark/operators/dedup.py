@@ -99,11 +99,6 @@ def doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select("doc_id", F.array_distinct(shingles).alias("shingles"))
 
 
-def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word 3-gram shingles per document (exploded)."""
-    return doc_shingle_arrays(spark, sf_dir).select("doc_id", F.explode("shingles").alias("s"))
-
-
 ORACLE_SHINGLES = """
     SELECT doc_id,
            unnest(list_distinct(list_transform(range(1, len(words)-1),
