@@ -53,12 +53,14 @@ def load_all() -> dict[str, EngineQuery]:
     """Import every operator module (side effect: fills REGISTRY)."""
     from cdc_platform_spark.operators import (  # noqa: F401
         cdc,
+        curation,
         dedup,
         multimodal,
         relational,
         relational_ext,
         similarity,
         text,
+        tpch_like,
         windows,
     )
 

@@ -1,0 +1,139 @@
+"""Training-data curation extensions: vocabulary richness, deterministic
+stratified sampling, and per-label embedding centroids.
+
+Complements operators/text.py and operators/similarity.py with the
+corpus-statistics operators a 100 TB pretraining pipeline runs between
+dedup and tokenization.  All are single-shuffle aggregations or window
+top-k; nothing materializes on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_platform_spark.operators import register
+from cdc_platform_spark.sources.registry import load_table
+
+SAMPLE_PER_LANG = 10
+
+
+@register(
+    "text_vocab_richness",
+    category="text",
+    doc=(
+        "Per-language vocabulary richness: distinct-token / total-token ratio "
+        "aggregated from exact integer counts (type-token ratio, the standard "
+        "repetition-quality signal). Token sets computed array-native "
+        "(split + array_distinct), no Python in the hot path."
+    ),
+    oracle="""
+        WITH d AS (
+            SELECT lang,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   len(list_distinct(string_split(trim(text), ' '))) AS n_distinct
+            FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+               SUM(CAST(n_distinct AS BIGINT)) AS total_distinct,
+               CAST(SUM(CAST(n_distinct AS BIGINT)) AS DOUBLE)
+                   / CAST(SUM(CAST(n_tokens AS BIGINT)) AS DOUBLE) AS richness
+        FROM d
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def text_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.col("text")), " ")
+    d = d.select(
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_distinct").alias("total_distinct"),
+        )
+        .withColumn(
+            "richness", F.col("total_distinct").cast("double") / F.col("total_tokens").cast("double")
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_stratified_sample",
+    category="text",
+    doc=(
+        f"Deterministic stratified sample: {SAMPLE_PER_LANG} documents per "
+        "language, selected by md5(doc_id) order — a seedless, engine-portable "
+        "reservoir that any worker can recompute (same recipe as "
+        "q58_deterministic_sample, stratified). At 100 TB this is one window "
+        "shuffle on the stratum key; no global sort."
+    ),
+    oracle=f"""
+        SELECT doc_id, lang, source
+        FROM (
+            SELECT doc_id, lang, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn <= {SAMPLE_PER_LANG}
+        ORDER BY lang, doc_id
+    """,
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_PER_LANG)
+        .select("doc_id", "lang", "source")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@register(
+    "sim_label_centroids",
+    category="similarity",
+    doc=(
+        "Per-label embedding centroid in exact fixed-point: posexplode to "
+        "(label, dim), integer micro-unit sums (map-side combinable), mean "
+        "derived by one IEEE division at the end. The IVF coarse-quantizer "
+        "training step (sim_ann_ivf consumes these cells)."
+    ),
+    oracle="""
+        WITH u AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   unnest(list_transform(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS v
+            FROM embeddings
+        )
+        SELECT label, CAST(dim AS INTEGER) AS dim, SUM(v) AS sum_fp, COUNT(*) AS n,
+               CAST(SUM(v) AS DOUBLE) / (1000000.0 * COUNT(*)) AS mean
+        FROM u
+        GROUP BY label, dim
+        ORDER BY label, dim
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.operators.dedup import fixed_point
+
+    e = load_table(spark, "embeddings", sf_dir)
+    u = e.select(
+        "label", F.posexplode(fixed_point(F.col("embedding"))).alias("dim", "v")
+    )
+    return (
+        u.groupBy("label", F.col("dim").cast("int").alias("dim"))
+        .agg(F.sum("v").alias("sum_fp"), F.count(F.lit(1)).alias("n"))
+        .withColumn("mean", F.col("sum_fp").cast("double") / (F.lit(1000000.0) * F.col("n")))
+        .orderBy("label", "dim")
+    )

@@ -1,0 +1,423 @@
+"""TPC-H-shaped composite queries (Q2/Q4/Q7/Q9/Q14/Q15/Q18/Q19/Q22 analogues).
+
+The reference never joins two user tables (SURVEY.md §2A "Not present"), but
+its declared query surface (§2B) requires the full relational composite
+repertoire.  These queries complete the classic decision-support shapes the
+earlier composites (q51 Q3, q52 Q10, q53 Q8-market-share) started, adapted
+to the driver's star schema (no partsupp table: lineitem prices play the
+supply-cost role).
+
+Scale notes (100 TB): every query here is a selective-fact scan feeding
+shuffle joins/aggs; dimension joins (nation/region/supplier at fixed or
+slowly-growing cardinality) are broadcast, fact-fact joins (Q18's
+having-join-back) reuse the same hash key so AQE coalesces the exchange.
+Determinism rules per FIXTURES.md §5 (exact decimal internally, final cast
+to double, total ORDER BY).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_platform_spark.functions import MONEY, ORACLE_REVENUE, money, revenue
+from cdc_platform_spark.operators import register
+from cdc_platform_spark.sources.registry import load_table
+
+
+def _t(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+@register(
+    "q59_min_cost_supplier",
+    category="composite",
+    doc=(
+        "TPC-H Q2-shaped: for each small part (p_size <= 3), the supplier(s) "
+        "achieving the minimum observed price — correlated-MIN subquery "
+        "decorrelated to an aggregate + join-back on the equality of exact decimals."
+    ),
+    oracle="""
+        SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, n.n_name,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS min_price
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_size <= 3
+          AND CAST(l.l_extendedprice AS DECIMAL(18,2)) = (
+              SELECT MIN(CAST(l2.l_extendedprice AS DECIMAL(18,2)))
+              FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+          )
+        GROUP BY ALL
+        ORDER BY p_partkey, s_suppkey
+    """,
+)
+def q59_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, "part", sf_dir).filter(F.col("p_size") <= 3)
+    l = _t(spark, "lineitem", sf_dir)
+    s = _t(spark, "supplier", sf_dir)
+    n = _t(spark, "nation", sf_dir)
+    min_price = l.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min(money("l_extendedprice")).alias("min_price_dec")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(min_price, (F.col("l_partkey") == F.col("mk")) & (money("l_extendedprice") == F.col("min_price_dec")))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey", "p_brand", "s_suppkey", "s_name", "n_name",
+            F.col("min_price_dec").cast("double").alias("min_price"),
+        )
+        .distinct()
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@register(
+    "q60_order_priority_check",
+    category="composite",
+    doc=(
+        "TPC-H Q4-shaped: orders in 1996 with at least one line shipped after "
+        "the order date, counted per priority — EXISTS with a non-equi "
+        "correlated condition, planned as a left-semi hash join."
+    ),
+    oracle="""
+        SELECT o.o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+)
+def q60_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = _t(spark, "lineitem", sf_dir)
+    return (
+        o.join(l, (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q61_volume_shipping",
+    category="composite",
+    doc=(
+        "TPC-H Q7-shaped: shipped revenue between (supplier nation, customer "
+        "nation) pairs per year — a 5-way join with two independent dimension "
+        "arms resolved by broadcast, fact shuffle only on the join keys."
+    ),
+    oracle=f"""
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM({ORACLE_REVENUE}) AS DOUBLE) AS volume
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+        WHERE ns.n_nationkey < 3 AND nc.n_nationkey < 3
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q61_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, "lineitem", sf_dir)
+    o = _t(spark, "orders", sf_dir)
+    c = _t(spark, "customer", sf_dir)
+    s = _t(spark, "supplier", sf_dir)
+    n = _t(spark, "nation", sf_dir).filter(F.col("n_nationkey") < 3)
+    nc = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    ns = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("ck"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("sk"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(revenue()).cast("double").alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q62_promo_revenue",
+    category="composite",
+    doc=(
+        "TPC-H Q14-shaped: monthly share of revenue from PROMO-type parts — "
+        "conditional aggregation over a fact-dim join; the part join key is "
+        "the only shuffle, the CASE folds into the aggregate map side."
+    ),
+    oracle=f"""
+        SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS s_year,
+               CAST(EXTRACT(month FROM l.l_shipdate) AS BIGINT) AS s_month,
+               CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {ORACLE_REVENUE}
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+               CAST(SUM({ORACLE_REVENUE}) AS DOUBLE) AS total_revenue,
+               CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {ORACLE_REVENUE}
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100
+                   / CAST(SUM({ORACLE_REVENUE}) AS DOUBLE) AS promo_pct
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY s_year, s_month
+        ORDER BY s_year, s_month
+    """,
+)
+def q62_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, "lineitem", sf_dir)
+    p = _t(spark, "part", sf_dir)
+    promo = F.when(F.col("p_type") == "PROMO", revenue()).otherwise(F.lit(0).cast(MONEY))
+    out = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("s_year"),
+            F.month("l_shipdate").cast("long").alias("s_month"),
+        )
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(revenue()).cast("double").alias("total_revenue"),
+        )
+    )
+    return (
+        out.withColumn("promo_pct", F.col("promo_revenue") * 100 / F.col("total_revenue"))
+        .orderBy("s_year", "s_month")
+    )
+
+
+@register(
+    "q63_large_orders",
+    category="composite",
+    doc=(
+        "TPC-H Q18-shaped: orders whose total quantity exceeds 300 with their "
+        "customers — groupBy-HAVING on the fact, then join BACK to the same "
+        "fact's parents; both joins hash on o_orderkey so AQE reuses the "
+        "exchange."
+    ),
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+        )
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(big.sum_qty AS DOUBLE) AS sum_qty
+        FROM big
+        JOIN orders o   ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o_orderkey
+    """,
+)
+def q63_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, "lineitem", sf_dir)
+    o = _t(spark, "orders", sf_dir)
+    c = _t(spark, "customer", sf_dir)
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q64_disjunctive_predicates",
+    category="composite",
+    doc=(
+        "TPC-H Q19-shaped: revenue under an OR-of-ANDs brand/size/quantity "
+        "predicate — Catalyst extracts the common l_partkey=p_partkey "
+        "conjunct so the join stays an equi hash join with a residual filter."
+    ),
+    oracle=f"""
+        SELECT CAST(SUM({ORACLE_REVENUE}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q64_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, "lineitem", sf_dir)
+    p = _t(spark, "part", sf_dir)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(revenue()).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register(
+    "q65_top_supplier",
+    category="composite",
+    doc=(
+        "TPC-H Q15-shaped: supplier(s) with the maximum shipped revenue in "
+        "1996H1 — aggregate, then filter at the global MAX via a window "
+        "(single-pass; no re-scan of the fact, unlike the view+subquery form)."
+    ),
+    oracle=f"""
+        WITH rev AS (
+            SELECT l.l_suppkey, SUM({ORACLE_REVENUE}) AS total_rev
+            FROM lineitem l
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1996-07-01'
+            GROUP BY l.l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+        FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+        ORDER BY s_suppkey
+    """,
+)
+def q65_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    s = _t(spark, "supplier", sf_dir)
+    rev = l.groupBy("l_suppkey").agg(F.sum(revenue()).alias("total_rev_dec"))
+    w = Window.partitionBy()
+    return (
+        rev.withColumn("mx", F.max("total_rev_dec").over(w))
+        .filter(F.col("total_rev_dec") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev_dec").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q66_dormant_customers",
+    category="composite",
+    doc=(
+        "TPC-H Q22-shaped: well-funded customers with zero orders, per nation "
+        "— uncorrelated scalar AVG subquery (broadcast as a 1-row join) + "
+        "left-anti join against the fact."
+    ),
+    oracle="""
+        SELECT c.c_nationkey, COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+                SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                FROM customer c2 WHERE c2.c_acctbal > 0
+              )
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c.c_nationkey
+        ORDER BY c.c_nationkey
+    """,
+)
+def q66_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, "customer", sf_dir)
+    o = _t(spark, "orders", sf_dir)
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(money("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(money("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q67_product_profit",
+    category="composite",
+    doc=(
+        "TPC-H Q9-shaped: revenue from 'widget' parts by supplier nation and "
+        "order year — LIKE-filtered dim pushdown, two broadcast arms, one "
+        "fact shuffle."
+    ),
+    oracle=f"""
+        SELECT n.n_name AS nation, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM({ORACLE_REVENUE}) AS DOUBLE) AS profit
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """,
+)
+def q67_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, "lineitem", sf_dir)
+    p = _t(spark, "part", sf_dir).filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, "supplier", sf_dir)
+    n = _t(spark, "nation", sf_dir)
+    o = _t(spark, "orders", sf_dir)
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(revenue()).cast("double").alias("profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@register(
+    "q68_cube_grouping_id",
+    category="aggregate",
+    doc=(
+        "CUBE with GROUPING() disambiguation: order counts/revenue over all "
+        "subsets of (o_orderstatus, o_orderpriority) — the grouping-sets "
+        "expansion happens map-side as a single shuffle (Expand operator)."
+    ),
+    oracle="""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY gid, status, priority
+    """,
+)
+def q68_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, "orders", sf_dir)
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid", "n_orders", "total_price",
+        )
+        .orderBy("gid", "status", "priority")
+    )
