@@ -135,6 +135,8 @@ class VersionedTable:
         of read_where and compaction can run per partition (L3).
         """
         cur = self.current_snapshot_id()
+        if cur is not None:
+            self._check_evolution(df)
         files = list(self._snapshot(cur)["files"]) if cur else []
         prev_rows = self._snapshot(cur)["rows"] if cur else 0
         added_rows = 0
@@ -154,6 +156,21 @@ class VersionedTable:
                 added_rows += rows
         return self._commit(files, "append", prev_rows + added_rows)
 
+    def _check_evolution(self, df: DataFrame) -> None:
+        """Additive schema evolution (the reference's documented Iceberg sink
+        behavior, README.md:478-486: "Iceberg auto-evolves via PyIceberg"):
+        a batch may ADD columns (old rows read as null) or OMIT columns
+        (new rows read as null); a changed type for an existing column is an
+        error — the reference's Postgres sink errors such batches to the DLQ
+        rather than corrupting the table."""
+        current = {f.name: f.dataType for f in self.read().schema.fields}
+        for f in df.schema.fields:
+            if f.name in current and f.dataType != current[f.name]:
+                raise ValueError(
+                    f"incompatible schema evolution for column {f.name!r}: "
+                    f"{current[f.name].simpleString()} -> {f.dataType.simpleString()}"
+                )
+
     def overwrite(self, df: DataFrame) -> str:
         group, rows = self._write_group(df)
         return self._commit([group], "overwrite", rows)
@@ -166,7 +183,9 @@ class VersionedTable:
         if sid is None:
             raise ValueError("empty table")
         files = self._snapshot(sid)["files"]
-        return self.spark.read.parquet(*files)
+        # mergeSchema: file groups written before an additive evolution lack
+        # the new columns; the union schema nulls them in (Iceberg read path)
+        return self.spark.read.option("mergeSchema", "true").parquet(*files)
 
     def read_where(self, column: str, op: str, value, snapshot_id: str | None = None) -> DataFrame:
         """Stats-pruned scan: skip file groups whose [min, max] range for
@@ -217,6 +236,16 @@ class VersionedTable:
 
         before = self.read(snapshot_id=from_snapshot)
         after = self.read(snapshot_id=to_snapshot)
+        # align schemas across an additive evolution boundary: a snapshot
+        # taken before the new column existed compares with it nulled in
+        for f in after.schema.fields:
+            if f.name not in before.columns:
+                before = before.withColumn(f.name, F.lit(None).cast(f.dataType))
+        for f in before.schema.fields:
+            if f.name not in after.columns:
+                after = after.withColumn(f.name, F.lit(None).cast(f.dataType))
+        after = after.select(*sorted(after.columns))
+        before = before.select(*sorted(before.columns))
         added = after.exceptAll(before).withColumn("_change", F.lit("+"))
         removed = before.exceptAll(after).withColumn("_change", F.lit("-"))
         return added.unionByName(removed)

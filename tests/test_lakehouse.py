@@ -131,3 +131,38 @@ def test_snapshot_diff_change_feed(spark, table):
     assert removed == [0, 1, 2]
     # no-op diff is empty
     assert table.diff(s2, s2).count() == 0
+
+
+def test_additive_schema_evolution(spark, table):
+    """Reference Iceberg sink auto-evolves on added columns (README.md:478-486);
+    incompatible type changes error instead of corrupting the table."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(5).select(F.col("id"), F.lit("a").alias("v"))
+    s1 = table.append(base)
+
+    evolved = spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("v"), F.lit(1.5).alias("score")
+    )
+    s2 = table.append(evolved)
+
+    head = table.read()
+    assert set(head.columns) == {"id", "v", "score"}
+    assert head.count() == 8
+    # pre-evolution rows read the new column as null
+    assert head.filter("score IS NULL").count() == 5
+    # old snapshot still reads with the old schema
+    assert set(table.read(snapshot_id=s1).columns) == {"id", "v"}
+
+    # a batch missing a column is fine (nulled in)...
+    table.append(spark.range(8, 9).select(F.col("id")))
+    assert table.read().filter("v IS NULL").count() == 1
+    # ...but a type conflict on an existing column refuses the append
+    bad = spark.range(9, 10).select(F.col("id"), F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="incompatible schema evolution"):
+        table.append(bad)
+
+    # diff across the evolution boundary aligns schemas instead of failing
+    changes = table.diff(s1, s2)
+    assert changes.filter("_change = '+'").count() == 3
+    assert changes.filter("_change = '-'").count() == 0

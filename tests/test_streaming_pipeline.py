@@ -371,3 +371,41 @@ def test_dlq_replay_converges(spark, workdir):
     replayed = dlq.replay(spark, poison, sink_id="sink")
     assert replayed == n_events - n_delivered
     assert poison.exactly_once_view(spark).count() == n_events, "replay must converge to full delivery"
+
+
+def test_stream_dedup_within_watermark(spark, workdir):
+    """Native streaming dedup (J4's dropDuplicatesWithinWatermark form):
+    a replayed suffix of the stream (duplicate (partition, offset) rows,
+    the reference's at-least-once redelivery) is eliminated inside the
+    stateful dedup operator itself — no idempotent sink required."""
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    env = to_envelope(events)
+    src = f"{workdir}/dedup_src"
+    env.write.mode("overwrite").parquet(src)
+    # redeliver the tail: 200 duplicate coordinates appended as a late file
+    env.orderBy(F.col("seq").desc()).limit(200).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        # delay far beyond the fixture's time span: nothing is ever late,
+        # so the dedup is exact (the bounded-state tradeoff is the point
+        # of the operator; exactness here pins the semantics)
+        .withWatermark("event_ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["partition", "offset"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_within_wm")
+        .outputMode("append")
+        .option("checkpointLocation", f"{workdir}/dedup_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("dedup_within_wm").count() == env.count()
+    assert (
+        spark.table("dedup_within_wm").groupBy("partition", "offset").count().filter("count > 1").count()
+        == 0
+    )
