@@ -137,3 +137,83 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mean", F.col("sum_fp").cast("double") / (F.lit(1000000.0) * F.col("n")))
         .orderBy("label", "dim")
     )
+
+
+@register(
+    "q69_retention_cohorts",
+    category="composite",
+    doc=(
+        "Weekly retention cohorts over the event stream: users grouped by "
+        "first-activity week, counted per subsequent activity week — two "
+        "aggregations sharing the user_id shuffle key (AQE reuses the "
+        "exchange), the standard product-analytics readout of a CDC stream."
+    ),
+    oracle="""
+        WITH first_week AS (
+            SELECT user_id, CAST(epoch(date_trunc('week', MIN(ts))) AS BIGINT) AS cohort_epoch
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week_epoch
+            FROM events
+        )
+        SELECT f.cohort_epoch,
+               (a.week_epoch - f.cohort_epoch) // 604800 AS week_n,
+               COUNT(*) AS active_users
+        FROM activity a JOIN first_week f ON a.user_id = f.user_id
+        GROUP BY f.cohort_epoch, week_n
+        ORDER BY cohort_epoch, week_n
+    """,
+)
+def q69_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    week = lambda c: F.unix_timestamp(F.date_trunc("week", c)).cast("long")  # noqa: E731
+    first_week = e.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_epoch"))
+    activity = e.select("user_id", week(F.col("ts")).alias("week_epoch")).distinct()
+    return (
+        activity.join(first_week, "user_id")
+        .groupBy(
+            "cohort_epoch",
+            ((F.col("week_epoch") - F.col("cohort_epoch")) / F.lit(604800))
+            .cast("long")
+            .alias("week_n"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_epoch", "week_n")
+    )
+
+
+@register(
+    "q70_higher_order_arrays",
+    category="functions",
+    doc=(
+        "Higher-order array functions over tokenized documents: lambda "
+        "filter/transform/aggregate plus sort/slice/join — all JVM-side "
+        "array expressions inside whole-stage codegen (Spark's replacement "
+        "for the reference's per-row Python dict manipulation)."
+    ),
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(list_filter(toks, x -> len(x) > 5)) AS BIGINT) AS n_long,
+               CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS total_len,
+               CAST(list_contains(toks, 'spark') AS BIGINT) AS has_spark,
+               array_to_string(list_sort(toks)[1:3], '-') AS first3_sorted
+        FROM t
+        ORDER BY doc_id
+    """,
+)
+def q70_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.col("text")), " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).cast("long").alias("n_long"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_len"),
+        F.array_contains(toks, "spark").cast("long").alias("has_spark"),
+        F.array_join(F.slice(F.array_sort(toks), 1, 3), "-").alias("first3_sorted"),
+    ).orderBy("doc_id")
