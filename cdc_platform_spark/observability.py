@@ -110,3 +110,71 @@ def retry_with_backoff(fn, max_attempts: int = 5, base_delay: float = 0.05, max_
             if attempt >= max_attempts:
                 raise
             time.sleep(min(base_delay * (2 ** (attempt - 1)), max_delay))
+
+
+class HealthServer:
+    """HTTP liveness/readiness endpoints (reference observability/http_health.py
+    semantics, re-expressed on the stdlib threading server — the reference's
+    zero-dependency asyncio server fills the same role):
+
+    - ``GET /healthz`` -> 200 always: the process is alive.
+    - ``GET /readyz``  -> 200 if the status callable reports ``ready``,
+      else 503 — any errored streaming query or sink flips the whole
+      endpoint, matching the reference's aggregate-readiness contract
+      (reference pipeline/runner.py:390-416).
+
+    ``status_fn`` is typically ``lambda: health(queries, sinks)``.
+    """
+
+    def __init__(self, status_fn, host: str = "127.0.0.1", port: int = 0) -> None:
+        self._status_fn = status_fn
+        self._host = host
+        self._port = port
+        self._server = None
+        self._thread = None
+
+    def start(self) -> int:
+        import http.server
+        import json as _json
+        import threading
+
+        status_fn = self._status_fn
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (stdlib handler contract)
+                if self.path == "/healthz":
+                    code, body = 200, {"status": "alive"}
+                elif self.path == "/readyz":
+                    try:
+                        body = status_fn()
+                        code = 200 if body.get("status") == "ready" else 503
+                    except Exception as exc:  # noqa: BLE001
+                        code, body = 503, {"status": "unhealthy", "error": str(exc)}
+                else:
+                    code, body = 404, {"error": "not found"}
+                payload = _json.dumps(body).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *args):  # quiet
+                pass
+
+        self._server = http.server.ThreadingHTTPServer((self._host, self._port), Handler)
+        self._port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self._port
+
+    @property
+    def port(self) -> int:
+        return self._port
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._thread.join(timeout=5)
+            self._server = None

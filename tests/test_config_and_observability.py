@@ -176,3 +176,38 @@ def test_cli_lakehouse_roundtrip(spark, tmp_path, capsys):
 
     assert main(["query", root, "--limit", "5"]) == 0
     assert len(capsys.readouterr().out.strip().splitlines()) == 5
+
+
+def test_health_server_endpoints():
+    """M4: /healthz is pure liveness; /readyz aggregates component status
+    and serves 503 the moment any component errors."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from cdc_platform_spark.observability import HealthServer
+
+    state = {"status": "ready", "components": {"query:q1": "ok"}}
+    srv = HealthServer(lambda: state)
+    port = srv.start()
+    try:
+        def get(path):
+            try:
+                with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        assert get("/healthz") == (200, {"status": "alive"})
+        code, body = get("/readyz")
+        assert code == 200 and body["status"] == "ready"
+
+        state["status"] = "unhealthy"
+        state["components"]["query:q1"] = "error"
+        code, body = get("/readyz")
+        assert code == 503 and body["components"]["query:q1"] == "error"
+        # liveness unaffected by readiness (the reference's split contract)
+        assert get("/healthz")[0] == 200
+        assert get("/nope")[0] == 404
+    finally:
+        srv.stop()
