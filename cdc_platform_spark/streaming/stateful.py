@@ -60,3 +60,58 @@ def running_user_stats(env: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Spark 4 arbitrary-state API (transformWithStateInPandas) ---------------
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class LatestPerKeyProcessor(StatefulProcessor):
+        """Streaming latest-per-key materialization on the state store
+        (the reference's upsert semantics, sinks/iceberg.py:187-197, with
+        in-flight state instead of storage-side MERGE): per pk keep the
+        row with the highest offset; a delete op becomes a tombstone that
+        only a LATER offset can resurrect — identical tie/ordering rules
+        to UpsertSink (order key = offset, FIXTURES.md §2c)."""
+
+        SCHEMA = "offset long, op string, event_type string, value double"
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._latest = handle.getValueState("latest", self.SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            cur = tuple(self._latest.get()) if self._latest.exists() else None
+            for pdf in rows:
+                i = pdf["offset"].idxmax()
+                off = int(pdf.loc[i, "offset"])
+                if cur is None or off > cur[0]:
+                    cur = (off, str(pdf.loc[i, "op"]), str(pdf.loc[i, "event_type"]), float(pdf.loc[i, "value"]))
+            self._latest.update(cur)
+            yield pd.DataFrame(
+                {
+                    "pk": [key[0]],
+                    "offset": [cur[0]],
+                    "op": [cur[1]],
+                    "event_type": [cur[2]],
+                    "value": [cur[3]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def latest_per_key_stream(env: DataFrame) -> DataFrame:
+        """Grouped arbitrary-state transform (update mode, processing time)."""
+        return env.groupBy("pk").transformWithStateInPandas(
+            statefulProcessor=LatestPerKeyProcessor(),
+            outputStructType="pk long, offset long, op string, event_type string, value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+except ImportError:  # pragma: no cover - older Spark
+    LatestPerKeyProcessor = None  # type: ignore[assignment]
+
+    def latest_per_key_stream(env: DataFrame) -> DataFrame:  # type: ignore[misc]
+        raise NotImplementedError("transformWithStateInPandas requires Spark >= 4.0")

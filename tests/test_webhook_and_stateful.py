@@ -9,11 +9,14 @@ import threading
 import pytest
 from pyspark.sql import functions as F
 
+from cdc_platform_spark.operators import load_all
 from cdc_platform_spark.streaming.pipeline import to_envelope
 from cdc_platform_spark.streaming.stateful import running_user_stats
 from cdc_platform_spark.streaming.webhook import WebhookSink
 
 from .conftest import SF_SMOKE
+
+REGISTRY = load_all()
 
 
 class _Recorder(http.server.BaseHTTPRequestHandler):
@@ -117,3 +120,63 @@ def test_stateful_running_stats_accumulates_across_batches(spark, tmp_path):
         .sort_index()
     )
     assert (final["last_event_type"] == latest["event_type"]).all()
+
+
+def test_transform_with_state_latest_per_key(spark, tmp_path):
+    """Spark 4 arbitrary-state operator: final per-key state equals the
+    batch Q27 materialization (modulo delete tombstones, which this
+    operator emits explicitly rather than dropping).
+
+    transformWithStateInPandas's state server speaks protobuf; this
+    container ships pyspark without the python protobuf package, so the
+    operator is exercised where the dependency exists (any real cluster)
+    and skipped here. applyInPandasWithState (tested above) covers the
+    container-runnable stateful path."""
+    pytest.importorskip("google.protobuf")
+    from cdc_platform_spark.streaming.pipeline import to_envelope
+    from cdc_platform_spark.streaming.stateful import latest_per_key_stream
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    env = to_envelope(events)
+    src = f"{tmp_path}/src"
+    env.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = latest_per_key_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_latest")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    # final state = last emitted update per pk (highest offset wins)
+    w = Window.partitionBy("pk").orderBy(F.col("offset").desc())
+    got = (
+        spark.table("tws_latest")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1 AND op <> 'd'")
+        .select("pk", F.col("offset").alias("last_offset"), F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"))
+        .toPandas()
+        .sort_values("pk")
+        .reset_index(drop=True)
+    )
+    expected = (
+        REGISTRY["q27_cdc_upsert_latest"].builder(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("pk")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected[got.columns.tolist()])
