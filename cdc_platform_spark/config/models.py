@@ -15,10 +15,27 @@ from pydantic import BaseModel, Field, model_validator
 
 
 class SourceConfig(BaseModel, extra="forbid"):
-    type: Literal["parquet_stream", "parquet_batch"] = "parquet_stream"
-    path: str
+    type: Literal["parquet_stream", "parquet_batch", "kafka"] = "parquet_stream"
+    path: str | None = None  # parquet sources
     schema_ddl: str | None = None  # None -> engine default events schema
     max_files_per_trigger: int | None = Field(default=None, ge=1)  # backpressure (ref F3)
+    # kafka source (reference S1; transport config ≙ streaming/consumer.py:56-74)
+    bootstrap_servers: str | None = None
+    topics: list[str] | None = None
+    topic_pattern: str | None = None
+    starting_offsets: str = "earliest"
+    max_offsets_per_trigger: int | None = Field(default=None, ge=1)  # backpressure (ref F3)
+
+    @model_validator(mode="after")
+    def _check_transport(self) -> SourceConfig:
+        if self.type == "kafka":
+            if not self.bootstrap_servers:
+                raise ValueError("kafka source requires bootstrap_servers")
+            if (self.topics is None) == (self.topic_pattern is None):
+                raise ValueError("kafka source requires exactly one of topics / topic_pattern")
+        elif self.path is None:
+            raise ValueError(f"{self.type} source requires path")
+        return self
 
 
 class SinkConfig(BaseModel, extra="forbid"):

@@ -93,12 +93,32 @@ def compile_pipeline(
             sinks[s.id] = LakehouseUpsertSink(spark, s.path)
         else:  # pragma: no cover - pydantic Literal already forbids
             raise ValueError(f"unknown sink type {s.type!r}")
+    stream_builder = None
+    envelope_fn = None
+    if cfg.source.type == "kafka":
+        from cdc_platform_spark.sources.kafka import kafka_envelope_flat, raw_kafka_stream
+
+        src = cfg.source
+
+        def stream_builder(sp: SparkSession):  # noqa: F811 - deliberate rebind
+            return raw_kafka_stream(
+                sp,
+                bootstrap_servers=src.bootstrap_servers,
+                topics=src.topics,
+                topic_pattern=src.topic_pattern,
+                starting_offsets=src.starting_offsets,
+                max_offsets_per_trigger=src.max_offsets_per_trigger,
+            )
+
+        envelope_fn = kafka_envelope_flat
     return CdcPipeline(
         spark=spark,
-        source_dir=cfg.source.path,
+        source_dir=cfg.source.path or "",
         checkpoint_dir=cfg.checkpoint_dir or f"{platform.checkpoint_root}/{cfg.pipeline_id}",
         sinks=sinks,
         dlq=DlqWriter(cfg.dlq_path) if cfg.dlq_path else None,
         schema=cfg.source.schema_ddl or EVENTS_SCHEMA,
         max_files_per_trigger=cfg.source.max_files_per_trigger,
+        stream_builder=stream_builder,
+        envelope_fn=envelope_fn,
     )

@@ -77,3 +77,24 @@ def parse_debezium(frames: DataFrame) -> DataFrame:
         v["source"]["lsn"].alias("lsn"),
         v["source"]["table"].alias("source_table"),
     )
+
+
+def to_flat_envelope(env: DataFrame) -> DataFrame:
+    """Parsed Debezium envelope -> the engine's flat envelope (the shape
+    every sink consumes, identical to streaming.pipeline.to_envelope's
+    output): post-image fields for upserts, pre-image for deletes,
+    snapshot reads ('r') normalized to creates (reference semantics:
+    snapshot rows are initial inserts, config/models.py:40-46)."""
+    row = F.coalesce(F.col("after"), F.col("before"))
+    return env.select(
+        F.col("offset").alias("seq"),
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),
+        F.when(F.col("op") == "r", "c").otherwise(F.col("op")).alias("op"),
+        F.coalesce(F.col("pk"), row["id"]).alias("pk"),
+        row["event_type"].alias("event_type"),
+        row["value"].alias("value"),
+        F.lit(None).cast("string").alias("props"),
+        F.timestamp_millis(F.col("ts_ms")).alias("event_ts"),
+    )

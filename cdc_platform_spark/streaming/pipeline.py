@@ -311,9 +311,14 @@ class CdcPipeline:
     dlq: DlqWriter | None = None
     schema: str = EVENTS_SCHEMA
     max_files_per_trigger: int | None = None  # backpressure (ref F3)
+    # source/envelope overrides: a Kafka deployment swaps in
+    # sources.kafka.read_kafka_stream + its Debezium envelope transform
+    # (the reference's transport-adapter seam, sources/factory.py:15-174)
+    stream_builder: object | None = None  # Callable[[SparkSession], DataFrame]
+    envelope_fn: object | None = None  # Callable[[DataFrame], DataFrame], default to_envelope
 
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        env = to_envelope(batch)
+        env = (self.envelope_fn or to_envelope)(batch)
         # fan-out: persist once, write to every sink; per-sink failures are
         # isolated and quarantined (ref F1 + P7, pipeline/runner.py:210-250).
         env.persist()
@@ -329,10 +334,13 @@ class CdcPipeline:
             env.unpersist()
 
     def run_available_now(self) -> None:
-        reader = self.spark.readStream.schema(self.schema)
-        if self.max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        stream = reader.parquet(self.source_dir)
+        if self.stream_builder is not None:
+            stream = self.stream_builder(self.spark)
+        else:
+            reader = self.spark.readStream.schema(self.schema)
+            if self.max_files_per_trigger:
+                reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+            stream = reader.parquet(self.source_dir)
         query = (
             stream.writeStream.foreachBatch(self._process_batch)
             .option("checkpointLocation", self.checkpoint_dir)

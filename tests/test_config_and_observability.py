@@ -211,3 +211,86 @@ def test_health_server_endpoints():
         assert get("/nope")[0] == 404
     finally:
         srv.stop()
+
+
+def test_kafka_stream_options_builder():
+    from cdc_platform_spark.sources.kafka import kafka_stream_options
+
+    opts = kafka_stream_options(
+        "b1:9092,b2:9092", topics=["cdc.public.users", "cdc.public.orders"],
+        max_offsets_per_trigger=50_000, fail_on_data_loss=False,
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "cdc.public.users,cdc.public.orders",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "50000",
+    }
+    assert "subscribePattern" in kafka_stream_options("b:9092", topic_pattern="cdc\\..*")
+    with pytest.raises(ValueError, match="exactly one"):
+        kafka_stream_options("b:9092")
+    with pytest.raises(ValueError, match="exactly one"):
+        kafka_stream_options("b:9092", topics=["t"], topic_pattern="t.*")
+
+
+def test_kafka_envelope_decode(spark):
+    """Raw Kafka record shape -> flat engine envelope: binary JSON key/value
+    decoded, Debezium ops normalized (r->c), delete falls back to the
+    pre-image, order key = (partition, offset). No broker needed — the
+    transform is a pure column expression (reference's consumer
+    normalization, sources/kafka/source.py:47-66)."""
+    import json
+
+    from cdc_platform_spark.sources.kafka import kafka_envelope_flat
+
+    def rec(partition, offset, op, pk, event_type="click", value=1.5, ts_ms=1_700_000_000_000):
+        row = {"id": pk, "event_type": event_type, "value": value}
+        env = {
+            "op": op,
+            "ts_ms": ts_ms,
+            "before": row if op == "d" else None,
+            "after": None if op == "d" else row,
+            "source": {"connector": "postgresql", "db": "app", "schema": "public",
+                       "table": "users", "lsn": offset * 10, "txId": 7},
+        }
+        return ("cdc.public.users", partition, offset,
+                json.dumps({"id": pk}).encode(), json.dumps(env).encode())
+
+    raw = spark.createDataFrame(
+        [rec(0, 1, "r", 10), rec(0, 2, "u", 10, value=2.5), rec(1, 1, "c", 11), rec(0, 3, "d", 10)],
+        "topic string, partition int, offset long, key binary, value binary",
+    )
+    out = kafka_envelope_flat(raw).orderBy("partition", "offset").collect()
+    assert [r["op"] for r in out] == ["c", "u", "d", "c"]  # r normalized to c
+    assert [r["pk"] for r in out] == [10, 10, 10, 11]
+    # delete carries the pre-image
+    assert out[2]["event_type"] == "click" and out[2]["value"] == 1.5
+    assert out[1]["value"] == 2.5
+    assert out[0]["event_ts"] is not None
+
+
+def test_kafka_source_config_and_compile(spark, tmp_path):
+    from cdc_platform_spark.config.models import PipelineConfig
+    from cdc_platform_spark.plans.compiler import compile_pipeline
+    from cdc_platform_spark.sources.kafka import kafka_envelope_flat
+
+    cfg = PipelineConfig(
+        pipeline_id="kafka-e2e",
+        source={"type": "kafka", "bootstrap_servers": "broker:9092", "topics": ["cdc.public.users"]},
+        sinks=[{"id": "a", "type": "append", "path": str(tmp_path / "a")}],
+    )
+    pipe = compile_pipeline(spark, cfg)
+    assert pipe.stream_builder is not None
+    assert pipe.envelope_fn is kafka_envelope_flat
+
+    with pytest.raises(ValueError, match="bootstrap_servers"):
+        PipelineConfig(
+            pipeline_id="x", source={"type": "kafka", "topics": ["t"]},
+            sinks=[{"id": "a", "type": "append", "path": "/tmp/a"}],
+        )
+    with pytest.raises(ValueError, match="requires path"):
+        PipelineConfig(
+            pipeline_id="x", source={"type": "parquet_stream"},
+            sinks=[{"id": "a", "type": "append", "path": "/tmp/a"}],
+        )
