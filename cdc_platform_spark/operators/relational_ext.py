@@ -799,3 +799,80 @@ def q58_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"), F.sum("n_chars").cast("long").alias("sampled_chars"))
         .orderBy("lang")
     )
+
+
+@register(
+    "q71_argmax",
+    category="aggregate",
+    doc=(
+        "Arg-max aggregation (max_by over a composite order key): top customer "
+        "per market segment by (acctbal, custkey) — single-pass, map-side "
+        "combinable, vs. the window row_number form the oracle uses (same "
+        "result, two different physical strategies)."
+    ),
+    oracle="""
+        SELECT c_mktsegment, c_name AS top_customer,
+               c_acctbal AS top_acctbal, c_custkey AS top_custkey
+        FROM (
+            SELECT c_mktsegment, c_name, c_acctbal, c_custkey,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey DESC
+                   ) AS rn
+            FROM customer
+        )
+        WHERE rn = 1
+        ORDER BY c_mktsegment
+    """,
+)
+def q71_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, "customer", sf_dir)
+    key = F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.max_by("c_name", key).alias("top_customer"),
+            F.max_by("c_acctbal", key).alias("top_acctbal"),
+            F.max_by("c_custkey", key).alias("top_custkey"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q72_conditional_aggregates",
+    category="aggregate",
+    doc=(
+        "Conditional/boolean aggregate family: count_if, bool_and/bool_or, "
+        "NULLIF-fed MIN, GREATEST/LEAST composition — all map-side "
+        "combinable scalar aggregates (no window, one shuffle)."
+    ),
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n_lines,
+               count_if(l_discount > l_tax) AS n_disc_gt_tax,
+               bool_and(l_quantity > 0) AS all_qty_pos,
+               bool_or(l_discount = 0) AS any_zero_disc,
+               MIN(NULLIF(l_discount, 0)) AS min_nonzero_disc,
+               MAX(GREATEST(l_discount, l_tax)) AS max_rate,
+               MIN(LEAST(l_discount, l_tax)) AS min_rate
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def q72_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, "lineitem", sf_dir)
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_if(F.col("l_discount") > F.col("l_tax")).alias("n_disc_gt_tax"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_qty_pos"),
+            F.bool_or(F.col("l_discount") == 0).alias("any_zero_disc"),
+            F.min(F.nullif(F.col("l_discount"), F.lit(0))).alias("min_nonzero_disc"),
+            F.max(F.greatest("l_discount", "l_tax")).alias("max_rate"),
+            F.min(F.least("l_discount", "l_tax")).alias("min_rate"),
+        )
+        .orderBy("l_returnflag")
+    )
