@@ -294,3 +294,57 @@ def test_kafka_source_config_and_compile(spark, tmp_path):
             pipeline_id="x", source={"type": "parquet_stream"},
             sinks=[{"id": "a", "type": "append", "path": "/tmp/a"}],
         )
+
+
+def test_pubsub_virtual_partitions_and_synthetic_offsets(spark):
+    """S3: md5(ordering_key) %% 16 virtual partitioning + arrival-order
+    synthetic offsets — all rows of one ordering key land in one partition
+    with gapless offsets (reference sources/pubsub/source.py:22-23,169-174)."""
+    import hashlib
+
+    from cdc_platform_spark.sources.cloud import pubsub_frames
+
+    rows = [
+        (f"m{i:03d}", key, 1_700_000_000_000 + i * 1000, "{}", "{}")
+        for i, key in enumerate(["public.users", "public.orders", "public.users", "sales.items"] * 25)
+    ]
+    msgs = spark.createDataFrame(
+        rows, "message_id string, ordering_key string, publish_time long, key_json string, value_json string"
+    ).withColumn("publish_time", F.timestamp_millis(F.col("publish_time")))
+    out = pubsub_frames(msgs)
+
+    # one partition per ordering key, matching the reference's md5 bucket
+    got = {r["topic"]: r["partition"] for r in out.select("topic", "partition").distinct().collect()}
+    for key, part in got.items():
+        expected = int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % 16
+        assert part == expected, (key, part, expected)
+
+    # offsets are gapless 0..n-1 in arrival order within each partition
+    for part in set(got.values()):
+        offs = [r["offset"] for r in out.filter(F.col("partition") == part).orderBy("offset").collect()]
+        assert offs == list(range(len(offs)))
+
+
+def test_kinesis_shard_mapping_and_resume(spark):
+    """S4: shard->partition 1:1, sequence-number offsets, and
+    AFTER_SEQUENCE_NUMBER resume from a checkpoint table."""
+    from cdc_platform_spark.sources.cloud import kinesis_frames, resume_after_checkpoint
+
+    recs = spark.createDataFrame(
+        [
+            ("shardId-000000000000", 100, "pk1", "{}", "{}"),
+            ("shardId-000000000000", 101, "pk1", "{}", "{}"),
+            ("shardId-000000000000", 102, "pk1", "{}", "{}"),
+            ("shardId-000000000001", 7, "pk2", "{}", "{}"),
+            ("shardId-000000000001", 8, "pk2", "{}", "{}"),
+        ],
+        "shard_id string, sequence_number long, partition_key string, key_json string, value_json string",
+    )
+    frames = kinesis_frames(recs, stream_name="cdc.orders")
+    assert {r["partition"] for r in frames.collect()} == {0, 1}
+
+    ckpt = spark.createDataFrame([(0, 101)], "partition int, committed_offset long")
+    resumed = resume_after_checkpoint(frames, ckpt)
+    got = sorted((r["partition"], r["offset"]) for r in resumed.collect())
+    # shard 0 resumes after 101; shard 1 has no checkpoint -> full replay
+    assert got == [(0, 102), (1, 7), (1, 8)]
