@@ -409,3 +409,83 @@ def test_stream_dedup_within_watermark(spark, workdir):
         spark.table("dedup_within_wm").groupBy("partition", "offset").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_kafka_shaped_stream_end_to_end(spark, workdir):
+    """S1 E2E without a broker: Debezium-shaped raw Kafka records (binary
+    key/value JSON, topic/partition/offset) staged as files, streamed through
+    CdcPipeline with the kafka decode chain (kafka_envelope_flat) — final
+    upsert state must equal the batch Q27 oracle. This exercises the exact
+    record schema and decode path a live Kafka deployment uses; only the
+    transport (file vs broker) differs."""
+    from pyspark.sql import Window
+
+    from cdc_platform_spark.sources.kafka import kafka_envelope_flat
+    from cdc_platform_spark.streaming.pipeline import UpsertSink
+
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    row = lambda val: F.struct(  # noqa: E731
+        F.col("user_id").alias("id"), F.col("event_type"), val.alias("value")
+    )
+    staged = e.withColumn("prev_value", F.lag("value").over(w)).withColumn("op", op)
+    records = staged.select(
+        F.lit("cdc.public.users").alias("topic"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.encode(F.to_json(F.struct(F.col("user_id").alias("id"))), "UTF-8").alias("key"),
+        F.encode(
+            F.to_json(
+                F.struct(
+                    F.col("op"),
+                    F.expr("ts div 1000000").alias("ts_ms"),
+                    F.when(F.col("op") != "c", row(F.col("prev_value"))).alias("before"),
+                    F.when(F.col("op") != "d", row(F.col("value"))).alias("after"),
+                    F.struct(
+                        F.lit("postgresql").alias("connector"),
+                        F.lit("public").alias("schema"),
+                        F.lit("users").alias("table"),
+                        F.col("event_id").alias("lsn"),
+                    ).alias("source"),
+                )
+            ),
+            "UTF-8",
+        ).alias("value"),
+    )
+    src = f"{workdir}/kafka_records"
+    records.repartition(3).write.mode("overwrite").parquet(src)
+
+    schema = "topic string, partition int, offset long, key binary, value binary"
+    pipe = CdcPipeline(
+        spark=spark,
+        source_dir=src,
+        checkpoint_dir=f"{workdir}/kafka_ckpt",
+        sinks={"state": UpsertSink(f"{workdir}/kafka_state")},
+        schema=schema,
+        max_files_per_trigger=1,
+        envelope_fn=kafka_envelope_flat,
+    )
+    pipe.run_available_now()
+
+    import pandas as pd
+
+    expected = (
+        REGISTRY["q27_cdc_upsert_latest"].builder(spark, SF_SMOKE)
+        .toPandas().sort_values("pk").reset_index(drop=True)
+    )
+    got = (
+        pipe.sinks["state"].state(spark)
+        .select(
+            "pk",
+            F.col("offset").alias("last_offset"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        .toPandas().sort_values("pk").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected[got.columns.tolist()])
