@@ -343,3 +343,53 @@ class VersionedTable:
         df = self.spark.read.parquet(*snap["files"])
         group, rows = self._write_group(df.coalesce(max(1, df.rdd.getNumPartitions() // 4)))
         return self._commit([group], "rewrite", rows)
+
+    def rewrite_sorted(self, sort_by: str, n_groups: int = 4) -> str | None:
+        """Sort-clustered rewrite (Iceberg's ``rewrite_data_files`` with a
+        sort order): range-partition the table on ``sort_by`` into
+        ``n_groups`` file groups with DISJOINT [min, max] ranges, so the
+        manifest stats pruning in :meth:`read_where` skips all but the
+        matching group(s). The reference has no equivalent (its compaction
+        only counters small files); at 100 TB clustering is what turns
+        stats from bookkeeping into I/O elimination.
+
+        Locally this writes group-by-group from driver-computed range
+        boundaries (exact percentiles of the sort column — one extra scan);
+        a cluster deployment uses ``repartitionByRange(n).sortWithinPartitions``
+        and splits the output files into groups by range, same layout.
+        """
+        from pyspark.sql import functions as F
+
+        cur = self.current_snapshot_id()
+        if cur is None:
+            return None
+        snap = self._snapshot(cur)
+        df = self.read()
+        qs = [i / n_groups for i in range(1, n_groups)]
+        bounds = df.selectExpr(
+            *[f"percentile({sort_by}, {q}) AS b{i}" for i, q in enumerate(qs)]
+        ).collect()[0]
+        edges = [bounds[i] for i in range(len(qs))]
+        groups: list[str] = []
+        total = 0
+        lo = None
+        for i in range(n_groups):
+            hi = edges[i] if i < len(edges) else None
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(sort_by) > F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(sort_by) <= F.lit(hi))
+            part = df.filter(cond).sortWithinPartitions(sort_by)
+            group, rows = self._write_group(part)
+            if rows == 0:
+                # empty range (duplicate percentile edges) — drop the group
+                import shutil
+
+                shutil.rmtree(group, ignore_errors=True)
+                self._group_stats.pop(group, None)
+            else:
+                groups.append(group)
+                total += rows
+            lo = hi
+        return self._commit(groups, "rewrite-sorted", total)

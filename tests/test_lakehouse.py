@@ -166,3 +166,35 @@ def test_additive_schema_evolution(spark, table):
     changes = table.diff(s1, s2)
     assert changes.filter("_change = '+'").count() == 3
     assert changes.filter("_change = '-'").count() == 0
+
+
+def test_sorted_rewrite_enables_pruning(spark, table):
+    """rewrite_sorted clusters the table on the sort column into disjoint
+    [min, max] ranges; read_where then prunes every non-matching group
+    (metadata-only), where the unsorted layout could prune nothing."""
+    import pyspark.sql.functions as F
+
+    # 4 appends with interleaved key ranges -> every group spans ~the full range
+    for i in range(4):
+        table.append(spark.range(i, 4000, 4).select(F.col("id"), (F.col("id") % 7).alias("v")))
+    # every group overlaps the probe range: zero pruning possible
+    assert table.read_where("id", "=", 1234).count() == 1
+
+    sid = table.rewrite_sorted("id", n_groups=4)
+    assert sid is not None
+    snap = table._snapshot(sid)
+    assert len(snap["files"]) == 4 and snap["rows"] == 4000
+    # ranges are disjoint
+    ranges = sorted(
+        (s["id"]["min"], s["id"]["max"]) for s in snap["stats"].values()
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    # point probe touches exactly one group after clustering
+    probed = [
+        g for g, s in snap["stats"].items()
+        if s["id"]["min"] <= 1234 <= s["id"]["max"]
+    ]
+    assert len(probed) == 1
+    assert table.read_where("id", "=", 1234).count() == 1
+    assert table.read().count() == 4000
