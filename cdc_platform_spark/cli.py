@@ -8,6 +8,7 @@
                                               (cli.py:328-365  `cdc lakehouse rollback`)
     cdc-spark compact <table_root> [--max-files N]
     cdc-spark expire <table_root> --older-than-ms N
+    cdc-spark rewrite-sorted <table_root> --sort-by COL [--n-groups N]
 
 argparse instead of Typer (not in the container); same verbs.
 """
@@ -47,6 +48,11 @@ def main(argv: list[str] | None = None) -> int:
     p_exp.add_argument("table_root")
     p_exp.add_argument("--older-than-ms", type=int, required=True)
 
+    p_sort = sub.add_parser("rewrite-sorted", help="sort-cluster the table for stats pruning")
+    p_sort.add_argument("table_root")
+    p_sort.add_argument("--sort-by", required=True)
+    p_sort.add_argument("--n-groups", type=int, default=4)
+
     args = ap.parse_args(argv)
 
     from cdc_platform_spark.session import get_spark
@@ -83,6 +89,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "expire":
         n = table.expire_snapshots(older_than_ms=args.older_than_ms)
         print(json.dumps({"expired": n}))
+    elif args.cmd == "rewrite-sorted":
+        sid = table.rewrite_sorted(args.sort_by, n_groups=args.n_groups)
+        print(json.dumps({"rewrote": sid}))
     return 0
 
 

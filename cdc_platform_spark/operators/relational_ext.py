@@ -876,3 +876,30 @@ def q72_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q73_approx_percentile",
+    category="aggregate",
+    oracle=None,  # sketch-based: rows-only gate; tolerance vs exact tested in tier 1
+    doc=(
+        "Approximate percentiles (Greenwald-Khanna sketch, mergeable across "
+        "partitions — the distributed complement to q34's exact percentiles): "
+        "p50/p95/p99 of extended price per return flag, accuracy 1e-4."
+    ),
+)
+def q73_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, "lineitem", sf_dir)
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)").alias("p"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("p")[0].alias("p50"),
+            F.col("p")[1].alias("p95"),
+            F.col("p")[2].alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -110,3 +110,23 @@ sinks:
     state = spark.read.parquet(f"{tmp_path}/state").filter("op <> 'd'")
     expected = REGISTRY["q27_cdc_upsert_latest"].builder(spark, SF_SMOKE)
     assert state.count() == expected.count()
+
+
+def test_approx_percentile_within_tolerance(spark, duck):
+    """q73 is sketch-based (rows-only driver gate); tier 1 pins its accuracy
+    against DuckDB's exact quantile_cont instead."""
+    approx = {
+        r["l_returnflag"]: (r["p50"], r["p95"], r["p99"])
+        for r in REGISTRY["q73_approx_percentile"].builder(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        flag: (p50, p95, p99)
+        for flag, p50, p95, p99 in duck.sql(
+            "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5), "
+            "quantile_cont(l_extendedprice, 0.95), quantile_cont(l_extendedprice, 0.99) "
+            "FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    for flag, ps in approx.items():
+        for got, want in zip(ps, exact[flag]):
+            assert abs(got - want) / want < 0.02, (flag, got, want)
