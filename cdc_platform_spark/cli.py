@@ -9,6 +9,7 @@
     cdc-spark compact <table_root> [--max-files N]
     cdc-spark expire <table_root> --older-than-ms N
     cdc-spark rewrite-sorted <table_root> --sort-by COL [--n-groups N]
+    cdc-spark rewrite-zorder <table_root> --columns a,b [--n-groups N]
 
 argparse instead of Typer (not in the container); same verbs.
 """
@@ -53,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
     p_sort.add_argument("--sort-by", required=True)
     p_sort.add_argument("--n-groups", type=int, default=4)
 
+    p_z = sub.add_parser("rewrite-zorder", help="z-order-cluster the table on multiple columns")
+    p_z.add_argument("table_root")
+    p_z.add_argument("--columns", required=True, help="comma-separated column list")
+    p_z.add_argument("--n-groups", type=int, default=16)
+
     args = ap.parse_args(argv)
 
     from cdc_platform_spark.session import get_spark
@@ -91,6 +97,9 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"expired": n}))
     elif args.cmd == "rewrite-sorted":
         sid = table.rewrite_sorted(args.sort_by, n_groups=args.n_groups)
+        print(json.dumps({"rewrote": sid}))
+    elif args.cmd == "rewrite-zorder":
+        sid = table.rewrite_zorder(args.columns.split(","), n_groups=args.n_groups)
         print(json.dumps({"rewrote": sid}))
     return 0
 

@@ -31,7 +31,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession, Window
 
 
 def _json_safe(v):
@@ -393,3 +393,59 @@ class VersionedTable:
                 total += rows
             lo = hi
         return self._commit(groups, "rewrite-sorted", total)
+
+    def rewrite_zorder(self, columns: list[str], n_groups: int = 16, bits: int = 8) -> str | None:
+        """Z-order clustering (Delta OPTIMIZE ZORDER / Iceberg sort-order with
+        a space-filling curve): bucket each column into 2^bits rank buckets,
+        bit-interleave the buckets into a z-value, and range-partition the
+        table on z. File groups then have TIGHT min/max ranges on EVERY
+        z-ordered column simultaneously, so :meth:`read_where` prunes on any
+        of them — single-column clustering (rewrite_sorted) can only serve
+        one probe dimension.
+
+        Locally the rank bucketing uses a global ntile (one single-partition
+        window over the maintenance scan); a cluster deployment replaces it
+        with approx-percentile bucket boundaries (one pass, no global sort)
+        — the z math and layout are identical.
+        """
+        from pyspark.sql import functions as F
+
+        cur = self.current_snapshot_id()
+        if cur is None:
+            return None
+        df = self.read()
+        z = F.lit(0).cast("long")
+        ncols = len(columns)
+        for i, c in enumerate(columns):
+            bucket = (F.ntile(2**bits).over(Window.orderBy(F.col(c), *[x for x in columns if x != c])) - 1).cast("long")
+            df = df.withColumn(f"__b{i}", bucket)
+            for j in range(bits):
+                z = z + F.shiftleft(F.shiftright(F.col(f"__b{i}"), j).bitwiseAND(F.lit(1)), j * ncols + i)
+        df = df.withColumn("__z", z).drop(*[f"__b{i}" for i in range(ncols)])
+        qs = [i / n_groups for i in range(1, n_groups)]
+        bounds = df.selectExpr(
+            *[f"percentile(__z, {q}) AS b{i}" for i, q in enumerate(qs)]
+        ).collect()[0]
+        edges = [bounds[i] for i in range(len(qs))]
+        groups: list[str] = []
+        total = 0
+        lo = None
+        for i in range(n_groups):
+            hi = edges[i] if i < len(edges) else None
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("__z") > F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col("__z") <= F.lit(hi))
+            part = df.filter(cond).sortWithinPartitions("__z").drop("__z")
+            group, rows = self._write_group(part)
+            if rows == 0:
+                import shutil
+
+                shutil.rmtree(group, ignore_errors=True)
+                self._group_stats.pop(group, None)
+            else:
+                groups.append(group)
+                total += rows
+            lo = hi
+        return self._commit(groups, "rewrite-zorder", total)

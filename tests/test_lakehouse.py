@@ -198,3 +198,32 @@ def test_sorted_rewrite_enables_pruning(spark, table):
     assert len(probed) == 1
     assert table.read_where("id", "=", 1234).count() == 1
     assert table.read().count() == 4000
+
+
+def test_zorder_rewrite_prunes_on_both_dimensions(spark, table):
+    """Z-order clustering gives tight min/max on EVERY z-ordered column:
+    a point probe on either dimension must prune most file groups, which
+    single-column sorting cannot do for the second column."""
+    import pyspark.sql.functions as F
+
+    # x uniform 0..4095; y decorrelated from x (bit-reversed-ish ordering)
+    df = spark.range(4096).select(
+        F.col("id").alias("x"),
+        F.pmod(F.col("id") * F.lit(2654435761), F.lit(4096)).alias("y"),
+    )
+    table.append(df)
+    sid = table.rewrite_zorder(["x", "y"], n_groups=16)
+    assert sid is not None
+    snap = table._snapshot(sid)
+    assert snap["rows"] == 4096
+
+    assert table.read_where("x", "=", 2000).count() == 1
+    kept_x, total = table.last_scan_files
+    assert table.read_where("y", "=", 2000).count() == 1
+    kept_y, _ = table.last_scan_files
+    assert total == len(snap["files"])
+    # both dimensions prune: a z-curve over 2 dims with 16 groups leaves
+    # ~sqrt(16)=4 candidate groups per point probe; allow slack but require
+    # real elimination on BOTH columns
+    assert kept_x <= total // 2, (kept_x, total)
+    assert kept_y <= total // 2, (kept_y, total)
