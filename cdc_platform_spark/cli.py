@@ -1,5 +1,8 @@
 """CLI mirroring the reference's command surface (reference cli.py):
 
+    cdc-spark validate <pipeline.yaml>        (cli.py:42-71    `cdc validate`)
+    cdc-spark consume <pipeline.yaml> [--limit N]
+                                              (cli.py:141-165  `cdc consume`)
     cdc-spark run <pipeline.yaml>             (cli.py:168-192  `cdc run`)
     cdc-spark snapshots <table_root>          (cli.py:251-291  `cdc lakehouse snapshots`)
     cdc-spark query <table_root> [--snapshot-id N] [--limit N]
@@ -28,6 +31,14 @@ def main(argv: list[str] | None = None) -> int:
     p_run = sub.add_parser("run", help="run a pipeline from YAML (availableNow)")
     p_run.add_argument("config")
     p_run.add_argument("--platform-config", default=None)
+
+    p_val = sub.add_parser("validate", help="validate a pipeline YAML and print the resolved config")
+    p_val.add_argument("config")
+    p_val.add_argument("--platform-config", default=None)
+
+    p_cons = sub.add_parser("consume", help="decode and print events from the pipeline source")
+    p_cons.add_argument("config")
+    p_cons.add_argument("--limit", type=int, default=10)
 
     p_snap = sub.add_parser("snapshots", help="list table snapshots")
     p_snap.add_argument("table_root")
@@ -61,6 +72,22 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
+    if args.cmd == "validate":
+        # pure front-end: parse + validate + print, no Spark session
+        # (reference `cdc validate` semantics: exit non-zero on bad config)
+        from pydantic import ValidationError
+
+        from cdc_platform_spark.config import load_pipeline_config, load_platform_config
+
+        try:
+            cfg = load_pipeline_config(args.config)
+            platform = load_platform_config(args.platform_config)
+        except (ValidationError, KeyError, OSError) as e:
+            print(json.dumps({"valid": False, "error": str(e)}))
+            return 1
+        print(json.dumps({"valid": True, "pipeline": cfg.model_dump(), "platform": platform.model_dump()}))
+        return 0
+
     from cdc_platform_spark.session import get_spark
 
     spark = get_spark(app_name=f"cdc-spark-{args.cmd}")
@@ -74,6 +101,19 @@ def main(argv: list[str] | None = None) -> int:
         pipe = compile_pipeline(spark, cfg, platform)
         pipe.run_available_now()
         print(json.dumps({"pipeline_id": cfg.pipeline_id, "status": "completed"}))
+        return 0
+
+    if args.cmd == "consume":
+        # decode + print the head of the source stream (reference `cdc
+        # consume`: subscribe and print events as they arrive; batch
+        # equivalent here — same envelope the sinks see)
+        from cdc_platform_spark.config import load_pipeline_config
+        from cdc_platform_spark.streaming.pipeline import EVENTS_SCHEMA, to_envelope
+
+        cfg = load_pipeline_config(args.config)
+        batch = spark.read.schema(cfg.source.schema_ddl or EVENTS_SCHEMA).parquet(cfg.source.path)
+        for row in to_envelope(batch).orderBy("partition", "offset").limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
         return 0
 
     from cdc_platform_spark.lakehouse.table import VersionedTable

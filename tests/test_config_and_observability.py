@@ -348,3 +348,38 @@ def test_kinesis_shard_mapping_and_resume(spark):
     got = sorted((r["partition"], r["offset"]) for r in resumed.collect())
     # shard 0 resumes after 101; shard 1 has no checkpoint -> full replay
     assert got == [(0, 102), (1, 7), (1, 8)]
+
+
+def test_cli_validate_and_consume(spark, tmp_path, capsys, monkeypatch):
+    import json as _json
+
+    from cdc_platform_spark.cli import main
+
+    monkeypatch.setenv("OUT", str(tmp_path))
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(50).write.parquet(f"{tmp_path}/src")
+    good = tmp_path / "good.yaml"
+    good.write_text(
+        """
+pipeline_id: demo
+source:
+  path: ${OUT}/src
+sinks:
+  - id: a
+    type: append
+    path: ${OUT}/a
+"""
+    )
+    assert main(["validate", str(good)]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["valid"] and out["pipeline"]["pipeline_id"] == "demo"
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("pipeline_id: demo\nsource:\n  path: /x\nsinks: []\n")
+    assert main(["validate", str(bad)]) == 1
+    assert _json.loads(capsys.readouterr().out)["valid"] is False
+
+    assert main(["consume", str(good), "--limit", "7"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 7
+    first = _json.loads(lines[0])
+    assert {"topic", "partition", "offset", "op", "pk"} <= set(first)
