@@ -71,6 +71,32 @@ def main() -> None:
     n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     eps = round(n_events / timings["q26_cdc_append"], 1) if timings["q26_cdc_append"] > 0 else None
 
+    # True pipeline E2E (source -> envelope -> append+upsert sinks + checkpoint),
+    # the exact scenario behind the reference's 38,647 msg/s tuned consume
+    # throughput (BASELINE.md): micro-batched availableNow run, fresh dirs.
+    import shutil
+    import tempfile
+
+    from cdc_platform_spark.streaming.pipeline import AppendSink, CdcPipeline, UpsertSink
+
+    workdir = tempfile.mkdtemp(prefix="cdc-bench-")
+    try:
+        # file stream source wants a directory; stage the fixture via symlink
+        os.makedirs(f"{workdir}/source")
+        os.symlink(f"{SF_DIR}/events.parquet", f"{workdir}/source/events.parquet")
+        pipe = CdcPipeline(
+            spark=spark,
+            source_dir=f"{workdir}/source",
+            checkpoint_dir=f"{workdir}/ckpt",
+            sinks={"append": AppendSink(f"{workdir}/append"), "upsert": UpsertSink(f"{workdir}/state")},
+        )
+        t0 = time.perf_counter()
+        pipe.run_available_now()
+        pipeline_sec = time.perf_counter() - t0
+        pipeline_eps = round(n_events / pipeline_sec, 1)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
     print(
         json.dumps(
             {
@@ -80,6 +106,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": SF_DIR,
                 "events_per_sec": eps,
+                "pipeline_e2e_sec": round(pipeline_sec, 3),
+                "pipeline_events_per_sec": pipeline_eps,
             }
         )
     )
