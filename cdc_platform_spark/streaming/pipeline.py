@@ -196,6 +196,111 @@ class UpsertSink:
         return spark.read.parquet(self.path).filter(F.col("op") != "d")
 
 
+class BucketedUpsertSink:
+    """Latest-per-key merge with hash-bucketed state: the scale form of
+    ``UpsertSink``.
+
+    ``UpsertSink`` rewrites the WHOLE state every micro-batch — O(state)
+    I/O per batch, which is fine for tests and fatal at 100 TB.  Here the
+    state is laid out as ``path/bucket=<pmod(hash(pk), n)>/`` and a batch
+    rewrites ONLY the buckets its keys hash into: O(touched buckets), the
+    same copy-on-write granularity an Iceberg ``MERGE INTO`` achieves with
+    bucket-partitioned tables (ref J1/W2, sinks/iceberg.py:187-197; the
+    reference's per-partition compaction L3, lakehouse/maintenance.py:178-244,
+    is the same only-touch-what-changed principle).
+
+    Merge semantics are identical to ``UpsertSink`` (latest per pk by
+    offset, tombstones retained against out-of-order micro-batches); only
+    the storage granularity differs.  The bucket function is Spark's
+    stable murmur3 ``hash()`` — consistent for the lifetime of one state
+    directory, which is all a checkpointed pipeline needs.
+    """
+
+    _COLS = ["pk", "offset", "op", "event_type", "value"]
+
+    def __init__(self, path: str, n_buckets: int = 16) -> None:
+        self.path = path
+        self.n_buckets = n_buckets
+
+    def _bucket_dir(self, i: int) -> str:
+        return f"{self.path}/bucket={i}"
+
+    @property
+    def _work(self) -> str:
+        return f"{self.path}.work"
+
+    def _recover(self) -> None:
+        """Per-bucket two-rename crash recovery. Displaced snapshots live in
+        a sibling ``.work`` dir (NOT inside the state dir, where partition
+        discovery would try to parse them as bucket values)."""
+        if not os.path.isdir(self._work):
+            return
+        for name in os.listdir(self._work):
+            live = f"{self.path}/{name.split('.old-')[0]}"
+            if os.path.isdir(live):
+                # swap completed, cleanup didn't: the snapshot is garbage
+                shutil.rmtree(f"{self._work}/{name}", ignore_errors=True)
+            else:
+                os.makedirs(self.path, exist_ok=True)
+                os.rename(f"{self._work}/{name}", live)
+
+    def write(self, batch: DataFrame) -> None:
+        if not batch.take(1):
+            return
+        self._recover()
+        spark = batch.sparkSession
+        w = Window.partitionBy("pk").orderBy(F.col("offset").desc())
+        updates = (
+            batch.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(*self._COLS)
+            .withColumn("bucket", F.pmod(F.hash("pk"), F.lit(self.n_buckets)))
+        )
+        updates.persist()
+        try:
+            touched = sorted(r["bucket"] for r in updates.select("bucket").distinct().collect())
+            existing = [i for i in touched if os.path.isdir(self._bucket_dir(i))]
+            if existing:
+                current = (
+                    spark.read.option("basePath", self.path)
+                    .parquet(*[self._bucket_dir(i) for i in existing])
+                    .select(*self._COLS, "bucket")
+                )
+                merged = (
+                    current.unionByName(updates)
+                    .withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .drop("rn")
+                )
+            else:
+                merged = updates
+            run_id = uuid.uuid4().hex
+            tmp = f"{self.path}.tmp-{run_id}"
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+            os.makedirs(self.path, exist_ok=True)
+            os.makedirs(self._work, exist_ok=True)
+            for i in touched:
+                src = f"{tmp}/bucket={i}"
+                if not os.path.isdir(src):
+                    continue
+                live = self._bucket_dir(i)
+                old = f"{self._work}/bucket={i}.old-{run_id}"
+                if os.path.isdir(live):
+                    os.rename(live, old)
+                os.rename(src, live)
+                shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+        finally:
+            updates.unpersist()
+
+    def state(self, spark: SparkSession) -> DataFrame:
+        """Live state: latest row per key, tombstones filtered out."""
+        self._recover()
+        return (
+            spark.read.parquet(self.path).filter(F.col("op") != "d").drop("bucket")
+        )
+
+
 class DlqWriter:
     """Quarantine failed batches with the reference's diagnostic headers
     (ref P7, streaming/dlq.py:41-56): source coordinates + error metadata."""
