@@ -47,6 +47,9 @@ class SinkConfig(BaseModel, extra="forbid"):
     fail_predicate: str | None = None
     # inline small-file compaction cadence (lakehouse_append only; 0 = off)
     compact_every_n_batches: int = Field(default=0, ge=0)
+    # upsert only: >0 hash-buckets the state so a micro-batch rewrites only
+    # the buckets its keys fall in (BucketedUpsertSink); 0 = full rewrite
+    state_buckets: int = Field(default=0, ge=0)
 
     @model_validator(mode="after")
     def _check(self) -> SinkConfig:
@@ -54,6 +57,8 @@ class SinkConfig(BaseModel, extra="forbid"):
             raise ValueError("fail_predicate is only supported on append sinks")
         if self.compact_every_n_batches and self.type != "lakehouse_append":
             raise ValueError("compact_every_n_batches is only supported on lakehouse_append sinks")
+        if self.state_buckets and self.type != "upsert":
+            raise ValueError("state_buckets is only supported on upsert sinks")
         return self
 
 

@@ -14,6 +14,7 @@ from cdc_platform_spark.lakehouse.table import VersionedTable
 from cdc_platform_spark.streaming.pipeline import (
     EVENTS_SCHEMA,
     AppendSink,
+    BucketedUpsertSink,
     CdcPipeline,
     DlqWriter,
     RelationalAppendSink,
@@ -86,7 +87,10 @@ def compile_pipeline(
         elif s.type == "relational_append":
             sinks[s.id] = RelationalAppendSink(s.path)
         elif s.type == "upsert":
-            sinks[s.id] = UpsertSink(s.path)
+            if s.state_buckets:
+                sinks[s.id] = BucketedUpsertSink(s.path, n_buckets=s.state_buckets)
+            else:
+                sinks[s.id] = UpsertSink(s.path)
         elif s.type == "lakehouse_append":
             sinks[s.id] = LakehouseAppendSink(spark, s.path, compact_every_n_batches=s.compact_every_n_batches)
         elif s.type == "lakehouse_upsert":

@@ -79,6 +79,36 @@ def test_config_validation_matrix():
         PipelineConfig(pipeline_id="p", source=src, sinks=[SinkConfig(id="s", type="append", path="/t")], bogus=1)
     with pytest.raises(ValidationError):  # fail_predicate only on append
         SinkConfig(id="s", type="upsert", path="/t", fail_predicate="op = 'd'")
+    with pytest.raises(ValidationError):  # state_buckets only on upsert
+        SinkConfig(id="s", type="append", path="/t", state_buckets=8)
+
+
+def test_config_state_buckets_compiles_bucketed_upsert(spark, tmp_path, monkeypatch):
+    from cdc_platform_spark.streaming.pipeline import BucketedUpsertSink
+
+    monkeypatch.setenv("OUT", str(tmp_path))
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").repartition(2).write.parquet(f"{tmp_path}/src")
+    cfg_file = tmp_path / "p.yaml"
+    cfg_file.write_text(
+        """
+pipeline_id: demo
+source:
+  path: ${OUT}/src
+checkpoint_dir: ${OUT}/ck
+sinks:
+  - id: state
+    type: upsert
+    path: ${OUT}/state
+    state_buckets: 8
+"""
+    )
+    cfg = load_pipeline_config(str(cfg_file))
+    pipe = compile_pipeline(spark, cfg)
+    sink = pipe.sinks["state"]
+    assert isinstance(sink, BucketedUpsertSink) and sink.n_buckets == 8
+    pipe.run_available_now()
+    expected = load_all()["q27_cdc_upsert_latest"].builder(spark, SF_SMOKE)
+    assert sink.state(spark).count() == expected.count()
 
 
 # --- config -> pipeline E2E -------------------------------------------------
