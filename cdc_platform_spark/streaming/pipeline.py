@@ -235,7 +235,14 @@ class BucketedUpsertSink:
         discovery would try to parse them as bucket values)."""
         if not os.path.isdir(self._work):
             return
-        for name in os.listdir(self._work):
+        # newest first: if several snapshots of one bucket ever coexist, the
+        # most recent wins and the rest are treated as completed-swap garbage
+        names = sorted(
+            os.listdir(self._work),
+            key=lambda n: os.path.getmtime(f"{self._work}/{n}"),
+            reverse=True,
+        )
+        for name in names:
             live = f"{self.path}/{name.split('.old-')[0]}"
             if os.path.isdir(live):
                 # swap completed, cleanup didn't: the snapshot is garbage
