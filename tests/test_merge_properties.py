@@ -15,7 +15,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from cdc_platform_spark.streaming.pipeline import UpsertSink
+from cdc_platform_spark.streaming.pipeline import BucketedUpsertSink, UpsertSink
 
 # events: (offset unique, pk small domain, op in c/u/d)
 events_strategy = st.lists(
@@ -45,6 +45,11 @@ def mkdf(spark):
     return make
 
 
+@pytest.mark.parametrize(
+    "mk_sink",
+    [UpsertSink, lambda p: BucketedUpsertSink(p, n_buckets=4)],
+    ids=["full_rewrite", "bucketed"],
+)
 @given(
     events=events_strategy,
     split_seed=st.integers(0, 2**16),
@@ -58,7 +63,7 @@ def mkdf(spark):
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 def test_merge_converges_under_any_batching(
-    spark, tmp_path_factory, mkdf, events, split_seed, n_batches, shuffle_batches, replay_suffix
+    spark, tmp_path_factory, mkdf, mk_sink, events, split_seed, n_batches, shuffle_batches, replay_suffix
 ):
     import random
 
@@ -72,7 +77,7 @@ def test_merge_converges_under_any_batching(
     if shuffle_batches:
         rng.shuffle(batches)
 
-    sink = UpsertSink(str(tmp_path_factory.mktemp("prop") / "state"))
+    sink = mk_sink(str(tmp_path_factory.mktemp("prop") / "state"))
     for batch in batches:
         if batch:
             sink.write(mkdf(batch))
