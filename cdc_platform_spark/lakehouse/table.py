@@ -76,7 +76,12 @@ class VersionedTable:
 
     def _commit(self, files: list[str], op: str, rows: int) -> str:
         sid = uuid.uuid4().hex[:16]
-        seq = len(self._snapshot_files())
+        # seq must be max(existing)+1, not a file count: after expire_snapshots
+        # deletes old manifests, a count would reuse a seq taken by a surviving
+        # snapshot and break the lexicographic oldest-first ordering of
+        # snapshots()
+        existing = self._snapshot_files()
+        seq = (max(int(n.split("-", 1)[0]) for n in existing) + 1) if existing else 0
         # carry stats forward: inherited groups keep the parent's manifest stats
         parent_id = self.current_snapshot_id()
         parent_stats = self._snapshot(parent_id).get("stats", {}) if parent_id else {}
@@ -149,11 +154,18 @@ class VersionedTable:
             for v in sorted(values, key=str):
                 from pyspark.sql import functions as F
 
-                part_df = df.filter(F.col(partition_by) == v)
+                # eqNullSafe: `col == None` is a NULL predicate that matches
+                # nothing, which would silently drop null-partition rows
+                part_df = df.filter(F.col(partition_by).eqNullSafe(F.lit(v)))
                 group, rows = self._write_group(part_df)
                 self._group_stats[group]["__partition__"] = {"min": _json_safe(v), "max": _json_safe(v)}
                 files.append(group)
                 added_rows += rows
+            expected = df.count()
+            if added_rows != expected:
+                raise RuntimeError(
+                    f"partitioned append wrote {added_rows} rows, batch has {expected}"
+                )
         return self._commit(files, "append", prev_rows + added_rows)
 
     def _check_evolution(self, df: DataFrame) -> None:
@@ -378,7 +390,16 @@ class VersionedTable:
             cond = F.lit(True)
             if lo is not None:
                 cond = cond & (F.col(sort_by) > F.lit(lo))
-            if hi is not None:
+            else:
+                # first group also takes NULL sort keys: every range predicate
+                # evaluates NULL for them, so without this they'd match no
+                # group and vanish from the rewritten snapshot
+                null_cond = F.col(sort_by).isNull()
+                if hi is not None:
+                    cond = null_cond | (F.col(sort_by) <= F.lit(hi))
+                else:
+                    cond = F.lit(True)
+            if hi is not None and lo is not None:
                 cond = cond & (F.col(sort_by) <= F.lit(hi))
             part = df.filter(cond).sortWithinPartitions(sort_by)
             group, rows = self._write_group(part)
@@ -392,6 +413,10 @@ class VersionedTable:
                 groups.append(group)
                 total += rows
             lo = hi
+        if total != snap["rows"]:
+            raise RuntimeError(
+                f"rewrite_sorted produced {total} rows, snapshot has {snap['rows']} — aborting commit"
+            )
         return self._commit(groups, "rewrite-sorted", total)
 
     def rewrite_zorder(self, columns: list[str], n_groups: int = 16, bits: int = 8) -> str | None:

@@ -376,8 +376,10 @@ class DlqWriter:
             "p.props",
             F.timestamp_micros(F.col("p.event_ts_us")).alias("event_ts"),
         )
-        # the same (partition, offset) may be quarantined by several batches
-        env = env.dropDuplicates(["partition", "offset"])
+        # the same event may be quarantined by several batches; topic must be
+        # part of the key — with TopicRouterSink multi-topic streams two topics
+        # can legitimately share (partition, offset) coordinates
+        env = env.dropDuplicates(["topic", "partition", "offset"])
         n = env.count()
         if n:
             sink.write(env)

@@ -227,3 +227,40 @@ def test_zorder_rewrite_prunes_on_both_dimensions(spark, table):
     # real elimination on BOTH columns
     assert kept_x <= total // 2, (kept_x, total)
     assert kept_y <= total // 2, (kept_y, total)
+
+def test_rewrite_sorted_keeps_null_sort_keys(spark, table):
+    """Regression: range conditions evaluate NULL for null sort keys, so
+    without explicit routing they'd match no group and vanish from the
+    rewritten snapshot (silent data loss in a maintenance op)."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)], "id long, v double"
+    )
+    table.append(df)
+    table.rewrite_sorted("v", n_groups=2)
+    got = table.read()
+    assert got.count() == 4
+    assert got.filter("v IS NULL").count() == 1
+
+
+def test_partitioned_append_keeps_null_partition_rows(spark, table):
+    """Regression: `col == None` is a NULL predicate -> null-partition rows
+    were written to no group while the commit still succeeded."""
+    df = spark.createDataFrame([(1, "a"), (2, None), (3, "b")], "id long, p string")
+    table.append(df, partition_by="p")
+    assert table.read().count() == 3
+    assert table.read().filter("p IS NULL").count() == 1
+
+
+def test_commit_seq_monotonic_after_expiry(spark, table):
+    """Regression: seq derived from len(files) reused a prefix taken by a
+    surviving snapshot after expiry, breaking oldest-first ordering."""
+    table.append(_df(spark, 0, 10))
+    table.append(_df(spark, 10, 20))
+    table.overwrite(_df(spark, 0, 3))
+    cutoff = int(time.time() * 1000) + 10_000
+    table.expire_snapshots(older_than_ms=cutoff)  # only HEAD (seq 2) survives
+    s_new = table.append(_df(spark, 0, 5))
+    snaps = table.snapshots()
+    assert [s["op"] for s in snaps] == ["overwrite", "append"]
+    assert snaps[-1]["id"] == s_new
+    assert table.read().count() == 8

@@ -181,3 +181,14 @@ def test_decimal_sum_avg_recipe_matches_duckdb(spark, cents, n_groups):
     for g in got:
         assert got[g][0] == exp[g][0], f"sum mismatch group {g}: {got[g][0]} vs {exp[g][0]}"
         assert got[g][1] == exp[g][1], f"avg mismatch group {g}: {got[g][1]} vs {exp[g][1]}"
+
+
+def test_connected_components_long_path_converges(spark):
+    """Regression: one-hop min propagation needs diameter rounds; a 61-node
+    path exceeded the 20-round budget and returned silently wrong labels.
+    Pointer jumping makes convergence O(log diameter)."""
+    from cdc_platform_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(60)], "doc_a long, doc_b long")
+    got = {r["node"]: r["label"] for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(61)}

@@ -581,3 +581,17 @@ def test_kafka_shaped_stream_end_to_end(spark, workdir):
         .toPandas().sort_values("pk").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, expected[got.columns.tolist()])
+
+
+def test_dlq_replay_distinct_topics_same_coordinates(spark, workdir):
+    """Regression: replay dedup'd on (partition, offset) only; with
+    TopicRouterSink multi-topic streams two topics can legitimately share
+    coordinates and one event was silently dropped from the replay."""
+    env = to_envelope(spark.read.parquet(f"{SF_SMOKE}/events.parquet")).limit(1)
+    batch = env.withColumn("topic", F.lit("cdc.public.a")).unionByName(
+        env.withColumn("topic", F.lit("cdc.public.b"))
+    )
+    dlq = DlqWriter(f"{workdir}/dlq2")
+    dlq.write(batch, "s", RuntimeError("boom"))
+    sink = AppendSink(f"{workdir}/sink2")
+    assert dlq.replay(spark, sink, sink_id="s") == 2
