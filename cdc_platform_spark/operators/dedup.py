@@ -17,8 +17,12 @@ Cross-engine determinism:
 
 At 100 TB: the shingle explode is the dominant shuffle; band-bucket
 join keys are (band_id, hash) which distribute uniformly by
-construction (hash output), so no skew salting is needed. The
-all-pairs-within-block joins here bound block size by design.
+construction (hash output), so no skew salting is needed. No operator
+does an all-pairs block join: n-gram Jaccard generates candidates
+through a lossless prefix filter (each doc's rarest ~10% of tokens,
+so stopword posting lists never become join keys), and embedding
+cosine goes through banded sign-random-projection signatures with
+exact re-rank on the candidates only.
 """
 
 from __future__ import annotations
@@ -364,13 +368,45 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_prefix_keys(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
+    """Prefix-filter join keys for word-set Jaccard at threshold t:
+    each document keeps only its |d| - ceil(t*|d|) + 1 globally rarest
+    words (ascending document frequency, ties by word) as join keys.
+
+    Lossless for Jaccard >= t (Bayardo et al., "Scaling Up All Pairs
+    Similarity Search", WWW'07): under a common total order, two sets with
+    Jaccard >= t must share a token within these prefixes — so candidate
+    generation through them misses no qualifying pair, while join fan-out
+    no longer scales with sum(df(word)^2) over stopwords. At threshold 0.9
+    only ~10% of each doc's words (the rarest ones) become join keys.
+    """
+    if docs is None:
+        w = doc_words(spark, sf_dir)
+        docs = w.select(
+            "doc_id", "lang", "source", F.array_distinct("words").alias("words")
+        ).withColumn("n", F.size("words"))
+    ws = docs.select("doc_id", "lang", "source", "n", F.explode("words").alias("word"))
+    dfreq = ws.groupBy("lang", "source", "word").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "word")
+    prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(NGRAM_JACCARD_THRESHOLD)) + 1
+    return (
+        ws.join(dfreq, ["lang", "source", "word"])
+        .withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "lang", "source", "word", "df")
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     category="dedup",
     doc=(
-        "Blocked exact word-set Jaccard: pairs within the same (lang, source) "
-        f"block with Jaccard >= {NGRAM_JACCARD_THRESHOLD}. Blocking bounds the "
-        "pair count; the join key is (lang, source, word)."
+        "Prefix-filtered exact word-set Jaccard: pairs within the same "
+        f"(lang, source) block with Jaccard >= {NGRAM_JACCARD_THRESHOLD}. "
+        "Candidates come from joining only each doc's prefix tokens (rarest "
+        "~10% by document frequency) — lossless at this threshold, so the "
+        "oracle stays the all-pairs formulation while the plan never joins "
+        "on stopword keys."
     ),
     oracle=f"""
         WITH ws AS (
@@ -396,10 +432,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = doc_words(spark, sf_dir)
-    ws = w.select("doc_id", "lang", "source", F.explode(F.array_distinct("words")).alias("word"))
-    sizes = ws.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = ws.alias("a"), ws.alias("b")
-    inter = (
+    docs = w.select(
+        "doc_id", "lang", "source", F.array_distinct("words").alias("words")
+    ).withColumn("n", F.size("words")).localCheckpoint(eager=False)
+    prefix = ngram_prefix_keys(spark, sf_dir, docs=docs)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -407,14 +445,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.word") == F.col("b.word"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count(F.lit(1)).alias("ni"))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("ni").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("ni"))
+    # exact verification is array-native on the candidate pairs only:
+    # |A ∩ B| via array_intersect, no posting-list re-explode
+    da = docs.select(
+        F.col("doc_id").alias("da"), F.col("words").alias("wa"), F.col("n").alias("na")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("db"), F.col("words").alias("wb"), F.col("n").alias("nb")
+    )
+    ni = F.size(F.array_intersect("wa", "wb"))
+    jac = ni.cast("double") / (F.col("na") + F.col("nb") - ni)
     return (
-        inter.join(sa, F.col("da") == F.col("sa.doc_id"))
-        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        cand.join(da, "da")
+        .join(db, "db")
         .filter(jac >= NGRAM_JACCARD_THRESHOLD)
         .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), jac.alias("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -443,62 +489,151 @@ ORACLE_EMB_UNNEST = """
 """
 
 
+EMB_LSH_PLANES = 64  # 64-bit SRP signature
+EMB_LSH_BAND_BITS = 8  # 8 bands x 8 bits
+EMB_DIM = 64
+
+_emb_plane_hash = ORACLE_MD5_60BIT.format(x="p.range || ',' || d.range")
+
+
+def srp_bands(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Per-vector banded sign-random-projection signatures:
+    (vec_id, band, val) with ``band`` in [0, planes/band_bits) and ``val``
+    the band's packed sign bits. Deterministic md5-derived ±1 hyperplanes,
+    identical to the DuckDB mirror, so candidate sets are cross-engine
+    reproducible. All joins downstream are equi-joins on (band, val)."""
+    planes = (
+        spark.range(EMB_LSH_PLANES * EMB_DIM)
+        .select(
+            F.expr(f"id div {EMB_DIM}").alias("p"),
+            F.pmod(F.col("id"), F.lit(EMB_DIM)).cast("long").alias("d"),
+        )
+        .select(
+            "p",
+            "d",
+            F.when(
+                F.pmod(
+                    md5_60bit(F.concat(F.col("p").cast("string"), F.lit(","), F.col("d").cast("string"))),
+                    F.lit(2),
+                )
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("w"),
+        )
+    )
+    u = e.select("vec_id", F.posexplode(F.col("a")).alias("d", "v"))
+    proj = (
+        u.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("w") * F.col("v")).alias("s"))
+    )
+    return proj.groupBy(
+        "vec_id", F.floor(F.col("p") / EMB_LSH_BAND_BITS).alias("band")
+    ).agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(p % {EMB_LSH_BAND_BITS} AS INT)) ELSE 0 END) AS BIGINT)"
+        ).alias("val")
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     category="dedup",
     doc=(
-        "Embedding near-dup: nearest neighbor per vector within its label block "
-        f"by exact fixed-point cosine; flagged duplicate at >= {COSINE_DUP_THRESHOLD}. "
-        "Dot products are exact integer sums; only the final division is IEEE double."
+        "Embedding near-dup via LSH candidates + exact re-rank: banded "
+        f"sign-random-projection signatures ({EMB_LSH_PLANES} planes, "
+        f"{EMB_LSH_PLANES // EMB_LSH_BAND_BITS} bands x {EMB_LSH_BAND_BITS} bits) "
+        "generate candidates through a (band, val) equi-join; each vector's "
+        "best candidate by exact fixed-point cosine is flagged duplicate at "
+        f">= {COSINE_DUP_THRESHOLD}. No all-pairs block join anywhere — at "
+        "100 TB candidate volume is sum of bucket^2 over uniform hash "
+        "buckets, and band width is the knob that bounds bucket size."
     ),
     oracle=f"""
         WITH u AS ({ORACLE_EMB_UNNEST}),
-        dots AS (
-            SELECT x.vec_id AS ia, y.vec_id AS ib, SUM(x.v * y.v) AS d
-            FROM u x JOIN u y ON x.i = y.i AND x.label = y.label AND x.vec_id <> y.vec_id
-            GROUP BY ia, ib
-        ),
         norms AS (SELECT vec_id, SUM(v * v) AS n FROM u GROUP BY vec_id),
+        hyper AS (
+            SELECT p.range AS p, d.range AS d,
+                   CASE WHEN {_emb_plane_hash} % 2 = 0 THEN 1 ELSE -1 END AS w
+            FROM range({EMB_LSH_PLANES}) p, range({EMB_DIM}) d
+        ),
+        proj AS (
+            SELECT u.vec_id, h.p, SUM(h.w * u.v) AS s
+            FROM u JOIN hyper h ON u.i = h.d + 1
+            GROUP BY u.vec_id, h.p
+        ),
+        bands AS (
+            SELECT vec_id, p // {EMB_LSH_BAND_BITS} AS band,
+                   CAST(SUM(CASE WHEN s > 0 THEN 1 << (p % {EMB_LSH_BAND_BITS}) ELSE 0 END) AS BIGINT) AS val
+            FROM proj GROUP BY vec_id, p // {EMB_LSH_BAND_BITS}
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.val = b.val AND a.vec_id <> b.vec_id
+        ),
+        dots AS (
+            SELECT c.ia, c.ib, SUM(x.v * y.v) AS d
+            FROM cand c JOIN u x ON x.vec_id = c.ia JOIN u y ON y.vec_id = c.ib AND y.i = x.i
+            GROUP BY c.ia, c.ib
+        ),
         cos AS (
             SELECT ia, ib, d / (sqrt(na.n) * sqrt(nb.n)) AS c
             FROM dots JOIN norms na ON ia = na.vec_id JOIN norms nb ON ib = nb.vec_id
         ),
-        ranked AS (
-            SELECT ia, ib, c, ROW_NUMBER() OVER (PARTITION BY ia ORDER BY c DESC, ib) AS rn
-            FROM cos
+        best AS (
+            SELECT ia, ib, c FROM (
+                SELECT ia, ib, c, ROW_NUMBER() OVER (PARTITION BY ia ORDER BY c DESC, ib) AS rn
+                FROM cos) WHERE rn = 1
         )
-        SELECT ia AS vec_id, ib AS nn_id, c AS cosine,
-               CAST(CASE WHEN c >= {COSINE_DUP_THRESHOLD} THEN 1 ELSE 0 END AS BIGINT) AS is_dup
-        FROM ranked WHERE rn = 1
+        SELECT e.vec_id, b.ib AS nn_id, b.c AS cosine,
+               CAST(CASE WHEN b.c >= {COSINE_DUP_THRESHOLD} THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        FROM embeddings e LEFT JOIN best b ON e.vec_id = b.ia
         ORDER BY vec_id
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", "label", fixed_point(F.col("embedding")).alias("a")
+    e = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", fixed_point(F.col("embedding")).alias("a"))
+        .withColumn("norm", dot_long(F.col("a"), F.col("a")))
+        .localCheckpoint(eager=False)  # reused by bands + both re-rank sides
     )
-    e = e.withColumn("norm", dot_long(F.col("a"), F.col("a")))
-    x = e.alias("x")
-    y = e.alias("y")
-    cos = (F.col("d") / (F.sqrt(F.col("nx")) * F.sqrt(F.col("ny")))).alias("cosine")
-    pairs = (
-        x.join(y, (F.col("x.label") == F.col("y.label")) & (F.col("x.vec_id") != F.col("y.vec_id")))
-        .select(
-            F.col("x.vec_id").alias("ia"),
-            F.col("y.vec_id").alias("ib"),
-            dot_long(F.col("x.a"), F.col("y.a")).alias("d"),
-            F.col("x.norm").alias("nx"),
-            F.col("y.norm").alias("ny"),
+    bands = srp_bands(spark, e)
+    a, b = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        a.join(
+            b,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.val") == F.col("bb.val"))
+            & (F.col("ba.vec_id") != F.col("bb.vec_id")),
         )
+        .select(F.col("ba.vec_id").alias("ia"), F.col("bb.vec_id").alias("ib"))
+        .distinct()
+    )
+    x = e.select(F.col("vec_id").alias("ia"), F.col("a").alias("xa"), F.col("norm").alias("nx"))
+    y = e.select(F.col("vec_id").alias("ib"), F.col("a").alias("ya"), F.col("norm").alias("ny"))
+    pairs = (
+        cand.join(x, "ia")
+        .join(y, "ib")
+        .select("ia", "ib", dot_long(F.col("xa"), F.col("ya")).alias("d"), "nx", "ny")
     )
     w = Window.partitionBy("ia").orderBy(F.col("c").desc(), F.col("ib"))
-    return (
+    best = (
         pairs.withColumn("c", F.col("d") / (F.sqrt("nx") * F.sqrt("ny")))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+        .select("ia", F.col("ib").alias("nn_id"), F.col("c"))
+    )
+    # every vector stays in the output; no bucket-mates -> null neighbor
+    return (
+        e.select("vec_id")
+        .join(best, e.vec_id == best.ia, "left")
         .select(
-            F.col("ia").alias("vec_id"),
-            F.col("ib").alias("nn_id"),
+            "vec_id",
+            "nn_id",
             F.col("c").alias("cosine"),
             F.when(F.col("c") >= COSINE_DUP_THRESHOLD, 1).otherwise(0).cast("long").alias("is_dup"),
         )

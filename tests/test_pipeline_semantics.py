@@ -137,3 +137,69 @@ def test_dedup_clusters_match_union_find(spark):
     expected = {x: find(x) for x in parent}
     assert got == expected, "label propagation diverged from union-find closure"
     assert len(got) > 0
+
+
+def test_ngram_prefix_filter_deskews_join(spark):
+    """De-skew regression: candidate generation joins only each doc's rarest
+    prefix tokens, so the join fan-out (sum over keys of pairs-per-key) and
+    the worst key's posting-list length both collapse relative to the naive
+    all-words posting join that was quadratic on stopwords."""
+    from cdc_platform_spark.operators.dedup import doc_words, ngram_prefix_keys
+
+    ws = doc_words(spark, SF_SMOKE).select(
+        "lang", "source", F.explode(F.array_distinct("words")).alias("word")
+    )
+    keys = ngram_prefix_keys(spark, SF_SMOKE).select("lang", "source", "word")
+
+    def fanout(df):
+        return (
+            df.groupBy("lang", "source", "word")
+            .count()
+            .agg(
+                F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs"),
+                F.max("count").alias("max_df"),
+            )
+            .collect()[0]
+        )
+
+    full, pref = fanout(ws), fanout(keys)
+    # measured at sf0.001: 26143 -> 1484 pairs, max posting 15 -> 10
+    assert pref["pairs"] < full["pairs"] * 0.10
+    assert pref["max_df"] <= full["max_df"]
+    assert keys.count() < ws.count() * 0.25
+
+
+def test_embedding_lsh_dedup_recall_on_planted_dups(spark, tmp_path):
+    """The LSH-candidate rewrite must still find real near-duplicates: plant
+    30 perturbed copies (cosine ~0.999) among 60 base vectors and require
+    >=90% of planted pairs flagged with the partner as nearest neighbor."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 64)).astype("float32")
+    dup = base[:30] + rng.normal(size=(30, 64)).astype("float32") * 0.05
+    vecs = np.vstack([base, dup])
+    rows = [(i, [float(x) for x in vecs[i]], f"l{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r["vec_id"]: r
+        for r in REGISTRY["dedup_embedding_cosine"].builder(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 90
+    flagged = sum(1 for i in range(30) if out[i]["is_dup"] == 1 and out[60 + i]["is_dup"] == 1)
+    correct_nn = sum(1 for i in range(30) if out[i]["nn_id"] == 60 + i)
+    assert flagged >= 27
+    assert correct_nn >= 27
+
+
+def test_embedding_cosine_plan_has_no_label_block_self_join(spark):
+    """Scale regression: the old form self-joined on `label` (O(n^2) per
+    label block). The rewrite must generate candidates via the banded
+    signature equi-join only — no label column anywhere in the plan, no
+    cartesian/nested-loop join."""
+    df = REGISTRY["dedup_embedding_cosine"].builder(spark, SF_SMOKE)
+    txt = plan_text(df)
+    assert "label" not in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
