@@ -353,6 +353,126 @@ def q50_debezium_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "q51_avro_envelope_roundtrip",
+    category="cdc",
+    doc=(
+        "Avro wire-format fidelity (the reference's actual Kafka encoding: "
+        "registry-framed Avro via AvroConverter, streaming/consumer.py:97-110): "
+        "build the Debezium envelope from the event stream, serialize each "
+        "record to Confluent-framed Avro binary with the pinned schema "
+        "(sources/avro.py), decode back via parse_debezium_avro, and flatten. "
+        "Encode->frame->decode must be the identity (oracle computes the flat "
+        "form directly, same as q50)."
+    ),
+    oracle="""
+        WITH ordered AS (
+            SELECT event_id, user_id, event_type, value,
+                   CAST(epoch_ns(ts) AS BIGINT) // 1000000 AS ts_ms,
+                   CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+                   LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+            FROM events
+        )
+        SELECT event_id AS lsn, user_id AS pk, op, ts_ms,
+               CASE WHEN op = 'c' THEN NULL ELSE prev_value END AS before_value,
+               CASE WHEN op = 'd' THEN NULL ELSE value END AS after_value,
+               'users' AS source_table
+        FROM ordered
+        ORDER BY lsn
+    """,
+)
+def q51_avro_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.sources.avro import (
+        AVRO_ENVELOPE_SCHEMA,
+        AVRO_KEY_SCHEMA,
+        _collect_names,
+        confluent_frame,
+        encode_value,
+        parse_debezium_avro,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    staged = e.select(
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"),
+        F.col("event_id"),
+        F.col("user_id"),
+        op.alias("op"),
+        F.expr("ts_ns div 1000000").alias("ts_ms"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.col("value"),
+        F.col("event_type"),
+    )
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        names = {}
+        _collect_names(AVRO_ENVELOPE_SCHEMA, names)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                def img(val):
+                    return {
+                        "id": int(r.user_id),
+                        "event_type": r.event_type,
+                        "value": None if pd.isna(val) else float(val),
+                    }
+
+                env = {
+                    "op": r.op,
+                    "ts_ms": int(r.ts_ms),
+                    "before": None if r.op == "c" else img(r.prev_value),
+                    "after": None if r.op == "d" else img(r.value),
+                    "source": {
+                        "version": "2.5",
+                        "connector": "postgresql",
+                        "name": "cdc",
+                        "ts_ms": int(r.ts_ms),
+                        "snapshot": "false",
+                        "db": "app",
+                        "schema": "public",
+                        "table": "users",
+                        "txId": int(r.event_id),
+                        "lsn": int(r.event_id),
+                    },
+                }
+                rows.append(
+                    {
+                        "topic": TOPIC,
+                        "partition": int(r.partition),
+                        "offset": int(r.event_id),
+                        "key": confluent_frame(
+                            encode_value(AVRO_KEY_SCHEMA, {"id": int(r.user_id)})
+                        ),
+                        "value": confluent_frame(encode_value(AVRO_ENVELOPE_SCHEMA, env, names)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["topic", "partition", "offset", "key", "value"])
+
+    frames = staged.mapInPandas(
+        encode_batches, schema="topic string, partition int, offset long, key binary, value binary"
+    )
+    parsed = parse_debezium_avro(frames, confluent_wire=True)
+    return (
+        parsed.select(
+            F.col("lsn"),
+            "pk",
+            "op",
+            "ts_ms",
+            F.col("before")["value"].alias("before_value"),
+            F.col("after")["value"].alias("after_value"),
+            "source_table",
+        )
+        .orderBy("lsn")
+    )
+
+
+@register(
     "q54_scd2_history",
     category="cdc",
     doc=(
