@@ -199,19 +199,120 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CELLS = 8
 N_PROBE = 2
+IVF_TRAIN_ITERS = 2  # unrolled Lloyd iterations (mirrored in the oracle)
 
 _cent_hash = ORACLE_MD5_60BIT.format(x="CAST(vec_id AS VARCHAR)")
+
+
+def _ivf_train_ctes(iters: int) -> tuple[str, str]:
+    """Generate the unrolled Lloyd-iteration CTE chain for the oracle.
+
+    Each iteration: assign every vector to its max-cosine centroid, then
+    re-estimate each cell centroid as the element-wise ROUND(mean) back in
+    exact BIGINT micro-units (both engines round half away from zero, so
+    trained centroids stay bit-identical cross-engine); cells that lose all
+    members keep their previous centroid. Returns (ctes, final_name)."""
+    ctes = "cent0 AS (SELECT cu.vec_id AS cent_id, cu.i, cu.v AS cv FROM cu)"
+    prev = "cent0"
+    for k in range(1, iters + 1):
+        ctes += f""",
+        nc{k - 1} AS (SELECT cent_id, SUM(cv * cv) AS n FROM {prev} GROUP BY cent_id),
+        vc{k} AS (
+            SELECT x.vec_id, c.cent_id, SUM(x.v * c.cv) AS d
+            FROM u x JOIN {prev} c ON x.i = c.i
+            GROUP BY x.vec_id, c.cent_id
+        ),
+        asg{k} AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT v.vec_id, v.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY v.d / (sqrt(nx.n) * sqrt(c.n)) DESC, v.cent_id) AS rn
+                FROM vc{k} v JOIN norms nx ON v.vec_id = nx.vec_id
+                             JOIN nc{k - 1} c ON v.cent_id = c.cent_id)
+            WHERE rn = 1
+        ),
+        new{k} AS (
+            SELECT a.cent_id, u.i, CAST(ROUND(SUM(u.v) * 1.0 / COUNT(*)) AS BIGINT) AS cv
+            FROM asg{k} a JOIN u ON u.vec_id = a.vec_id
+            GROUP BY a.cent_id, u.i
+        ),
+        cent{k} AS (
+            SELECT cent_id, i, cv FROM new{k}
+            UNION ALL
+            SELECT c.cent_id, c.i, c.cv FROM {prev} c
+            WHERE c.cent_id NOT IN (SELECT cent_id FROM new{k})
+        )"""
+        prev = f"cent{k}"
+    return ctes, prev
+
+
+_TRAIN_CTES, _CENT_FINAL = _ivf_train_ctes(IVF_TRAIN_ITERS)
+
+
+def train_ivf_centroids(e: DataFrame, n_cells: int = N_CELLS, iters: int = IVF_TRAIN_ITERS) -> DataFrame:
+    """Lloyd-trained IVF coarse quantizer over fixed-point embeddings
+    ``e(vec_id, a, norm)`` -> ``(cent_id, ca, cn)``.
+
+    Seeds are the deterministic md5-ordered sample; each iteration assigns
+    every vector to its max-cosine centroid (broadcast join — centroids are
+    always tiny) and re-estimates cell centroids as element-wise
+    ROUND(mean) in BIGINT micro-units, so the trained centroids are exact
+    integers and cross-engine reproducible. Cells that lose all members
+    keep their previous centroid. Each round is one shuffle on cent_id —
+    the distributed k-means shape that holds at 100 TB (the per-round
+    reduce state is n_cells x dim integers)."""
+    cents = (
+        e.orderBy(md5_60bit(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cent_id"), F.col("a").alias("ca"), F.col("norm").alias("cn"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        vc = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cent_id",
+            (dot_long(F.col("a"), F.col("ca")) / (F.sqrt("norm") * F.sqrt("cn"))).alias("c"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cent_id"))
+        assign = vc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
+            "vec_id", "cent_id"
+        )
+        members = assign.join(e.select("vec_id", "a"), "vec_id").select(
+            "cent_id", F.posexplode(F.col("a")).alias("dim", "v")
+        )
+        newc = (
+            members.groupBy("cent_id", "dim")
+            .agg(F.round(F.sum("v") * F.lit(1.0) / F.count(F.lit(1))).cast("long").alias("cv"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda x: x["cv"]
+                ).alias("ca")
+            )
+            .withColumn("cn", dot_long(F.col("ca"), F.col("ca")))
+        )
+        missing = cents.join(newc.select("cent_id"), "cent_id", "left_anti").select(
+            "cent_id", "ca", "cn"
+        )
+        cents = newc.unionByName(missing).localCheckpoint(eager=True)
+    return cents
+
 
 @register(
     "sim_ann_ivf",
     category="similarity",
     doc=(
-        f"ANN via IVF-style coarse quantization: {N_CELLS} deterministic centroids "
-        "(pseudo-random md5 sample of the corpus), every vector assigned to its "
-        f"nearest centroid cell, queries probe their {N_PROBE} nearest cells, exact "
-        f"cosine re-rank top-{TOP_K} within the probed cells. The inverted-file "
-        "scale path: candidate set is a cell equi-join, ~n/cells of the corpus "
-        "per probe instead of a full scan."
+        f"ANN via IVF coarse quantization with TRAINED centroids: {N_CELLS} "
+        "md5-sampled seeds refined by "
+        f"{IVF_TRAIN_ITERS} Lloyd iterations in exact fixed-point (the "
+        "generalization of sim_label_centroids' integer-mean recipe: assign "
+        "by max cosine, re-estimate as ROUND(mean) micro-units — "
+        "cross-engine bit-identical), then every vector assigned to its "
+        f"nearest cell, queries probe their {N_PROBE} nearest cells, exact "
+        f"cosine re-rank top-{TOP_K} within the probed cells. The "
+        "inverted-file scale path: candidate set is a cell equi-join, "
+        "~n/cells of the corpus per probe instead of a full scan."
     ),
     oracle=f"""
         WITH u AS ({ORACLE_EMB_UNNEST}),
@@ -221,15 +322,17 @@ _cent_hash = ORACLE_MD5_60BIT.format(x="CAST(vec_id AS VARCHAR)")
             ORDER BY {_cent_hash}, vec_id LIMIT {N_CELLS}
         ),
         cu AS (SELECT u.* FROM u JOIN cents ON u.vec_id = cents.cent_id),
+        {_TRAIN_CTES},
+        ncf AS (SELECT cent_id, SUM(cv * cv) AS n FROM {_CENT_FINAL} GROUP BY cent_id),
         vc_dots AS (
-            SELECT x.vec_id, c.vec_id AS cent_id, SUM(x.v * c.v) AS d
-            FROM u x JOIN cu c ON x.i = c.i
-            GROUP BY x.vec_id, c.vec_id
+            SELECT x.vec_id, c.cent_id, SUM(x.v * c.cv) AS d
+            FROM u x JOIN {_CENT_FINAL} c ON x.i = c.i
+            GROUP BY x.vec_id, c.cent_id
         ),
         vc_cos AS (
             SELECT v.vec_id, v.cent_id, v.d / (sqrt(nx.n) * sqrt(nc.n)) AS c
             FROM vc_dots v JOIN norms nx ON v.vec_id = nx.vec_id
-                           JOIN norms nc ON v.cent_id = nc.vec_id
+                           JOIN ncf nc ON v.cent_id = nc.cent_id
         ),
         assign AS (
             SELECT vec_id, cent_id FROM (
@@ -265,13 +368,7 @@ _cent_hash = ORACLE_MD5_60BIT.format(x="CAST(vec_id AS VARCHAR)")
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _fixed_embeddings(spark, sf_dir).localCheckpoint(eager=False)
-    # deterministic pseudo-random centroid sample (stand-in for trained k-means
-    # centroids; the cell-assignment/probe/re-rank plumbing is identical)
-    cents = (
-        e.orderBy(md5_60bit(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(N_CELLS)
-        .select(F.col("vec_id").alias("cent_id"), F.col("a").alias("ca"), F.col("norm").alias("cn"))
-    )
+    cents = train_ivf_centroids(e)
     vc = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cent_id",

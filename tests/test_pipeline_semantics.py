@@ -203,3 +203,36 @@ def test_embedding_cosine_plan_has_no_label_block_self_join(spark):
     assert "label" not in txt
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_ivf_trained_centroids_recall_vs_bruteforce(spark):
+    """Trained-IVF quality gate: probing 2 of 8 cells (25% of the corpus)
+    must recover well over the random-scan expectation (0.25) of the exact
+    top-5 — measured 0.525 at smoke scale, deterministic (md5 seeds +
+    fixed-point Lloyd), so the bound is stable."""
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["sim_topk_bruteforce"].builder(spark, SF_SMOKE).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["sim_ann_ivf"].builder(spark, SF_SMOKE).collect()
+    }
+    assert len(brute) == 40
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5
+
+
+def test_ivf_centroids_are_trained_fixed_point(spark):
+    """Lloyd training must move centroids off their seed vectors (they are
+    means, not corpus members) while staying exact BIGINT micro-units."""
+    from cdc_platform_spark.operators.similarity import _fixed_embeddings, train_ivf_centroids
+
+    e = _fixed_embeddings(spark, SF_SMOKE).localCheckpoint(eager=False)
+    cents = train_ivf_centroids(e).collect()
+    assert len(cents) == 8
+    vecs = {r["vec_id"]: r["a"] for r in e.select("vec_id", "a").collect()}
+    moved = sum(1 for c in cents if c["ca"] != vecs[c["cent_id"]])
+    assert moved >= 6  # nearly all cells re-estimated away from their seed
+    for c in cents:
+        assert all(isinstance(v, int) for v in c["ca"])
