@@ -25,6 +25,13 @@ class SourceConfig(BaseModel, extra="forbid"):
     topic_pattern: str | None = None
     starting_offsets: str = "earliest"
     max_offsets_per_trigger: int | None = Field(default=None, ge=1)  # backpressure (ref F3)
+    # CDC topic naming (reference streaming/topics.py:31-60): the connector
+    # family decides the topic shape; sqlserver needs the database for its
+    # 4-part names. `capture` lists qualified relation names (schema.table /
+    # db.table / db.collection).
+    source_type: Literal["postgres", "mysql", "mongodb", "sqlserver"] = "postgres"
+    database: str | None = None
+    capture: list[str] | None = None
 
     @model_validator(mode="after")
     def _check_transport(self) -> SourceConfig:
@@ -35,6 +42,8 @@ class SourceConfig(BaseModel, extra="forbid"):
                 raise ValueError("kafka source requires exactly one of topics / topic_pattern")
         elif self.path is None:
             raise ValueError(f"{self.type} source requires path")
+        if self.source_type == "sqlserver" and self.capture and not self.database:
+            raise ValueError("sqlserver capture requires database for 4-part topic names")
         return self
 
 
@@ -76,6 +85,20 @@ class PipelineConfig(BaseModel, extra="forbid"):
         if len(set(ids)) != len(ids):
             raise ValueError(f"duplicate sink ids: {ids}")
         return self
+
+    def provisioned_topics(self, dlq_suffix: str = "dlq") -> list[str]:
+        """All CDC + DLQ topics this pipeline produces (reference
+        topics_for_pipeline): per-source-type naming over the captured
+        relations, DLQ topics included when a DLQ path is configured."""
+        from cdc_platform_spark.streaming.topics import pipeline_topics
+
+        return pipeline_topics(
+            self.topic_prefix,
+            self.source.capture or [],
+            source_type=self.source.source_type,
+            database=self.source.database,
+            dlq_enabled=self.dlq_path is not None,
+        )
 
 
 class PlatformConfig(BaseModel, extra="forbid"):

@@ -41,7 +41,9 @@ EVENTS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
 
-CDC_TOPIC = "cdc.public.users"
+from cdc_platform_spark.streaming.topics import cdc_topic
+
+CDC_TOPIC = cdc_topic("cdc", "public.users", source_type="postgres")
 
 
 def to_envelope(df: DataFrame, topic: str = CDC_TOPIC, n_partitions: int = 8) -> DataFrame:

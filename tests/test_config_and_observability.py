@@ -413,3 +413,60 @@ sinks:
     assert len(lines) == 7
     first = _json.loads(lines[0])
     assert {"topic", "partition", "offset", "op", "pk"} <= set(first)
+
+
+def test_per_source_topic_naming():
+    """Reference topic shapes (streaming/topics.py:31-60): 3-part for
+    postgres/mysql/mongodb, 4-part for sqlserver, DLQ suffixing."""
+    from cdc_platform_spark.streaming.topics import cdc_topic, dlq_topic, pipeline_topics
+
+    assert cdc_topic("cdc", "public.customers", "postgres") == "cdc.public.customers"
+    assert cdc_topic("cdc", "mydb.customers", "mysql") == "cdc.mydb.customers"
+    assert cdc_topic("cdc", "mydb.events", "mongodb") == "cdc.mydb.events"
+    assert (
+        cdc_topic("cdc", "dbo.customers", "sqlserver", database="cdc_demo")
+        == "cdc.cdc_demo.dbo.customers"
+    )
+    assert dlq_topic("cdc.public.customers") == "cdc.public.customers.dlq"
+    assert dlq_topic("cdc.public.customers", "dead") == "cdc.public.customers.dead"
+    with pytest.raises(ValueError):
+        cdc_topic("cdc", "nodot", "postgres")
+    with pytest.raises(ValueError):
+        cdc_topic("cdc", "a.b", "oracle")
+    with pytest.raises(ValueError):
+        cdc_topic("cdc", "dbo.t", "sqlserver")  # database required
+    assert pipeline_topics("cdc", ["public.a", "public.b"], dlq_enabled=True) == [
+        "cdc.public.a",
+        "cdc.public.a.dlq",
+        "cdc.public.b",
+        "cdc.public.b.dlq",
+    ]
+
+
+def test_pipeline_config_provisioned_topics(tmp_path):
+    from cdc_platform_spark.config.models import PipelineConfig, SinkConfig, SourceConfig
+
+    cfg = PipelineConfig(
+        pipeline_id="p1",
+        topic_prefix="cdc",
+        source=SourceConfig(
+            type="parquet_stream",
+            path=str(tmp_path),
+            source_type="sqlserver",
+            database="appdb",
+            capture=["dbo.users", "dbo.orders"],
+        ),
+        sinks=[SinkConfig(id="s", type="append", path=str(tmp_path / "s"))],
+        dlq_path=str(tmp_path / "dlq"),
+    )
+    assert cfg.provisioned_topics() == [
+        "cdc.appdb.dbo.users",
+        "cdc.appdb.dbo.users.dlq",
+        "cdc.appdb.dbo.orders",
+        "cdc.appdb.dbo.orders.dlq",
+    ]
+    # sqlserver capture without database is rejected at config time
+    with pytest.raises(Exception):
+        SourceConfig(
+            type="parquet_stream", path=str(tmp_path), source_type="sqlserver", capture=["dbo.x"]
+        )
