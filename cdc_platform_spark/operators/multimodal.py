@@ -110,15 +110,26 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
 
     def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = {"doc_id": [], "frame_idx": [], "ts_ms": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                h60 = int(hashlib.md5(bytes(payload)).hexdigest()[:15], 16)
-                for i in range(1 + h60 % 4):
-                    rows["doc_id"].append(doc_id)
-                    rows["frame_idx"].append(i)
-                    rows["ts_ms"].append(i * 40)
-            yield pd.DataFrame(rows)
+            # vectorized 1-to-N expansion: repeat each doc by its frame count,
+            # then number frames with a per-doc resetting arange
+            n_frames = (
+                pdf["payload"].map(lambda b: int(hashlib.md5(bytes(b)).hexdigest()[:15], 16))
+                % 4
+                + 1
+            ).to_numpy()
+            idx = np.repeat(np.arange(len(pdf)), n_frames)
+            starts = np.repeat(np.cumsum(n_frames) - n_frames, n_frames)
+            frame_idx = np.arange(n_frames.sum()) - starts
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[idx],
+                    "frame_idx": frame_idx.astype("int64"),
+                    "ts_ms": (frame_idx * 40).astype("int64"),
+                }
+            )
 
     return payloads.mapInPandas(
         sample_frames, schema="doc_id long, frame_idx long, ts_ms long"
