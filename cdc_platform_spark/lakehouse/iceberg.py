@@ -1,0 +1,109 @@
+"""Iceberg backend for the TableFormat seam (ref sinks/iceberg.py:16-277).
+
+Maps every contract operation to the Iceberg SQL surface a real Spark
+deployment exposes (`VERSION AS OF`, the `.snapshots` metadata table,
+`CALL <catalog>.system.rollback_to_snapshot / expire_snapshots /
+rewrite_data_files`).  The reference performs the same operations
+through PyIceberg (auto-create + upsert, sinks/iceberg.py:151-197;
+expiry/compaction, lakehouse/maintenance.py:106-244).
+
+This container has no Iceberg connector jar or catalog, so construction
+is gated: ``IcebergTable`` raises with a clear message unless the Spark
+session has an Iceberg catalog configured.  The class still documents
+the exact calls, so swapping backends outside the container is a
+one-line ``open_table("iceberg://...")`` change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdc_platform_spark.lakehouse.format import TableFormat
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is usable in this session."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class IcebergTable(TableFormat):
+    """TableFormat over an Iceberg catalog table ``catalog.namespace.table``."""
+
+    def __init__(self, spark: SparkSession, identifier: str) -> None:
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "Iceberg backend requires the iceberg-spark-runtime jar and a "
+                "configured catalog (spark.sql.catalog.<name>=org.apache.iceberg."
+                "spark.SparkCatalog); not available in this environment — use the "
+                "parquet-backed VersionedTable instead"
+            )
+        self.spark = spark
+        self.identifier = identifier
+        self.catalog = identifier.split(".", 1)[0]
+
+    # --- write ---------------------------------------------------------
+    def append(self, df: DataFrame, partition_by: str | None = None) -> str:
+        writer = df.writeTo(self.identifier)
+        if partition_by is not None:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(F.col(partition_by))
+        writer.createOrReplace() if self.current_snapshot_id() is None else writer.append()
+        return str(self.current_snapshot_id())
+
+    def overwrite(self, df: DataFrame) -> str:
+        df.writeTo(self.identifier).createOrReplace()
+        return str(self.current_snapshot_id())
+
+    # --- read ----------------------------------------------------------
+    def read(self, snapshot_id: str | None = None) -> DataFrame:
+        reader = self.spark.read
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", snapshot_id)
+        return reader.table(self.identifier)
+
+    def read_where(self, column: str, op: str, value, snapshot_id: str | None = None) -> DataFrame:
+        # Iceberg does manifest min/max pruning natively; a plain filter is
+        # the whole implementation (the VersionedTable stats pruning emulates
+        # exactly this).
+        ops = {"=": "==", ">": ">", ">=": ">=", "<": "<", "<=": "<="}
+        return self.read(snapshot_id).filter(f"{column} {ops[op]} {value!r}")
+
+    # --- metadata ------------------------------------------------------
+    def snapshots(self) -> list[dict]:
+        return [r.asDict() for r in self.snapshots_df().collect()]
+
+    def snapshots_df(self) -> DataFrame:
+        return self.spark.read.table(f"{self.identifier}.snapshots")
+
+    def current_snapshot_id(self) -> str | None:
+        rows = (
+            self.spark.read.table(f"{self.identifier}.snapshots")
+            .orderBy("committed_at", ascending=False)
+            .limit(1)
+            .collect()
+        )
+        return str(rows[0]["snapshot_id"]) if rows else None
+
+    # --- maintenance ---------------------------------------------------
+    def rollback(self, snapshot_id: str) -> None:
+        self.spark.sql(
+            f"CALL {self.catalog}.system.rollback_to_snapshot('{self.identifier}', {snapshot_id})"
+        )
+
+    def expire_snapshots(self, older_than_ms: int) -> int:
+        row = self.spark.sql(
+            f"CALL {self.catalog}.system.expire_snapshots(table => '{self.identifier}', "
+            f"older_than => TIMESTAMP_MILLIS({older_than_ms}))"
+        ).collect()[0]
+        return int(row[0])
+
+    def compact(self, max_files: int = 4) -> str | None:
+        self.spark.sql(
+            f"CALL {self.catalog}.system.rewrite_data_files(table => '{self.identifier}')"
+        )
+        return self.current_snapshot_id()

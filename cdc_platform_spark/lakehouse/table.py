@@ -33,6 +33,8 @@ import uuid
 
 from pyspark.sql import DataFrame, Row, SparkSession, Window
 
+from cdc_platform_spark.lakehouse.format import TableFormat
+
 
 def _json_safe(v):
     """Stats values must survive JSON roundtrip losslessly."""
@@ -41,7 +43,7 @@ def _json_safe(v):
     return str(v)
 
 
-class VersionedTable:
+class VersionedTable(TableFormat):
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
         self.root = root

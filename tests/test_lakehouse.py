@@ -264,3 +264,22 @@ def test_commit_seq_monotonic_after_expiry(spark, table):
     assert [s["op"] for s in snaps] == ["overwrite", "append"]
     assert snaps[-1]["id"] == s_new
     assert table.read().count() == 8
+
+
+def test_table_format_seam(spark, tmp_path):
+    """Backend seam: VersionedTable fulfills the TableFormat contract,
+    open_table dispatches parquet roots to it, and the Iceberg backend is
+    explicitly gated (clear error, not a silent stub) in this environment."""
+    from cdc_platform_spark.lakehouse import TableFormat, VersionedTable, open_table
+
+    t = open_table(spark, str(tmp_path / "t"))
+    assert isinstance(t, VersionedTable)
+    assert isinstance(t, TableFormat)
+    t.append(_df(spark, 0, 5))
+    assert t.read().count() == 5
+
+    from cdc_platform_spark.lakehouse.iceberg import iceberg_available
+
+    if not iceberg_available(spark):
+        with pytest.raises(RuntimeError, match="Iceberg backend requires"):
+            open_table(spark, "iceberg://cat.db.tbl")
