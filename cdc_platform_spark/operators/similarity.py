@@ -274,9 +274,12 @@ def train_ivf_centroids(e: DataFrame, n_cells: int = N_CELLS, iters: int = IVF_T
             "cent_id",
             (dot_long(F.col("a"), F.col("ca")) / (F.sqrt("norm") * F.sqrt("cn"))).alias("c"),
         )
-        w = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cent_id"))
-        assign = vc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
-            "vec_id", "cent_id"
+        # argmax as a map-side-combinable max_by (ties -> smallest cent_id),
+        # not a per-vector window sort
+        assign = vc.groupBy("vec_id").agg(
+            F.max_by("cent_id", F.struct(F.col("c"), (-F.col("cent_id")).alias("t"))).alias(
+                "cent_id"
+            )
         )
         members = assign.join(e.select("vec_id", "a"), "vec_id").select(
             "cent_id", F.posexplode(F.col("a")).alias("dim", "v")
@@ -374,11 +377,18 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cent_id",
         (dot_long(F.col("a"), F.col("ca")) / (F.sqrt("norm") * F.sqrt("cn"))).alias("c"),
     )
+    vc = vc.localCheckpoint(eager=False)
+    # cell assignment: map-side-combinable argmax over the whole corpus
+    # (ties -> smallest cent_id); the window sort runs only on the tiny
+    # probe subset (N_PROBES x N_CELLS rows)
+    assign = vc.groupBy("vec_id").agg(
+        F.max_by("cent_id", F.struct(F.col("c"), (-F.col("cent_id")).alias("t"))).alias("cent_id")
+    )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cent_id"))
-    ranked = vc.withColumn("rn", F.row_number().over(w_assign)).localCheckpoint(eager=False)
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     probes = (
-        ranked.filter((F.col("rn") <= N_PROBE) & (F.col("vec_id") < N_PROBES))
+        vc.filter(F.col("vec_id") < N_PROBES)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= N_PROBE)
         .select(F.col("vec_id").alias("qid"), "cent_id")
     )
     cand = (
