@@ -3,6 +3,8 @@
     cdc-spark validate <pipeline.yaml>        (cli.py:42-71    `cdc validate`)
     cdc-spark consume <pipeline.yaml> [--limit N]
                                               (cli.py:141-165  `cdc consume`)
+    cdc-spark health <pipeline.yaml>          (observability/health.py:45-180
+                                               `cdc health` — dependency probes)
     cdc-spark run <pipeline.yaml>             (cli.py:168-192  `cdc run`)
     cdc-spark snapshots <table_root>          (cli.py:251-291  `cdc lakehouse snapshots`)
     cdc-spark query <table_root> [--snapshot-id N] [--limit N]
@@ -39,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     p_cons = sub.add_parser("consume", help="decode and print events from the pipeline source")
     p_cons.add_argument("config")
     p_cons.add_argument("--limit", type=int, default=10)
+
+    p_health = sub.add_parser(
+        "health", help="probe pipeline dependencies (source, sinks, DLQ) without running"
+    )
+    p_health.add_argument("config")
 
     p_snap = sub.add_parser("snapshots", help="list table snapshots")
     p_snap.add_argument("table_root")
@@ -102,6 +109,17 @@ def main(argv: list[str] | None = None) -> int:
         pipe.run_available_now()
         print(json.dumps({"pipeline_id": cfg.pipeline_id, "status": "completed"}))
         return 0
+
+    if args.cmd == "health":
+        # reference `cdc health` (observability/health.py:45-180): probe each
+        # dependency, print the aggregate, exit non-zero when unhealthy
+        from cdc_platform_spark.config import load_pipeline_config
+        from cdc_platform_spark.observability import check_pipeline_health
+
+        cfg = load_pipeline_config(args.config)
+        report = check_pipeline_health(spark, cfg)
+        print(json.dumps(report))
+        return 0 if report["status"] == "healthy" else 1
 
     if args.cmd == "consume":
         # decode + print the head of the source stream (reference `cdc

@@ -99,6 +99,74 @@ def health(queries: list, sinks: dict[str, object] | None = None) -> dict:
     return {"status": "ready" if ready else "unhealthy", "components": components}
 
 
+def check_pipeline_health(spark, cfg, dlq_warn_depth: int = 1) -> dict:
+    """Config-driven pre-flight probes (reference `cdc health`,
+    observability/health.py:45-180): probe every component the pipeline
+    depends on and aggregate worst-status, without starting the pipeline.
+
+    Components by source type: parquet sources probe path readability and
+    schema; kafka sources probe broker TCP reachability (no client library
+    needed for liveness). Sink paths probe parent-directory writability;
+    a configured DLQ reports its quarantine depth (unhealthy when
+    non-empty past ``dlq_warn_depth`` — the reference treats a filling DLQ
+    as a red flag)."""
+    import os
+    import socket
+
+    components: list[dict] = []
+
+    def add(name: str, ok: bool, detail: str) -> None:
+        components.append(
+            {"name": name, "status": "healthy" if ok else "unhealthy", "detail": detail}
+        )
+
+    src = cfg.source
+    if src.type == "kafka":
+        for server in (src.bootstrap_servers or "").split(","):
+            host, _, port = server.strip().partition(":")
+            try:
+                with socket.create_connection((host, int(port or 9092)), timeout=5):
+                    add(f"kafka:{server}", True, "broker reachable")
+            except OSError as e:
+                add(f"kafka:{server}", False, str(e))
+    else:
+        try:
+            n = len(
+                [f for f in os.listdir(src.path) if not f.startswith((".", "_"))]
+            ) if os.path.isdir(src.path) else (1 if os.path.exists(src.path) else 0)
+            add("source:path", n > 0, f"{src.path}: {n} file(s)")
+        except OSError as e:
+            add("source:path", False, str(e))
+
+    for sink in cfg.sinks:
+        # sinks create their paths on first write; pre-flight checks the
+        # nearest existing ancestor for writability
+        probe = os.path.abspath(sink.path.rstrip("/"))
+        while probe and not os.path.isdir(probe):
+            parent = os.path.dirname(probe)
+            if parent == probe:
+                break
+            probe = parent
+        ok = os.path.isdir(probe) and os.access(probe, os.W_OK)
+        add(f"sink:{sink.id}", ok, f"{probe} {'writable' if ok else 'not writable'}")
+
+    if cfg.dlq_path is not None:
+        if os.path.isdir(cfg.dlq_path):
+            try:
+                depth = spark.read.parquet(cfg.dlq_path).count()
+                add("dlq", depth <= dlq_warn_depth, f"{depth} quarantined event(s)")
+            except Exception as e:  # noqa: BLE001
+                add("dlq", False, str(e))
+        else:
+            add("dlq", True, "empty (no quarantine directory)")
+
+    healthy = all(c["status"] == "healthy" for c in components)
+    return {
+        "status": "healthy" if healthy else "unhealthy",
+        "components": components,
+    }
+
+
 def retry_with_backoff(fn, max_attempts: int = 5, base_delay: float = 0.05, max_delay: float = 60.0):
     """Deterministic exponential backoff (M5): 1x, 2x, 4x ... capped."""
     attempt = 0

@@ -470,3 +470,70 @@ def test_pipeline_config_provisioned_topics(tmp_path):
         SourceConfig(
             type="parquet_stream", path=str(tmp_path), source_type="sqlserver", capture=["dbo.x"]
         )
+
+
+def test_health_probes(spark, tmp_path, capsys, monkeypatch):
+    """Reference `cdc health` (observability/health.py:45-180): per-component
+    probes aggregate worst-status; the CLI verb exits non-zero when any
+    dependency is unhealthy."""
+    import json as _json
+    import socket
+    import threading
+
+    from cdc_platform_spark.cli import main
+    from cdc_platform_spark.config.models import PipelineConfig, SinkConfig, SourceConfig
+    from cdc_platform_spark.observability import check_pipeline_health
+
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(20).write.parquet(f"{tmp_path}/src")
+
+    cfg = PipelineConfig(
+        pipeline_id="h",
+        source=SourceConfig(type="parquet_stream", path=f"{tmp_path}/src"),
+        sinks=[SinkConfig(id="a", type="append", path=f"{tmp_path}/out/a")],
+        dlq_path=f"{tmp_path}/dlq",
+    )
+    report = check_pipeline_health(spark, cfg)
+    assert report["status"] == "healthy"
+    names = {c["name"] for c in report["components"]}
+    assert {"source:path", "sink:a", "dlq"} <= names
+
+    # missing source path -> unhealthy aggregate
+    bad = cfg.model_copy(deep=True)
+    bad.source.path = f"{tmp_path}/nope"
+    assert check_pipeline_health(spark, bad)["status"] == "unhealthy"
+
+    # kafka probe: a live local listener is healthy, a closed port is not
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    t = threading.Thread(target=lambda: srv.accept(), daemon=True)
+    t.start()
+    kcfg = PipelineConfig(
+        pipeline_id="k",
+        source=SourceConfig(
+            type="kafka", bootstrap_servers=f"127.0.0.1:{port}", topics=["t"]
+        ),
+        sinks=[SinkConfig(id="a", type="append", path=f"{tmp_path}/out/a")],
+    )
+    rep = check_pipeline_health(spark, kcfg)
+    assert rep["components"][0]["status"] == "healthy"
+    srv.close()
+
+    # CLI verb: healthy -> 0 with a JSON report
+    monkeypatch.setenv("OUT", str(tmp_path))
+    y = tmp_path / "h.yaml"
+    y.write_text(
+        """
+pipeline_id: h
+source:
+  path: ${OUT}/src
+sinks:
+  - id: a
+    type: append
+    path: ${OUT}/out/a
+"""
+    )
+    assert main(["health", str(y)]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "healthy"
