@@ -146,19 +146,9 @@ _oracle_minhash_rows = "\n            UNION ALL\n".join(
     for i, (a, b, c) in enumerate(MINHASH_COEFFS)
 )
 
-@register(
-    "dedup_minhash_lsh",
-    category="dedup",
-    doc=(
-        f"MinHash ({N_MINHASH} hashes) + LSH banding (r=1) near-dup detection on "
-        "word 3-gram shingles: shingle -> minhash signature -> band bucket join -> "
-        f"candidate pairs -> exact Jaccard >= {MINHASH_JACCARD_THRESHOLD}. "
-        "Candidate generation is an equi-join on (band, minhash); exact Jaccard is "
-        "computed only for candidates (never all pairs). One md5 per shingle; the "
-        f"{N_MINHASH} hash functions are a derived universal family."
-    ),
-    oracle=f"""
-        WITH sh AS ({ORACLE_SHINGLES}),
+# shared CTE chain producing the thresholded minhash-LSH pair set — used by
+# the pair query and (under WITH RECURSIVE) by the clusters oracle
+_ORACLE_MINHASH_PAIR_CTES = f"""sh AS ({ORACLE_SHINGLES}),
         bh AS (SELECT doc_id, {_base_hash} AS bh FROM sh),
         mh AS (
 {_oracle_minhash_rows}
@@ -174,14 +164,33 @@ _oracle_minhash_rows = "\n            UNION ALL\n".join(
             JOIN sh x ON x.doc_id = c.da
             JOIN sh y ON y.doc_id = c.db AND y.s = x.s
             GROUP BY c.da, c.db
-        )
-        SELECT da AS doc_a, db AS doc_b,
-               CAST(ni AS BIGINT) AS n_common,
-               CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
-        FROM inter
-        JOIN sizes sa ON da = sa.doc_id
-        JOIN sizes sb ON db = sb.doc_id
-        WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= {MINHASH_JACCARD_THRESHOLD}
+        ),
+        scored AS (
+            SELECT da, db,
+                   CAST(ni AS BIGINT) AS n_common,
+                   CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
+            FROM inter
+            JOIN sizes sa ON da = sa.doc_id
+            JOIN sizes sb ON db = sb.doc_id
+            WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= {MINHASH_JACCARD_THRESHOLD}
+        )"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    category="dedup",
+    doc=(
+        f"MinHash ({N_MINHASH} hashes) + LSH banding (r=1) near-dup detection on "
+        "word 3-gram shingles: shingle -> minhash signature -> band bucket join -> "
+        f"candidate pairs -> exact Jaccard >= {MINHASH_JACCARD_THRESHOLD}. "
+        "Candidate generation is an equi-join on (band, minhash); exact Jaccard is "
+        "computed only for candidates (never all pairs). One md5 per shingle; the "
+        f"{N_MINHASH} hash functions are a derived universal family."
+    ),
+    oracle=f"""
+        WITH {_ORACLE_MINHASH_PAIR_CTES}
+        SELECT da AS doc_a, db AS doc_b, n_common, jaccard
+        FROM scored
         ORDER BY doc_a, doc_b
     """,
 )
@@ -720,11 +729,28 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     category="dedup",
     doc=(
         "Near-dup clusters: connected components over the MinHash-LSH pair graph "
-        "by iterative label propagation; output (doc_id, cluster_id=min reachable "
-        "doc_id). Iterative algorithm -> rows-only driver check; semantics "
-        "property-tested against a union-find oracle in tests/."
+        "by iterative label propagation with pointer jumping; output (doc_id, "
+        "cluster_id=min reachable doc_id). Oracle computes the same closure as a "
+        "recursive-CTE transitive reachability + MIN (tractable because near-dup "
+        "components are small); also property-tested against union-find in tests/."
     ),
-    oracle=None,
+    oracle=f"""
+        WITH RECURSIVE {_ORACLE_MINHASH_PAIR_CTES},
+        sym AS (
+            SELECT da AS s, db AS d FROM scored
+            UNION
+            SELECT db, da FROM scored
+        ),
+        reach(s, d) AS (
+            SELECT s, d FROM sym
+            UNION
+            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+        )
+        SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+        FROM reach
+        GROUP BY s
+        ORDER BY doc_id
+    """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir)

@@ -278,6 +278,13 @@ _PARSED_SCHEMA = T.StructType(
     ]
 )
 
+# permissive mode appends the reference's poison-message diagnostic: the
+# undecodable frame survives as (null envelope fields + error string) so the
+# pipeline can route it to the DLQ instead of failing the micro-batch
+_PARSED_SCHEMA_PERMISSIVE = T.StructType(
+    _PARSED_SCHEMA.fields + [T.StructField("decode_error", T.StringType())]
+)
+
 
 def spark_avro_usable(spark) -> bool:
     """True when the spark-avro connector is on the classpath (probe: analyze
@@ -324,7 +331,7 @@ def _parse_with_from_avro(frames: DataFrame, confluent_wire: bool) -> DataFrame:
     )
 
 
-def _parse_with_python(frames: DataFrame, confluent_wire: bool) -> DataFrame:
+def _parse_with_python(frames: DataFrame, confluent_wire: bool, permissive: bool) -> DataFrame:
     """Arrow-batched fallback decode (container path): the pure-Python codec
     inside mapInPandas. Batch-at-a-time, no per-row Python round trips
     through the JVM."""
@@ -336,48 +343,79 @@ def _parse_with_python(frames: DataFrame, confluent_wire: bool) -> DataFrame:
 
         env_names: dict[str, Any] = {}
         _collect_names(env_schema, env_names)
+        cols = [
+            "topic", "partition", "offset", "pk", "op", "ts_ms",
+            "before", "after", "lsn", "source_table",
+        ] + (["decode_error"] if permissive else [])
         for pdf in batches:
             rows = []
             for topic, partition, offset, key, value in zip(
                 pdf["topic"], pdf["partition"], pdf["offset"], pdf["key"], pdf["value"]
             ):
-                kbody = confluent_body(bytes(key)) if confluent_wire else bytes(key)
-                vbody = confluent_body(bytes(value)) if confluent_wire else bytes(value)
-                k, _ = decode_value(key_schema, kbody)
-                v, _ = decode_value(env_schema, vbody, names=env_names)
-                rows.append(
-                    {
-                        "topic": topic,
-                        "partition": int(partition),
-                        "offset": int(offset),
-                        "pk": k["id"],
-                        "op": v["op"],
-                        "ts_ms": v["ts_ms"],
-                        "before": v["before"],
-                        "after": v["after"],
-                        "lsn": v["source"]["lsn"],
-                        "source_table": v["source"]["table"],
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "topic", "partition", "offset", "pk", "op", "ts_ms",
-                    "before", "after", "lsn", "source_table",
-                ],
-            )
+                row = {
+                    "topic": topic,
+                    "partition": int(partition),
+                    "offset": int(offset),
+                    "pk": None,
+                    "op": None,
+                    "ts_ms": None,
+                    "before": None,
+                    "after": None,
+                    "lsn": None,
+                    "source_table": None,
+                }
+                try:
+                    kbody = confluent_body(bytes(key)) if confluent_wire else bytes(key)
+                    vbody = confluent_body(bytes(value)) if confluent_wire else bytes(value)
+                    k, _ = decode_value(key_schema, kbody)
+                    v, _ = decode_value(env_schema, vbody, names=env_names)
+                    row.update(
+                        pk=k["id"],
+                        op=v["op"],
+                        ts_ms=v["ts_ms"],
+                        before=v["before"],
+                        after=v["after"],
+                        lsn=v["source"]["lsn"],
+                        source_table=v["source"]["table"],
+                    )
+                    if permissive:
+                        row["decode_error"] = None
+                except Exception as e:  # noqa: BLE001 — poison frame
+                    if not permissive:
+                        raise
+                    row["decode_error"] = f"{type(e).__name__}: {e}"[:500]
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
-    return frames.mapInPandas(decode_batches, schema=_PARSED_SCHEMA)
+    schema = _PARSED_SCHEMA_PERMISSIVE if permissive else _PARSED_SCHEMA
+    return frames.mapInPandas(decode_batches, schema=schema)
 
 
-def parse_debezium_avro(frames: DataFrame, confluent_wire: bool = True) -> DataFrame:
+def parse_debezium_avro(
+    frames: DataFrame, confluent_wire: bool = True, permissive: bool = False
+) -> DataFrame:
     """Raw Kafka binary records (topic, partition, offset, key, value) ->
     parsed envelope, schema-identical to ``debezium.parse_debezium``'s JSON
     output, so ``to_flat_envelope`` and every sink compose unchanged.
 
     Decodes the reference's actual wire format (registry-framed Avro);
     prefers the JVM ``from_avro`` decoder when the connector jar is
-    present, else the Arrow-batched Python codec."""
+    present, else the Arrow-batched Python codec.
+
+    ``permissive=True`` keeps undecodable frames as rows with null envelope
+    fields and a ``decode_error`` diagnostic (from_json PERMISSIVE-mode
+    semantics) so the pipeline quarantines poison messages via the DLQ
+    instead of failing the micro-batch — the reference's poison-message
+    posture (P7)."""
     if spark_avro_usable(frames.sparkSession):
-        return _parse_with_from_avro(frames, confluent_wire)
-    return _parse_with_python(frames, confluent_wire)
+        # from_avro supports mode=PERMISSIVE natively; the fast path maps
+        # failed decodes to null structs (diagnostic column derived as
+        # "decode failed" when the envelope is null)
+        parsed = _parse_with_from_avro(frames, confluent_wire)
+        if permissive:
+            parsed = parsed.withColumn(
+                "decode_error",
+                F.when(F.col("op").isNull(), F.lit("decode failed")).cast("string"),
+            )
+        return parsed
+    return _parse_with_python(frames, confluent_wire, permissive)

@@ -84,9 +84,12 @@ def to_flat_envelope(env: DataFrame) -> DataFrame:
     every sink consumes, identical to streaming.pipeline.to_envelope's
     output): post-image fields for upserts, pre-image for deletes,
     snapshot reads ('r') normalized to creates (reference semantics:
-    snapshot rows are initial inserts, config/models.py:40-46)."""
+    snapshot rows are initial inserts, config/models.py:40-46).
+
+    A ``decode_error`` column (permissive Avro decode) passes through, so
+    poison frames stay routable to the DLQ downstream."""
     row = F.coalesce(F.col("after"), F.col("before"))
-    return env.select(
+    cols = [
         F.col("offset").alias("seq"),
         F.col("topic"),
         F.col("partition"),
@@ -97,4 +100,7 @@ def to_flat_envelope(env: DataFrame) -> DataFrame:
         row["value"].alias("value"),
         F.lit(None).cast("string").alias("props"),
         F.timestamp_millis(F.col("ts_ms")).alias("event_ts"),
-    )
+    ]
+    if "decode_error" in env.columns:
+        cols.append(F.col("decode_error"))
+    return env.select(*cols)

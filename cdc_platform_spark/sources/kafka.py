@@ -73,6 +73,18 @@ def kafka_envelope(records: DataFrame) -> DataFrame:
     return parse_debezium(kafka_frames(records))
 
 
+def kafka_envelope_avro(records: DataFrame, permissive: bool = True) -> DataFrame:
+    """Raw Kafka records with Confluent-framed Avro values -> flat engine
+    envelope (the reference's actual wire path: AvroConverter + registry
+    framing). Permissive by default so poison frames survive as
+    null-enveloped rows for DLQ routing instead of failing the batch."""
+    from cdc_platform_spark.sources.avro import parse_debezium_avro
+    from cdc_platform_spark.sources.debezium import to_flat_envelope
+
+    parsed = parse_debezium_avro(records, confluent_wire=True, permissive=permissive)
+    return to_flat_envelope(parsed)
+
+
 def read_kafka_stream(spark: SparkSession, **options_kwargs) -> DataFrame:
     """Live readStream over Kafka, already decoded to the engine envelope."""
     reader = spark.readStream.format("kafka")

@@ -152,3 +152,76 @@ def test_parse_debezium_avro_spark_path(spark):
     assert [f.name for f in parsed.schema.fields] == [
         f.name for f in parse_debezium(json_frames).schema.fields
     ]
+
+
+def test_permissive_decode_quarantines_poison_frames(spark):
+    """Poison-message posture (ref P7): a frame that fails Avro decode
+    survives permissive parsing as a null-enveloped row with a
+    decode_error diagnostic (DLQ-routable); strict mode fails the batch."""
+    good_val = confluent_frame(
+        encode_value(
+            AVRO_ENVELOPE_SCHEMA,
+            {
+                "op": "c",
+                "ts_ms": 1700000000001,
+                "before": None,
+                "after": {"id": 1, "event_type": "signup", "value": 1.0},
+                "source": {
+                    "version": "2.5", "connector": "postgresql", "name": "cdc",
+                    "ts_ms": 1700000000001, "snapshot": "false", "db": "app",
+                    "schema": "public", "table": "users", "txId": 1, "lsn": 11,
+                },
+            },
+        )
+    )
+    good_key = confluent_frame(encode_value(AVRO_KEY_SCHEMA, {"id": 1}))
+    frames = spark.createDataFrame(
+        [
+            ("t", 0, 1, bytearray(good_key), bytearray(good_val)),
+            ("t", 0, 2, bytearray(good_key), bytearray(b"\x01garbage-no-magic")),
+        ],
+        "topic string, partition int, offset long, key binary, value binary",
+    )
+    rows = parse_debezium_avro(frames, permissive=True).orderBy("offset").collect()
+    assert rows[0]["decode_error"] is None and rows[0]["pk"] == 1
+    assert rows[1]["decode_error"] is not None and rows[1]["op"] is None
+    assert rows[1]["offset"] == 2  # coordinates survive for DLQ routing
+
+    with pytest.raises(Exception):
+        parse_debezium_avro(frames, permissive=False).collect()
+
+
+def test_kafka_envelope_avro_composition(spark):
+    """The Avro decode chain composes into the flat engine envelope the
+    sinks consume; decode_error travels along in permissive mode."""
+    from cdc_platform_spark.sources.kafka import kafka_envelope_avro
+
+    val = confluent_frame(
+        encode_value(
+            AVRO_ENVELOPE_SCHEMA,
+            {
+                "op": "r",  # snapshot read normalizes to 'c'
+                "ts_ms": 1700000000002,
+                "before": None,
+                "after": {"id": 9, "event_type": "signup", "value": 2.0},
+                "source": {
+                    "version": "2.5", "connector": "postgresql", "name": "cdc",
+                    "ts_ms": 1700000000002, "snapshot": "true", "db": "app",
+                    "schema": "public", "table": "users", "txId": 2, "lsn": 22,
+                },
+            },
+        )
+    )
+    key = confluent_frame(encode_value(AVRO_KEY_SCHEMA, {"id": 9}))
+    frames = spark.createDataFrame(
+        [("cdc.public.users", 1, 5, bytearray(key), bytearray(val))],
+        "topic string, partition int, offset long, key binary, value binary",
+    )
+    out = kafka_envelope_avro(frames).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["op"] == "c" and r["pk"] == 9 and r["value"] == 2.0
+    assert r["decode_error"] is None
+    assert {"seq", "topic", "partition", "offset", "op", "pk", "event_type", "value"} <= set(
+        out[0].asDict()
+    )
