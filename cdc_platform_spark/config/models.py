@@ -25,6 +25,9 @@ class SourceConfig(BaseModel, extra="forbid"):
     topic_pattern: str | None = None
     starting_offsets: str = "earliest"
     max_offsets_per_trigger: int | None = Field(default=None, ge=1)  # backpressure (ref F3)
+    # wire format of Kafka record values: JSON envelopes or Confluent-framed
+    # Avro (the reference's AvroConverter path, sources/avro.py)
+    value_format: Literal["json", "avro"] = "json"
     # CDC topic naming (reference streaming/topics.py:31-60): the connector
     # family decides the topic shape; sqlserver needs the database for its
     # 4-part names. `capture` lists qualified relation names (schema.table /

@@ -100,7 +100,11 @@ def compile_pipeline(
     stream_builder = None
     envelope_fn = None
     if cfg.source.type == "kafka":
-        from cdc_platform_spark.sources.kafka import kafka_envelope_flat, raw_kafka_stream
+        from cdc_platform_spark.sources.kafka import (
+            kafka_envelope_avro,
+            kafka_envelope_flat,
+            raw_kafka_stream,
+        )
 
         src = cfg.source
 
@@ -114,7 +118,7 @@ def compile_pipeline(
                 max_offsets_per_trigger=src.max_offsets_per_trigger,
             )
 
-        envelope_fn = kafka_envelope_flat
+        envelope_fn = kafka_envelope_avro if src.value_format == "avro" else kafka_envelope_flat
     return CdcPipeline(
         spark=spark,
         source_dir=cfg.source.path or "",

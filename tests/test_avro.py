@@ -225,3 +225,75 @@ def test_kafka_envelope_avro_composition(spark):
     assert {"seq", "topic", "partition", "offset", "op", "pk", "event_type", "value"} <= set(
         out[0].asDict()
     )
+
+
+def test_avro_codec_roundtrip_property():
+    """Property: encode->decode is the identity for arbitrary envelope
+    values (hypothesis over ops, nulls, extreme longs, unicode strings)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    longs = st.integers(min_value=-(2**62), max_value=2**62)
+    opt_str = st.one_of(st.none(), st.text(max_size=20))
+    opt_long = st.one_of(st.none(), longs)
+    row = st.one_of(
+        st.none(),
+        st.fixed_dictionaries(
+            {
+                "id": longs,
+                "event_type": opt_str,
+                "value": st.one_of(
+                    st.none(),
+                    st.floats(allow_nan=False, allow_infinity=True, width=64),
+                ),
+            }
+        ),
+    )
+    env = st.fixed_dictionaries(
+        {
+            "op": st.sampled_from(["c", "u", "d", "r"]),
+            "ts_ms": longs,
+            "before": row,
+            "after": row,
+            "source": st.fixed_dictionaries(
+                {
+                    "version": st.text(max_size=8),
+                    "connector": st.just("postgresql"),
+                    "name": st.text(max_size=8),
+                    "ts_ms": longs,
+                    "snapshot": opt_str,
+                    "db": st.text(max_size=8),
+                    "schema": st.text(max_size=8),
+                    "table": st.text(max_size=12),
+                    "txId": opt_long,
+                    "lsn": opt_long,
+                }
+            ),
+        }
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(env=env)
+    def check(env):
+        body = encode_value(AVRO_ENVELOPE_SCHEMA, env)
+        got, pos = decode_value(AVRO_ENVELOPE_SCHEMA, body)
+        assert got == env
+        assert pos == len(body)
+
+    check()
+
+
+def test_value_format_config_selects_avro_decode(tmp_path):
+    from cdc_platform_spark.config.models import PipelineConfig, SinkConfig, SourceConfig
+
+    cfg = PipelineConfig(
+        pipeline_id="k",
+        source=SourceConfig(
+            type="kafka",
+            bootstrap_servers="b:9092",
+            topics=["t"],
+            value_format="avro",
+        ),
+        sinks=[SinkConfig(id="a", type="append", path=str(tmp_path / "a"))],
+    )
+    assert cfg.source.value_format == "avro"
