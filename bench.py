@@ -94,6 +94,24 @@ def main() -> None:
         pipe.run_available_now()
         pipeline_sec = time.perf_counter() - t0
         pipeline_eps = round(n_events / pipeline_sec, 1)
+
+        # same pipeline with the 100 TB upsert form: hash-bucketed state so a
+        # micro-batch rewrites only the buckets its keys touch
+        from cdc_platform_spark.streaming.pipeline import BucketedUpsertSink
+
+        pipe_b = CdcPipeline(
+            spark=spark,
+            source_dir=f"{workdir}/source",
+            checkpoint_dir=f"{workdir}/ckpt_b",
+            sinks={
+                "append": AppendSink(f"{workdir}/append_b"),
+                "upsert": BucketedUpsertSink(f"{workdir}/state_b", n_buckets=16),
+            },
+        )
+        t0 = time.perf_counter()
+        pipe_b.run_available_now()
+        bucketed_sec = time.perf_counter() - t0
+        bucketed_eps = round(n_events / bucketed_sec, 1)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -108,6 +126,7 @@ def main() -> None:
                 "events_per_sec": eps,
                 "pipeline_e2e_sec": round(pipeline_sec, 3),
                 "pipeline_events_per_sec": pipeline_eps,
+                "pipeline_bucketed_events_per_sec": bucketed_eps,
             }
         )
     )

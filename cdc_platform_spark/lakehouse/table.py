@@ -440,6 +440,7 @@ class VersionedTable(TableFormat):
         cur = self.current_snapshot_id()
         if cur is None:
             return None
+        snap = self._snapshot(cur)
         df = self.read()
         z = F.lit(0).cast("long")
         ncols = len(columns)
@@ -475,4 +476,8 @@ class VersionedTable(TableFormat):
                 groups.append(group)
                 total += rows
             lo = hi
+        if total != snap["rows"]:
+            raise RuntimeError(
+                f"rewrite_zorder produced {total} rows, snapshot has {snap['rows']} — aborting commit"
+            )
         return self._commit(groups, "rewrite-zorder", total)

@@ -283,3 +283,19 @@ def test_table_format_seam(spark, tmp_path):
     if not iceberg_available(spark):
         with pytest.raises(RuntimeError, match="Iceberg backend requires"):
             open_table(spark, "iceberg://cat.db.tbl")
+
+
+def test_rewrite_zorder_conserves_rows_with_nulls(spark, table):
+    """Same conservation guarantee as rewrite_sorted: a z-order rewrite must
+    keep every committed row (ntile assigns null keys a bucket, and the
+    commit asserts the total)."""
+    df = spark.createDataFrame(
+        [(1, 10.0, 5), (2, None, 6), (3, 30.0, None), (4, 40.0, 8)],
+        "id long, v double, w long",
+    )
+    table.append(df)
+    table.rewrite_zorder(["v", "w"], n_groups=2)
+    got = table.read()
+    assert got.count() == 4
+    assert got.filter("v IS NULL").count() == 1
+    assert got.filter("w IS NULL").count() == 1
