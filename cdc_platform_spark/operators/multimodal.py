@@ -134,3 +134,86 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         sample_frames, schema="doc_id long, frame_idx long, ts_ms long"
     ).orderBy("doc_id", "frame_idx")
+
+
+RESIZE_TARGET = 256  # fit longest side to 256, preserve aspect (integer math)
+
+
+@register(
+    "mm_resize_plan",
+    category="multimodal",
+    doc=(
+        "Resize-stage plumbing: decoded (width, height) metadata -> integer "
+        f"fit-to-{RESIZE_TARGET} output dims (longest side {RESIZE_TARGET}, "
+        "aspect preserved, floor division — the deterministic shape math a "
+        "real resize kernel receives; the pixel op itself is the stubbed "
+        "decode's swap-in point). Runs entirely in whole-stage codegen."
+    ),
+    oracle=f"""
+        WITH meta AS (
+            SELECT doc_id,
+                   CAST(16 * (1 + CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 120) AS BIGINT) AS width,
+                   CAST(16 * (1 + (CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) // 120) % 68) AS BIGINT) AS height
+            FROM documents
+        )
+        SELECT doc_id, width, height,
+               CAST(CASE WHEN width >= height THEN {RESIZE_TARGET}
+                    ELSE (width * {RESIZE_TARGET}) // height END AS BIGINT) AS out_width,
+               CAST(CASE WHEN width >= height THEN (height * {RESIZE_TARGET}) // width
+                    ELSE {RESIZE_TARGET} END AS BIGINT) AS out_height
+        FROM meta
+        ORDER BY doc_id
+    """,
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, "documents", sf_dir))
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    meta = payloads.mapInPandas(fake_decode_batch, schema=DECODE_SCHEMA)
+    w, h = F.col("width"), F.col("height")
+    t = F.lit(RESIZE_TARGET)
+    return meta.select(
+        "doc_id",
+        "width",
+        "height",
+        F.when(w >= h, t).otherwise((w * t).cast("long") / h).cast("long").alias("out_width"),
+        F.when(w >= h, (h * t).cast("long") / w).otherwise(t).cast("long").alias("out_height"),
+    ).orderBy("doc_id")
+
+
+N_FEATURES = 8
+
+
+@register(
+    "mm_feature_extract",
+    category="multimodal",
+    doc=(
+        f"Feature-extraction plumbing: each binary payload -> {N_FEATURES} "
+        "deterministic integer features (md5-chained residues standing in for "
+        "a real extractor's output vector; same Arrow batch shape a model UDF "
+        "would use). Oracle mirrors the md5 arithmetic exactly."
+    ),
+    oracle=f"""
+        SELECT doc_id,
+               {", ".join(f"CAST(CAST(concat('0x', substr(md5(text || '#{i}'), 1, 15)) AS BIGINT) % 1000 AS BIGINT) AS f{i}" for i in range(N_FEATURES))}
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, "documents", sf_dir))
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"]}
+            for i in range(N_FEATURES):
+                out[f"f{i}"] = pdf["payload"].map(
+                    lambda b, i=i: int(
+                        hashlib.md5(bytes(b) + f"#{i}".encode()).hexdigest()[:15], 16
+                    )
+                    % 1000
+                )
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, " + ", ".join(f"f{i} long" for i in range(N_FEATURES))
+    return payloads.mapInPandas(extract, schema=schema).orderBy("doc_id")
