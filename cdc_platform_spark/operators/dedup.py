@@ -370,8 +370,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.col("b.simhash").alias("hb"),
         )
-        .distinct()
+        # hamming filter BEFORE the distinct: the cheap bit_count predicate
+        # runs map-side on the raw band matches, so the distinct exchange
+        # only carries surviving pairs (multi-band duplicates of passing
+        # pairs still collapse; failing pairs fail in every band)
         .filter(hamming <= SIMHASH_MAX_HAMMING)
+        .distinct()
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
