@@ -421,3 +421,194 @@ def q68_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "status", "priority")
     )
+
+
+@register(
+    "q74_shipmode_priority",
+    category="composite",
+    doc=(
+        "TPC-H Q12-shaped: per line status within a two-year ship window, how "
+        "many lines belong to critical- vs normal-priority orders — the "
+        "order-lineitem join with conditional counts (fixtures carry no "
+        "l_shipmode, so l_linestatus plays the mode dimension)."
+    ),
+    oracle="""
+        SELECT l.l_linestatus,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+        GROUP BY l.l_linestatus
+        ORDER BY l.l_linestatus
+    """,
+)
+def q74_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    o = _t(spark, "orders", sf_dir)
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~crit, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q75_customer_distribution",
+    category="composite",
+    doc=(
+        "TPC-H Q13-shaped: distribution of customers by order count including "
+        "zero-order customers — LEFT JOIN + COUNT(col) (null-skipping), then a "
+        "second aggregation over the first's result (the double-grouping shape)."
+    ),
+    oracle="""
+        WITH c_orders AS (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q75_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, "customer", sf_dir)
+    o = _t(spark, "orders", sf_dir)
+    c_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q76_small_quantity_revenue",
+    category="composite",
+    doc=(
+        "TPC-H Q17-shaped: yearly revenue lost to small-quantity orders of one "
+        "brand — the correlated per-part AVG subquery decorrelated to a "
+        "grouped aggregate + join-back. The threshold compare is exact integer "
+        "cross-multiplication (5*q*cnt < sum_q in centiunits), no float AVG."
+    ),
+    oracle="""
+        WITH ql AS (
+            SELECT l_partkey, l_extendedprice,
+                   CAST(ROUND(l_quantity * 100) AS BIGINT) AS q100
+            FROM lineitem
+        ),
+        stats AS (
+            SELECT l_partkey, SUM(q100) AS sum_q, COUNT(*) AS cnt
+            FROM ql GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM ql l
+        JOIN stats s ON s.l_partkey = l.l_partkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#3'
+          AND 5 * l.q100 * s.cnt < s.sum_q
+    """,
+)
+def q76_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, "lineitem", sf_dir).select(
+        "l_partkey",
+        "l_extendedprice",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("q100"),
+    )
+    stats = l.groupBy("l_partkey").agg(
+        F.sum("q100").alias("sum_q"), F.count(F.lit(1)).alias("cnt")
+    )
+    p = _t(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    return (
+        l.join(stats, "l_partkey")
+        .join(F.broadcast(p), l.l_partkey == F.col("p_partkey"))
+        .filter(F.lit(5) * F.col("q100") * F.col("cnt") < F.col("sum_q"))
+        .agg(
+            (F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q77_blamed_supplier",
+    category="composite",
+    doc=(
+        "TPC-H Q21-shaped: per supplier, the number of finished multi-supplier "
+        "orders where this supplier holds the max-(quantity, suppkey) line — "
+        "the correlated EXISTS (another supplier participated) + NOT EXISTS "
+        "(nobody outranks me) double-anti-join plan shape, expressed as "
+        "left-semi + left-anti joins on the fact (fixtures carry no "
+        "commit/receipt dates, so line quantity plays the lateness role)."
+    ),
+    oracle="""
+        SELECT s.s_suppkey, s.s_name,
+               CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        WHERE EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                  AND (l3.l_quantity > l1.l_quantity
+                       OR (l3.l_quantity = l1.l_quantity AND l3.l_suppkey > l1.l_suppkey))
+              )
+        GROUP BY s.s_suppkey, s.s_name
+        ORDER BY numwait DESC, s.s_suppkey
+    """,
+)
+def q77_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, "supplier", sf_dir)
+    li = _t(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey", "l_quantity")
+    o = _t(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = li.join(o, li.l_orderkey == o.o_orderkey).drop("o_orderkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_suppkey").alias("r_suppkey"),
+        F.col("l_quantity").alias("r_quantity"),
+    )
+    # EXISTS: another supplier contributed to the same order
+    semi = l1.join(
+        l2,
+        (l1.l_orderkey == l2.r_orderkey) & (l1.l_suppkey != l2.r_suppkey),
+        "left_semi",
+    )
+    # NOT EXISTS: nobody outranks me on (quantity, suppkey) in that order
+    anti = semi.join(
+        l2,
+        (semi.l_orderkey == l2.r_orderkey)
+        & (semi.l_suppkey != l2.r_suppkey)
+        & (
+            (l2.r_quantity > semi.l_quantity)
+            | ((l2.r_quantity == semi.l_quantity) & (l2.r_suppkey > semi.l_suppkey))
+        ),
+        "left_anti",
+    )
+    return (
+        anti.join(s, anti.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count_distinct(F.col("l_orderkey")).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+    )
