@@ -595,3 +595,71 @@ def test_dlq_replay_distinct_topics_same_coordinates(spark, workdir):
     dlq.write(batch, "s", RuntimeError("boom"))
     sink = AppendSink(f"{workdir}/sink2")
     assert dlq.replay(spark, sink, sink_id="s") == 2
+
+
+def test_pipeline_streams_confluent_avro_values(spark, workdir):
+    """Full Avro stream path inside the real pipeline: Confluent-framed
+    Debezium Avro frames stream through kafka_envelope_avro into the
+    append + upsert sinks with checkpointing, one poison frame included
+    (permissive decode keeps it as a decode_error row, healthy rows
+    unaffected)."""
+    from cdc_platform_spark.sources.avro import (
+        AVRO_ENVELOPE_SCHEMA,
+        AVRO_KEY_SCHEMA,
+        confluent_frame,
+        encode_value,
+    )
+    from cdc_platform_spark.sources.kafka import kafka_envelope_avro
+
+    def frame(i, op, val):
+        img = {"id": i % 10, "event_type": "purchase", "value": val}
+        return (
+            "cdc.public.users",
+            i % 4,
+            i,
+            bytearray(confluent_frame(encode_value(AVRO_KEY_SCHEMA, {"id": i % 10}))),
+            bytearray(
+                confluent_frame(
+                    encode_value(
+                        AVRO_ENVELOPE_SCHEMA,
+                        {
+                            "op": op,
+                            "ts_ms": 1700000000000 + i,
+                            "before": None if op == "c" else img,
+                            "after": None if op == "d" else img,
+                            "source": {
+                                "version": "2.5", "connector": "postgresql", "name": "cdc",
+                                "ts_ms": 1700000000000 + i, "snapshot": "false", "db": "app",
+                                "schema": "public", "table": "users", "txId": i, "lsn": i,
+                            },
+                        },
+                    )
+                )
+            ),
+        )
+
+    frames = [frame(i, "c" if i < 10 else "u", float(i)) for i in range(40)]
+    frames.append(("cdc.public.users", 0, 40, bytearray(b"\x00AAAA"), bytearray(b"\x00AAA\x01junk")))
+    schema = "topic string, partition int, offset long, key binary, value binary"
+    src = f"{workdir}/avro_src"
+    spark.createDataFrame(frames, schema).write.mode("overwrite").parquet(src)
+
+    sink = AppendSink(f"{workdir}/avro_append")
+    pipe = CdcPipeline(
+        spark=spark,
+        source_dir=src,
+        checkpoint_dir=f"{workdir}/avro_ckpt",
+        sinks={"append": sink},
+        schema=schema,
+        stream_builder=lambda sp: sp.readStream.schema(schema).parquet(src),
+        envelope_fn=lambda batch: kafka_envelope_avro(batch, permissive=True),
+    )
+    pipe.run_available_now()
+
+    out = sink.exactly_once_view(spark)
+    assert out.count() == 41  # 40 decoded + 1 poison row carried with coordinates
+    ok = out.filter("pk IS NOT NULL")
+    assert ok.count() == 40
+    assert ok.filter("op = 'c'").count() == 10
+    poison = out.filter("pk IS NULL").collect()
+    assert len(poison) == 1 and poison[0]["_cdc_offset"] == 40
