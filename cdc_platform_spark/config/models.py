@@ -101,6 +101,7 @@ class PipelineConfig(BaseModel, extra="forbid"):
             source_type=self.source.source_type,
             database=self.source.database,
             dlq_enabled=self.dlq_path is not None,
+            dlq_suffix=dlq_suffix,
         )
 
 

@@ -45,6 +45,9 @@ class IcebergTable(TableFormat):
         self.identifier = identifier
         self.catalog = identifier.split(".", 1)[0]
 
+    def _table_exists(self) -> bool:
+        return bool(self.spark.catalog.tableExists(self.identifier))
+
     # --- write ---------------------------------------------------------
     def append(self, df: DataFrame, partition_by: str | None = None) -> str:
         writer = df.writeTo(self.identifier)
@@ -52,7 +55,13 @@ class IcebergTable(TableFormat):
             from pyspark.sql import functions as F
 
             writer = writer.partitionedBy(F.col(partition_by))
-        writer.createOrReplace() if self.current_snapshot_id() is None else writer.append()
+        # existence check must NOT read the .snapshots metadata table — that
+        # raises for a not-yet-created table, which is exactly the auto-create
+        # case (ref sinks/iceberg.py:151-197 create-on-first-write)
+        if self._table_exists():
+            writer.append()
+        else:
+            writer.create()
         return str(self.current_snapshot_id())
 
     def overwrite(self, df: DataFrame) -> str:

@@ -384,6 +384,11 @@ class VersionedTable(TableFormat):
             *[f"percentile({sort_by}, {q}) AS b{i}" for i, q in enumerate(qs)]
         ).collect()[0]
         edges = [bounds[i] for i in range(len(qs))]
+        if all(e is None for e in edges):
+            # entirely-NULL sort column: percentile has no data, every range
+            # predicate would degenerate to "everything" — rewrite as a
+            # single group instead of duplicating the table n_groups times
+            n_groups, edges = 1, []
         groups: list[str] = []
         total = 0
         lo = None

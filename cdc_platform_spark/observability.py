@@ -151,14 +151,19 @@ def check_pipeline_health(spark, cfg, dlq_warn_depth: int = 1) -> dict:
         add(f"sink:{sink.id}", ok, f"{probe} {'writable' if ok else 'not writable'}")
 
     if cfg.dlq_path is not None:
-        if os.path.isdir(cfg.dlq_path):
+        has_files = os.path.isdir(cfg.dlq_path) and any(
+            f.endswith(".parquet") for f in os.listdir(cfg.dlq_path)
+        )
+        if has_files:
             try:
                 depth = spark.read.parquet(cfg.dlq_path).count()
                 add("dlq", depth <= dlq_warn_depth, f"{depth} quarantined event(s)")
             except Exception as e:  # noqa: BLE001
                 add("dlq", False, str(e))
         else:
-            add("dlq", True, "empty (no quarantine directory)")
+            # missing OR empty (pre-provisioned / fully drained) directory:
+            # nothing is quarantined, which is the healthy state
+            add("dlq", True, "empty (no quarantined events)")
 
     healthy = all(c["status"] == "healthy" for c in components)
     return {

@@ -286,23 +286,40 @@ _PARSED_SCHEMA_PERMISSIVE = T.StructType(
 )
 
 
+_AVRO_PROBE_CACHE: dict[str, bool] = {}
+
+
 def spark_avro_usable(spark) -> bool:
     """True when the spark-avro connector is on the classpath (probe: analyze
-    a zero-row from_avro plan; AnalysisException means the jar is absent)."""
+    a zero-row from_avro plan; AnalysisException means the jar is absent).
+    Memoized per session — the classpath cannot change mid-session and this
+    runs on the per-micro-batch hot path."""
+    key = spark.sparkContext.applicationId
+    if key in _AVRO_PROBE_CACHE:
+        return _AVRO_PROBE_CACHE[key]
     try:
         from pyspark.sql.avro.functions import from_avro
 
         spark.range(0).select(
             from_avro(F.lit(b"").cast("binary"), AVRO_KEY_SCHEMA_JSON)
         ).schema
-        return True
+        usable = True
     except Exception:
-        return False
+        usable = False
+    _AVRO_PROBE_CACHE[key] = usable
+    return usable
 
 
-def _parse_with_from_avro(frames: DataFrame, confluent_wire: bool) -> DataFrame:
+def _parse_with_from_avro(
+    frames: DataFrame, confluent_wire: bool, permissive: bool = False
+) -> DataFrame:
     """JVM decode: from_avro on the (unframed) body. Codegen-friendly —
-    this is the 100 TB hot path on a real deployment."""
+    this is the 100 TB hot path on a real deployment.
+
+    ``permissive`` maps to from_avro's PERMISSIVE mode (undecodable frames
+    become null structs instead of failing the task, mirroring the Python
+    fallback's poison-frame posture); the default is from_avro's own
+    FAILFAST."""
     from pyspark.sql.avro.functions import from_avro
 
     body = (
@@ -315,9 +332,10 @@ def _parse_with_from_avro(frames: DataFrame, confluent_wire: bool) -> DataFrame:
         if confluent_wire
         else F.col("key")
     )
-    v = from_avro(body, AVRO_ENVELOPE_SCHEMA_JSON)
-    k = from_avro(key_body, AVRO_KEY_SCHEMA_JSON)
-    return frames.select(
+    options = {"mode": "PERMISSIVE"} if permissive else {}
+    v = from_avro(body, AVRO_ENVELOPE_SCHEMA_JSON, options)
+    k = from_avro(key_body, AVRO_KEY_SCHEMA_JSON, options)
+    cols = [
         F.col("topic"),
         F.col("partition").cast("int").alias("partition"),
         F.col("offset").cast("long").alias("offset"),
@@ -328,7 +346,20 @@ def _parse_with_from_avro(frames: DataFrame, confluent_wire: bool) -> DataFrame:
         v["after"].alias("after"),
         v["source"]["lsn"].alias("lsn"),
         v["source"]["table"].alias("source_table"),
-    )
+    ]
+    if permissive:
+        # PERMISSIVE from_avro yields a null struct for a poison frame; a
+        # tombstone (null Kafka value) also has a null envelope but is a
+        # normal stream condition, so only non-null-value failures carry
+        # the diagnostic
+        cols.append(
+            F.when(
+                v["op"].isNull() & F.col("value").isNotNull(), F.lit("decode failed")
+            )
+            .cast("string")
+            .alias("decode_error")
+        )
+    return frames.select(*cols)
 
 
 def _parse_with_python(frames: DataFrame, confluent_wire: bool, permissive: bool) -> DataFrame:
@@ -364,6 +395,23 @@ def _parse_with_python(frames: DataFrame, confluent_wire: bool, permissive: bool
                     "lsn": None,
                     "source_table": None,
                 }
+                if value is None:
+                    # Debezium tombstone (null value after a delete, for log
+                    # compaction): a normal stream condition, not a poison
+                    # frame — keep the quiet null-envelope row the JSON path
+                    # produces, with the key's pk when decodable
+                    try:
+                        if key is not None:
+                            kbody = (
+                                confluent_body(bytes(key)) if confluent_wire else bytes(key)
+                            )
+                            row["pk"] = decode_value(key_schema, kbody)[0]["id"]
+                    except Exception:  # noqa: BLE001
+                        pass
+                    if permissive:
+                        row["decode_error"] = None
+                    rows.append(row)
+                    continue
                 try:
                     kbody = confluent_body(bytes(key)) if confluent_wire else bytes(key)
                     vbody = confluent_body(bytes(value)) if confluent_wire else bytes(value)
@@ -408,14 +456,5 @@ def parse_debezium_avro(
     instead of failing the micro-batch — the reference's poison-message
     posture (P7)."""
     if spark_avro_usable(frames.sparkSession):
-        # from_avro supports mode=PERMISSIVE natively; the fast path maps
-        # failed decodes to null structs (diagnostic column derived as
-        # "decode failed" when the envelope is null)
-        parsed = _parse_with_from_avro(frames, confluent_wire)
-        if permissive:
-            parsed = parsed.withColumn(
-                "decode_error",
-                F.when(F.col("op").isNull(), F.lit("decode failed")).cast("string"),
-            )
-        return parsed
+        return _parse_with_from_avro(frames, confluent_wire, permissive)
     return _parse_with_python(frames, confluent_wire, permissive)

@@ -297,3 +297,27 @@ def test_value_format_config_selects_avro_decode(tmp_path):
         sinks=[SinkConfig(id="a", type="append", path=str(tmp_path / "a"))],
     )
     assert cfg.source.value_format == "avro"
+
+
+def test_tombstone_null_value_is_not_poison(spark):
+    """Debezium tombstones (null value after a delete, for log compaction)
+    are a normal stream condition: both strict and permissive decode keep a
+    quiet null-envelope row with the key's pk — never a decode_error, never
+    a batch failure (parity with the JSON path's null-row behavior)."""
+    key = confluent_frame(encode_value(AVRO_KEY_SCHEMA, {"id": 7}))
+    frames = spark.createDataFrame(
+        [("t", 0, 3, bytearray(key), None)],
+        "topic string, partition int, offset long, key binary, value binary",
+    )
+    strict = parse_debezium_avro(frames, permissive=False).collect()
+    assert len(strict) == 1 and strict[0]["pk"] == 7 and strict[0]["op"] is None
+    perm = parse_debezium_avro(frames, permissive=True).collect()
+    assert perm[0]["decode_error"] is None and perm[0]["pk"] == 7
+
+
+def test_avro_probe_is_memoized(spark):
+    from cdc_platform_spark.sources.avro import _AVRO_PROBE_CACHE
+
+    r1 = spark_avro_usable(spark)
+    assert spark.sparkContext.applicationId in _AVRO_PROBE_CACHE
+    assert spark_avro_usable(spark) == r1

@@ -465,6 +465,7 @@ def test_pipeline_config_provisioned_topics(tmp_path):
         "cdc.appdb.dbo.orders",
         "cdc.appdb.dbo.orders.dlq",
     ]
+    assert cfg.provisioned_topics(dlq_suffix="dead")[1] == "cdc.appdb.dbo.users.dead"
     # sqlserver capture without database is rejected at config time
     with pytest.raises(Exception):
         SourceConfig(
@@ -496,6 +497,14 @@ def test_health_probes(spark, tmp_path, capsys, monkeypatch):
     assert report["status"] == "healthy"
     names = {c["name"] for c in report["components"]}
     assert {"source:path", "sink:a", "dlq"} <= names
+
+    # an existing-but-empty DLQ directory is still healthy (pre-provisioned
+    # or fully drained quarantine)
+    import os as _os
+
+    _os.makedirs(f"{tmp_path}/dlq", exist_ok=True)
+    rep_empty = check_pipeline_health(spark, cfg)
+    assert rep_empty["status"] == "healthy"
 
     # missing source path -> unhealthy aggregate
     bad = cfg.model_copy(deep=True)

@@ -299,3 +299,12 @@ def test_rewrite_zorder_conserves_rows_with_nulls(spark, table):
     assert got.count() == 4
     assert got.filter("v IS NULL").count() == 1
     assert got.filter("w IS NULL").count() == 1
+
+
+def test_rewrite_sorted_all_null_sort_column(spark, table):
+    """Degenerate but legal: an entirely-NULL sort column rewrites as a
+    single group (no duplication, no aborted commit)."""
+    df = spark.createDataFrame([(1, None), (2, None), (3, None)], "id long, v double")
+    table.append(df)
+    table.rewrite_sorted("v", n_groups=4)
+    assert table.read().count() == 3
