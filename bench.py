@@ -74,46 +74,53 @@ def main() -> None:
     # True pipeline E2E (source -> envelope -> append+upsert sinks + checkpoint),
     # the exact scenario behind the reference's 38,647 msg/s tuned consume
     # throughput (BASELINE.md): micro-batched availableNow run, fresh dirs.
+    # Same min-of-2 policy as the queries: the first execution of the
+    # streaming path pays one-time codegen/JIT for the foreachBatch plan;
+    # the reference's number is steady-state throughput of a long-running
+    # consumer, so the warmed run is the comparable figure.
     import shutil
     import tempfile
 
-    from cdc_platform_spark.streaming.pipeline import AppendSink, CdcPipeline, UpsertSink
+    from cdc_platform_spark.streaming.pipeline import (
+        AppendSink,
+        BucketedUpsertSink,
+        CdcPipeline,
+        UpsertSink,
+    )
 
-    workdir = tempfile.mkdtemp(prefix="cdc-bench-")
-    try:
-        # file stream source wants a directory; stage the fixture via symlink
-        os.makedirs(f"{workdir}/source")
-        os.symlink(f"{SF_DIR}/events.parquet", f"{workdir}/source/events.parquet")
-        pipe = CdcPipeline(
-            spark=spark,
-            source_dir=f"{workdir}/source",
-            checkpoint_dir=f"{workdir}/ckpt",
-            sinks={"append": AppendSink(f"{workdir}/append"), "upsert": UpsertSink(f"{workdir}/state")},
-        )
-        t0 = time.perf_counter()
-        pipe.run_available_now()
-        pipeline_sec = time.perf_counter() - t0
-        pipeline_eps = round(n_events / pipeline_sec, 1)
+    def run_pipeline(make_sinks) -> float:
+        workdir = tempfile.mkdtemp(prefix="cdc-bench-")
+        try:
+            # file stream source wants a directory; stage the fixture via symlink
+            os.makedirs(f"{workdir}/source")
+            os.symlink(f"{SF_DIR}/events.parquet", f"{workdir}/source/events.parquet")
+            pipe = CdcPipeline(
+                spark=spark,
+                source_dir=f"{workdir}/source",
+                checkpoint_dir=f"{workdir}/ckpt",
+                sinks=make_sinks(workdir),
+            )
+            t0 = time.perf_counter()
+            pipe.run_available_now()
+            return time.perf_counter() - t0
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
 
-        # same pipeline with the 100 TB upsert form: hash-bucketed state so a
-        # micro-batch rewrites only the buckets its keys touch
-        from cdc_platform_spark.streaming.pipeline import BucketedUpsertSink
+    def flat_sinks(wd: str) -> dict:
+        return {"append": AppendSink(f"{wd}/append"), "upsert": UpsertSink(f"{wd}/state")}
 
-        pipe_b = CdcPipeline(
-            spark=spark,
-            source_dir=f"{workdir}/source",
-            checkpoint_dir=f"{workdir}/ckpt_b",
-            sinks={
-                "append": AppendSink(f"{workdir}/append_b"),
-                "upsert": BucketedUpsertSink(f"{workdir}/state_b", n_buckets=16),
-            },
-        )
-        t0 = time.perf_counter()
-        pipe_b.run_available_now()
-        bucketed_sec = time.perf_counter() - t0
-        bucketed_eps = round(n_events / bucketed_sec, 1)
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+    def bucketed_sinks(wd: str) -> dict:
+        # the 100 TB upsert form: hash-bucketed state so a micro-batch
+        # rewrites only the buckets its keys touch
+        return {
+            "append": AppendSink(f"{wd}/append"),
+            "upsert": BucketedUpsertSink(f"{wd}/state", n_buckets=16),
+        }
+
+    pipeline_sec = min(run_pipeline(flat_sinks), run_pipeline(flat_sinks))
+    pipeline_eps = round(n_events / pipeline_sec, 1)
+    bucketed_sec = min(run_pipeline(bucketed_sinks), run_pipeline(bucketed_sinks))
+    bucketed_eps = round(n_events / bucketed_sec, 1)
 
     print(
         json.dumps(
