@@ -236,6 +236,325 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    category="text",
+    doc=(
+        "Repetition signals (Gopher-style quality filters, Rae et al. 2021 "
+        "§A1.1): top-word fraction, top-bigram fraction, duplicate-bigram "
+        "fraction per document, plus the is_repetitive gate. Computed by "
+        "explode + two-level aggregation — one narrow shuffle on "
+        "(doc_id, term), linear in corpus size (never per-row O(len^2) "
+        "scans, which die on long documents)."
+    ),
+    oracle="""
+        WITH w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+        wc AS (
+            SELECT doc_id, MAX(cnt) AS top_word_cnt, SUM(cnt) AS n_words,
+                   COUNT(*) AS n_distinct_words
+            FROM (SELECT doc_id, word, COUNT(*) AS cnt
+                  FROM (SELECT doc_id, unnest(words) AS word FROM w)
+                  GROUP BY doc_id, word)
+            GROUP BY doc_id
+        ),
+        bc AS (
+            SELECT doc_id, MAX(cnt) AS top_bigram_cnt, SUM(cnt) AS n_bigrams,
+                   COUNT(*) AS n_distinct_bigrams
+            FROM (SELECT doc_id, bigram, COUNT(*) AS cnt
+                  FROM (SELECT doc_id,
+                               unnest(list_transform(range(1, len(words)),
+                                      i -> words[i] || ' ' || words[i+1])) AS bigram
+                        FROM w)
+                  GROUP BY doc_id, bigram)
+            GROUP BY doc_id
+        )
+        SELECT wc.doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(top_word_cnt AS DOUBLE) / n_words AS top_word_fraction,
+               CAST(top_bigram_cnt AS DOUBLE) / n_bigrams AS top_bigram_fraction,
+               CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_fraction,
+               CAST((CAST(top_word_cnt AS DOUBLE) / n_words > 0.125)
+                    OR (CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams > 0.5)
+                    AS BIGINT) AS is_repetitive
+        FROM wc LEFT JOIN bc ON wc.doc_id = bc.doc_id
+        ORDER BY wc.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, "documents", sf_dir))
+    words = F.split(F.col("text"), " ")
+    # guarded: sequence(1, 0) would infer a NEGATIVE step and yield [1, 0]
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select("doc_id", words.alias("words"), bigrams.alias("bigrams"))
+
+    def term_stats(col: str, prefix: str) -> DataFrame:
+        return (
+            base.select("doc_id", F.explode(col).alias("t"))
+            .groupBy("doc_id", "t")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("doc_id")
+            .agg(
+                F.max("cnt").alias(f"top_{prefix}_cnt"),
+                F.sum("cnt").alias(f"n_{prefix}s"),
+                F.count(F.lit(1)).alias(f"n_distinct_{prefix}s"),
+            )
+        )
+
+    out = term_stats("words", "word").join(term_stats("bigrams", "bigram"), "doc_id", "left")
+    top_word_fraction = F.col("top_word_cnt").cast("double") / F.col("n_words")
+    top_bigram_fraction = F.col("top_bigram_cnt").cast("double") / F.col("n_bigrams")
+    dup_bigram_fraction = (
+        (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double") / F.col("n_bigrams")
+    )
+    return (
+        out.select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            top_word_fraction.alias("top_word_fraction"),
+            top_bigram_fraction.alias("top_bigram_fraction"),
+            dup_bigram_fraction.alias("dup_bigram_fraction"),
+            ((top_word_fraction > 0.125) | (dup_bigram_fraction > 0.5))
+            .cast("long")
+            .alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECON_NGRAM = 8  # benchmark-overlap n-gram width (GPT-3/PaLM style decontamination)
+DECON_BENCH_MOD = 97  # synthetic "eval set": doc_id % 97 == 0
+
+_decon_gram_spark_width = DECON_NGRAM - 1
+_decon_gram_duck = " || ' ' || ".join(f"words[i+{j}]" for j in range(DECON_NGRAM)).replace(
+    "words[i+0]", "words[i]"
+)
+_DECON_GRAMS_DUCK = (
+    f"list_distinct(list_transform(range(1, len(words)-{DECON_NGRAM - 2}), i -> {_decon_gram_duck}))"
+)
+
+
+@register(
+    "text_decontaminate",
+    category="text",
+    doc=(
+        f"Train/eval decontamination: word {DECON_NGRAM}-gram overlap of every "
+        f"corpus document against the benchmark partition (doc_id % {DECON_BENCH_MOD} == 0). "
+        "Benchmark grams are a DISTINCT projection of a tiny partition, joined "
+        "broadcast against the corpus gram stream (60-bit md5 keys keep the "
+        "shuffle narrow); the corpus side never self-joins. The contaminated "
+        "flag + ratio drive the drop/keep decision in a real pretraining funnel."
+    ),
+    oracle=f"""
+        WITH w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+        g AS (
+            SELECT doc_id, {ORACLE_MD5_60BIT.format(x="gram")} AS gh
+            FROM (SELECT doc_id, unnest({_DECON_GRAMS_DUCK}) AS gram FROM w)
+        ),
+        bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % {DECON_BENCH_MOD} = 0),
+        hits AS (
+            SELECT c.doc_id, COUNT(*) AS n_hit_grams
+            FROM g c JOIN bench b USING (gh)
+            WHERE c.doc_id % {DECON_BENCH_MOD} <> 0
+            GROUP BY c.doc_id
+        ),
+        base AS (
+            SELECT doc_id, len({_DECON_GRAMS_DUCK}) AS n_grams
+            FROM w WHERE doc_id % {DECON_BENCH_MOD} <> 0
+        )
+        SELECT base.doc_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(COALESCE(n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+               CASE WHEN n_grams > 0
+                    THEN CAST(COALESCE(n_hit_grams, 0) AS DOUBLE) / n_grams END AS contamination_ratio,
+               CAST(COALESCE(n_hit_grams, 0) > 0 AS BIGINT) AS is_contaminated
+        FROM base LEFT JOIN hits USING (doc_id)
+        ORDER BY base.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, "documents", sf_dir))
+    words = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(words) >= DECON_NGRAM,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - _decon_gram_spark_width),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(DECON_NGRAM)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # distinct grams per doc, materialized once (feeds bench set, hit join,
+    # and the per-doc gram counts)
+    g = (
+        d.select("doc_id", F.array_distinct(grams).alias("grams"))
+        .localCheckpoint(eager=False)
+    )
+    exploded = g.select("doc_id", F.explode("grams").alias("gram")).select(
+        "doc_id", md5_60bit(F.col("gram")).alias("gh")
+    )
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    # eval sets are tiny relative to the corpus: broadcast by construction
+    bench = F.broadcast(exploded.filter(is_bench).select("gh").distinct())
+    hits = (
+        exploded.filter(~is_bench)
+        .join(bench, "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    base = g.filter(~is_bench).select("doc_id", F.size("grams").alias("n_grams"))
+    n_hits = F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long")
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            n_hits.alias("n_hit_grams"),
+            F.when(F.col("n_grams") > 0, n_hits.cast("double") / F.col("n_grams")).alias(
+                "contamination_ratio"
+            ),
+            (n_hits > 0).cast("long").alias("is_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# PII patterns: explicit [0-9]/[a-z] classes only, so the Java (Spark) and
+# RE2 (DuckDB) dialects match byte-for-byte.
+PII_EMAIL_RE = r"[a-z0-9]+@[a-z0-9.]+"
+PII_PHONE_RE = r"\+[0-9]-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_scrub",
+    category="text",
+    doc=(
+        "PII scrubbing: regex redaction of emails and phone numbers with "
+        "per-document match accounting. The synthetic corpus carries no PII, "
+        "so a deterministic contact line (derived from doc_id IN BOTH ENGINES) "
+        "is prepended before scrubbing — the operator under test is the "
+        "redaction pipeline itself: pattern counts, replacement, byte-exact "
+        "output (md5-pinned). Pure JVM regexp — whole-stage codegen, no UDF."
+    ),
+    oracle=f"""
+        WITH c AS (
+            SELECT doc_id,
+                   'user' || CAST(doc_id AS VARCHAR) || '@mail.example.com +1-555-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' says: ' || text AS contact
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, contact,
+                   regexp_replace(regexp_replace(contact, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+            FROM c
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(contact, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(contact, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+               CAST(length(contact) - length(redacted) AS BIGINT) AS chars_redacted,
+               md5(redacted) AS redacted_md5
+        FROM r
+        ORDER BY doc_id
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, "documents", sf_dir))
+    contact = F.concat(
+        F.lit("user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" says: "),
+        F.col("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(contact, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.regexp_count(contact, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+            F.regexp_count(contact, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+            (F.length(contact) - F.length(redacted)).cast("long").alias("chars_redacted"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_domain_mix",
+    category="text",
+    doc=(
+        "Data-mixing weights: per (lang, source) domain token totals with "
+        "global token share and cumulative share (largest-first) — the table "
+        "a sampling scheduler consumes to hit a target mixture. One tiny "
+        "aggregate (domains are low-cardinality) after a map-side partial agg "
+        "over the corpus."
+    ),
+    oracle="""
+        WITH tok AS (
+            SELECT lang, source,
+                   CAST(list_sum(list_transform(str_split(text, ' '),
+                        x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS toks
+            FROM documents
+        ),
+        dom AS (
+            SELECT lang, source, COUNT(*) AS n_docs, SUM(toks) AS total_tokens
+            FROM tok GROUP BY lang, source
+        )
+        SELECT lang, source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(total_tokens AS BIGINT) AS total_tokens,
+               CAST(total_tokens AS DOUBLE) / SUM(total_tokens) OVER () AS token_share,
+               CAST(SUM(total_tokens) OVER (ORDER BY total_tokens DESC, lang, source
+                                            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / SUM(total_tokens) OVER () AS cum_share
+        FROM dom
+        ORDER BY total_tokens DESC, lang, source
+    """,
+)
+def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, "documents", sf_dir))
+    words = F.split(F.col("text"), " ")
+    toks = F.aggregate(
+        F.transform(words, lambda w: F.ceil(F.length(w) / 4.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dom = (
+        d.select("lang", "source", toks.alias("toks"))
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("toks").alias("total_tokens"))
+    )
+    w_all = Window.partitionBy()
+    w_cum = (
+        Window.partitionBy()
+        .orderBy(F.col("total_tokens").desc(), "lang", "source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grand = F.sum("total_tokens").over(w_all)
+    return (
+        dom.select(
+            "lang",
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            (F.col("total_tokens").cast("double") / grand).alias("token_share"),
+            (F.sum("total_tokens").over(w_cum).cast("double") / grand).alias("cum_share"),
+        )
+        .orderBy(F.col("total_tokens").desc(), "lang", "source")
+    )
+
+
+@register(
     "text_curation_pipeline",
     category="text",
     doc=(

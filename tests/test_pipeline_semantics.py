@@ -236,3 +236,81 @@ def test_ivf_centroids_are_trained_fixed_point(spark):
     assert moved >= 6  # nearly all cells re-estimated away from their seed
     for c in cents:
         assert all(isinstance(v, int) for v in c["ca"])
+
+
+def test_decontaminate_bench_grams_broadcast(spark):
+    """Scale assertion: the benchmark gram set (tiny eval partition) must be
+    the BROADCAST side of the hit join — the corpus gram stream never
+    shuffles for it."""
+    df = REGISTRY["text_decontaminate"].builder(spark, SF_SMOKE)
+    txt = plan_text(df)
+    assert "BroadcastHashJoin" in txt
+
+
+def test_quantize_int8_no_vector_shuffle(spark):
+    """Scale assertion: int8 quantization broadcasts the single stats row
+    back over the corpus — no sort-merge join, no exchange of the vector
+    side (the only exchanges are the stats aggregate's own tiny reduction)."""
+    df = REGISTRY["sim_quantize_int8"].builder(spark, SF_SMOKE)
+    txt = plan_text(df)
+    assert "SortMergeJoin" not in txt
+    assert "BroadcastNestedLoopJoin" in txt  # 1-row stats cross join
+
+
+def test_quantize_int8_reconstruction_error_bounded(spark):
+    """Dequantized values must sit within half a quantization step of the
+    original on every dimension (the defining property of min/max scalar
+    quantization)."""
+    import math
+
+    rows = (
+        REGISTRY["sim_quantize_int8"].builder(spark, SF_SMOKE).limit(50).collect()
+    )
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .filter("vec_id < 1000")
+        .collect()
+    }
+    from cdc_platform_spark.operators.similarity import DIM
+
+    # recompute the global per-dim min/max the operator trained on
+    all_emb = [
+        r["embedding"] for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    ]
+    mins = [min(v[i] for v in all_emb) for i in range(DIM)]
+    maxs = [max(v[i] for v in all_emb) for i in range(DIM)]
+    for r in rows:
+        x = emb[r["vec_id"]]
+        for i, code in enumerate(r["codes"]):
+            lo, hi = mins[i], maxs[i]
+            if hi <= lo:
+                assert code == 0
+                continue
+            step = (hi - lo) / 255.0
+            recon = lo + (code + 128) * step
+            assert abs(recon - x[i]) <= step / 2 + 1e-9, (r["vec_id"], i)
+            assert -128 <= code <= 127
+
+
+def test_repetition_flags_planted_repetitive_doc(spark, tmp_path):
+    """A planted one-word document must trip the is_repetitive gate; a
+    maximally diverse document must not."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 49 + "spam", "en", "s", 250),
+            (2, " ".join(f"w{i}" for i in range(50)), "en", "s", 250),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+    df = REGISTRY["text_repetition"].builder(spark, str(tmp_path))
+    out = {r["doc_id"]: r for r in df.collect()}
+    assert out[1]["is_repetitive"] == 1
+    assert out[1]["top_word_fraction"] == 1.0
+    assert out[1]["dup_bigram_fraction"] == 48.0 / 49.0  # 49 bigrams, 1 distinct
+    assert out[2]["is_repetitive"] == 0
+    assert out[2]["dup_bigram_fraction"] == 0.0
