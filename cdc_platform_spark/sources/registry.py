@@ -69,14 +69,28 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # aggregates — runs at full width instead of the fixture's 1-3
         # row-group splits.
         df = spread(df)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        # Integer division: epoch-ns (~1.7e18) exceeds double's 2^53 exact range,
-        # so `floor(ts / 1000)` would be off by up to 1us.
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # Parquet TIMESTAMP(NANOS) under nanosAsLong. Integer division:
+            # epoch-ns (~1.7e18) exceeds double's 2^53 exact range, so
+            # `floor(ts / 1000)` would be off by up to 1us.
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type is not None and ts_type.startswith("timestamp"):
+            # Parquet TIMESTAMP(MICROS/MILLIS), possibly NTZ: normalize to
+            # plain TIMESTAMP (the session timezone is UTC — session.py —
+            # so the NTZ->TZ cast interprets the naive value as UTC,
+            # matching DuckDB's naive-as-UTC epoch semantics) and derive
+            # the integer order/hash key (DuckDB epoch_ns(ts) equivalent —
+            # micros * 1000, exact in int64). Downstream consumers
+            # (watermarks, unix_timestamp, window()) expect TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+                "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
+            )
     return df
 
 

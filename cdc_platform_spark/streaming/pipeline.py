@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
 )
 
 from cdc_platform_spark.streaming.topics import cdc_topic
@@ -51,6 +51,10 @@ def to_envelope(df: DataFrame, topic: str = CDC_TOPIC, n_partitions: int = 8) ->
     ts = F.col("ts")
     if dict(df.dtypes).get("ts") == "bigint":
         ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        # TIMESTAMP_NTZ parquet reads: normalize to TIMESTAMP (session tz is
+        # UTC, so the cast is instant-preserving); watermarks require it.
+        ts = ts.cast("timestamp")
     return df.select(
         F.col("event_id").alias("seq"),
         F.lit(topic).alias("topic"),

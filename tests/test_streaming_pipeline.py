@@ -157,7 +157,7 @@ def test_streaming_windows_match_batch(spark, workdir):
         return write
 
     stream = spark.readStream.schema(
-        "event_id long, ts long, user_id long, event_type string, value double, props string"
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
     ).parquet(src)
     env = to_envelope(stream)
 
@@ -241,7 +241,7 @@ def test_stream_stream_interval_join(spark, workdir):
     (purchases joined to clicks within the preceding hour) — final result
     equals the batch interval join over the same fixture."""
     src = _stage_source(spark, workdir)
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
 
     def prepared(df, side):
         env = to_envelope(df)
@@ -535,7 +535,7 @@ def test_kafka_shaped_stream_end_to_end(spark, workdir):
             F.to_json(
                 F.struct(
                     F.col("op"),
-                    F.expr("ts div 1000000").alias("ts_ms"),
+                    F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
                     F.when(F.col("op") != "c", row(F.col("prev_value"))).alias("before"),
                     F.when(F.col("op") != "d", row(F.col("value"))).alias("after"),
                     F.struct(

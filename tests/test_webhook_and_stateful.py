@@ -75,7 +75,7 @@ def test_stateful_running_stats_accumulates_across_batches(spark, tmp_path):
     src = f"{tmp_path}/src"
     spark.read.parquet(f"{SF_SMOKE}/events.parquet").repartition(4).write.parquet(src)
     stream = spark.readStream.schema(
-        "event_id long, ts long, user_id long, event_type string, value double, props string"
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
     ).option("maxFilesPerTrigger", 1).parquet(src)
     out: list = []
     q = (
