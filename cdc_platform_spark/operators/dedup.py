@@ -763,3 +763,98 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
         .orderBy("doc_id")
     )
+
+
+# --- cross-document duplicated-span detection ------------------------------
+SPAN_NGRAM = 5  # word-window width for span fingerprints
+SPAN_FLAG_THRESHOLD = 0.5  # flag docs where > half their spans are shared
+
+_span_gram_duck = " || ' ' || ".join(f"words[i+{j}]" for j in range(SPAN_NGRAM)).replace(
+    "words[i+0]", "words[i]"
+)
+_SPAN_GRAMS_DUCK = (
+    f"list_distinct(list_transform(range(1, len(words)-{SPAN_NGRAM - 2}), i -> {_span_gram_duck}))"
+)
+
+
+@register(
+    "dedup_span_ngram",
+    category="dedup",
+    doc=(
+        f"Cross-document duplicated-span detection (ExactSubstr-style, word "
+        f"{SPAN_NGRAM}-gram granularity — the MassiveText/RefinedWeb signal "
+        "for boilerplate and template reuse ACROSS documents, complementing "
+        "text_repetition's within-document signal): per document, the "
+        "fraction of its distinct spans that also occur in at least one "
+        "other document. Span keys are 60-bit md5 fingerprints (narrow "
+        "shuffle column); the document-frequency table shrinks to ONLY the "
+        "df>=2 spans before joining back, so the hit join's build side is "
+        "the duplicated subset, not the whole gram vocabulary. One gram-key "
+        "shuffle for df + one join-back on the same key (exchange reuse), "
+        "linear in corpus gram count — never a doc-to-doc self-join."
+    ),
+    oracle=f"""
+        WITH w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+        g AS (
+            SELECT doc_id, {ORACLE_MD5_60BIT.format(x="gram")} AS gh
+            FROM (SELECT doc_id, unnest({_SPAN_GRAMS_DUCK}) AS gram FROM w)
+        ),
+        dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+        hits AS (
+            SELECT g.doc_id, COUNT(*) AS n_shared_spans
+            FROM g JOIN dup USING (gh) GROUP BY g.doc_id
+        ),
+        base AS (SELECT doc_id, len({_SPAN_GRAMS_DUCK}) AS n_spans FROM w WHERE len(words) >= {SPAN_NGRAM})
+        SELECT base.doc_id,
+               CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(COALESCE(n_shared_spans, 0) AS BIGINT) AS n_shared_spans,
+               CAST(COALESCE(n_shared_spans, 0) AS DOUBLE) / n_spans AS shared_fraction,
+               CAST(CAST(COALESCE(n_shared_spans, 0) AS DOUBLE) / n_spans > {SPAN_FLAG_THRESHOLD}
+                    AS BIGINT) AS is_flagged
+        FROM base LEFT JOIN hits USING (doc_id)
+        ORDER BY base.doc_id
+    """,
+)
+def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.functions import spread
+
+    d = spread(load_table(spark, "documents", sf_dir))
+    words = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(words) >= SPAN_NGRAM,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (SPAN_NGRAM - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(SPAN_NGRAM)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        d.filter(F.size(words) >= SPAN_NGRAM)
+        .select("doc_id", F.array_distinct(grams).alias("grams"))
+        .localCheckpoint(eager=False)
+    )
+    exploded = g.select("doc_id", F.explode("grams").alias("gram")).select(
+        "doc_id", md5_60bit(F.col("gram")).alias("gh")
+    )
+    # df >= 2 spans only: the duplicated subset is what joins back (at real
+    # corpus scale the unique-span long tail — most of the vocabulary —
+    # never enters the join).
+    dup = exploded.groupBy("gh").agg(F.count(F.lit(1)).alias("df")).filter("df >= 2").select("gh")
+    hits = exploded.join(dup, "gh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared_spans")
+    )
+    n_shared = F.coalesce(F.col("n_shared_spans"), F.lit(0)).cast("long")
+    shared_fraction = n_shared.cast("double") / F.col("n_spans")
+    return (
+        g.select("doc_id", F.size("grams").cast("long").alias("n_spans"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            n_shared.alias("n_shared_spans"),
+            shared_fraction.alias("shared_fraction"),
+            (shared_fraction > SPAN_FLAG_THRESHOLD).cast("long").alias("is_flagged"),
+        )
+        .orderBy("doc_id")
+    )

@@ -484,3 +484,178 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("code_sum", code_sum)
         .orderBy("vec_id")
     )
+
+
+# --- product quantization --------------------------------------------------
+PQ_SUBS = 8  # subspaces (64-dim vector -> 8 x 8-dim subvectors)
+PQ_SUBDIM = DIM // PQ_SUBS
+PQ_K = 8  # codewords per subspace
+PQ_ITERS = 2  # unrolled Lloyd iterations per subspace (mirrored in oracle)
+
+
+def _pq_train_ctes(iters: int) -> tuple[str, str]:
+    """Unrolled per-subspace Lloyd CTE chain for the PQ oracle.
+
+    Identical recipe to the IVF oracle but grouped by (sub, cent_id) and
+    with exact-integer L2 distance instead of cosine: assign each subvector
+    to its min-distance codeword, re-estimate codewords as element-wise
+    ROUND(mean) in BIGINT micro-units (both engines round half away from
+    zero), empty cells keep their previous codeword."""
+    ctes = "pc0 AS (SELECT s.sub, c.cent_id, s.j, s.v AS cv FROM su s JOIN cents c ON s.vec_id = c.cent_id)"
+    prev = "pc0"
+    for k in range(1, iters + 1):
+        ctes += f""",
+        pd{k} AS (
+            SELECT s.vec_id, s.sub, c.cent_id, SUM((s.v - c.cv) * (s.v - c.cv)) AS d
+            FROM su s JOIN {prev} c ON s.sub = c.sub AND s.j = c.j
+            GROUP BY s.vec_id, s.sub, c.cent_id
+        ),
+        pa{k} AS (
+            SELECT vec_id, sub, cent_id FROM (
+                SELECT vec_id, sub, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cent_id) AS rn
+                FROM pd{k}) WHERE rn = 1
+        ),
+        pn{k} AS (
+            SELECT a.sub, a.cent_id, s.j, CAST(ROUND(SUM(s.v) * 1.0 / COUNT(*)) AS BIGINT) AS cv
+            FROM pa{k} a JOIN su s ON s.vec_id = a.vec_id AND s.sub = a.sub
+            GROUP BY a.sub, a.cent_id, s.j
+        ),
+        pc{k} AS (
+            SELECT sub, cent_id, j, cv FROM pn{k}
+            UNION ALL
+            SELECT c.sub, c.cent_id, c.j, c.cv FROM {prev} c
+            WHERE NOT EXISTS (SELECT 1 FROM pn{k} n WHERE n.sub = c.sub AND n.cent_id = c.cent_id)
+        )"""
+        prev = f"pc{k}"
+    return ctes, prev
+
+
+_PQ_TRAIN_CTES, _PQ_FINAL = _pq_train_ctes(PQ_ITERS)
+
+
+def _l2_long(a, b):
+    """Exact integer squared L2 distance (array-native)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+@register(
+    "sim_quantize_pq",
+    category="similarity",
+    doc=(
+        f"Product quantization (Jegou et al., TPAMI 2011 — the memory-bound "
+        f"ANN workhorse): the {DIM}-dim vector splits into {PQ_SUBS} "
+        f"subvectors of {PQ_SUBDIM} dims; each subspace trains its own "
+        f"{PQ_K}-codeword codebook by {PQ_ITERS} Lloyd iterations in exact "
+        "fixed-point (integer L2, ROUND(mean) micro-unit re-estimation — "
+        "cross-engine bit-identical), then every subvector encodes as its "
+        f"min-distance code: {PQ_SUBS} bytes per vector instead of "
+        f"{DIM}x4 float bytes. All subspaces train CONCURRENTLY in one "
+        "plan — (sub, cent_id) is just a composite grouping key, so each "
+        "Lloyd round is ONE shuffle whose reduce state is subs x K x "
+        "subdim integers; codebooks stay broadcast-size at any corpus "
+        "scale and the encode pass is embarrassingly parallel (no shuffle "
+        "of the vector side)."
+    ),
+    oracle=f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        su AS (SELECT vec_id, CAST((i - 1) // {PQ_SUBDIM} AS BIGINT) AS sub,
+                      CAST((i - 1) % {PQ_SUBDIM} AS BIGINT) AS j, v
+               FROM u),
+        cents AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {PQ_K}
+        ),
+        {_PQ_TRAIN_CTES},
+        fd AS (
+            SELECT s.vec_id, s.sub, c.cent_id, SUM((s.v - c.cv) * (s.v - c.cv)) AS d
+            FROM su s JOIN {_PQ_FINAL} c ON s.sub = c.sub AND s.j = c.j
+            GROUP BY s.vec_id, s.sub, c.cent_id
+        ),
+        enc AS (
+            SELECT vec_id, sub, cent_id, d FROM (
+                SELECT vec_id, sub, cent_id, d,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cent_id) AS rn
+                FROM fd) WHERE rn = 1
+        ),
+        ranks AS (
+            SELECT cent_id, ROW_NUMBER() OVER (ORDER BY cent_id) - 1 AS code FROM cents
+        )
+        SELECT enc.vec_id, CAST(enc.sub AS BIGINT) AS sub_id,
+               CAST(ranks.code AS BIGINT) AS code,
+               CAST(enc.d AS BIGINT) AS sq_err
+        FROM enc JOIN ranks ON enc.cent_id = ranks.cent_id
+        ORDER BY enc.vec_id, sub_id
+    """,
+)
+def sim_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", fixed_point(F.col("embedding")).alias("a")
+    )
+    subvecs = (
+        e.select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(PQ_SUBS - 1)),
+                    lambda s: F.slice(F.col("a"), s * PQ_SUBDIM + 1, PQ_SUBDIM),
+                )
+            ).alias("sub", "sa"),
+        )
+        .withColumn("sub", F.col("sub").cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    # Deterministic md5-ordered seeds, shared by every subspace.
+    seeds = (
+        e.orderBy(md5_60bit(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("cent_id"))
+    )
+    cents = (
+        subvecs.join(seeds, subvecs.vec_id == seeds.cent_id)
+        .select("sub", "cent_id", F.col("sa").alias("ca"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(PQ_ITERS):
+        pairs = subvecs.join(F.broadcast(cents), "sub").select(
+            "vec_id", "sub", "cent_id", _l2_long(F.col("sa"), F.col("ca")).alias("d")
+        )
+        # argmin as a map-side-combinable min_by (ties -> smallest cent_id)
+        assign = pairs.groupBy("vec_id", "sub").agg(
+            F.min_by("cent_id", F.struct("d", "cent_id")).alias("cent_id")
+        )
+        members = assign.join(subvecs, ["vec_id", "sub"]).select(
+            "sub", "cent_id", F.posexplode("sa").alias("j", "v")
+        )
+        newc = (
+            members.groupBy("sub", "cent_id", "j")
+            .agg(F.round(F.sum("v") * F.lit(1.0) / F.count(F.lit(1))).cast("long").alias("cv"))
+            .groupBy("sub", "cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "cv"))), lambda x: x["cv"]
+                ).alias("ca")
+            )
+        )
+        missing = cents.join(newc.select("sub", "cent_id"), ["sub", "cent_id"], "left_anti")
+        cents = newc.unionByName(missing).localCheckpoint(eager=True)
+    ranks = seeds.withColumn(
+        "code",
+        (F.row_number().over(Window.orderBy("cent_id")) - 1).cast("long"),
+    )
+    best = (
+        subvecs.join(F.broadcast(cents), "sub")
+        .select("vec_id", "sub", "cent_id", _l2_long(F.col("sa"), F.col("ca")).alias("d"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min_by(F.struct("cent_id", "d"), F.struct("d", "cent_id")).alias("best"))
+    )
+    return (
+        best.select("vec_id", F.col("sub").alias("sub_id"), F.col("best.cent_id").alias("cent_id"), F.col("best.d").alias("sq_err"))
+        .join(F.broadcast(ranks), "cent_id")
+        .select("vec_id", "sub_id", "code", F.col("sq_err").cast("long").alias("sq_err"))
+        .orderBy("vec_id", "sub_id")
+    )

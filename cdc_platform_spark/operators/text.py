@@ -623,3 +623,75 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+SHARD_TOKEN_BUDGET = 2000  # whitespace tokens per output shard
+
+
+@register(
+    "text_shard_pack",
+    category="text",
+    doc=(
+        f"Token-budget shard packing: assign documents (in deterministic "
+        f"doc_id order) to consecutive shards of ~{SHARD_TOKEN_BUDGET} "
+        "whitespace tokens each — the write-side layout step of a training "
+        "run (fixed-size shard files, stable doc order). Implemented as a "
+        "TWO-PASS DISTRIBUTED PREFIX SUM, not a global single-partition "
+        "window: pass 1 range-partitions on doc_id and reduces each "
+        "partition to one token total (a #partitions-row side table); the "
+        "exclusive per-partition offsets from that tiny table broadcast "
+        "back, and pass 2 adds a partition-local running sum. Shard id = "
+        "global starting offset div budget. At 100 TB the only full-data "
+        "exchange is the range partitioning; the cross-partition dependency "
+        "is the #partitions-row offset table (driver-side math on bounded "
+        "metadata, same class as zipWithIndex's offset collection)."
+    ),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, len(str_split(text, ' ')) AS n_tokens FROM documents
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) // {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard_id
+        FROM t
+        ORDER BY doc_id
+    """,
+)
+def text_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
+    # Materialize the range partitioning once so both passes see the SAME
+    # partition boundaries (range sampling is deterministic per input, but
+    # pinning it removes any recompute hazard).
+    parted = (
+        d.repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # Pass 1: one row per partition -> exclusive prefix offsets. The window
+    # runs over #partitions rows (bounded metadata), not the data.
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parted.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("ptotal"))
+        .withColumn("poffset", F.coalesce(F.sum("ptotal").over(w_off), F.lit(0)))
+        .select("pid", "poffset")
+    )
+    # Pass 2: partition-local exclusive running sum + broadcast offset join.
+    w_loc = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        parted.withColumn("local_prefix", F.coalesce(F.sum("n_tokens").over(w_loc), F.lit(0)))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"(poffset + local_prefix) div {SHARD_TOKEN_BUDGET}").alias("shard_id"),
+        )
+        .orderBy("doc_id")
+    )
