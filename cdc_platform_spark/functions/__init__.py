@@ -69,3 +69,46 @@ def spread(df, min_factor: int = 2):
     if df.rdd.getNumPartitions() < target // min_factor:
         return df.repartition(target)
     return df
+
+
+def distributed_prefix_sum(df, order_col: str, value_col: str, out_col: str = "prefix"):
+    """EXCLUSIVE running sum of ``value_col`` in ``order_col`` order, the
+    scale-safe way: range-partition on the order column (materialized once so
+    both passes share identical boundaries), reduce each partition to ONE
+    total, window the #partitions-row totals table for exclusive offsets,
+    broadcast back, add the partition-local running sum.
+
+    The naive ``Window.orderBy(order_col)`` with no partitioning funnels the
+    whole dataset through a single task; here the only full-data exchange is
+    the range partitioning and the cross-partition dependency is bounded
+    metadata (the same class as zipWithIndex's offset collection).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F  # noqa: N812 (local: avoid cycle at import)
+
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
+    parted = (
+        df.repartitionByRange(n_parts, order_col)
+        .sortWithinPartitions(order_col)
+        .withColumn("_psum_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_off = Window.orderBy("_psum_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parted.groupBy("_psum_pid")
+        .agg(F.sum(value_col).alias("_psum_total"))
+        .withColumn("_psum_offset", F.coalesce(F.sum("_psum_total").over(w_off), F.lit(0)))
+        .select("_psum_pid", "_psum_offset")
+    )
+    w_loc = (
+        Window.partitionBy("_psum_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        parted.withColumn("_psum_local", F.coalesce(F.sum(value_col).over(w_loc), F.lit(0)))
+        .join(F.broadcast(offsets), "_psum_pid")
+        .withColumn(out_col, F.col("_psum_offset") + F.col("_psum_local"))
+        .drop("_psum_pid", "_psum_local", "_psum_offset")
+    )

@@ -659,39 +659,100 @@ SHARD_TOKEN_BUDGET = 2000  # whitespace tokens per output shard
     """,
 )
 def text_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from cdc_platform_spark.functions import distributed_prefix_sum
 
     d = load_table(spark, "documents", sf_dir).select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
     )
-    n_parts = max(spark.sparkContext.defaultParallelism, 2)
-    # Materialize the range partitioning once so both passes see the SAME
-    # partition boundaries (range sampling is deterministic per input, but
-    # pinning it removes any recompute hazard).
-    parted = (
-        d.repartitionByRange(n_parts, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    # Pass 1: one row per partition -> exclusive prefix offsets. The window
-    # runs over #partitions rows (bounded metadata), not the data.
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        parted.groupBy("pid")
-        .agg(F.sum("n_tokens").alias("ptotal"))
-        .withColumn("poffset", F.coalesce(F.sum("ptotal").over(w_off), F.lit(0)))
-        .select("pid", "poffset")
-    )
-    # Pass 2: partition-local exclusive running sum + broadcast offset join.
-    w_loc = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     return (
-        parted.withColumn("local_prefix", F.coalesce(F.sum("n_tokens").over(w_loc), F.lit(0)))
-        .join(F.broadcast(offsets), "pid")
+        distributed_prefix_sum(d, "doc_id", "n_tokens", out_col="start")
         .select(
             "doc_id",
             "n_tokens",
-            F.expr(f"(poffset + local_prefix) div {SHARD_TOKEN_BUDGET}").alias("shard_id"),
+            F.expr(f"start div {SHARD_TOKEN_BUDGET}").alias("shard_id"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_export_shards",
+    category="text",
+    doc=(
+        "The full training-data EXPORT composite — what a pretraining run "
+        "actually consumes: quality filter (length, distinct-ratio) -> "
+        "exact dedup (canonical doc per content hash) -> token-budget shard "
+        "assignment over the SURVIVORS (distributed prefix sum, see "
+        "text_shard_pack) -> per-shard manifest (doc count, token total, "
+        "doc_id range). One declarative plan end to end: the funnel stages "
+        "are filters/windows feeding the prefix sum; the manifest is a "
+        "map-side-combinable aggregate on shard_id. At 100 TB the shard "
+        "manifest IS the training job's input list."
+    ),
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, md5(text) AS content_md5,
+                   len(str_split(text, ' ')) AS n_tokens,
+                   CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                       / len(str_split(text, ' ')) AS distinct_ratio
+            FROM documents
+        ),
+        quality AS (
+            SELECT * FROM scored WHERE n_tokens >= 20 AND distinct_ratio >= 0.15
+        ),
+        canonical AS (
+            SELECT doc_id, n_tokens FROM (
+                SELECT doc_id, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+                FROM quality) WHERE rn = 1
+        ),
+        packed AS (
+            SELECT doc_id, n_tokens,
+                   (SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens) // {SHARD_TOKEN_BUDGET} AS shard_id
+            FROM canonical
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               MIN(doc_id) AS first_doc_id,
+               MAX(doc_id) AS last_doc_id
+        FROM packed
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
+)
+def text_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cdc_platform_spark.functions import distributed_prefix_sum
+
+    d = spread(load_table(spark, "documents", sf_dir))
+    words = F.split(F.col("text"), " ")
+    scored = d.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.size(words).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("distinct_ratio"),
+    )
+    quality = scored.filter((F.col("n_tokens") >= 20) & (F.col("distinct_ratio") >= 0.15))
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    canonical = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", "n_tokens")
+    )
+    packed = distributed_prefix_sum(canonical, "doc_id", "n_tokens", out_col="start").select(
+        "doc_id", "n_tokens", F.expr(f"start div {SHARD_TOKEN_BUDGET}").alias("shard_id")
+    )
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("shard_id")
     )
