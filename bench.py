@@ -40,6 +40,9 @@ HEADLINE = [
     "mm_decode_metadata",
     "q51_shipping_priority",
     "q53_region_share",
+    "dedup_span_ngram",
+    "sim_quantize_pq",
+    "text_export_shards",
 ]
 
 

@@ -376,3 +376,36 @@ def test_pq_codes_shape_and_encode_is_broadcast(spark):
         assert r["sq_err"] >= 0
         seen_codes.add(r["code"])
     assert len(seen_codes) > 1  # codebook actually partitions the space
+
+
+def test_distributed_prefix_sum_property(spark):
+    """Property: the two-pass distributed prefix sum equals the sequential
+    exclusive cumsum for arbitrary (key, value) data, regardless of how the
+    range partitioner splits it."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cdc_platform_spark.functions import distributed_prefix_sum
+
+    @given(
+        vals=st.lists(st.integers(0, 1000), min_size=1, max_size=120),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    def check(vals):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "k long, v long"
+        ).repartition(7)  # deliberately scrambled input partitioning
+        got = {
+            r["k"]: r["prefix"]
+            for r in distributed_prefix_sum(df, "k", "v").collect()
+        }
+        cum = 0
+        for i, v in enumerate(vals):
+            assert got[i] == cum, (i, got[i], cum)
+            cum += v
+
+    check()
