@@ -612,3 +612,148 @@ def q77_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct(F.col("l_orderkey")).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_suppkey")
     )
+
+
+@register(
+    "q78_important_parts",
+    category="composite",
+    doc=(
+        "TPC-H Q11-shaped: revenue per part supplied out of one nation, "
+        "keeping parts whose share exceeds 1/1000 of that nation's total — "
+        "the scalar-aggregate-threshold shape. The global total is a 1-row "
+        "broadcast; the share test is exact-integer (value*1000 > total, no "
+        "decimal-fraction dialect drift). At scale: one shuffle on l_partkey "
+        "for the per-part aggregate; supplier/nation arms broadcast."
+    ),
+    oracle=f"""
+        WITH rev AS (
+            SELECT l.l_partkey,
+                   SUM({ORACLE_REVENUE}) AS value
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n   ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name = 'NATION_3'
+            GROUP BY l.l_partkey
+        ),
+        total AS (SELECT SUM(value) AS total_value FROM rev)
+        SELECT r.l_partkey, CAST(r.value AS DOUBLE) AS value
+        FROM rev r, total t
+        WHERE r.value * 1000 > t.total_value
+        ORDER BY value DESC, l_partkey
+    """,
+)
+def q78_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, "lineitem", sf_dir)
+    s = _t(spark, "supplier", sf_dir)
+    n = _t(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_3")
+    rev = (
+        l.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+               l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(revenue()).alias("value"))
+    )
+    total = rev.agg(F.sum("value").alias("total_value"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 1000 > F.col("total_value"))
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q79_supplier_part_counts",
+    category="composite",
+    doc=(
+        "TPC-H Q16-shaped: distinct supplier counts per (brand, size) for "
+        "non-excluded parts, with the complaint-supplier NOT IN subquery "
+        "expressed as a broadcast left-anti join (fixtures carry no comment "
+        "strings; low account balance plays the complaint role). "
+        "COUNT(DISTINCT) partially aggregates map-side on (brand, size, "
+        "suppkey) before the final exchange."
+    ),
+    oracle="""
+        SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type <> 'PROMO'
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000
+          )
+        GROUP BY p.p_brand, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p_size
+    """,
+)
+def q79_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, "lineitem", sf_dir)
+    p = _t(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    )
+    bad = _t(spark, "supplier", sf_dir).filter(F.col("s_acctbal") < 2000).select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+@register(
+    "q80_excess_shippers",
+    category="composite",
+    doc=(
+        "TPC-H Q20-shaped: suppliers who shipped more than 1.5x the "
+        "per-part average of selected parts in a date window — the nested "
+        "IN-chain (parts -> per-(supplier,part) quantity -> correlated "
+        "threshold -> supplier list) decorrelated into two aggregation "
+        "levels joined back on the part key (exchange reuse: both "
+        "aggregates and the join hash on l_partkey). Threshold compares "
+        "exact cross-multiplied decimals (qty*n*2 > total*3), no division."
+    ),
+    oracle="""
+        WITH sp AS (
+            SELECT l.l_suppkey, l.l_partkey,
+                   SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_name LIKE '%widget' AND l.l_shipdate >= DATE '1999-01-01'
+            GROUP BY l.l_suppkey, l.l_partkey
+        ),
+        pa AS (
+            SELECT l_partkey, SUM(qty) AS total_qty, COUNT(*) AS n_sup
+            FROM sp GROUP BY l_partkey
+        )
+        SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+        FROM sp
+        JOIN pa ON pa.l_partkey = sp.l_partkey
+        JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE sp.qty * pa.n_sup * 2 > pa.total_qty * 3
+        ORDER BY s.s_suppkey
+    """,
+)
+def q80_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") >= "1999-01-01")
+    p = _t(spark, "part", sf_dir).filter(F.col("p_name").like("%widget")).select("p_partkey")
+    s = _t(spark, "supplier", sf_dir)
+    n = _t(spark, "nation", sf_dir)
+    sp = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(money("l_quantity")).alias("qty"))
+    )
+    pa = sp.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.sum("qty").alias("total_qty"), F.count(F.lit(1)).alias("n_sup")
+    )
+    return (
+        sp.join(pa, sp.l_partkey == pa.pa_partkey)
+        .filter(F.col("qty") * F.col("n_sup") * 2 > F.col("total_qty") * 3)
+        .join(F.broadcast(s), sp.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
