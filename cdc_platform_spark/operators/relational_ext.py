@@ -903,3 +903,71 @@ def q73_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q81_regression_funcs",
+    category="aggregate",
+    doc=(
+        "Linear-regression aggregate family (REGR_SLOPE / REGR_INTERCEPT / "
+        "REGR_R2 semantics): discount regressed on quantity per return "
+        "flag, computed from exact decimal power sums (Sx, Sy, Sxx, Syy, "
+        "Sxy) — the map-side-combinable form (one shuffle, reduce state = 5 "
+        "decimals + a count per group). Never Spark's order-dependent "
+        "streaming covariance. Inputs are 2-dp bounded columns, so every "
+        "power sum is exactly double-representable (< 2^53 in fixed-point "
+        "units even at 100 TB row counts) and the final slope/intercept/r2 "
+        "double arithmetic — identical expression shape on both engines — "
+        "is bit-reproducible. (Unbounded-magnitude inputs like "
+        "extendedprice^2 sums exceed 53 bits and the decimal->double cast "
+        "itself becomes the nondeterminism; see q47 for the raw-sums form.)"
+    ),
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+               ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+        FROM s
+        ORDER BY l_returnflag
+    """,
+)
+def q81_regression_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, "lineitem", sf_dir)
+    x = money("l_quantity")
+    y = money("l_discount")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (
+        s.select(
+            "l_returnflag",
+            "n",
+            slope.alias("slope"),
+            ((sy - slope * sx) / n).alias("intercept"),
+            (
+                ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+            ).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
