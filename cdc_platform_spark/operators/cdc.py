@@ -454,7 +454,11 @@ def q51_avro_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["topic", "partition", "offset", "key", "value"])
 
-    frames = staged.mapInPandas(
+    # The window exchange upstream is AQE-coalesced to a couple of
+    # partitions (the shuffled bytes are tiny) — but the NEXT stage is the
+    # compute-bound Python codec, which must run at full width. An explicit
+    # round-robin repartition pins the parallelism AQE can't see it needs.
+    frames = staged.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
         encode_batches, schema="topic string, partition int, offset long, key binary, value binary"
     )
     parsed = parse_debezium_avro(frames, confluent_wire=True)
