@@ -290,7 +290,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = d.select("doc_id", words.alias("words"), bigrams.alias("bigrams"))
+    # Materialized once: both term-stats branches explode from this, and
+    # re-deriving it means re-running the split + 2-wide concat over every
+    # document per branch (the dominant compute at corpus scale).
+    base = d.select("doc_id", words.alias("words"), bigrams.alias("bigrams")).localCheckpoint(
+        eager=False
+    )
 
     def term_stats(col: str, prefix: str) -> DataFrame:
         return (
