@@ -88,6 +88,13 @@ def test_dedup_exact_is_partition_of_docs(spark):
         ("q02_filter_predicates", "PushedFilters: ["),
         # aggregation must have a map-side partial phase
         ("q10_agg_pricing_summary", "partial_sum"),
+        # Q11-shape: the nation-filtered supplier arm broadcasts; the scalar
+        # total is a 1-row broadcast nested-loop, never a shuffle
+        ("q78_important_parts", "BroadcastNestedLoopJoin"),
+        # Q16-shape: the complaint NOT IN compiles to a broadcast anti join
+        ("q79_supplier_part_counts", "BroadcastHashJoin LeftAnti"),
+        # regression family: exact sums partially aggregate map-side
+        ("q81_regression_funcs", "partial_sum"),
     ],
 )
 def test_plan_shape(spark, name, fragment):
