@@ -72,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
     p_sort.add_argument("--sort-by", required=True)
     p_sort.add_argument("--n-groups", type=int, default=4)
 
+    p_export = sub.add_parser(
+        "export", help="materialize the curated corpus as token-budget training shards"
+    )
+    p_export.add_argument("--sf-dir", required=True, help="fixture directory (documents.parquet)")
+    p_export.add_argument("--out", required=True, help="output root (parquet, partitioned by shard)")
+
     p_z = sub.add_parser("rewrite-zorder", help="z-order-cluster the table on multiple columns")
     p_z.add_argument("table_root")
     p_z.add_argument("--columns", required=True, help="comma-separated column list")
@@ -120,6 +126,24 @@ def main(argv: list[str] | None = None) -> int:
         report = check_pipeline_health(spark, cfg)
         print(json.dumps(report))
         return 0 if report["status"] == "healthy" else 1
+
+    if args.cmd == "export":
+        # the training-data write path: curation funnel -> shard assignment
+        # (text_export_shards' plan) -> one parquet directory PER SHARD
+        # (partitionBy) so a training job reads fixed-size token buckets.
+        # Shard count scales with corpus tokens; each output task writes only
+        # its own shard partitions.
+        from cdc_platform_spark.operators import load_all
+        from cdc_platform_spark.operators.text import curated_packed_docs
+
+        registry = load_all()
+        curated_packed_docs(spark, args.sf_dir).write.mode("overwrite").partitionBy(
+            "shard_id"
+        ).parquet(args.out)
+        manifest = registry["text_export_shards"].builder(spark, args.sf_dir)
+        out = [r.asDict() for r in manifest.collect()]
+        print(json.dumps({"shards": len(out), "manifest": out}, default=str))
+        return 0
 
     if args.cmd == "consume":
         # decode + print the head of the source stream (reference `cdc

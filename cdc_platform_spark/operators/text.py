@@ -680,6 +680,35 @@ def text_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curated_packed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shard assignments for the CURATED corpus — the write-side
+    dataframe behind ``text_export_shards`` (the CLI ``export`` verb writes
+    exactly this, partitioned by shard_id)."""
+    from pyspark.sql import Window
+
+    from cdc_platform_spark.functions import distributed_prefix_sum
+
+    d = spread(load_table(spark, "documents", sf_dir))
+    words = F.split(F.col("text"), " ")
+    scored = d.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.size(words).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("distinct_ratio"),
+    )
+    quality = scored.filter((F.col("n_tokens") >= 20) & (F.col("distinct_ratio") >= 0.15))
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    canonical = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", "n_tokens")
+    )
+    return distributed_prefix_sum(canonical, "doc_id", "n_tokens", out_col="start").select(
+        "doc_id", "n_tokens", F.expr(f"start div {SHARD_TOKEN_BUDGET}").alias("shard_id")
+    )
+
+
+
 @register(
     "text_export_shards",
     category="text",
@@ -729,30 +758,9 @@ def text_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from cdc_platform_spark.functions import distributed_prefix_sum
-
-    d = spread(load_table(spark, "documents", sf_dir))
-    words = F.split(F.col("text"), " ")
-    scored = d.select(
-        "doc_id",
-        F.md5("text").alias("content_md5"),
-        F.size(words).cast("long").alias("n_tokens"),
-        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("distinct_ratio"),
-    )
-    quality = scored.filter((F.col("n_tokens") >= 20) & (F.col("distinct_ratio") >= 0.15))
-    w = Window.partitionBy("content_md5").orderBy("doc_id")
-    canonical = (
-        quality.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("doc_id", "n_tokens")
-    )
-    packed = distributed_prefix_sum(canonical, "doc_id", "n_tokens", out_col="start").select(
-        "doc_id", "n_tokens", F.expr(f"start div {SHARD_TOKEN_BUDGET}").alias("shard_id")
-    )
     return (
-        packed.groupBy("shard_id")
+        curated_packed_docs(spark, sf_dir)
+        .groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("total_tokens"),

@@ -546,3 +546,23 @@ sinks:
     assert main(["health", str(y)]) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["status"] == "healthy"
+
+
+def test_cli_export_writes_shard_partitions(spark, tmp_path, capsys):
+    """`cdc-spark export` writes the curated corpus partitioned by shard_id
+    and prints the per-shard manifest; written partitions must agree with
+    the manifest's doc counts."""
+    import json as _json
+
+    from cdc_platform_spark.cli import main
+
+    out_dir = str(tmp_path / "shards")
+    rc = main(["export", "--sf-dir", SF_SMOKE, "--out", out_dir])
+    assert rc == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["shards"] >= 2
+    written = spark.read.parquet(out_dir)
+    per_shard = {r["shard_id"]: r["n"] for r in written.groupBy("shard_id").count().withColumnRenamed("count", "n").collect()}
+    for m in report["manifest"]:
+        assert per_shard[m["shard_id"]] == m["n_docs"], m
+    assert written.count() == sum(m["n_docs"] for m in report["manifest"])
