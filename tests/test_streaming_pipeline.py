@@ -663,3 +663,77 @@ def test_pipeline_streams_confluent_avro_values(spark, workdir):
     assert ok.filter("op = 'c'").count() == 10
     poison = out.filter("pk IS NULL").collect()
     assert len(poison) == 1 and poison[0]["_cdc_offset"] == 40
+
+
+def test_streaming_curation_funnel_matches_batch(spark, workdir):
+    """The training-data curation funnel runs as a STREAM: quality filter +
+    stateful content-hash dedup (dropDuplicates state) + per-language token
+    accounting, fed one file per micro-batch. Because exact duplicates have
+    identical token counts, the final aggregate must equal the batch
+    curation pipeline regardless of which copy the stream's state keeps."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    src = f"{workdir}/docs_src"
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    words = F.split(F.col("text"), " ")
+    subtok = F.aggregate(
+        F.transform(words, lambda w: F.ceil(F.length(w) / 4.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+    def funnel(df):
+        scored = df.select(
+            "doc_id",
+            "lang",
+            F.md5("text").alias("content_md5"),
+            F.size(words).alias("n_words"),
+            (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias(
+                "distinct_ratio"
+            ),
+            subtok.alias("subword_tokens"),
+        )
+        return scored.filter(
+            (F.col("n_words") >= 20)
+            & (F.col("distinct_ratio") >= 0.15)
+            & F.col("lang").isin("en", "de", "fr")
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = (
+        funnel(stream)
+        .dropDuplicates(["content_md5"])  # stateful exact-dedup across micro-batches
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("subword_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    out: list = []
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(lambda b, _id: out.append(b.toPandas()))
+        .option("checkpointLocation", f"{workdir}/cur_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from cdc_platform_spark.operators import load_all
+
+    batch = (
+        load_all()["text_curation_pipeline"].builder(spark, SF_SMOKE).toPandas()
+    )
+    got = out[-1].sort_values("lang").reset_index(drop=True)[
+        ["lang", "n_docs", "total_words", "total_tokens"]
+    ]
+    want = batch.sort_values("lang").reset_index(drop=True)[
+        ["lang", "n_docs", "total_words", "total_tokens"]
+    ]
+    assert got.astype("int64", errors="ignore").equals(want.astype("int64", errors="ignore")), (
+        got,
+        want,
+    )
