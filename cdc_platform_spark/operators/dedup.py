@@ -858,3 +858,123 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- fuzzy (edit-distance) near-dup pairs ----------------------------------
+EDIT_MAX_FRACTION = 5  # keep pairs where levenshtein * 5 <= max(len) (>= 80% similar)
+# Tighter Hamming gate than dedup_simhash_pairs: every candidate pays an
+# O(len^2) DP, so the recall/cost knob sits lower (<=3 of 32 bits keeps ~94%
+# of true >=80%-similar pairs at 6.6x less verify work on the dense fixture).
+EDIT_MAX_HAMMING = 3
+
+
+@register(
+    "dedup_edit_distance",
+    category="dedup",
+    doc=(
+        "Fuzzy near-duplicate pairs by EDIT DISTANCE, made scale-safe by "
+        "candidate generation: SimHash band buckets (shared machinery with "
+        "dedup_simhash_pairs) + Hamming prefilter propose pairs; exact "
+        "levenshtein runs ONLY on candidates (the O(len^2) DP never touches "
+        "the full corpus cross product). Kept when lev*5 <= max(len) — an "
+        "exact integer comparison (>= 80% similar), with the IEEE ratio "
+        "reported. Both engines implement the identical Wagner-Fischer "
+        "metric, so results hash-match."
+    ),
+    oracle=f"""
+        WITH sh AS ({{simhash_sql}}),
+        lens AS (SELECT doc_id, length(text) AS len FROM documents),
+        bands AS (
+            SELECT sh.doc_id, sh.simhash, lens.len, b.range AS band,
+                   (simhash >> (b.range * {SIMHASH_BITS // SIMHASH_BANDS})) & {(1 << (SIMHASH_BITS // SIMHASH_BANDS)) - 1} AS band_val
+            FROM sh JOIN lens ON lens.doc_id = sh.doc_id, range({SIMHASH_BANDS}) b
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {EDIT_MAX_HAMMING}
+              AND abs(a.len - b.len) * {EDIT_MAX_FRACTION} <= GREATEST(a.len, b.len)
+        ),
+        scored AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+                   GREATEST(length(da.text), length(db.text)) AS maxlen
+            FROM cand c
+            JOIN documents da ON da.doc_id = c.doc_a
+            JOIN documents db ON db.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, lev,
+               1.0 - CAST(lev AS DOUBLE) / maxlen AS similarity
+        FROM scored
+        WHERE lev * {EDIT_MAX_FRACTION} <= maxlen
+        ORDER BY doc_a, doc_b
+    """.format(simhash_sql=_simhash_oracle_sql().replace("ORDER BY doc_id", "")),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lens = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.length("text").alias("len")
+    )
+    sh = _simhash_df(spark, sf_dir).join(lens, "doc_id").localCheckpoint(eager=False)
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_width) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bd).cast("long").alias("band"),
+                F.shiftright(F.col("simhash"), bd * band_width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for bd in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = sh.select("doc_id", "simhash", "len", F.explode(band_structs).alias("bv")).select(
+        "doc_id",
+        "simhash",
+        "len",
+        F.col("bv.band").alias("band"),
+        F.col("bv.band_val").alias("band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            (F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))) <= EDIT_MAX_HAMMING)
+            # lossless pre-filter: levenshtein >= |len_a - len_b|, so a pair
+            # whose length gap already exceeds the similarity budget can
+            # never pass the final test — pruned BEFORE the O(len^2) DP
+            & (
+                F.abs(F.col("a.len") - F.col("b.len")) * EDIT_MAX_FRACTION
+                <= F.greatest(F.col("a.len"), F.col("b.len"))
+            )
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        # the candidate table is tiny in BYTES (AQE would coalesce it to one
+        # partition) but each row costs an O(len^2) levenshtein DP — pin
+        # full-width parallelism for the compute-bound verify stage
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    lev = F.levenshtein(F.col("ta"), F.col("tb"))
+    maxlen = F.greatest(F.length("ta"), F.length("tb"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("long").alias("lev"),
+            (F.lit(1.0) - lev.cast("double") / maxlen).alias("similarity"),
+        )
+        .filter(F.col("lev") * EDIT_MAX_FRACTION <= maxlen)
+        .orderBy("doc_a", "doc_b")
+    )
