@@ -135,3 +135,61 @@ def w_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_us")
     )
+
+
+@register(
+    "w_range_interval_frame",
+    category="window-time",
+    doc=(
+        "Value-range window frame over event time: for every event, the "
+        "count and exact value sum of the SAME USER's events in the "
+        "trailing hour (RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW over "
+        "epoch seconds — a frame defined by TIME DISTANCE, not row count; "
+        "complements q16's ROWS frames). Deterministic because range "
+        "frames are value-defined: peers at equal timestamps always share "
+        "one frame on both engines, and the aggregate is an exact decimal "
+        "sum. One shuffle on user_id + per-partition sort — the frame "
+        "never crosses the partition key at any scale."
+    ),
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s,
+                   CAST(value AS DECIMAL(18,2)) AS v
+            FROM events
+        )
+        SELECT event_id, user_id, ts_s,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+               CAST(CAST(SUM(v) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS sum_last_hour
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+)
+def w_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cdc_platform_spark.functions import money
+
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        F.expr("ts_ns div 1000000000").alias("ts_s"),
+        money("value").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts_s",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+            F.sum("v").over(w).cast("decimal(18,2)").cast("double").alias("sum_last_hour"),
+        )
+        .orderBy("event_id")
+    )
