@@ -141,8 +141,12 @@ def main(argv: list[str] | None = None) -> int:
             "shard_id"
         ).parquet(args.out)
         manifest = registry["text_export_shards"].builder(spark, args.sf_dir)
-        out = [r.asDict() for r in manifest.collect()]
-        print(json.dumps({"shards": len(out), "manifest": out}, default=str))
+        # the manifest itself is written distributed; the driver only prints
+        # a bounded sample (at 100 TB the manifest has millions of rows)
+        manifest.write.mode("overwrite").parquet(f"{args.out}_manifest")
+        n_shards = manifest.count()
+        sample = [r.asDict() for r in manifest.limit(50).collect()]
+        print(json.dumps({"shards": n_shards, "manifest": sample}, default=str))
         return 0
 
     if args.cmd == "consume":
