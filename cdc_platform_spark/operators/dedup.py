@@ -834,8 +834,12 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.array_distinct(grams).alias("grams"))
         .localCheckpoint(eager=False)
     )
-    exploded = g.select("doc_id", F.explode("grams").alias("gram")).select(
-        "doc_id", md5_60bit(F.col("gram")).alias("gh")
+    # materialized once: the (doc_id, gh) stream feeds BOTH the df aggregate
+    # and the hit join; without this the explode + md5 run twice
+    exploded = (
+        g.select("doc_id", F.explode("grams").alias("gram"))
+        .select("doc_id", md5_60bit(F.col("gram")).alias("gh"))
+        .localCheckpoint(eager=False)
     )
     # df >= 2 spans only: the duplicated subset is what joins back (at real
     # corpus scale the unique-span long tail — most of the vocabulary —
