@@ -769,3 +769,62 @@ def text_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+SEQ_LEN = 512  # tokens per packed training sequence
+
+
+@register(
+    "text_sequence_pack",
+    category="text",
+    doc=(
+        f"Token-granular SEQUENCE packing (the GPT-style concat-then-chunk "
+        f"layout, distinct from text_shard_pack's doc-granular budget "
+        f"buckets): documents concatenate in doc_id order into one token "
+        f"stream chunked into {SEQ_LEN}-token training sequences; each doc "
+        "reports its global token offset, first/last sequence index, and "
+        "whether it straddles a sequence boundary (the attention-masking "
+        "concern in packed pretraining batches). Offsets come from the "
+        "same two-pass distributed prefix sum — no global single-partition "
+        "window at any scale."
+    ),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, len(str_split(text, ' ')) AS n_tokens FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS token_start
+            FROM t
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(token_start AS BIGINT) AS token_start,
+               CAST(token_start // {SEQ_LEN} AS BIGINT) AS first_seq,
+               CAST((token_start + n_tokens - 1) // {SEQ_LEN} AS BIGINT) AS last_seq,
+               CAST((token_start // {SEQ_LEN}) <> ((token_start + n_tokens - 1) // {SEQ_LEN})
+                    AS BIGINT) AS crosses_boundary
+        FROM c
+        ORDER BY doc_id
+    """,
+)
+def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.functions import distributed_prefix_sum
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    packed = distributed_prefix_sum(d, "doc_id", "n_tokens", out_col="token_start")
+    first_seq = F.expr(f"token_start div {SEQ_LEN}")
+    last_seq = F.expr(f"(token_start + n_tokens - 1) div {SEQ_LEN}")
+    return (
+        packed.select(
+            "doc_id",
+            "n_tokens",
+            F.col("token_start").cast("long").alias("token_start"),
+            first_seq.alias("first_seq"),
+            last_seq.alias("last_seq"),
+            (first_seq != last_seq).cast("long").alias("crosses_boundary"),
+        )
+        .orderBy("doc_id")
+    )
