@@ -619,11 +619,14 @@ def q77_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="composite",
     doc=(
         "TPC-H Q11-shaped: revenue per part supplied out of one nation, "
-        "keeping parts whose share exceeds 1/1000 of that nation's total — "
-        "the scalar-aggregate-threshold shape. The global total is a 1-row "
-        "broadcast; the share test is exact-integer (value*1000 > total, no "
-        "decimal-fraction dialect drift). At scale: one shuffle on l_partkey "
-        "for the per-part aggregate; supplier/nation arms broadcast."
+        "keeping parts whose share exceeds TWICE THE MEAN share — the "
+        "scalar-aggregate-threshold shape with a self-normalizing cutoff "
+        "(TPC-H scales Q11's fraction by SF by hand; value*n_parts > "
+        "2*total is scale-free and stays selective at any corpus size). "
+        "The global (total, count) is a 1-row broadcast; the comparison is "
+        "exact cross-multiplied decimals. At scale: one shuffle on "
+        "l_partkey for the per-part aggregate; supplier/nation arms "
+        "broadcast."
     ),
     oracle=f"""
         WITH rev AS (
@@ -635,10 +638,10 @@ def q77_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE n.n_name = 'NATION_3'
             GROUP BY l.l_partkey
         ),
-        total AS (SELECT SUM(value) AS total_value FROM rev)
+        total AS (SELECT SUM(value) AS total_value, COUNT(*) AS n_parts FROM rev)
         SELECT r.l_partkey, CAST(r.value AS DOUBLE) AS value
         FROM rev r, total t
-        WHERE r.value * 1000 > t.total_value
+        WHERE r.value * t.n_parts > 2 * t.total_value
         ORDER BY value DESC, l_partkey
     """,
 )
@@ -652,10 +655,12 @@ def q78_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(revenue()).alias("value"))
     )
-    total = rev.agg(F.sum("value").alias("total_value"))
+    total = rev.agg(
+        F.sum("value").alias("total_value"), F.count(F.lit(1)).alias("n_parts")
+    )
     return (
         rev.crossJoin(F.broadcast(total))
-        .filter(F.col("value") * 1000 > F.col("total_value"))
+        .filter(F.col("value") * F.col("n_parts") > F.col("total_value") * 2)
         .select("l_partkey", F.col("value").cast("double").alias("value"))
         .orderBy(F.col("value").desc(), "l_partkey")
     )
