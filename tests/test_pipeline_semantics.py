@@ -416,3 +416,12 @@ def test_distributed_prefix_sum_property(spark):
             cum += v
 
     check()
+
+
+def test_avro_codec_stage_runs_full_width(spark):
+    """The Python Avro encode stage must sit behind an explicit round-robin
+    repartition: AQE coalesces the tiny upstream exchange by BYTES, but this
+    stage's cost is per-row compute (regression guard for the 13s -> 4s
+    parallelism fix)."""
+    df = REGISTRY["q51_avro_envelope_roundtrip"].builder(spark, SF_SMOKE)
+    assert "RoundRobinPartitioning" in plan_text(df)
