@@ -564,15 +564,28 @@ def q16_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
         .rowsBetween(-2, Window.currentRow)
     )
-    wrange = Window.partitionBy("l_returnflag").orderBy("l_quantity").rangeBetween(-2, Window.currentRow)
+    # RANGE frames are VALUE-defined: every row with the same (returnflag,
+    # quantity) shares one frame, so the band count lives on the tiny
+    # distinct-value grid (3 flags x 50 quantities), not the fact table. A
+    # naive Window.partitionBy("l_returnflag") caps parallelism at 3 tasks
+    # over the whole table; this computes a map-side partial count, windows
+    # the 150-row grid, and broadcast-joins the result back.
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity").rangeBetween(-2, Window.currentRow)
+    band = (
+        l.groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("qn"))
+        .withColumn("qty_band_n", F.sum("qn").over(wq).cast("long"))
+        .drop("qn")
+    )
     return (
-        l.select(
+        l.join(F.broadcast(band), ["l_returnflag", "l_quantity"])
+        .select(
             "l_orderkey",
             "l_linenumber",
             (F.sum(money("l_extendedprice")).over(wrows).cast("double") / F.count(F.lit(1)).over(wrows))
             .cast("double")
             .alias("mavg3"),
-            F.count(F.lit(1)).over(wrange).cast("long").alias("qty_band_n"),
+            "qty_band_n",
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
