@@ -48,8 +48,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["q10_agg_pricing_summary"].builder(spark, SMOKE_SF_DIR)
 
 
+def _driver_verified_names() -> set[str]:
+    """Query names that already have a row in any CORRECTNESS_r*.json.
+
+    The driver samples only the first 50 entries of ``queries()``, so we
+    rotate: queries never independently verified by the driver are emitted
+    first, previously-verified ones after.  Each round's CORRECTNESS file
+    advances the rotation automatically.
+    """
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                seen |= set(json.load(fh).keys())
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
+def _priority_order(registry) -> list[str]:
+    """Never-driver-verified first (sorted), then the verified backlog.
+
+    Within the verified tail, the CDC core (q26-q30) and the flagship q10
+    lead so they re-appear as soon as slots free up.
+    """
+    seen = _driver_verified_names()
+    unseen = [n for n in sorted(registry) if n not in seen]
+    core = [
+        n
+        for n in sorted(registry)
+        if n in seen
+        and (n.startswith(("q26_", "q27_", "q28_", "q29_", "q30_", "q10_")))
+    ]
+    rest = [n for n in sorted(registry) if n in seen and n not in core]
+    return unseen + core + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Emitted in rotation order (see ``_priority_order``): the driver checks
+    the first 50 names, so never-driver-verified queries go first.
+    """
     registry = load_all()
 
     def make(name: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -61,7 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run.__doc__ = registry[name].doc
         return run
 
-    return {name: make(name) for name in sorted(registry)}
+    return {name: make(name) for name in _priority_order(registry)}
 
 
 def oracle_sql() -> dict[str, str]:

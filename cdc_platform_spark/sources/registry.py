@@ -36,15 +36,13 @@ TABLES = (
 # Small dimension tables that should always broadcast in joins.
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
-# Fact tables whose scans should be spread across cores when the fixture
-# arrives as a handful of row-group splits (local mode). On a cluster the
-# input has >= parallelism/2 splits and spread() is a no-op, so the plan
-# gains no exchange at scale. Dimensions are deliberately excluded — a
-# repartition there would only add a pointless tiny shuffle ahead of their
-# broadcast. documents/embeddings keep their call-site spreads (the text/
-# dedup operators already guard their compute-bound stages).
-SPREAD_TABLES = frozenset({"lineitem", "orders", "events"})
-
+# No table is spread at load time. Scan-bound plans (pushed-filter scan ->
+# broadcast probe -> map-side partial agg) are exchange-free on the fact
+# side and a load-time round-robin repartition only inserts a full-width
+# shuffle they never needed (measured: q51 3.5x, q27 2.5x, q26 2.1x slower
+# at sf0.1). Compute-bound operators (text_*, dedup_*, mm_*) call
+# ``functions.spread`` at their own call sites, where the repartition buys
+# parallelism for the expensive narrow stage that follows.
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -60,15 +58,6 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in SPREAD_TABLES:
-        from cdc_platform_spark.functions import spread
-
-        # Catalyst pushes filters and column pruning THROUGH the round-robin
-        # repartition (verified: PushedFilters/ReadSchema unchanged), so the
-        # map phase — scans, broadcast-join probes, decimal partial
-        # aggregates — runs at full width instead of the fixture's 1-3
-        # row-group splits.
-        df = spread(df)
     if name == "events":
         from pyspark.sql import functions as F
 

@@ -105,6 +105,35 @@ def test_plan_shape(spark, name, fragment):
     assert fragment in plan, f"{name}: expected {fragment!r} in physical plan"
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q05_join_multiway",
+        "q51_shipping_priority",
+        "q26_cdc_append",
+        "q27_cdc_upsert_latest",
+    ],
+)
+def test_scan_bound_plans_have_no_roundrobin_exchange(spark, name):
+    """Scan-bound fact-side plans must stay exchange-free up to their one
+    keyed shuffle: a round-robin repartition between the pushed-filter scan
+    and the broadcast probes is pure overhead (it regressed q51 3.5x at
+    sf0.1 when load_table spread unconditionally)."""
+    df = REGISTRY[name].builder(spark, SF_SMOKE)
+    plan = plan_text(df)
+    assert "RoundRobinPartitioning" not in plan, (
+        f"{name}: unexpected round-robin exchange in scan-bound plan"
+    )
+
+
+def test_q27_uses_window_group_limit(spark):
+    """Top-1-per-key must compile to partial/final WindowGroupLimit around a
+    single hash exchange on the key — not a full window sort."""
+    df = REGISTRY["q27_cdc_upsert_latest"].builder(spark, SF_SMOKE)
+    plan = plan_text(df)
+    assert "WindowGroupLimit" in plan
+
+
 def test_column_pruning_reaches_scan(spark):
     df = REGISTRY["q01_scan_project"].builder(spark, SF_SMOKE)
     plan = plan_text(df)
