@@ -251,3 +251,169 @@ class HealthServer:
             self._server.server_close()
             self._thread.join(timeout=5)
             self._server = None
+
+
+# ---------------------------------------------------------------------------
+# Schema Registry client + polling monitor (M1, live-registry form)
+# ---------------------------------------------------------------------------
+
+
+class SchemaRegistryClient:
+    """Minimal Confluent Schema Registry REST client (stdlib urllib; the
+    container has no httpx). Covers the three endpoints the reference
+    consumer/monitor use (reference streaming/schema_monitor.py:57-123,
+    streaming/consumer.py:97-110): latest subject version, compatibility
+    check, and schema-by-id lookup."""
+
+    def __init__(self, registry_url: str, timeout: float = 5.0):
+        self.url = registry_url.rstrip("/")
+        self.timeout = timeout
+
+    def _get(self, path: str) -> dict | None:
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(self.url + path, timeout=self.timeout) as r:
+                return _json.loads(r.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            raise
+
+    def latest_version(self, subject: str) -> dict | None:
+        """{'version': int, 'id': int, 'schema': str} or None when absent."""
+        return self._get(f"/subjects/{subject}/versions/latest")
+
+    def schema_by_id(self, schema_id: int) -> str | None:
+        data = self._get(f"/schemas/ids/{schema_id}")
+        return None if data is None else data.get("schema")
+
+    def check_compatibility(self, subject: str, schema_str: str) -> bool:
+        """POST /compatibility/...; registry-unreachable degrades to True,
+        matching the reference's permissive posture on check failure."""
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.url}/compatibility/subjects/{subject}/versions/latest",
+            data=_json.dumps({"schema": schema_str}).encode("utf-8"),
+            headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                import json as _json2
+
+                return bool(_json2.loads(r.read().decode("utf-8")).get("is_compatible", True))
+        except Exception:  # noqa: BLE001 — reference returns True on check failure
+            return True
+
+
+class SchemaRegistryMonitor:
+    """Live-registry schema monitor (M1): polls ``{topic}-key/-value``
+    subjects for version bumps and classifies them via the registry's
+    ``/compatibility`` endpoint — the halt/warn semantics shared with the
+    structural ``SchemaMonitor`` above (reference
+    streaming/schema_monitor.py:16-138).
+
+    ``poll_once`` is the unit of work (call it from any scheduler);
+    ``start``/``stop`` run it on a daemon thread like the reference's
+    asyncio task. On an incompatible bump: ``incompatible_detected`` is
+    latched, ``on_incompatible`` fires (e.g. ``query.stop``), and in
+    ``halt`` mode the *next* ``ensure_compatible()`` raises
+    ``SchemaDriftError`` — the hook the pipeline checks per micro-batch.
+    """
+
+    def __init__(
+        self,
+        registry_url: str,
+        topics: list[str],
+        mode: str = "halt",  # halt | warn
+        on_incompatible=None,
+        client: SchemaRegistryClient | None = None,
+    ):
+        self.client = client or SchemaRegistryClient(registry_url)
+        self.topics = list(topics)
+        self.mode = mode
+        self.on_incompatible = on_incompatible
+        self.known_versions: dict[str, int] = {}
+        self.known_schemas: dict[str, str] = {}
+        self.incompatible_detected = False
+        self.events: list[dict] = []
+        self._thread = None
+        self._stop_flag = None
+
+    def poll_once(self) -> list[dict]:
+        """Check every subject once; returns the change events observed."""
+        new_events: list[dict] = []
+        for topic in self.topics:
+            for suffix in ("-key", "-value"):
+                subject = f"{topic}{suffix}"
+                try:
+                    data = self.client.latest_version(subject)
+                except Exception as exc:  # noqa: BLE001 — unreachable registry is a warn
+                    new_events.append(
+                        {"subject": subject, "kind": "check_failed", "error": str(exc)}
+                    )
+                    continue
+                if data is None:
+                    continue
+                version, schema_str = data["version"], data.get("schema", "")
+                prev = self.known_versions.get(subject)
+                if prev is None:
+                    self.known_versions[subject] = version
+                    self.known_schemas[subject] = schema_str
+                elif version != prev:
+                    compatible = True
+                    if self.known_schemas.get(subject):
+                        compatible = self.client.check_compatibility(
+                            subject, self.known_schemas[subject]
+                        )
+                    new_events.append(
+                        {
+                            "subject": subject,
+                            "kind": "version_changed",
+                            "previous_version": prev,
+                            "new_version": version,
+                            "schema_id": data.get("id"),
+                            "compatible": compatible,
+                        }
+                    )
+                    if not compatible:
+                        self.incompatible_detected = True
+                        if self.on_incompatible is not None:
+                            self.on_incompatible()
+                    self.known_versions[subject] = version
+                    self.known_schemas[subject] = schema_str
+        self.events.extend(new_events)
+        return new_events
+
+    def ensure_compatible(self) -> None:
+        """Per-micro-batch gate: raise in halt mode once an incompatible
+        version bump has been observed."""
+        if self.incompatible_detected and self.mode == "halt":
+            raise SchemaDriftError(
+                f"incompatible registry schema change: {self.events[-5:]}"
+            )
+
+    def start(self, interval: float = 30.0) -> None:
+        import threading
+
+        self._stop_flag = threading.Event()
+
+        def loop():
+            while not self._stop_flag.wait(interval):
+                self.poll_once()
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        if self._stop_flag is not None:
+            self._stop_flag.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None

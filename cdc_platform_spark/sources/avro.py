@@ -241,6 +241,164 @@ def confluent_body(frame: bytes) -> bytes:
     return frame[CONFLUENT_HEADER_LEN:]
 
 
+def confluent_schema_id(frame: bytes) -> int:
+    """The 4-byte big-endian schema id inside a Confluent frame."""
+    if not frame or frame[0] != 0 or len(frame) < CONFLUENT_HEADER_LEN:
+        raise ValueError("not a Confluent-framed Avro message (bad magic byte)")
+    return struct.unpack_from(">I", frame, 1)[0]
+
+
+# ---------------------------------------------------------------------------
+# Avro schema resolution (writer schema -> reader schema)
+# ---------------------------------------------------------------------------
+
+# (reader kind, writer kind) promotions the Avro spec allows.
+_PROMOTIONS = frozenset(
+    {
+        ("long", "int"),
+        ("double", "int"),
+        ("double", "long"),
+        ("string", "bytes"),
+        ("bytes", "string"),
+    }
+)
+
+
+def _kind(schema: Any, names: dict[str, Any]) -> Any:
+    s = _resolve(schema, names)
+    if isinstance(s, list):
+        return "union"
+    return s if isinstance(s, str) else s["type"]
+
+
+def decode_resolved(
+    writer: Any,
+    reader: Any,
+    buf: bytes,
+    pos: int = 0,
+    wnames: dict[str, Any] | None = None,
+    rnames: dict[str, Any] | None = None,
+) -> tuple[Any, int]:
+    """Decode Avro binary written with ``writer`` into the shape of
+    ``reader`` per the Avro spec's schema-resolution rules (the subset the
+    envelope needs): writer-only fields are read and discarded, reader-only
+    fields take their declared defaults, unions resolve by branch kind, and
+    int->long / int,long->double / string<->bytes promote.
+
+    This is what the reference consumer gets from Schema Registry's
+    writer-schema lookup (reference streaming/consumer.py:97-110): a topic
+    can carry multiple envelope versions mid-stream and every frame still
+    decodes to the one reader shape the pipeline compiles against.
+    """
+    if wnames is None:
+        wnames = {}
+        _collect_names(writer, wnames)
+    if rnames is None:
+        rnames = {}
+        _collect_names(reader, rnames)
+    writer = _resolve(writer, wnames)
+    reader = _resolve(reader, rnames)
+    if isinstance(writer, list):  # writer union: index picks the branch
+        idx, pos = _read_long(buf, pos)
+        return decode_resolved(writer[idx], reader, buf, pos, wnames, rnames)
+    wkind = writer if isinstance(writer, str) else writer["type"]
+    if isinstance(reader, list):  # reader union: first branch that accepts
+        for branch in reader:
+            bkind = _kind(branch, rnames)
+            if bkind == wkind or (bkind, wkind) in _PROMOTIONS:
+                return decode_resolved(
+                    writer, _resolve(branch, rnames), buf, pos, wnames, rnames
+                )
+        raise ValueError(f"no reader union branch accepts writer type {wkind!r}")
+    rkind = reader if isinstance(reader, str) else reader["type"]
+    if wkind == "record" and rkind == "record":
+        rfields = {f["name"]: f for f in reader["fields"]}
+        wfield_names = {f["name"] for f in writer["fields"]}
+        rec: dict[str, Any] = {}
+        for wf in writer["fields"]:
+            if wf["name"] in rfields:
+                rec[wf["name"]], pos = decode_resolved(
+                    wf["type"], rfields[wf["name"]]["type"], buf, pos, wnames, rnames
+                )
+            else:  # writer-only field: skip over its bytes
+                _, pos = decode_value(wf["type"], buf, pos, wnames)
+        for rf in reader["fields"]:
+            if rf["name"] not in wfield_names:
+                if "default" not in rf:
+                    raise ValueError(
+                        f"reader field {rf['name']!r} absent from writer and has no default"
+                    )
+                rec[rf["name"]] = rf["default"]
+        return rec, pos
+    if wkind == rkind:
+        return decode_value(writer, buf, pos, wnames)
+    if (rkind, wkind) in _PROMOTIONS:
+        value, pos = decode_value(writer, buf, pos, wnames)
+        if rkind == "double":
+            return float(value), pos
+        if rkind == "string" and isinstance(value, bytes):
+            return value.decode("utf-8"), pos
+        if rkind == "bytes" and isinstance(value, str):
+            return value.encode("utf-8"), pos
+        return value, pos  # int -> long
+    raise ValueError(f"cannot resolve writer type {wkind!r} to reader type {rkind!r}")
+
+
+class SchemaResolver:
+    """Pluggable schema-id -> writer-schema map (Confluent id space).
+
+    The offline-testable stand-in for a live Schema Registry client: the
+    reference consumer resolves the writer schema per message from the
+    registry (reference streaming/consumer.py:97-110, sources/debezium/
+    config.py:54-58); deployments with registry access can subclass and
+    override ``schema_for`` to fetch + memoize over HTTP (see
+    ``observability.SchemaRegistryClient`` for the transport).  Instances
+    are broadcast into Arrow-batch workers, so they must stay picklable.
+    """
+
+    def __init__(self, schemas: dict[int, Any]):
+        self._schemas = dict(schemas)
+
+    def schema_for(self, schema_id: int) -> Any:
+        try:
+            return self._schemas[schema_id]
+        except KeyError:
+            raise KeyError(f"unknown schema id {schema_id}") from None
+
+    def known_ids(self) -> list[int]:
+        return sorted(self._schemas)
+
+
+class RegistrySchemaResolver(SchemaResolver):
+    """SchemaResolver backed by a live Schema Registry: unknown ids are
+    fetched via ``GET /schemas/ids/{id}`` and memoized — exactly the
+    reference consumer's per-message writer-schema lookup (reference
+    streaming/consumer.py:97-110), minus the round-trip after the first
+    frame of each version.
+
+    ``known_ids`` still reports only the memoized ids: the JVM multi-schema
+    path compiles one ``from_avro`` per known id, so warm the cache (or
+    seed the map) before building the plan; the Python path fetches lazily
+    inside the Arrow batch worker."""
+
+    def __init__(self, registry_url: str, seed: dict[int, Any] | None = None):
+        super().__init__(seed or {})
+        self.registry_url = registry_url
+
+    def schema_for(self, schema_id: int) -> Any:
+        try:
+            return super().schema_for(schema_id)
+        except KeyError:
+            from cdc_platform_spark.observability import SchemaRegistryClient
+
+            schema_str = SchemaRegistryClient(self.registry_url).schema_by_id(schema_id)
+            if schema_str is None:
+                raise KeyError(f"unknown schema id {schema_id}") from None
+            schema = json.loads(schema_str)
+            self._schemas[schema_id] = schema
+            return schema
+
+
 # ---------------------------------------------------------------------------
 # Spark decode paths
 # ---------------------------------------------------------------------------
@@ -310,11 +468,26 @@ def spark_avro_usable(spark) -> bool:
     return usable
 
 
+def _schema_id_expr(col: str) -> F.Column:
+    """Big-endian uint32 at bytes [2,5] of a Confluent frame, JVM-side."""
+    return F.expr(f"cast(conv(hex(substring({col}, 2, 4)), 16, 10) as long)")
+
+
 def _parse_with_from_avro(
-    frames: DataFrame, confluent_wire: bool, permissive: bool = False
+    frames: DataFrame,
+    confluent_wire: bool,
+    permissive: bool = False,
+    resolver: SchemaResolver | None = None,
 ) -> DataFrame:
     """JVM decode: from_avro on the (unframed) body. Codegen-friendly —
     this is the 100 TB hot path on a real deployment.
+
+    With a ``resolver``, the Confluent frame's schema id routes each row to
+    the matching writer-schema ``from_avro`` (body masked to null for other
+    ids — from_avro(null) is null, so each decoder only sees its own
+    frames) and the per-version structs are projected onto the one reader
+    shape; rows with unknown ids keep a null envelope and are DLQ-routed in
+    permissive mode.
 
     ``permissive`` maps to from_avro's PERMISSIVE mode (undecodable frames
     become null structs instead of failing the task, mirroring the Python
@@ -333,6 +506,10 @@ def _parse_with_from_avro(
         else F.col("key")
     )
     options = {"mode": "PERMISSIVE"} if permissive else {}
+    if resolver is not None and confluent_wire:
+        return _parse_multi_schema_from_avro(
+            frames, body, key_body, options, permissive, resolver
+        )
     v = from_avro(body, AVRO_ENVELOPE_SCHEMA_JSON, options)
     k = from_avro(key_body, AVRO_KEY_SCHEMA_JSON, options)
     cols = [
@@ -362,10 +539,136 @@ def _parse_with_from_avro(
     return frames.select(*cols)
 
 
-def _parse_with_python(frames: DataFrame, confluent_wire: bool, permissive: bool) -> DataFrame:
+def _writer_row_schema(env_schema: Any, field: str) -> Any | None:
+    """The writer's Row record for envelope field ``before``/``after`` (or
+    None when the writer envelope lacks the field entirely)."""
+    names: dict[str, Any] = {}
+    _collect_names(env_schema, names)
+    for f in env_schema.get("fields", []):
+        if f["name"] == field:
+            t = f["type"]
+            branches = t if isinstance(t, list) else [t]
+            for b in branches:
+                b = _resolve(b, names)
+                if isinstance(b, dict) and b.get("type") == "record":
+                    return b
+    return None
+
+
+def _parse_multi_schema_from_avro(
+    frames: DataFrame,
+    body: F.Column,
+    key_body: F.Column,
+    options: dict,
+    permissive: bool,
+    resolver: SchemaResolver,
+) -> DataFrame:
+    """Schema-id-routed JVM decode: one ``from_avro`` per registered writer
+    schema, each fed only its own frames (body masked to null otherwise),
+    projected onto the pinned reader shape and coalesced. Stays a single
+    narrow select — no shuffle, no branching into separate scans — so the
+    multi-version topic costs one pass exactly like the pinned-schema path.
+    """
+    from pyspark.sql.avro.functions import from_avro
+
+    sid_v = _schema_id_expr("value")
+    sid_k = _schema_id_expr("key")
+    env_versions: list[tuple[int, Any]] = []
+    key_versions: list[tuple[int, Any]] = []
+    for sid in resolver.known_ids():
+        schema = resolver.schema_for(sid)
+        target = key_versions if schema.get("name") == "Key" else env_versions
+        target.append((sid, schema))
+
+    reader_row_fields = (("id", "long"), ("event_type", "string"), ("value", "double"))
+
+    def project_row(struct_col: F.Column, writer_row: Any | None) -> F.Column:
+        """Writer-version Row struct -> reader Row shape (missing fields null)."""
+        have = {f["name"] for f in writer_row["fields"]} if writer_row else set()
+        cols = [
+            (struct_col[n].cast(t) if n in have else F.lit(None).cast(t)).alias(n)
+            for n, t in reader_row_fields
+        ]
+        return F.when(struct_col.isNotNull(), F.struct(*cols))
+
+    decoded = []  # (sid, from_avro struct, writer schema) per envelope version
+    for sid, schema in env_versions:
+        masked = F.when(sid_v == sid, body)
+        decoded.append((sid, from_avro(masked, json.dumps(schema), options), schema))
+
+    def env_field(getter) -> F.Column:
+        exprs = [e for e in (getter(v, s) for _, v, s in decoded) if e is not None]
+        return F.coalesce(*exprs) if exprs else F.lit(None)
+
+    def top(v, s, name, typ):
+        return v[name].cast(typ) if any(f["name"] == name for f in s["fields"]) else None
+
+    key_exprs = []
+    for sid, schema in key_versions or [(None, AVRO_KEY_SCHEMA)]:
+        masked = (
+            F.when(sid_k == sid, key_body) if sid is not None else key_body
+        )
+        key_exprs.append(from_avro(masked, json.dumps(schema), options)["id"].cast("long"))
+
+    cols = [
+        F.col("topic"),
+        F.col("partition").cast("int").alias("partition"),
+        F.col("offset").cast("long").alias("offset"),
+        F.coalesce(*key_exprs).alias("pk"),
+        env_field(lambda v, s: top(v, s, "op", "string")).alias("op"),
+        env_field(lambda v, s: top(v, s, "ts_ms", "long")).alias("ts_ms"),
+        env_field(
+            lambda v, s: project_row(v["before"], _writer_row_schema(s, "before"))
+            if any(f["name"] == "before" for f in s["fields"])
+            else None
+        ).alias("before"),
+        env_field(
+            lambda v, s: project_row(v["after"], _writer_row_schema(s, "after"))
+            if any(f["name"] == "after" for f in s["fields"])
+            else None
+        ).alias("after"),
+        env_field(
+            lambda v, s: v["source"]["lsn"].cast("long")
+            if any(f["name"] == "source" for f in s["fields"])
+            else None
+        ).alias("lsn"),
+        env_field(
+            lambda v, s: v["source"]["table"].cast("string")
+            if any(f["name"] == "source" for f in s["fields"])
+            else None
+        ).alias("source_table"),
+    ]
+    if permissive:
+        cols.append(
+            F.when(
+                F.col("value").isNotNull() & ~sid_v.isin(*[s for s, _ in env_versions]),
+                F.concat(F.lit("unknown schema id "), sid_v.cast("string")),
+            )
+            .when(
+                F.col("value").isNotNull()
+                & F.coalesce(*[v["op"] for _, v, _ in decoded]).isNull(),
+                F.lit("decode failed"),
+            )
+            .cast("string")
+            .alias("decode_error")
+        )
+    return frames.select(*cols)
+
+
+def _parse_with_python(
+    frames: DataFrame,
+    confluent_wire: bool,
+    permissive: bool,
+    resolver: SchemaResolver | None = None,
+) -> DataFrame:
     """Arrow-batched fallback decode (container path): the pure-Python codec
     inside mapInPandas. Batch-at-a-time, no per-row Python round trips
-    through the JVM."""
+    through the JVM.
+
+    With a ``resolver``, each frame's Confluent schema id selects the
+    writer schema and ``decode_resolved`` projects it onto the pinned
+    reader envelope; unknown ids are poison frames (permissive -> DLQ
+    diagnostic, strict -> task failure)."""
     env_schema = AVRO_ENVELOPE_SCHEMA
     key_schema = AVRO_KEY_SCHEMA
 
@@ -374,6 +677,17 @@ def _parse_with_python(frames: DataFrame, confluent_wire: bool, permissive: bool
 
         env_names: dict[str, Any] = {}
         _collect_names(env_schema, env_names)
+
+        def decode_frame(frame: bytes, reader: Any) -> Any:
+            """One frame -> reader-shaped value, honoring the schema id."""
+            if not confluent_wire:
+                return decode_value(reader, frame)[0]
+            body = confluent_body(frame)
+            if resolver is None:
+                names = env_names if reader is env_schema else None
+                return decode_value(reader, body, names=names)[0]
+            writer = resolver.schema_for(confluent_schema_id(frame))
+            return decode_resolved(writer, reader, body)[0]
         cols = [
             "topic", "partition", "offset", "pk", "op", "ts_ms",
             "before", "after", "lsn", "source_table",
@@ -402,10 +716,7 @@ def _parse_with_python(frames: DataFrame, confluent_wire: bool, permissive: bool
                     # produces, with the key's pk when decodable
                     try:
                         if key is not None:
-                            kbody = (
-                                confluent_body(bytes(key)) if confluent_wire else bytes(key)
-                            )
-                            row["pk"] = decode_value(key_schema, kbody)[0]["id"]
+                            row["pk"] = decode_frame(bytes(key), key_schema)["id"]
                     except Exception:  # noqa: BLE001
                         pass
                     if permissive:
@@ -413,12 +724,11 @@ def _parse_with_python(frames: DataFrame, confluent_wire: bool, permissive: bool
                     rows.append(row)
                     continue
                 try:
-                    kbody = confluent_body(bytes(key)) if confluent_wire else bytes(key)
-                    vbody = confluent_body(bytes(value)) if confluent_wire else bytes(value)
-                    k, _ = decode_value(key_schema, kbody)
-                    v, _ = decode_value(env_schema, vbody, names=env_names)
+                    # key first: a value-poison frame keeps its decodable pk
+                    # so the DLQ row stays key-routable (reference posture)
+                    row["pk"] = decode_frame(bytes(key), key_schema)["id"]
+                    v = decode_frame(bytes(value), env_schema)
                     row.update(
-                        pk=k["id"],
                         op=v["op"],
                         ts_ms=v["ts_ms"],
                         before=v["before"],
@@ -440,7 +750,10 @@ def _parse_with_python(frames: DataFrame, confluent_wire: bool, permissive: bool
 
 
 def parse_debezium_avro(
-    frames: DataFrame, confluent_wire: bool = True, permissive: bool = False
+    frames: DataFrame,
+    confluent_wire: bool = True,
+    permissive: bool = False,
+    resolver: SchemaResolver | None = None,
 ) -> DataFrame:
     """Raw Kafka binary records (topic, partition, offset, key, value) ->
     parsed envelope, schema-identical to ``debezium.parse_debezium``'s JSON
@@ -456,5 +769,5 @@ def parse_debezium_avro(
     instead of failing the micro-batch — the reference's poison-message
     posture (P7)."""
     if spark_avro_usable(frames.sparkSession):
-        return _parse_with_from_avro(frames, confluent_wire, permissive)
-    return _parse_with_python(frames, confluent_wire, permissive)
+        return _parse_with_from_avro(frames, confluent_wire, permissive, resolver)
+    return _parse_with_python(frames, confluent_wire, permissive, resolver)

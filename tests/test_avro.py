@@ -321,3 +321,131 @@ def test_avro_probe_is_memoized(spark):
     r1 = spark_avro_usable(spark)
     assert spark.sparkContext.applicationId in _AVRO_PROBE_CACHE
     assert spark_avro_usable(spark) == r1
+
+
+# ---------------------------------------------------------------------------
+# Schema-id-aware decode (writer-schema resolution, ref consumer.py:97-110)
+# ---------------------------------------------------------------------------
+
+import copy
+
+from cdc_platform_spark.sources.avro import (  # noqa: E402
+    SchemaResolver,
+    confluent_schema_id,
+    decode_resolved,
+)
+
+
+def _envelope_v2():
+    """v2 adds a nullable ``region`` column to Row and a nullable
+    ``tx_status`` envelope field — the additive evolution the reference's
+    schema monitor classifies as compatible."""
+    v2 = copy.deepcopy(AVRO_ENVELOPE_SCHEMA)
+    row = v2["fields"][2]["type"][1]  # before: ["null", Row]
+    row["fields"].append({"name": "region", "type": ["null", "string"], "default": None})
+    v2["fields"].append({"name": "tx_status", "type": ["null", "string"], "default": None})
+    return v2
+
+
+def _mk_value(schema, i, op, region=None):
+    img = {"id": i, "event_type": "purchase", "value": float(i) * 1.5}
+    if any(f["name"] == "region" for f in schema["fields"][2]["type"][1]["fields"]):
+        img = dict(img, region=region)
+    env = {
+        "op": op,
+        "ts_ms": 1700000000000 + i,
+        "before": None,
+        "after": img,
+        "source": {
+            "version": "2.5", "connector": "postgresql", "name": "cdc",
+            "ts_ms": 1700000000000 + i, "snapshot": "false", "db": "app",
+            "schema": "public", "table": "users", "txId": i, "lsn": 1000 + i,
+        },
+    }
+    if any(f["name"] == "tx_status" for f in schema["fields"]):
+        env["tx_status"] = "committed"
+    return encode_value(schema, env)
+
+
+def test_confluent_schema_id_extraction():
+    frame = confluent_frame(b"\x02", schema_id=73)
+    assert confluent_schema_id(frame) == 73
+    with pytest.raises(ValueError):
+        confluent_schema_id(b"\x01\x00\x00\x00\x01x")
+
+
+def test_decode_resolved_skips_writer_only_and_fills_reader_defaults():
+    v2 = _envelope_v2()
+    body = _mk_value(v2, 7, "u", region="emea")
+    # v2 writer -> v1 reader: region and tx_status are skipped cleanly
+    v1_view, pos = decode_resolved(v2, AVRO_ENVELOPE_SCHEMA, body)
+    assert pos == len(body)
+    assert v1_view["op"] == "u" and v1_view["after"]["id"] == 7
+    assert "region" not in v1_view["after"] and "tx_status" not in v1_view
+    # v1 writer -> v2 reader: the added fields take their declared defaults
+    body1 = _mk_value(AVRO_ENVELOPE_SCHEMA, 3, "c")
+    v2_view, pos1 = decode_resolved(AVRO_ENVELOPE_SCHEMA, v2, body1)
+    assert pos1 == len(body1)
+    assert v2_view["after"]["region"] is None and v2_view["tx_status"] is None
+    assert v2_view["after"]["value"] == 4.5
+
+
+def test_decode_resolved_promotions():
+    writer = {"type": "record", "name": "R", "fields": [{"name": "x", "type": "int"}]}
+    reader_long = {"type": "record", "name": "R", "fields": [{"name": "x", "type": "long"}]}
+    reader_dbl = {"type": "record", "name": "R", "fields": [{"name": "x", "type": "double"}]}
+    body = encode_value(writer, {"x": 41})
+    assert decode_resolved(writer, reader_long, body)[0] == {"x": 41}
+    assert decode_resolved(writer, reader_dbl, body)[0] == {"x": 41.0}
+
+
+def test_decode_resolved_missing_field_without_default_raises():
+    writer = {"type": "record", "name": "R", "fields": [{"name": "x", "type": "int"}]}
+    reader = {
+        "type": "record", "name": "R",
+        "fields": [{"name": "x", "type": "int"}, {"name": "y", "type": "int"}],
+    }
+    with pytest.raises(ValueError, match="no default"):
+        decode_resolved(writer, reader, encode_value(writer, {"x": 1}))
+
+
+def test_multi_version_topic_decodes_with_resolver(spark):
+    """A topic carrying v1 and v2 envelope frames mid-stream decodes to the
+    one reader shape when the resolver maps both schema ids; an unframed
+    id is a poison frame (DLQ-routed in permissive mode)."""
+    v2 = _envelope_v2()
+    resolver = SchemaResolver({1: AVRO_ENVELOPE_SCHEMA, 2: v2, 10: AVRO_KEY_SCHEMA})
+    rows = []
+    for i, (sid, schema) in enumerate([(1, AVRO_ENVELOPE_SCHEMA), (2, v2)], start=1):
+        rows.append(
+            (
+                "cdc.public.users", i % 8, 100 + i,
+                bytearray(confluent_frame(encode_value(AVRO_KEY_SCHEMA, {"id": i}), 10)),
+                bytearray(confluent_frame(_mk_value(schema, i, "c", region="emea"), sid)),
+            )
+        )
+    # frame with an id the resolver doesn't know
+    rows.append(
+        (
+            "cdc.public.users", 3, 103,
+            bytearray(confluent_frame(encode_value(AVRO_KEY_SCHEMA, {"id": 3}), 10)),
+            bytearray(confluent_frame(_mk_value(AVRO_ENVELOPE_SCHEMA, 3, "c"), 99)),
+        )
+    )
+    frames = spark.createDataFrame(
+        rows, "topic string, partition int, offset long, key binary, value binary"
+    )
+    parsed = parse_debezium_avro(
+        frames, confluent_wire=True, permissive=True, resolver=resolver
+    ).orderBy("offset")
+    got = parsed.collect()
+    assert [r["pk"] for r in got] == [1, 2, 3]
+    assert [r["op"] for r in got] == ["c", "c", None]
+    assert got[0]["after"]["value"] == 1.5 and got[1]["after"]["value"] == 3.0
+    assert "region" not in got[1]["after"].asDict()
+    assert got[0]["decode_error"] is None and got[1]["decode_error"] is None
+    assert "99" in got[2]["decode_error"]
+    # strict mode: the unknown id fails the batch (reference FAILFAST posture)
+    strict = parse_debezium_avro(frames, confluent_wire=True, resolver=resolver)
+    with pytest.raises(Exception, match="(?i)schema id|SparkException"):
+        strict.collect()
