@@ -130,22 +130,41 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "export":
         # the training-data write path: curation funnel -> shard assignment
         # (text_export_shards' plan) -> one parquet directory PER SHARD
-        # (partitionBy) so a training job reads fixed-size token buckets.
-        # Shard count scales with corpus tokens; each output task writes only
-        # its own shard partitions.
-        from cdc_platform_spark.operators import load_all
-        from cdc_platform_spark.operators.text import curated_packed_docs
+        # (partitionBy), document text included, so a training job reads
+        # consumable fixed-size token buckets. Shard count scales with
+        # corpus tokens; each output task writes only its own shard
+        # partitions.
+        from pyspark.sql import functions as F
 
-        registry = load_all()
-        curated_packed_docs(spark, args.sf_dir).write.mode("overwrite").partitionBy(
+        from cdc_platform_spark.operators.text import curated_packed_docs
+        from cdc_platform_spark.sources.registry import load_table
+
+        assignments = curated_packed_docs(spark, args.sf_dir)
+        docs = load_table(spark, "documents", args.sf_dir).select("doc_id", "text")
+        assignments.join(docs, "doc_id").write.mode("overwrite").partitionBy(
             "shard_id"
         ).parquet(args.out)
-        manifest = registry["text_export_shards"].builder(spark, args.sf_dir)
-        # the manifest itself is written distributed; the driver only prints
-        # a bounded sample (at 100 TB the manifest has millions of rows)
+        # manifest aggregates the WRITTEN shards (not a funnel re-run, so it
+        # describes exactly what landed on disk); written distributed, the
+        # driver prints only a bounded sample (at 100 TB the manifest has
+        # millions of rows)
+        manifest = (
+            spark.read.parquet(args.out)
+            .groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("total_tokens"),
+                F.min("doc_id").alias("first_doc_id"),
+                F.max("doc_id").alias("last_doc_id"),
+            )
+            .orderBy("shard_id")
+        )
         manifest.write.mode("overwrite").parquet(f"{args.out}_manifest")
-        n_shards = manifest.count()
-        sample = [r.asDict() for r in manifest.limit(50).collect()]
+        written_manifest = spark.read.parquet(f"{args.out}_manifest")
+        n_shards = written_manifest.count()
+        sample = [
+            r.asDict() for r in written_manifest.orderBy("shard_id").limit(50).collect()
+        ]
         print(json.dumps({"shards": n_shards, "manifest": sample}, default=str))
         return 0
 

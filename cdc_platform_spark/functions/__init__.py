@@ -78,10 +78,19 @@ def distributed_prefix_sum(df, order_col: str, value_col: str, out_col: str = "p
     total, window the #partitions-row totals table for exclusive offsets,
     broadcast back, add the partition-local running sum.
 
+    PRECONDITION: ``order_col`` must be unique. With duplicate keys the
+    partition-local exclusive window's ordering among ties is
+    nondeterministic, so re-runs could assign tied rows different prefixes
+    (every current caller orders by a primary key).
+
     The naive ``Window.orderBy(order_col)`` with no partitioning funnels the
-    whole dataset through a single task; here the only full-data exchange is
-    the range partitioning and the cross-partition dependency is bounded
-    metadata (the same class as zipWithIndex's offset collection).
+    whole dataset through a single task. Here the full data crosses the wire
+    a bounded number of times — the range partitioning, plus the hash
+    exchanges Catalyst inserts after ``localCheckpoint`` erases the range
+    partitioning from the plan (the _psum_pid window and join) — but no
+    stage ever serializes the whole dataset through ONE task; the only
+    single-task structure is the #partitions-row offsets window, which is
+    bounded metadata (the same class as zipWithIndex's offset collection).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F  # noqa: N812 (local: avoid cycle at import)

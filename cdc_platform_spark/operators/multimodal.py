@@ -17,7 +17,6 @@ schema, Arrow batch shape, partitioning) is exactly what ships.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -40,19 +39,33 @@ def real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic stand-in decoder over Arrow batches of (doc_id, payload).
+def md5_h60(col: F.Column) -> F.Column:
+    """First 15 hex digits of md5 as a 60-bit long, computed JVM-side
+    (hashlib.md5 == Spark md5 == DuckDB md5, and 60 bits fits a long
+    exactly). Hashing upstream keeps the Arrow-batch Python stages pure
+    numpy — no per-row Python anywhere in mm_*."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
-    Pseudo-metadata from md5(payload): format = h % 3, width/height from
-    further residues — bit-identical to the SQL oracle's md5 arithmetic.
+
+def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in decoder over Arrow batches of
+    (doc_id, payload, n_bytes, h60).
+
+    Pseudo-metadata from the JVM-computed md5 residue: format = h % 3,
+    width/height from further residues — bit-identical to the SQL oracle's
+    md5 arithmetic. A real decoder reads ``payload`` instead and ignores
+    ``h60``; the batch shape is identical.
     """
+    import numpy as np
+
+    formats = np.array(FORMATS)
     for pdf in batches:
-        h60 = pdf["payload"].map(lambda b: int(hashlib.md5(bytes(b)).hexdigest()[:15], 16))
+        h60 = pdf["h60"].to_numpy()
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": pdf["payload"].map(len).astype("int64"),
-                "format": (h60 % 3).map(lambda i: FORMATS[int(i)]),
+                "n_bytes": pdf["n_bytes"],
+                "format": formats[h60 % 3],
                 "width": (16 * (1 + h60 % 120)).astype("int64"),
                 "height": (16 * (1 + (h60 // 120) % 68)).astype("int64"),
             }
@@ -80,7 +93,13 @@ def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 )
 def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, "documents", sf_dir))
-    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    payload = F.encode(F.col("text"), "utf-8")
+    payloads = d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        md5_h60(payload).alias("h60"),
+    )
     return payloads.mapInPandas(fake_decode_batch, schema=DECODE_SCHEMA).orderBy("doc_id")
 
 
@@ -107,7 +126,10 @@ def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, "documents", sf_dir))
-    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    payload = F.encode(F.col("text"), "utf-8")
+    payloads = d.select(
+        "doc_id", (md5_h60(payload) % 4 + 1).cast("long").alias("n_frames")
+    )
 
     def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -115,11 +137,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             # vectorized 1-to-N expansion: repeat each doc by its frame count,
             # then number frames with a per-doc resetting arange
-            n_frames = (
-                pdf["payload"].map(lambda b: int(hashlib.md5(bytes(b)).hexdigest()[:15], 16))
-                % 4
-                + 1
-            ).to_numpy()
+            n_frames = pdf["n_frames"].to_numpy()
             idx = np.repeat(np.arange(len(pdf)), n_frames)
             starts = np.repeat(np.cumsum(n_frames) - n_frames, n_frames)
             frame_idx = np.arange(n_frames.sum()) - starts
@@ -167,7 +185,13 @@ RESIZE_TARGET = 256  # fit longest side to 256, preserve aspect (integer math)
 )
 def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, "documents", sf_dir))
-    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    payload = F.encode(F.col("text"), "utf-8")
+    payloads = d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        md5_h60(payload).alias("h60"),
+    )
     meta = payloads.mapInPandas(fake_decode_batch, schema=DECODE_SCHEMA)
     w, h = F.col("width"), F.col("height")
     t = F.lit(RESIZE_TARGET)
@@ -201,18 +225,22 @@ N_FEATURES = 8
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, "documents", sf_dir))
-    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    payload = F.encode(F.col("text"), "utf-8")
+    # the md5 chaining runs JVM-side; the Arrow stage below is the pure-numpy
+    # batch transform a real model UDF would replace
+    payloads = d.select(
+        "doc_id",
+        *[
+            md5_h60(F.concat(payload, F.lit(f"#{i}".encode()))).alias(f"h{i}")
+            for i in range(N_FEATURES)
+        ],
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": pdf["doc_id"]}
             for i in range(N_FEATURES):
-                out[f"f{i}"] = pdf["payload"].map(
-                    lambda b, i=i: int(
-                        hashlib.md5(bytes(b) + f"#{i}".encode()).hexdigest()[:15], 16
-                    )
-                    % 1000
-                )
+                out[f"f{i}"] = (pdf[f"h{i}"].to_numpy() % 1000).astype("int64")
             yield pd.DataFrame(out)
 
     schema = "doc_id long, " + ", ".join(f"f{i} long" for i in range(N_FEATURES))

@@ -562,7 +562,14 @@ def test_cli_export_writes_shard_partitions(spark, tmp_path, capsys):
     report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["shards"] >= 2
     written = spark.read.parquet(out_dir)
+    # shards are consumable training data: the document text rides along
+    assert "text" in written.columns
+    assert written.filter("text IS NULL OR text = ''").count() == 0
     per_shard = {r["shard_id"]: r["n"] for r in written.groupBy("shard_id").count().withColumnRenamed("count", "n").collect()}
     for m in report["manifest"]:
         assert per_shard[m["shard_id"]] == m["n_docs"], m
-    assert written.count() == sum(m["n_docs"] for m in report["manifest"])
+    # totals come from the WRITTEN manifest parquet (the printed report
+    # samples at most 50 shards, so it can't anchor a totals equality)
+    manifest = spark.read.parquet(f"{out_dir}_manifest")
+    assert written.count() == sum(r["n_docs"] for r in manifest.collect())
+    assert manifest.count() == report["shards"]
