@@ -77,7 +77,13 @@ def _priority_order(registry) -> list[str]:
     lead so they re-appear as soon as slots free up.
     """
     seen = _driver_verified_names()
-    unseen = [n for n in sorted(registry) if n not in seen]
+    # streaming-path queries lead the unseen block: they are this round's
+    # only independent check on the streaming machinery (batch queries all
+    # have pytest oracle coverage as a fallback)
+    unseen = sorted(
+        (n for n in registry if n not in seen),
+        key=lambda n: (not n.startswith("sq_"), n),
+    )
     core = [
         n
         for n in sorted(registry)

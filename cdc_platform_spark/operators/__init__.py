@@ -59,6 +59,7 @@ def load_all() -> dict[str, EngineQuery]:
         relational,
         relational_ext,
         similarity,
+        streaming_queries,
         text,
         tpch_like,
         windows,
