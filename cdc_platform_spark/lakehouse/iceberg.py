@@ -30,6 +30,43 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+# Runtime jar for this engine's Spark (pyspark 4.1 / Scala 2.13). The
+# artifact name tracks the Spark minor: a 3.5 cluster uses
+# iceberg-spark-runtime-3.5_2.12 with the same session config.
+ICEBERG_RUNTIME_COORDS = "org.apache.iceberg:iceberg-spark-runtime-4.1_2.13:1.10.0"
+
+
+def iceberg_session_config(
+    catalog: str = "lake",
+    warehouse: str = "s3://BUCKET/warehouse",
+    catalog_type: str = "rest",
+    uri: str | None = None,
+) -> dict[str, str]:
+    """The exact session config that flips ``open_table("iceberg://...")``
+    live on a real cluster — apply each key via
+    ``SparkSession.builder.config`` (or spark-defaults.conf) before the
+    session starts, then ``open_table(spark, f"iceberg://{catalog}.db.tbl")``
+    dispatches to :class:`IcebergTable` and every ``TableFormat`` contract
+    test in tests/test_lakehouse.py runs unchanged against the catalog.
+
+    ``catalog_type``: ``rest`` (uri required), ``glue``, ``hive``
+    (uri = metastore thrift), or ``hadoop`` (warehouse = filesystem path,
+    no uri) — the standard SparkCatalog types.
+    """
+    cfg = {
+        "spark.jars.packages": ICEBERG_RUNTIME_COORDS,
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": catalog_type,
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+    if uri is not None:
+        cfg[f"spark.sql.catalog.{catalog}.uri"] = uri
+    return cfg
+
+
 class IcebergTable(TableFormat):
     """TableFormat over an Iceberg catalog table ``catalog.namespace.table``."""
 

@@ -308,3 +308,26 @@ def test_rewrite_sorted_all_null_sort_column(spark, table):
     table.append(df)
     table.rewrite_sorted("v", n_groups=4)
     assert table.read().count() == 3
+
+
+def test_iceberg_session_config_recipe(spark):
+    """The documented flip-on recipe must agree with what IcebergTable
+    actually consumes: the catalog key names SparkCatalog, and the catalog
+    prefix of an iceberg:// identifier is what the CALL statements target."""
+    from cdc_platform_spark.lakehouse.iceberg import (
+        ICEBERG_RUNTIME_COORDS,
+        iceberg_session_config,
+    )
+
+    cfg = iceberg_session_config(
+        catalog="lake", warehouse="s3://b/wh", catalog_type="rest", uri="http://r:8181"
+    )
+    assert cfg["spark.jars.packages"] == ICEBERG_RUNTIME_COORDS
+    assert cfg["spark.sql.catalog.lake"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert cfg["spark.sql.catalog.lake.type"] == "rest"
+    assert cfg["spark.sql.catalog.lake.uri"] == "http://r:8181"
+    assert "IcebergSparkSessionExtensions" in cfg["spark.sql.extensions"]
+    # hadoop catalogs are warehouse-only
+    assert "spark.sql.catalog.fs.uri" not in iceberg_session_config(
+        catalog="fs", warehouse="/data/wh", catalog_type="hadoop"
+    )
