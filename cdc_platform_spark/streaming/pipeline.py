@@ -436,8 +436,16 @@ class CdcPipeline:
     # (the reference's transport-adapter seam, sources/factory.py:15-174)
     stream_builder: object | None = None  # Callable[[SparkSession], DataFrame]
     envelope_fn: object | None = None  # Callable[[DataFrame], DataFrame], default to_envelope
+    # Optional registry schema monitor (observability.SchemaRegistryMonitor):
+    # polled per micro-batch; in halt mode an incompatible version bump
+    # raises SchemaDriftError, failing the query — the reference's
+    # stop_on_incompatible posture (ref streaming/schema_monitor.py:16-138).
+    schema_monitor: object | None = None
 
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if self.schema_monitor is not None:
+            self.schema_monitor.poll_once()
+            self.schema_monitor.ensure_compatible()
         env = (self.envelope_fn or to_envelope)(batch)
         # fan-out: persist once, write to every sink; per-sink failures are
         # isolated and quarantined (ref F1 + P7, pipeline/runner.py:210-250).

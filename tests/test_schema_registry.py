@@ -140,3 +140,47 @@ def test_registry_schema_resolver_fetches_and_memoizes(registry):
     assert resolver.schema_for(42)["name"] == "Envelope"  # served from cache
     with pytest.raises(KeyError, match="77"):
         resolver.schema_for(77)
+
+
+def test_pipeline_halts_on_incompatible_registry_bump(spark, registry, tmp_path):
+    """End-to-end halt: the monitor is polled per micro-batch; when the stub
+    registry publishes an incompatible version mid-stream, the next batch
+    raises SchemaDriftError and the streaming query fails (reference
+    stop_on_incompatible)."""
+    from cdc_platform_spark.streaming.pipeline import AppendSink, CdcPipeline
+
+    url, state = registry
+    state["subjects"]["cdc.public.events-value"] = {
+        "version": 1, "id": 1, "schema": json.dumps(AVRO_ENVELOPE_SCHEMA),
+    }
+    mon = SchemaRegistryMonitor(url, ["cdc.public.events"], mode="halt")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "src")
+    events.limit(200).repartition(4).write.mode("overwrite").parquet(src)
+
+    seen_batches = []
+    orig_poll = mon.poll_once
+
+    def poll_and_flip():
+        events_out = orig_poll()
+        seen_batches.append(1)
+        if len(seen_batches) == 2:  # publish the breaking change mid-stream
+            state["subjects"]["cdc.public.events-value"] = {
+                "version": 2, "id": 9, "schema": '{"type":"string"}',
+            }
+            state["compatible"]["cdc.public.events-value"] = False
+        return events_out
+
+    mon.poll_once = poll_and_flip
+    pipe = CdcPipeline(
+        spark=spark,
+        source_dir=src,
+        checkpoint_dir=str(tmp_path / "ck"),
+        sinks={"append": AppendSink(str(tmp_path / "append"))},
+        max_files_per_trigger=1,
+        schema_monitor=mon,
+    )
+    with pytest.raises(Exception, match="(?i)incompatible|SchemaDrift"):
+        pipe.run_available_now()
+    assert mon.incompatible_detected
+    assert len(seen_batches) >= 3  # ran, saw the bump, halted on the next batch
