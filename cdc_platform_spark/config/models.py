@@ -28,6 +28,11 @@ class SourceConfig(BaseModel, extra="forbid"):
     # wire format of Kafka record values: JSON envelopes or Confluent-framed
     # Avro (the reference's AvroConverter path, sources/avro.py)
     value_format: Literal["json", "avro"] = "json"
+    # Schema Registry base URL (reference sources/debezium/config.py:54-58):
+    # with value_format=avro, frames whose schema id is not pre-seeded are
+    # resolved (and memoized) via GET /schemas/ids/{id}; also the endpoint
+    # the pipeline-level schema monitor polls.
+    schema_registry_url: str | None = None
     # CDC topic naming (reference streaming/topics.py:31-60): the connector
     # family decides the topic shape; sqlserver needs the database for its
     # 4-part names. `capture` lists qualified relation names (schema.table /
@@ -81,12 +86,18 @@ class PipelineConfig(BaseModel, extra="forbid"):
     sinks: list[SinkConfig] = Field(min_length=1)
     dlq_path: str | None = None
     checkpoint_dir: str | None = None  # default: <platform.checkpoint_root>/<pipeline_id>
+    # Registry schema monitoring (reference streaming/schema_monitor.py:16-138):
+    # 'halt' fails the query on an incompatible subject-version bump,
+    # 'warn' records it, 'off' skips polling. Needs source.schema_registry_url.
+    schema_monitor: Literal["off", "warn", "halt"] = "off"
 
     @model_validator(mode="after")
     def _unique_sink_ids(self) -> PipelineConfig:
         ids = [s.id for s in self.sinks]
         if len(set(ids)) != len(ids):
             raise ValueError(f"duplicate sink ids: {ids}")
+        if self.schema_monitor != "off" and not self.source.schema_registry_url:
+            raise ValueError("schema_monitor requires source.schema_registry_url")
         return self
 
     def provisioned_topics(self, dlq_suffix: str = "dlq") -> list[str]:

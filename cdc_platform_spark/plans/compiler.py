@@ -118,7 +118,26 @@ def compile_pipeline(
                 max_offsets_per_trigger=src.max_offsets_per_trigger,
             )
 
-        envelope_fn = kafka_envelope_avro if src.value_format == "avro" else kafka_envelope_flat
+        if src.value_format == "avro":
+            resolver = None
+            if src.schema_registry_url:
+                from cdc_platform_spark.sources.avro import RegistrySchemaResolver
+
+                resolver = RegistrySchemaResolver(src.schema_registry_url)
+
+            def envelope_fn(df, _resolver=resolver):  # noqa: F811 - deliberate rebind
+                return kafka_envelope_avro(df, resolver=_resolver)
+        else:
+            envelope_fn = kafka_envelope_flat
+    schema_monitor = None
+    if cfg.schema_monitor != "off":
+        from cdc_platform_spark.observability import SchemaRegistryMonitor
+
+        # monitor every topic this pipeline produces or consumes
+        topics = list(cfg.source.topics or []) or cfg.provisioned_topics()
+        schema_monitor = SchemaRegistryMonitor(
+            cfg.source.schema_registry_url, topics, mode=cfg.schema_monitor
+        )
     return CdcPipeline(
         spark=spark,
         source_dir=cfg.source.path or "",
@@ -129,4 +148,5 @@ def compile_pipeline(
         max_files_per_trigger=cfg.source.max_files_per_trigger,
         stream_builder=stream_builder,
         envelope_fn=envelope_fn,
+        schema_monitor=schema_monitor,
     )

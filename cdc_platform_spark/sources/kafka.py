@@ -73,15 +73,24 @@ def kafka_envelope(records: DataFrame) -> DataFrame:
     return parse_debezium(kafka_frames(records))
 
 
-def kafka_envelope_avro(records: DataFrame, permissive: bool = True) -> DataFrame:
+def kafka_envelope_avro(
+    records: DataFrame, permissive: bool = True, resolver=None
+) -> DataFrame:
     """Raw Kafka records with Confluent-framed Avro values -> flat engine
     envelope (the reference's actual wire path: AvroConverter + registry
     framing). Permissive by default so poison frames survive as
-    null-enveloped rows for DLQ routing instead of failing the batch."""
+    null-enveloped rows for DLQ routing instead of failing the batch.
+
+    ``resolver`` (a ``sources.avro.SchemaResolver``) turns on schema-id
+    routing: each frame decodes with its writer schema, resolved onto the
+    pinned reader envelope (registry-driven deployments pass a
+    ``RegistrySchemaResolver``)."""
     from cdc_platform_spark.sources.avro import parse_debezium_avro
     from cdc_platform_spark.sources.debezium import to_flat_envelope
 
-    parsed = parse_debezium_avro(records, confluent_wire=True, permissive=permissive)
+    parsed = parse_debezium_avro(
+        records, confluent_wire=True, permissive=permissive, resolver=resolver
+    )
     return to_flat_envelope(parsed)
 
 

@@ -184,3 +184,37 @@ def test_pipeline_halts_on_incompatible_registry_bump(spark, registry, tmp_path)
         pipe.run_available_now()
     assert mon.incompatible_detected
     assert len(seen_batches) >= 3  # ran, saw the bump, halted on the next batch
+
+
+def test_config_wires_registry_resolver_and_monitor(spark, tmp_path):
+    """schema_registry_url + schema_monitor in the YAML config compile into
+    a RegistrySchemaResolver-backed Avro envelope and an attached
+    SchemaRegistryMonitor; monitor without a url is rejected."""
+    from cdc_platform_spark.config.models import PipelineConfig, SinkConfig, SourceConfig
+    from cdc_platform_spark.plans.compiler import compile_pipeline
+
+    cfg = PipelineConfig(
+        pipeline_id="k",
+        source=SourceConfig(
+            type="kafka",
+            bootstrap_servers="b:9092",
+            topics=["cdc.public.events"],
+            value_format="avro",
+            schema_registry_url="http://registry:8081",
+        ),
+        sinks=[SinkConfig(id="a", type="append", path=str(tmp_path / "a"))],
+        schema_monitor="halt",
+    )
+    pipe = compile_pipeline(spark, cfg)
+    assert pipe.schema_monitor is not None
+    assert pipe.schema_monitor.mode == "halt"
+    assert pipe.schema_monitor.topics == ["cdc.public.events"]
+    assert pipe.schema_monitor.client.url == "http://registry:8081"
+
+    with pytest.raises(Exception, match="schema_registry_url"):
+        PipelineConfig(
+            pipeline_id="k2",
+            source=SourceConfig(type="parquet_stream", path="/tmp/x"),
+            sinks=[SinkConfig(id="a", type="append", path=str(tmp_path / "b"))],
+            schema_monitor="warn",
+        )
