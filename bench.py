@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "sim_topk_bruteforce",
     "sim_ann_ivf",
+    "sim_ann_ivf_pq",
     "text_quality",
     "mm_decode_metadata",
     "q51_shipping_priority",

@@ -543,6 +543,68 @@ def _l2_long(a, b):
     )
 
 
+def pq_subvectors(e: DataFrame) -> DataFrame:
+    """``e(vec_id, a)`` -> one row per (vec_id, sub) with the sub-vector slice."""
+    return (
+        e.select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(PQ_SUBS - 1)),
+                    lambda s: F.slice(F.col("a"), s * PQ_SUBDIM + 1, PQ_SUBDIM),
+                )
+            ).alias("sub", "sa"),
+        )
+        .withColumn("sub", F.col("sub").cast("long"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def pq_seeds(e: DataFrame) -> DataFrame:
+    """Deterministic md5-ordered codebook seeds, shared by every subspace."""
+    return (
+        e.orderBy(md5_60bit(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("cent_id"))
+    )
+
+
+def train_pq_codebooks(subvecs: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Per-subspace Lloyd-trained codebooks ``(sub, cent_id, ca)`` in exact
+    fixed point (integer L2 assign, ROUND(mean) micro-unit re-estimation).
+    All subspaces train concurrently under the (sub, cent_id) composite key:
+    one shuffle per round, reduce state = subs x K x subdim integers."""
+    cents = (
+        subvecs.join(seeds, subvecs.vec_id == seeds.cent_id)
+        .select("sub", "cent_id", F.col("sa").alias("ca"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(PQ_ITERS):
+        pairs = subvecs.join(F.broadcast(cents), "sub").select(
+            "vec_id", "sub", "cent_id", _l2_long(F.col("sa"), F.col("ca")).alias("d")
+        )
+        # argmin as a map-side-combinable min_by (ties -> smallest cent_id)
+        assign = pairs.groupBy("vec_id", "sub").agg(
+            F.min_by("cent_id", F.struct("d", "cent_id")).alias("cent_id")
+        )
+        members = assign.join(subvecs, ["vec_id", "sub"]).select(
+            "sub", "cent_id", F.posexplode("sa").alias("j", "v")
+        )
+        newc = (
+            members.groupBy("sub", "cent_id", "j")
+            .agg(F.round(F.sum("v") * F.lit(1.0) / F.count(F.lit(1))).cast("long").alias("cv"))
+            .groupBy("sub", "cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "cv"))), lambda x: x["cv"]
+                ).alias("ca")
+            )
+        )
+        missing = cents.join(newc.select("sub", "cent_id"), ["sub", "cent_id"], "left_anti")
+        cents = newc.unionByName(missing).localCheckpoint(eager=True)
+    return cents
+
+
 @register(
     "sim_quantize_pq",
     category="similarity",
@@ -596,53 +658,9 @@ def sim_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", fixed_point(F.col("embedding")).alias("a")
     )
-    subvecs = (
-        e.select(
-            "vec_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(PQ_SUBS - 1)),
-                    lambda s: F.slice(F.col("a"), s * PQ_SUBDIM + 1, PQ_SUBDIM),
-                )
-            ).alias("sub", "sa"),
-        )
-        .withColumn("sub", F.col("sub").cast("long"))
-        .localCheckpoint(eager=False)
-    )
-    # Deterministic md5-ordered seeds, shared by every subspace.
-    seeds = (
-        e.orderBy(md5_60bit(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(PQ_K)
-        .select(F.col("vec_id").alias("cent_id"))
-    )
-    cents = (
-        subvecs.join(seeds, subvecs.vec_id == seeds.cent_id)
-        .select("sub", "cent_id", F.col("sa").alias("ca"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(PQ_ITERS):
-        pairs = subvecs.join(F.broadcast(cents), "sub").select(
-            "vec_id", "sub", "cent_id", _l2_long(F.col("sa"), F.col("ca")).alias("d")
-        )
-        # argmin as a map-side-combinable min_by (ties -> smallest cent_id)
-        assign = pairs.groupBy("vec_id", "sub").agg(
-            F.min_by("cent_id", F.struct("d", "cent_id")).alias("cent_id")
-        )
-        members = assign.join(subvecs, ["vec_id", "sub"]).select(
-            "sub", "cent_id", F.posexplode("sa").alias("j", "v")
-        )
-        newc = (
-            members.groupBy("sub", "cent_id", "j")
-            .agg(F.round(F.sum("v") * F.lit(1.0) / F.count(F.lit(1))).cast("long").alias("cv"))
-            .groupBy("sub", "cent_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "cv"))), lambda x: x["cv"]
-                ).alias("ca")
-            )
-        )
-        missing = cents.join(newc.select("sub", "cent_id"), ["sub", "cent_id"], "left_anti")
-        cents = newc.unionByName(missing).localCheckpoint(eager=True)
+    subvecs = pq_subvectors(e)
+    seeds = pq_seeds(e)
+    cents = train_pq_codebooks(subvecs, seeds)
     ranks = seeds.withColumn(
         "code",
         (F.row_number().over(Window.orderBy("cent_id")) - 1).cast("long"),
@@ -658,4 +676,188 @@ def sim_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ranks), "cent_id")
         .select("vec_id", "sub_id", "code", F.col("sq_err").cast("long").alias("sq_err"))
         .orderBy("vec_id", "sub_id")
+    )
+
+
+# --- IVF-PQ composite ANN ---------------------------------------------------
+# Approx-scored candidates kept per query for exact re-rank. With a tiny
+# 8-codeword-per-subspace codebook the ADC ordering is coarse, so the
+# shortlist must stay a generous multiple of top-k (the standard IVF-PQ
+# accuracy knob: recall ~ shortlist/candidates at fixed codebook size).
+R_RERANK = 64
+
+# The PQ training chain seeded from its own table name to avoid colliding
+# with the IVF chain's `cents` when both live in one oracle query.
+_PQ_TRAIN_CTES_NS = _PQ_TRAIN_CTES.replace("JOIN cents c ON", "JOIN pqseeds c ON")
+
+
+@register(
+    "sim_ann_ivf_pq",
+    category="similarity",
+    doc=(
+        "The production 100 TB ANN architecture (IVF-ADC, Jegou et al. "
+        f"2011): IVF coarse quantizer ({N_CELLS} Lloyd-trained cells, "
+        f"queries probe {N_PROBE}) prunes the corpus to cell members; PQ "
+        f"codebooks ({PQ_SUBS}x{PQ_K}, Lloyd-trained per subspace) score "
+        "those candidates by asymmetric distance — the query's exact "
+        "subvector-to-codeword L2 table (queries x subs x K entries, "
+        "broadcast) looked up against each candidate's 8-byte code, so "
+        f"scoring never touches the full vectors; the top {R_RERANK} by "
+        f"ADC re-rank exactly to cosine top-{TOP_K}. Every stage is exact "
+        "fixed-point integer math, bit-identical to the SQL oracle. Scale "
+        "shape: train = tiny broadcast state; encode = shuffle-free map; "
+        "score = candidate equi-join + broadcast lookup; only the "
+        f"{R_RERANK}-per-query survivors ever read full vectors."
+    ),
+    oracle=f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        norms AS (SELECT vec_id, SUM(v * v) AS n FROM u GROUP BY vec_id),
+        cents AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {N_CELLS}
+        ),
+        cu AS (SELECT u.* FROM u JOIN cents ON u.vec_id = cents.cent_id),
+        {_TRAIN_CTES},
+        ncf AS (SELECT cent_id, SUM(cv * cv) AS n FROM {_CENT_FINAL} GROUP BY cent_id),
+        vc_dots AS (
+            SELECT x.vec_id, c.cent_id, SUM(x.v * c.cv) AS d
+            FROM u x JOIN {_CENT_FINAL} c ON x.i = c.i
+            GROUP BY x.vec_id, c.cent_id
+        ),
+        vc_cos AS (
+            SELECT v.vec_id, v.cent_id, v.d / (sqrt(nx.n) * sqrt(nc.n)) AS c
+            FROM vc_dots v JOIN norms nx ON v.vec_id = nx.vec_id
+                           JOIN ncf nc ON v.cent_id = nc.cent_id
+        ),
+        assign AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT vec_id, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM vc_cos) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS qid, cent_id FROM (
+                SELECT vec_id, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM vc_cos) WHERE rn <= {N_PROBE} AND vec_id < {N_PROBES}
+        ),
+        cand AS (
+            SELECT DISTINCT p.qid, a.vec_id AS nid
+            FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+            WHERE a.vec_id <> p.qid
+        ),
+        su AS (SELECT vec_id, CAST((i - 1) // {PQ_SUBDIM} AS BIGINT) AS sub,
+                      CAST((i - 1) % {PQ_SUBDIM} AS BIGINT) AS j, v
+               FROM u),
+        pqseeds AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {PQ_K}
+        ),
+        {_PQ_TRAIN_CTES_NS},
+        fd AS (
+            SELECT s.vec_id, s.sub, c.cent_id, SUM((s.v - c.cv) * (s.v - c.cv)) AS d
+            FROM su s JOIN {_PQ_FINAL} c ON s.sub = c.sub AND s.j = c.j
+            GROUP BY s.vec_id, s.sub, c.cent_id
+        ),
+        enc AS (
+            SELECT vec_id, sub, cent_id FROM (
+                SELECT vec_id, sub, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cent_id) AS rn
+                FROM fd) WHERE rn = 1
+        ),
+        adc AS (
+            SELECT c.qid, c.nid, SUM(fq.d) AS adist
+            FROM cand c
+            JOIN enc e ON e.vec_id = c.nid
+            JOIN fd fq ON fq.vec_id = c.qid AND fq.sub = e.sub AND fq.cent_id = e.cent_id
+            GROUP BY c.qid, c.nid
+        ),
+        shortlist AS (
+            SELECT qid, nid FROM (
+                SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+                FROM adc) WHERE rn <= {R_RERANK}
+        ),
+        dots AS (
+            SELECT s.qid, s.nid, SUM(a.v * b.v) AS d
+            FROM shortlist s JOIN u a ON a.vec_id = s.qid
+                             JOIN u b ON b.vec_id = s.nid AND b.i = a.i
+            GROUP BY s.qid, s.nid
+        ),
+        cos AS (
+            SELECT qid, nid, d / (sqrt(nq.n) * sqrt(nn.n)) AS c
+            FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nn ON nid = nn.vec_id
+        )
+        SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid AS neighbor_id, c AS cosine
+        FROM (SELECT qid, nid, c, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk FROM cos)
+        WHERE rnk <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+)
+def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _fixed_embeddings(spark, sf_dir).localCheckpoint(eager=False)
+
+    # --- IVF candidate selection (same machinery as sim_ann_ivf) ---
+    ivf_cents = train_ivf_centroids(e)
+    vc = e.crossJoin(F.broadcast(ivf_cents)).select(
+        "vec_id",
+        "cent_id",
+        (dot_long(F.col("a"), F.col("ca")) / (F.sqrt("norm") * F.sqrt("cn"))).alias("c"),
+    )
+    vc = vc.localCheckpoint(eager=False)
+    assign = vc.groupBy("vec_id").agg(
+        F.max_by("cent_id", F.struct(F.col("c"), (-F.col("cent_id")).alias("t"))).alias("cent_id")
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cent_id"))
+    probes = (
+        vc.filter(F.col("vec_id") < N_PROBES)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("qid"), "cent_id")
+    )
+    cand = (
+        probes.join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"))
+        .distinct()
+    )
+
+    # --- PQ codes + the queries' ADC lookup tables ---
+    plain = e.select("vec_id", "a")
+    subvecs = pq_subvectors(plain)
+    cb = train_pq_codebooks(subvecs, pq_seeds(plain))
+    dist = subvecs.join(F.broadcast(cb), "sub").select(
+        "vec_id", "sub", "cent_id", _l2_long(F.col("sa"), F.col("ca")).alias("d")
+    )
+    codes = dist.groupBy("vec_id", "sub").agg(
+        F.min_by("cent_id", F.struct("d", "cent_id")).alias("cent_id")
+    )
+    # queries x subs x K exact L2 entries — broadcastable at any corpus size
+    dtab = dist.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), "sub", "cent_id", "d"
+    )
+
+    # --- asymmetric-distance scoring + exact re-rank ---
+    adc = (
+        cand.join(codes.withColumnRenamed("vec_id", "nid"), "nid")
+        .join(F.broadcast(dtab), ["qid", "sub", "cent_id"])
+        .groupBy("qid", "nid")
+        .agg(F.sum("d").alias("adist"))
+    )
+    w_short = Window.partitionBy("qid").orderBy(F.col("adist"), F.col("nid"))
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= R_RERANK)
+        .select("qid", "nid")
+    )
+    q = e.select(F.col("vec_id").alias("qid"), F.col("a").alias("qa"), F.col("norm").alias("qn"))
+    n = e.select(F.col("vec_id").alias("nid"), F.col("a").alias("na"), F.col("norm").alias("nn"))
+    w_rank = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nid"))
+    return (
+        shortlist.join(q, "qid")
+        .join(n, "nid")
+        .select("qid", "nid", (dot_long(F.col("qa"), F.col("na")) / (F.sqrt("qn") * F.sqrt("nn"))).alias("c"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(F.col("qid").alias("query_id"), "rank", F.col("nid").alias("neighbor_id"), F.col("c").alias("cosine"))
+        .orderBy("query_id", "rank")
     )

@@ -454,3 +454,24 @@ def test_avro_codec_stage_runs_full_width(spark):
     parallelism fix)."""
     df = REGISTRY["q51_avro_envelope_roundtrip"].builder(spark, SF_SMOKE)
     assert "RoundRobinPartitioning" in plan_text(df)
+
+
+def test_ivf_pq_recall_and_cosine_agreement(spark):
+    """IVF-PQ quality gates: (1) every returned cosine must equal the exact
+    bruteforce cosine for that pair (the re-rank is exact, so ADC can only
+    affect WHICH pairs surface, never their scores); (2) the PQ shortlist
+    must not lose IVF's recall floor — IVF-PQ recall vs exact top-5 stays
+    at/above the 0.5 trained-IVF bound (deterministic: md5 seeds +
+    fixed-point Lloyd for both quantizers)."""
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in REGISTRY["sim_topk_bruteforce"].builder(spark, SF_SMOKE).collect()
+    }
+    ivf_pq = REGISTRY["sim_ann_ivf_pq"].builder(spark, SF_SMOKE).collect()
+    assert len(ivf_pq) > 0
+    for r in ivf_pq:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:
+            assert abs(brute[key] - r["cosine"]) < 1e-12
+    recall = len(set(brute) & {(r["query_id"], r["neighbor_id"]) for r in ivf_pq}) / len(brute)
+    assert recall >= 0.5
