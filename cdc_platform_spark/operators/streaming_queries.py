@@ -230,3 +230,66 @@ def sq_exactly_once_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("seq", "pk", "op", "event_type", F.col("value"))
         .orderBy("seq")
     )
+
+
+@register(
+    "sq_interval_join_stream",
+    category="streaming",
+    doc=(
+        "Stream-stream watermarked interval join as a driver-checkable "
+        "artifact: purchases joined to same-user clicks within the "
+        "preceding hour, both sides real streams over 4 micro-batches, "
+        "append-mode output accumulated across batches. The oracle is the "
+        "batch interval join; with the replay watermark no join state is "
+        "evicted early, so the streamed match set equals it exactly."
+    ),
+    oracle="""
+        WITH env AS (
+            SELECT user_id AS uid, event_id AS id, event_type, ts FROM events
+        )
+        SELECT p.id AS p_id, c.id AS c_id
+        FROM env p JOIN env c
+          ON p.event_type = 'purchase' AND c.event_type = 'click'
+         AND p.uid = c.uid
+         AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        ORDER BY p_id, c_id
+    """,
+)
+def sq_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.streaming.pipeline import EVENTS_SCHEMA, to_envelope
+
+    work = tempfile.mkdtemp(prefix="sq_ssj_")
+    src = _stage_chunks(spark, sf_dir, work)
+    out = f"{work}/result"
+
+    def side(tag: str) -> DataFrame:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        return (
+            to_envelope(stream)
+            .filter(F.col("event_type") == ("purchase" if tag == "p" else "click"))
+            .select(
+                F.col("pk").alias(f"{tag}_user"),
+                F.col("offset").alias(f"{tag}_id"),
+                F.col("event_ts").alias(f"{tag}_ts"),
+            )
+            .withWatermark(f"{tag}_ts", REPLAY_WATERMARK)
+        )
+
+    joined = side("p").join(
+        side("c"),
+        F.expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
+        "inner",
+    ).select("p_id", "c_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda batch, bid: batch.write.mode("append").parquet(out))
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).orderBy("p_id", "c_id")
