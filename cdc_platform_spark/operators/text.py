@@ -828,3 +828,134 @@ def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_bigram_fluency",
+    category="text",
+    doc=(
+        "LM-style fluency signal for corpus filtering: each document scored "
+        "by the corpus-frequency of its bigrams — total and mean occurrence "
+        "count of the doc's word bigrams across the whole corpus, plus how "
+        "many are corpus-unique (hapax bigrams: count==1, i.e. only this "
+        "occurrence). Low mean / high hapax share flags disfluent or "
+        "garbled text the way an n-gram LM perplexity filter would, but in "
+        "exact integer arithmetic (the only division is the final "
+        "deterministic cast). Scale shape: one shuffle to count bigrams "
+        "(map-side combinable), one count-lookup join keyed by bigram "
+        "(1:1 fan-out per occurrence), one doc-id aggregation."
+    ),
+    oracle="""
+        WITH ws AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        bg AS (
+            SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                   i -> w[i] || ' ' || w[i + 1])) AS bigram
+            FROM ws WHERE len(w) >= 2
+        ),
+        counts AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram),
+        scored AS (
+            SELECT bg.doc_id,
+                   COUNT(*) AS n_bigrams,
+                   SUM(counts.c) AS freq_sum,
+                   SUM(CASE WHEN counts.c = 1 THEN 1 ELSE 0 END) AS n_hapax
+            FROM bg JOIN counts ON bg.bigram = counts.bigram
+            GROUP BY bg.doc_id
+        )
+        SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               CAST(freq_sum AS BIGINT) AS freq_sum,
+               CAST(n_hapax AS BIGINT) AS n_hapax,
+               CAST(freq_sum AS DOUBLE) / n_bigrams AS mean_freq
+        FROM scored
+        ORDER BY doc_id
+    """,
+)
+def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, "documents", sf_dir))
+    words = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda w, i: F.concat(w, F.lit(" "), F.element_at(words, i + 2)),
+    )
+    bg = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .localCheckpoint(eager=False)  # feeds both the count and the lookup side
+    )
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c").alias("freq_sum"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("freq_sum").cast("long").alias("freq_sum"),
+            F.col("n_hapax").cast("long").alias("n_hapax"),
+            (F.col("freq_sum").cast("double") / F.col("n_bigrams")).alias("mean_freq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "text_tfidf_topterms",
+    category="text",
+    doc=(
+        f"Rational TF-IDF: top-{TFIDF_TOP_K} terms per document ranked by "
+        "tf/df (term frequency over document frequency — the log-free "
+        "variant preserves the ranking semantics while staying exact: tf "
+        "and df are integers, the ratio is one deterministic IEEE division, "
+        "ties break lexically). The corpus-side df is a distinct-doc count "
+        "per term (one shuffle, map-side combinable); the per-doc tf join "
+        "is keyed by term with 1:1 fan-out; the top-k is a WindowGroupLimit "
+        "per doc, never a global sort."
+    ),
+    oracle=f"""
+        WITH ws AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        tf AS (
+            SELECT doc_id, unnest(w) AS term FROM ws
+        ),
+        tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        ranked AS (
+            SELECT tfc.doc_id, tfc.term, tfc.tf, df.df,
+                   CAST(tfc.tf AS DOUBLE) / df.df AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tfc.doc_id
+                       ORDER BY CAST(tfc.tf AS DOUBLE) / df.df DESC, tfc.term) AS rnk
+            FROM tfc JOIN df ON tfc.term = df.term
+        )
+        SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+        FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+        ORDER BY doc_id, rank
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, "documents", sf_dir))
+    terms = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    terms = terms.localCheckpoint(eager=False)  # tf and df share one scan
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    score = F.col("tf").cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
+    return (
+        tf.join(df, "term")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            "doc_id", "rank", "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            score.alias("score"),
+        )
+        .orderBy("doc_id", "rank")
+    )
