@@ -449,3 +449,121 @@ def test_multi_version_topic_decodes_with_resolver(spark):
     strict = parse_debezium_avro(frames, confluent_wire=True, resolver=resolver)
     with pytest.raises(Exception, match="(?i)schema id|SparkException"):
         strict.collect()
+
+
+def test_decode_resolved_random_evolution_property():
+    """Property: for ANY additive evolution of a random record schema
+    (nullable-with-default fields appended at any nesting level, fields
+    reordered never — Avro forbids that — plus int->long/double
+    promotions), a value encoded with either version decodes through
+    ``decode_resolved`` to the other version's shape: writer-only fields
+    dropped, reader-only fields defaulted, promoted values widened."""
+    import random as _random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base_types = ["int", "long", "double", "string", ["null", "string"], ["null", "long"]]
+
+    @st.composite
+    def schema_and_value(draw):
+        n_fields = draw(st.integers(min_value=1, max_value=5))
+        rng = _random.Random(draw(st.integers(0, 2**31)))
+        fields, value = [], {}
+        for i in range(n_fields):
+            t = rng.choice(base_types)
+            name = f"f{i}"
+            fields.append({"name": name, "type": t})
+            if t == "int":
+                value[name] = draw(st.integers(-(2**31) + 1, 2**31 - 1))
+            elif t == "long":
+                value[name] = draw(st.integers(-(2**62), 2**62))
+            elif t == "double":
+                value[name] = draw(st.floats(allow_nan=False, allow_infinity=False, width=64))
+            elif t == "string":
+                value[name] = draw(st.text(max_size=12))
+            else:  # nullable union
+                inner = st.text(max_size=8) if t[1] == "string" else st.integers(-(2**31), 2**31)
+                value[name] = draw(st.one_of(st.none(), inner))
+        writer = {"type": "record", "name": "R", "fields": fields}
+        # evolve: append 1-2 defaulted fields + promote ints
+        evolved_fields = []
+        for f in fields:
+            t = f["type"]
+            if t == "int" and rng.random() < 0.5:
+                t = rng.choice(["long", "double"])
+            evolved_fields.append({"name": f["name"], "type": t})
+        n_new = rng.randint(1, 2)
+        for j in range(n_new):
+            evolved_fields.append(
+                {"name": f"new{j}", "type": ["null", "string"], "default": None}
+            )
+        reader = {"type": "record", "name": "R", "fields": evolved_fields}
+        return writer, reader, value
+
+    from cdc_platform_spark.sources.avro import decode_resolved
+
+    @settings(max_examples=120, deadline=None)
+    @given(sv=schema_and_value())
+    def check(sv):
+        writer, reader, value = sv
+        body = encode_value(writer, value)
+        # writer(v1) -> reader(v2): new fields defaulted, promotions widened
+        up, pos = decode_resolved(writer, reader, body)
+        assert pos == len(body)
+        for f in reader["fields"]:
+            name = f["name"]
+            if name.startswith("new"):
+                assert up[name] is None
+            elif f["type"] == "double" and isinstance(value[name], int):
+                assert up[name] == float(value[name])
+            else:
+                assert up[name] == value[name]
+        # reader(v2) value -> writer(v1) shape: new fields dropped cleanly.
+        # (Only when no promotion happened: Avro resolution cannot narrow.)
+        evolved = reader["fields"]
+        if all(f["type"] == w["type"] for f, w in zip(evolved, writer["fields"])):
+            v2 = dict(value, **{f["name"]: None for f in evolved if f["name"].startswith("new")})
+            body2 = encode_value(reader, v2)
+            down, pos2 = decode_resolved(reader, writer, body2)
+            assert pos2 == len(body2)
+            assert down == value
+
+    check()
+
+
+def test_unknown_schema_id_flows_to_dlq_route(spark):
+    """End-to-end poison posture for schema evolution: a frame with an
+    unregistered schema id survives the resolver-aware envelope as a
+    decode_error row that the DLQ predicate (ref P7) selects, while the
+    known-id frames flow clean — the unknown WRITER version quarantines
+    instead of poisoning the batch or silently misdecoding."""
+    from cdc_platform_spark.sources.avro import SchemaResolver
+    from cdc_platform_spark.sources.kafka import kafka_envelope_avro
+
+    resolver = SchemaResolver({1: AVRO_ENVELOPE_SCHEMA, 10: AVRO_KEY_SCHEMA})
+    env_val = {
+        "op": "c",
+        "ts_ms": 1700000000005,
+        "before": None,
+        "after": {"id": 5, "event_type": "signup", "value": 5.0},
+        "source": {
+            "version": "2.5", "connector": "postgresql", "name": "cdc",
+            "ts_ms": 1700000000005, "snapshot": "false", "db": "app",
+            "schema": "public", "table": "users", "txId": 5, "lsn": 55,
+        },
+    }
+    key = bytearray(confluent_frame(encode_value(AVRO_KEY_SCHEMA, {"id": 5}), 10))
+    good = bytearray(confluent_frame(encode_value(AVRO_ENVELOPE_SCHEMA, env_val), 1))
+    unknown = bytearray(confluent_frame(encode_value(AVRO_ENVELOPE_SCHEMA, env_val), 42))
+    frames = spark.createDataFrame(
+        [("t", 0, 1, key, good), ("t", 0, 2, key, unknown)],
+        "topic string, partition int, offset long, key binary, value binary",
+    )
+    env = kafka_envelope_avro(frames, resolver=resolver)
+    rows = {r["offset"]: r for r in env.collect()}
+    assert rows[1]["decode_error"] is None and rows[1]["op"] == "c"
+    assert rows[2]["decode_error"] is not None and "42" in rows[2]["decode_error"]
+    assert rows[2]["pk"] == 5  # key decoded -> the DLQ row stays key-routable
+    quarantined = env.filter("decode_error IS NOT NULL")
+    assert quarantined.count() == 1 and quarantined.first()["offset"] == 2
