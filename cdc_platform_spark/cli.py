@@ -47,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_health.add_argument("config")
 
+    p_topics = sub.add_parser(
+        "topics", help="print the CDC + DLQ topics this pipeline provisions (ref D1)"
+    )
+    p_topics.add_argument("config")
+
     p_snap = sub.add_parser("snapshots", help="list table snapshots")
     p_snap.add_argument("table_root")
 
@@ -99,6 +104,15 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"valid": False, "error": str(e)}))
             return 1
         print(json.dumps({"valid": True, "pipeline": cfg.model_dump(), "platform": platform.model_dump()}))
+        return 0
+
+    if args.cmd == "topics":
+        # pure front-end like validate: the provisioning list a deployment
+        # pre-creates (reference topics_for_pipeline), no Spark session
+        from cdc_platform_spark.config import load_pipeline_config
+
+        cfg = load_pipeline_config(args.config)
+        print(json.dumps({"pipeline_id": cfg.pipeline_id, "topics": cfg.provisioned_topics()}))
         return 0
 
     from cdc_platform_spark.session import get_spark

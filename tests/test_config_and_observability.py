@@ -573,3 +573,34 @@ def test_cli_export_writes_shard_partitions(spark, tmp_path, capsys):
     manifest = spark.read.parquet(f"{out_dir}_manifest")
     assert written.count() == sum(r["n_docs"] for r in manifest.collect())
     assert manifest.count() == report["shards"]
+
+
+def test_cli_topics_prints_provisioning_list(tmp_path, capsys, monkeypatch):
+    """`cdc-spark topics` prints the CDC + DLQ topic list (ref D1) without a
+    Spark session."""
+    import json as _json
+
+    from cdc_platform_spark.cli import main
+
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        f"""
+pipeline_id: t1
+topic_prefix: cdc
+source:
+  type: parquet_stream
+  path: {tmp_path}/src
+  source_type: postgres
+  capture: [public.users, public.orders]
+sinks:
+  - id: a
+    type: append
+    path: {tmp_path}/out/a
+dlq_path: {tmp_path}/dlq
+"""
+    )
+    assert main(["topics", str(y)]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["pipeline_id"] == "t1"
+    assert "cdc.public.users" in out["topics"]
+    assert any(t.endswith("dlq") for t in out["topics"])
