@@ -971,3 +971,79 @@ def q81_regression_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q44_grouping_sets",
+    category="aggregate",
+    doc=(
+        "Explicit GROUPING SETS (distinct from ROLLUP/CUBE: an arbitrary, "
+        "non-hierarchical set list) — per (returnflag, linestatus), per "
+        "shipmode alone, and the grand total, in one aggregation pass with "
+        "GROUPING() disambiguation. Spark expands the sets into one "
+        "Expand+partial-agg plan: still a single shuffle."
+    ),
+    oracle="""
+        SELECT l_returnflag, l_linestatus, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+                    + GROUPING(l_linenumber) AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linenumber), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+                 l_linenumber NULLS FIRST
+    """,
+)
+def q44_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, "lineitem", sf_dir).createOrReplaceTempView("q44_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+                    + GROUPING(l_linenumber) AS BIGINT) AS gid
+        FROM q44_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linenumber), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+                 l_linenumber NULLS FIRST
+    """)
+
+
+@register(
+    "q45_date_arithmetic",
+    category="function-family",
+    doc=(
+        "Date/interval arithmetic family over orders: date +/- INTERVAL and "
+        "day-count arithmetic, quarter/week extraction, truncation, "
+        "month-boundary math (last_day), and age-in-days — the temporal "
+        "expression surface the reference's SQL layer exposes, all "
+        "whole-stage-codegen built-ins on a pruned 2-column scan."
+    ),
+    oracle="""
+        SELECT o_orderkey,
+               strftime(CAST(o_orderdate + INTERVAL 90 DAY AS DATE), '%Y-%m-%d') AS due_date,
+               strftime(CAST(o_orderdate - INTERVAL 1 MONTH AS DATE), '%Y-%m-%d') AS prior_month,
+               CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+               CAST(EXTRACT(week FROM o_orderdate) AS BIGINT) AS wk,
+               strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start,
+               strftime(CAST(last_day(o_orderdate) AS DATE), '%Y-%m-%d') AS month_end,
+               CAST(date_diff('day', o_orderdate, DATE '1998-12-01') AS BIGINT) AS age_days
+        FROM orders
+        WHERE o_orderkey <= 2000
+        ORDER BY o_orderkey
+    """,
+)
+def q45_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, "orders", sf_dir).filter(F.col("o_orderkey") <= 2000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.add_months(d, -1), "yyyy-MM-dd").alias("prior_month"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.weekofyear(d).cast("long").alias("wk"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("1998-12-01").cast("date"), d).cast("long").alias("age_days"),
+    ).orderBy("o_orderkey")
