@@ -77,12 +77,14 @@ def _priority_order(registry) -> list[str]:
     lead so they re-appear as soon as slots free up.
     """
     seen = _driver_verified_names()
-    # streaming-path queries lead the unseen block: they are this round's
-    # only independent check on the streaming machinery (batch queries all
-    # have pytest oracle coverage as a fallback)
+    # Ordering within the unseen block: streaming-path queries first (the
+    # only independent check on the streaming machinery — batch queries all
+    # have pytest oracle coverage as a fallback), then new flagship
+    # composites, then the alphabetical backlog.
+    flagship = {"sim_ann_ivf_pq"}
     unseen = sorted(
         (n for n in registry if n not in seen),
-        key=lambda n: (not n.startswith("sq_"), n),
+        key=lambda n: (not n.startswith("sq_"), n not in flagship, n),
     )
     core = [
         n
