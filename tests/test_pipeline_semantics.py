@@ -95,6 +95,12 @@ def test_dedup_exact_is_partition_of_docs(spark):
         ("q79_supplier_part_counts", "BroadcastHashJoin LeftAnti"),
         # regression family: exact sums partially aggregate map-side
         ("q81_regression_funcs", "partial_sum"),
+        # per-doc top-k terms must be a WindowGroupLimit, not a full sort
+        ("text_tfidf_topterms", "WindowGroupLimit"),
+        # bigram counting must partially aggregate before its one shuffle
+        ("text_bigram_fluency", "partial_count"),
+        # grouping sets expand into ONE aggregation pass
+        ("q44_grouping_sets", "Expand"),
     ],
 )
 def test_plan_shape(spark, name, fragment):
