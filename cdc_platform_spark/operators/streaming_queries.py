@@ -1,4 +1,5 @@
-"""Driver-verifiable STREAMING queries (SURVEY.md §2B SQ1-SQ7).
+"""Driver-verifiable RUNTIME queries: streaming (SURVEY.md §2B SQ1-SQ7)
+and lakehouse snapshot machinery (§2A L5/D6).
 
 The driver's correctness gate only runs batch builders, so the
 streaming semantics (watermarked windows, micro-batch upsert merge,
@@ -293,3 +294,71 @@ def sq_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out).orderBy("p_id", "c_id")
+
+
+@register(
+    "lk_time_travel",
+    category="lakehouse",
+    doc=(
+        "Time travel as a driver-checkable artifact (L5, Iceberg VERSION AS "
+        "OF): two appends land in a VersionedTable, then the FIRST snapshot "
+        "is read back point-in-time — it must contain exactly the first "
+        "append's rows even though HEAD has both. Runs the real snapshot "
+        "machinery (manifest commit, file-listing scan) inside the builder."
+    ),
+    oracle="""
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE event_id % 2 = 0
+        ORDER BY event_id
+    """,
+)
+def lk_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.lakehouse.table import VersionedTable
+
+    work = tempfile.mkdtemp(prefix="lk_tt_")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = VersionedTable(spark, f"{work}/t")
+    t.append(events.filter(F.col("event_id") % 2 == 0))
+    first = t.current_snapshot_id()
+    t.append(events.filter(F.col("event_id") % 2 == 1))
+    assert len(t.snapshots()) == 2
+    return t.read(snapshot_id=first).orderBy("event_id")
+
+
+@register(
+    "lk_schema_evolution",
+    category="lakehouse",
+    doc=(
+        "Additive schema evolution as a driver-checkable artifact (D6/ref "
+        "Iceberg evolve-on-write): the second append carries a new column; "
+        "the merged read nulls it in for pre-evolution file groups — the "
+        "Iceberg union-schema read path, exercised through the real "
+        "VersionedTable commit/scan machinery."
+    ),
+    oracle="""
+        SELECT event_id, user_id,
+               CASE WHEN event_id % 2 = 1 THEN event_type END AS tag
+        FROM events
+        ORDER BY event_id
+    """,
+)
+def lk_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.lakehouse.table import VersionedTable
+
+    work = tempfile.mkdtemp(prefix="lk_evo_")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = VersionedTable(spark, f"{work}/t")
+    t.append(events.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id"))
+    t.append(
+        events.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "user_id", F.col("event_type").alias("tag")
+        )
+    )
+    return t.read().select("event_id", "user_id", "tag").orderBy("event_id")
