@@ -362,3 +362,45 @@ def lk_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return t.read().select("event_id", "user_id", "tag").orderBy("event_id")
+
+
+@register(
+    "q83_salted_join",
+    category="join",
+    doc=(
+        "Skew-resistant salted join as a driver-checkable artifact: the "
+        "orders->customer equi-join runs through functions.skew.salted_join "
+        "(large side scattered over 8 salt buckets, small side replicated "
+        "8x, shuffle key = (key, salt)) and must produce exactly the plain "
+        "inner join's aggregate — the static fallback path for heavy-hitter "
+        "keys AQE's runtime splitting can't fix, verified against the "
+        "unsalted oracle."
+    ),
+    oracle="""
+        SELECT c.c_nationkey AS nationkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey
+        ORDER BY nationkey
+    """,
+)
+def q83_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.functions import money
+    from cdc_platform_spark.functions.skew import salted_join
+    from cdc_platform_spark.sources.registry import load_table
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    customer = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    joined = salted_join(orders, customer, on="c_custkey", n_salts=8)
+    return (
+        joined.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .orderBy("nationkey")
+    )
