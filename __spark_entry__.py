@@ -49,12 +49,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _driver_verified_names() -> set[str]:
-    """Query names that already have a row in any CORRECTNESS_r*.json.
+    """Query names with at least one *green* row in any CORRECTNESS_r*.json.
 
     The driver samples only the first 50 entries of ``queries()``, so we
     rotate: queries never independently verified by the driver are emitted
     first, previously-verified ones after.  Each round's CORRECTNESS file
     advances the rotation automatically.
+
+    Green = hash/rows/schema all true, or a by-design ``no_oracle`` row
+    (rows-only gate).  A red row (hash mismatch, error) does NOT count as
+    verified, so failed queries automatically re-front the next round
+    until they pass.
     """
     import glob
     import json
@@ -64,9 +69,21 @@ def _driver_verified_names() -> set[str]:
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
-                seen |= set(json.load(fh).keys())
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                seen.add(name)
+                continue
+            green = bool(
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            )
+            rows_only_by_design = row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            if green or rows_only_by_design:
+                seen.add(name)
     return seen
 
 

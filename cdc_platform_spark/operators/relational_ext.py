@@ -850,9 +850,9 @@ def q71_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                COUNT(*) AS n_lines,
-               count_if(l_discount > l_tax) AS n_disc_gt_tax,
-               bool_and(l_quantity > 0) AS all_qty_pos,
-               bool_or(l_discount = 0) AS any_zero_disc,
+               CAST(count_if(l_discount > l_tax) AS BIGINT) AS n_disc_gt_tax,
+               CAST(bool_and(l_quantity > 0) AS BIGINT) AS all_qty_pos,
+               CAST(bool_or(l_discount = 0) AS BIGINT) AS any_zero_disc,
                MIN(NULLIF(l_discount, 0)) AS min_nonzero_disc,
                MAX(GREATEST(l_discount, l_tax)) AS max_rate,
                MIN(LEAST(l_discount, l_tax)) AS min_rate
@@ -867,9 +867,12 @@ def q72_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.count_if(F.col("l_discount") > F.col("l_tax")).alias("n_disc_gt_tax"),
-            F.bool_and(F.col("l_quantity") > 0).alias("all_qty_pos"),
-            F.bool_or(F.col("l_discount") == 0).alias("any_zero_disc"),
+            # Output types pinned on BOTH engines (driver r03 hash-fail was
+            # representational: DuckDB count_if/bool_* surface as HUGEINT /
+            # BOOLEAN vs Spark long/boolean in the driver's canonicalizer).
+            F.count_if(F.col("l_discount") > F.col("l_tax")).cast("long").alias("n_disc_gt_tax"),
+            F.bool_and(F.col("l_quantity") > 0).cast("long").alias("all_qty_pos"),
+            F.bool_or(F.col("l_discount") == 0).cast("long").alias("any_zero_disc"),
             F.min(F.nullif(F.col("l_discount"), F.lit(0))).alias("min_nonzero_disc"),
             F.max(F.greatest("l_discount", "l_tax")).alias("max_rate"),
             F.min(F.least("l_discount", "l_tax")).alias("min_rate"),
