@@ -286,6 +286,15 @@ class SchemaRegistryClient:
         """{'version': int, 'id': int, 'schema': str} or None when absent."""
         return self._get(f"/subjects/{subject}/versions/latest")
 
+    def versions(self, subject: str) -> list[int]:
+        """All registered version numbers for a subject ([] when absent)."""
+        data = self._get(f"/subjects/{subject}/versions")
+        return list(data) if isinstance(data, list) else []
+
+    def version(self, subject: str, version: int) -> dict | None:
+        """{'version': int, 'id': int, 'schema': str} or None when absent."""
+        return self._get(f"/subjects/{subject}/versions/{version}")
+
     def schema_by_id(self, schema_id: int) -> str | None:
         data = self._get(f"/schemas/ids/{schema_id}")
         return None if data is None else data.get("schema")

@@ -123,7 +123,17 @@ def compile_pipeline(
             if src.schema_registry_url:
                 from cdc_platform_spark.sources.avro import RegistrySchemaResolver
 
-                resolver = RegistrySchemaResolver(src.schema_registry_url)
+                # Warm the id->schema cache from the topics' -key/-value
+                # subjects BEFORE any plan is built: the JVM multi-schema
+                # decode compiles one from_avro per known id, and a cold
+                # resolver has none (its cache fills lazily, Python-side
+                # only).  warm() is best-effort — if the registry is down
+                # at compile time, parse_debezium_avro's known_ids() guard
+                # keeps the JVM path on the pinned reader schema and the
+                # Python fallback still fetches lazily per frame.
+                resolver = RegistrySchemaResolver(src.schema_registry_url).warm(
+                    list(src.topics or [])
+                )
 
             def envelope_fn(df, _resolver=resolver):  # noqa: F811 - deliberate rebind
                 return kafka_envelope_avro(df, resolver=_resolver)

@@ -356,8 +356,12 @@ class SchemaResolver:
     are broadcast into Arrow-batch workers, so they must stay picklable.
     """
 
-    def __init__(self, schemas: dict[int, Any]):
+    def __init__(self, schemas: dict[int, Any], key_ids: set[int] | None = None):
         self._schemas = dict(schemas)
+        # Explicit key-subject schema ids.  When provided, key-vs-envelope
+        # routing uses these instead of the record-name heuristic ("Key"),
+        # which breaks for registries whose key record has another name.
+        self._key_ids: set[int] = set(key_ids or ())
 
     def schema_for(self, schema_id: int) -> Any:
         try:
@@ -367,6 +371,18 @@ class SchemaResolver:
 
     def known_ids(self) -> list[int]:
         return sorted(self._schemas)
+
+    def key_schema_ids(self) -> set[int]:
+        """Schema ids registered under a ``-key`` subject.
+
+        Empty when the resolver was seeded without key/value attribution;
+        callers then fall back to the record-name heuristic."""
+        return set(self._key_ids)
+
+    def is_key_schema(self, schema_id: int, schema: Any) -> bool:
+        if self._key_ids:
+            return schema_id in self._key_ids
+        return isinstance(schema, dict) and schema.get("name") == "Key"
 
 
 class RegistrySchemaResolver(SchemaResolver):
@@ -381,8 +397,13 @@ class RegistrySchemaResolver(SchemaResolver):
     seed the map) before building the plan; the Python path fetches lazily
     inside the Arrow batch worker."""
 
-    def __init__(self, registry_url: str, seed: dict[int, Any] | None = None):
-        super().__init__(seed or {})
+    def __init__(
+        self,
+        registry_url: str,
+        seed: dict[int, Any] | None = None,
+        key_ids: set[int] | None = None,
+    ):
+        super().__init__(seed or {}, key_ids=key_ids)
         self.registry_url = registry_url
 
     def schema_for(self, schema_id: int) -> Any:
@@ -397,6 +418,44 @@ class RegistrySchemaResolver(SchemaResolver):
             schema = json.loads(schema_str)
             self._schemas[schema_id] = schema
             return schema
+
+    def warm(self, topics: list[str]) -> "RegistrySchemaResolver":
+        """Fetch and memoize every registered version of each topic's
+        ``-key``/``-value`` subject so ``known_ids()`` is populated BEFORE
+        the JVM multi-schema plan is built (the plan compiles one
+        ``from_avro`` per known id; a cold resolver would otherwise produce
+        an empty plan — see ``_parse_with_from_avro``'s pinned-schema
+        fallback for the cold-cache guard).
+
+        Subject suffix also resolves key-vs-envelope routing explicitly:
+        ids seen under ``-key`` go to ``key_schema_ids()``, replacing the
+        record-name heuristic.  Unreachable registry / absent subjects are
+        skipped (best effort); returns self for chaining."""
+        from cdc_platform_spark.observability import SchemaRegistryClient
+
+        client = SchemaRegistryClient(self.registry_url)
+        for topic in topics:
+            for suffix in ("-key", "-value"):
+                subject = topic + suffix
+                try:
+                    versions = client.versions(subject)
+                except Exception:  # noqa: BLE001 — registry unreachable: stay lazy
+                    continue
+                for v in versions:
+                    try:
+                        data = client.version(subject, v)
+                    except Exception:  # noqa: BLE001
+                        continue
+                    if not data or "id" not in data or not data.get("schema"):
+                        continue
+                    sid = int(data["id"])
+                    try:
+                        self._schemas[sid] = json.loads(data["schema"])
+                    except ValueError:
+                        continue
+                    if suffix == "-key":
+                        self._key_ids.add(sid)
+        return self
 
 
 # ---------------------------------------------------------------------------
@@ -506,7 +565,12 @@ def _parse_with_from_avro(
         else F.col("key")
     )
     options = {"mode": "PERMISSIVE"} if permissive else {}
-    if resolver is not None and confluent_wire:
+    if resolver is not None and confluent_wire and resolver.known_ids():
+        # Multi-schema routing needs the id->schema map at PLAN time (one
+        # from_avro per known id).  A cold resolver (e.g. an unwarmed
+        # RegistrySchemaResolver — its cache fills lazily) has no ids, so
+        # it falls through to the pinned-schema decode below instead of
+        # compiling an empty plan (zero-arg coalesce / all-null envelopes).
         return _parse_multi_schema_from_avro(
             frames, body, key_body, options, permissive, resolver
         )
@@ -577,8 +641,18 @@ def _parse_multi_schema_from_avro(
     key_versions: list[tuple[int, Any]] = []
     for sid in resolver.known_ids():
         schema = resolver.schema_for(sid)
-        target = key_versions if schema.get("name") == "Key" else env_versions
+        # Routing prefers explicit -key subject attribution (set by
+        # RegistrySchemaResolver.warm / SchemaResolver(key_ids=...)); the
+        # record-name heuristic only backs up unattributed seeds.
+        target = key_versions if resolver.is_key_schema(sid, schema) else env_versions
         target.append((sid, schema))
+    if not env_versions:
+        # Registry knows only key schemas: no envelope version to route on —
+        # decode values with the pinned reader schema, keys multi-version.
+        decoded_env = [(None, from_avro(body, AVRO_ENVELOPE_SCHEMA_JSON, options),
+                        AVRO_ENVELOPE_SCHEMA)]
+    else:
+        decoded_env = None
 
     reader_row_fields = (("id", "long"), ("event_type", "string"), ("value", "double"))
 
@@ -595,6 +669,8 @@ def _parse_multi_schema_from_avro(
     for sid, schema in env_versions:
         masked = F.when(sid_v == sid, body)
         decoded.append((sid, from_avro(masked, json.dumps(schema), options), schema))
+    if decoded_env is not None:
+        decoded = decoded_env
 
     def env_field(getter) -> F.Column:
         exprs = [e for e in (getter(v, s) for _, v, s in decoded) if e is not None]
@@ -610,12 +686,30 @@ def _parse_multi_schema_from_avro(
         )
         key_exprs.append(from_avro(masked, json.dumps(schema), options)["id"].cast("long"))
 
+    known_env_ids = [s for s, _ in env_versions]
+    unknown_id = (
+        F.col("value").isNotNull() & ~sid_v.isin(*known_env_ids)
+        if known_env_ids
+        else F.lit(False)  # pinned fallback: no id space to be unknown in
+    )
+    op_expr = env_field(lambda v, s: top(v, s, "op", "string"))
+    if not permissive and known_env_ids:
+        # Strict semantics must match the Python fallback: an unknown
+        # schema id FAILS THE TASK (KeyError there).  Without this the JVM
+        # path would silently emit a null envelope — silent data loss on
+        # the hot path only.
+        op_expr = F.when(
+            unknown_id,
+            F.raise_error(
+                F.concat(F.lit("unknown schema id "), sid_v.cast("string"))
+            ).cast("string"),
+        ).otherwise(op_expr)
     cols = [
         F.col("topic"),
         F.col("partition").cast("int").alias("partition"),
         F.col("offset").cast("long").alias("offset"),
         F.coalesce(*key_exprs).alias("pk"),
-        env_field(lambda v, s: top(v, s, "op", "string")).alias("op"),
+        op_expr.alias("op"),
         env_field(lambda v, s: top(v, s, "ts_ms", "long")).alias("ts_ms"),
         env_field(
             lambda v, s: project_row(v["before"], _writer_row_schema(s, "before"))
@@ -641,7 +735,7 @@ def _parse_multi_schema_from_avro(
     if permissive:
         cols.append(
             F.when(
-                F.col("value").isNotNull() & ~sid_v.isin(*[s for s, _ in env_versions]),
+                unknown_id,
                 F.concat(F.lit("unknown schema id "), sid_v.cast("string")),
             )
             .when(

@@ -41,9 +41,28 @@ class _StubRegistry(http.server.BaseHTTPRequestHandler):
 
     def do_GET(self):  # noqa: N802
         parts = self.path.strip("/").split("/")
-        if parts[:1] == ["subjects"] and parts[3:] == ["latest"]:
-            data = self.state["subjects"].get(parts[1])
-            self._send(200 if data else 404, data)
+        if parts[:1] == ["subjects"] and parts[2:3] == ["versions"]:
+            subject = parts[1]
+            # all_versions: {subject: {version: {...}}} for multi-version
+            # subjects; "subjects" holds the latest (single) version.
+            allv = self.state.get("all_versions", {}).get(subject)
+            latest = self.state["subjects"].get(subject)
+            if len(parts) == 3:  # version list
+                if allv:
+                    self._send(200, sorted(allv))
+                elif latest:
+                    self._send(200, [latest["version"]])
+                else:
+                    self._send(404, None)
+            elif parts[3] == "latest":
+                data = latest or (allv and allv[max(allv)]) or None
+                self._send(200 if data else 404, data)
+            else:
+                v = int(parts[3])
+                data = (allv or {}).get(v)
+                if data is None and latest and latest.get("version") == v:
+                    data = latest
+                self._send(200 if data else 404, data)
         elif parts[:2] == ["schemas", "ids"]:
             schema = self.state["by_id"].get(int(parts[2]))
             self._send(200 if schema else 404, {"schema": schema} if schema else None)
@@ -218,3 +237,125 @@ def test_config_wires_registry_resolver_and_monitor(spark, tmp_path):
             sinks=[SinkConfig(id="a", type="append", path=str(tmp_path / "b"))],
             schema_monitor="warn",
         )
+
+
+def test_resolver_warm_seeds_ids_and_key_routing(registry):
+    """warm() fetches every -key/-value subject version BEFORE plan build
+    (the JVM multi-schema decode compiles one from_avro per known id) and
+    attributes key ids by SUBJECT SUFFIX, not by the record-name heuristic
+    — a registry whose key record is not literally named 'Key' still
+    routes correctly (reference streaming/consumer.py:97-110 resolves by
+    subject)."""
+    url, state = registry
+    key_schema = {"type": "record", "name": "EventsKey",  # NOT 'Key'
+                  "fields": [{"name": "id", "type": "long"}]}
+    state["all_versions"] = {
+        "cdc.public.events-value": {
+            1: {"version": 1, "id": 3, "schema": json.dumps(AVRO_ENVELOPE_SCHEMA)},
+            2: {"version": 2, "id": 9, "schema": json.dumps(AVRO_ENVELOPE_SCHEMA)},
+        },
+        "cdc.public.events-key": {
+            1: {"version": 1, "id": 5, "schema": json.dumps(key_schema)},
+        },
+    }
+    resolver = RegistrySchemaResolver(url).warm(["cdc.public.events", "absent.topic"])
+    assert resolver.known_ids() == [3, 5, 9]
+    assert resolver.key_schema_ids() == {5}
+    # explicit attribution wins over the name heuristic
+    assert resolver.is_key_schema(5, key_schema)
+    assert not resolver.is_key_schema(3, resolver.schema_for(3))
+
+
+def test_resolver_warm_survives_unreachable_registry():
+    resolver = RegistrySchemaResolver("http://127.0.0.1:9")
+    assert resolver.warm(["t"]) is resolver  # best effort, no raise
+    assert resolver.known_ids() == []
+
+
+_FAKE_ENV_TYPE = (
+    "struct<op:string,ts_ms:bigint,"
+    "before:struct<id:bigint,event_type:string,value:double>,"
+    "after:struct<id:bigint,event_type:string,value:double>,"
+    "source:struct<lsn:bigint,table:string>>"
+)
+_FAKE_KEY_TYPE = "struct<id:bigint>"
+
+
+def _stub_from_avro(monkeypatch, calls):
+    """Stand-in for the JVM from_avro (the container lacks the spark-avro
+    jar): records each schema it is asked to compile and yields a NULL
+    struct of the right shape so the plan still analyzes end-to-end."""
+    import pyspark.sql.avro.functions as avro_fns
+    from pyspark.sql import functions as F
+
+    def fake(col, schema_json, options=None):
+        calls.append(json.loads(schema_json).get("name"))
+        name = json.loads(schema_json).get("name")
+        typ = _FAKE_KEY_TYPE if name in ("Key", "EventsKey") else _FAKE_ENV_TYPE
+        return F.lit(None).cast(typ)
+
+    monkeypatch.setattr(avro_fns, "from_avro", fake)
+
+
+def _raw_frames(spark):
+    return spark.createDataFrame(
+        [("t", 0, 0, bytearray(b"\x00\x00\x00\x00\x01k"), bytearray(b"\x00\x00\x00\x00\x02v"))],
+        "topic string, partition int, offset long, key binary, value binary",
+    )
+
+
+def test_cold_resolver_jvm_path_falls_back_to_pinned_schema(spark, monkeypatch):
+    """An unwarmed RegistrySchemaResolver has no known ids; the JVM path
+    must compile the pinned-reader-schema plan instead of an EMPTY
+    multi-schema plan (which died in analysis on zero-arg coalesce in
+    permissive mode, or silently nulled every envelope in strict mode)."""
+    from cdc_platform_spark.sources.avro import _parse_with_from_avro
+
+    calls: list = []
+    _stub_from_avro(monkeypatch, calls)
+    cold = RegistrySchemaResolver("http://127.0.0.1:9")
+    df = _parse_with_from_avro(
+        _raw_frames(spark), confluent_wire=True, permissive=True, resolver=cold
+    )
+    assert "decode_error" in df.columns and "op" in df.columns  # analyzed fine
+    assert calls == ["Envelope", "Key"]  # pinned schemas, not a 0-decoder plan
+
+
+def test_strict_multi_schema_plan_raises_on_unknown_id(spark, monkeypatch):
+    """Strict (FAILFAST) JVM plan must fail the task on an unknown schema
+    id — same posture as the Python fallback's KeyError — instead of
+    silently emitting a null envelope."""
+    from cdc_platform_spark.sources.avro import SchemaResolver, _parse_with_from_avro
+
+    calls: list = []
+    _stub_from_avro(monkeypatch, calls)
+    seeded = SchemaResolver({3: AVRO_ENVELOPE_SCHEMA})
+    df = _parse_with_from_avro(
+        _raw_frames(spark), confluent_wire=True, permissive=False, resolver=seeded
+    )
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "raise_error" in plan
+    # permissive keeps the quiet DLQ posture: diagnostic column, no raise
+    df_p = _parse_with_from_avro(
+        _raw_frames(spark), confluent_wire=True, permissive=True, resolver=seeded
+    )
+    plan_p = df_p._jdf.queryExecution().analyzed().toString()
+    assert "raise_error" not in plan_p and "decode_error" in df_p.columns
+
+
+def test_key_only_resolver_decodes_values_with_pinned_schema(spark, monkeypatch):
+    """A resolver that only knows key-subject schemas still produces a
+    valid plan: values decode with the pinned reader envelope, keys
+    multi-version."""
+    from cdc_platform_spark.sources.avro import SchemaResolver, _parse_with_from_avro
+
+    key_schema = {"type": "record", "name": "EventsKey",
+                  "fields": [{"name": "id", "type": "long"}]}
+    calls: list = []
+    _stub_from_avro(monkeypatch, calls)
+    resolver = SchemaResolver({5: key_schema}, key_ids={5})
+    df = _parse_with_from_avro(
+        _raw_frames(spark), confluent_wire=True, permissive=True, resolver=resolver
+    )
+    assert "op" in df.columns
+    assert "Envelope" in calls and "EventsKey" in calls
