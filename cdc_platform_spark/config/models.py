@@ -28,6 +28,12 @@ class SourceConfig(BaseModel, extra="forbid"):
     # wire format of Kafka record values: JSON envelopes or Confluent-framed
     # Avro (the reference's AvroConverter path, sources/avro.py)
     value_format: Literal["json", "avro"] = "json"
+    # Arbitrary Kafka consumer properties forwarded as `kafka.*` readStream
+    # options — the SASL/SSL auth surface (reference streaming/auth.py:10-90
+    # builds the librdkafka equivalents).  Build values with
+    # `sources.kafka.kafka_auth_options` for the managed-service recipes
+    # (Confluent Cloud PLAIN, SCRAM, AWS MSK IAM, GCP OAUTHBEARER).
+    kafka_options: dict[str, str] | None = None
     # Schema Registry base URL (reference sources/debezium/config.py:54-58):
     # with value_format=avro, frames whose schema id is not pre-seeded are
     # resolved (and memoized) via GET /schemas/ids/{id}; also the endpoint

@@ -116,6 +116,7 @@ def compile_pipeline(
                 topic_pattern=src.topic_pattern,
                 starting_offsets=src.starting_offsets,
                 max_offsets_per_trigger=src.max_offsets_per_trigger,
+                kafka_options=src.kafka_options,
             )
 
         if src.value_format == "avro":

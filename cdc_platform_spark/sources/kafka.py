@@ -25,6 +25,20 @@ from pyspark.sql import functions as F
 from cdc_platform_spark.sources.debezium import parse_debezium
 
 
+# Spark-level reader options the kafka_options passthrough must never
+# clobber — they are owned by the explicit kafka_stream_options parameters.
+_RESERVED_OPTIONS = {
+    "subscribe",
+    "subscribepattern",
+    "assign",
+    "startingoffsets",
+    "endingoffsets",
+    "maxoffsetspertrigger",
+    "failondataloss",
+    "kafka.bootstrap.servers",
+}
+
+
 def kafka_stream_options(
     bootstrap_servers: str,
     topics: list[str] | None = None,
@@ -32,8 +46,19 @@ def kafka_stream_options(
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = None,
     fail_on_data_loss: bool = True,
+    kafka_options: dict[str, str] | None = None,
 ) -> dict[str, str]:
-    """Build the Kafka readStream option map (one of topics / topic_pattern)."""
+    """Build the Kafka readStream option map (one of topics / topic_pattern).
+
+    ``kafka_options`` forwards arbitrary consumer properties to the Kafka
+    client — Spark's Kafka source passes every ``kafka.``-prefixed option
+    straight through, which is how SASL/SSL auth is configured (the
+    reference assembles the equivalent librdkafka properties in
+    streaming/auth.py:10-60).  Keys are accepted with or without the
+    ``kafka.`` prefix (it is added when absent); Spark-level reader options
+    (subscribe, startingOffsets, ...) are rejected here — set them via the
+    explicit parameters.
+    """
     if (topics is None) == (topic_pattern is None):
         raise ValueError("exactly one of topics / topic_pattern is required")
     opts = {
@@ -47,6 +72,101 @@ def kafka_stream_options(
         opts["subscribePattern"] = topic_pattern
     if max_offsets_per_trigger is not None:
         opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    for key, value in (kafka_options or {}).items():
+        full = key if key.startswith("kafka.") else f"kafka.{key}"
+        if key.lower() in _RESERVED_OPTIONS or full.lower() in _RESERVED_OPTIONS:
+            raise ValueError(
+                f"kafka_options may not override reader option {key!r}; "
+                "use the explicit kafka_stream_options parameter"
+            )
+        opts[full] = str(value)
+    return opts
+
+
+def kafka_auth_options(
+    mechanism: str,
+    username: str | None = None,
+    password: str | None = None,
+    aws_region: str | None = None,  # accepted for parity; MSK IAM resolves region itself
+    ssl_truststore_location: str | None = None,
+    ssl_truststore_type: str | None = None,
+    ssl_keystore_location: str | None = None,
+    ssl_keystore_type: str | None = None,
+) -> dict[str, str]:
+    """Managed-Kafka auth recipes as ``kafka.*`` passthrough options
+    (reference streaming/auth.py:10-90 builds the librdkafka equivalents;
+    Spark's Kafka source uses the Java client, so SASL is configured via
+    JAAS strings and callback-handler classes instead of ``oauth_cb``).
+
+    Mechanisms (reference KafkaAuthMechanism parity):
+    - ``none``: {} — plaintext.
+    - ``plain`` / ``scram-sha-256`` / ``scram-sha-512``: SASL_SSL with the
+      matching LoginModule; Confluent Cloud is ``plain`` with the API
+      key/secret as username/password.
+    - ``aws-msk-iam``: MSK's IAM SASL mechanism; the cluster must have the
+      ``aws-msk-iam-auth`` jar on the executor classpath (public coords
+      ``software.amazon.msk:aws-msk-iam-auth``), which resolves region and
+      credentials from the default AWS provider chain.
+    - ``gcp-oauthbearer``: GCP Managed Service for Apache Kafka; needs the
+      ``managedkafka-auth-login-handler`` jar (public coords
+      ``com.google.cloud.hosted.kafka:managed-kafka-auth-login-handler``),
+      which mints tokens from Application Default Credentials.
+
+    SSL store locations apply to any mechanism (private-CA clusters /
+    mTLS); stores may be JKS/PKCS12 or, on Kafka clients >= 2.7, PEM via
+    ``*_type='PEM'``.
+    """
+    mech = mechanism.lower().replace("_", "-")
+    opts: dict[str, str] = {}
+    if mech == "none":
+        pass
+    elif mech in ("plain", "scram-sha-256", "scram-sha-512"):
+        if username is None or password is None:
+            raise ValueError(f"{mech} requires username and password")
+        module = (
+            "org.apache.kafka.common.security.plain.PlainLoginModule"
+            if mech == "plain"
+            else "org.apache.kafka.common.security.scram.ScramLoginModule"
+        )
+        jaas_user = username.replace("\\", "\\\\").replace('"', '\\"')
+        jaas_pass = password.replace("\\", "\\\\").replace('"', '\\"')
+        opts["kafka.security.protocol"] = "SASL_SSL"
+        opts["kafka.sasl.mechanism"] = "PLAIN" if mech == "plain" else mech.upper()
+        opts["kafka.sasl.jaas.config"] = (
+            f'{module} required username="{jaas_user}" password="{jaas_pass}";'
+        )
+    elif mech == "aws-msk-iam":
+        opts["kafka.security.protocol"] = "SASL_SSL"
+        opts["kafka.sasl.mechanism"] = "AWS_MSK_IAM"
+        opts["kafka.sasl.jaas.config"] = (
+            "software.amazon.msk.auth.iam.IAMLoginModule required;"
+        )
+        opts["kafka.sasl.client.callback.handler.class"] = (
+            "software.amazon.msk.auth.iam.IAMClientCallbackHandler"
+        )
+    elif mech in ("gcp-oauthbearer", "oauthbearer"):
+        opts["kafka.security.protocol"] = "SASL_SSL"
+        opts["kafka.sasl.mechanism"] = "OAUTHBEARER"
+        opts["kafka.sasl.jaas.config"] = (
+            "org.apache.kafka.common.security.oauthbearer.OAuthBearerLoginModule required;"
+        )
+        if mech == "gcp-oauthbearer":
+            opts["kafka.sasl.login.callback.handler.class"] = (
+                "com.google.cloud.hosted.kafka.auth.GcpLoginCallbackHandler"
+            )
+    else:
+        raise ValueError(
+            f"unknown auth mechanism {mechanism!r}; expected one of none, plain, "
+            "scram-sha-256, scram-sha-512, aws-msk-iam, gcp-oauthbearer, oauthbearer"
+        )
+    if ssl_truststore_location:
+        opts["kafka.ssl.truststore.location"] = ssl_truststore_location
+        if ssl_truststore_type:
+            opts["kafka.ssl.truststore.type"] = ssl_truststore_type
+    if ssl_keystore_location:
+        opts["kafka.ssl.keystore.location"] = ssl_keystore_location
+        if ssl_keystore_type:
+            opts["kafka.ssl.keystore.type"] = ssl_keystore_type
     return opts
 
 
