@@ -64,10 +64,17 @@ def main() -> None:
         return time.perf_counter() - t0
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        # min of 2 runs: the first run of a plan includes codegen/JIT; the
-        # steady-state time is the honest per-query cost.
-        timings[name] = round(min(run(name), run(name)), 3)
+        # First run discarded (codegen/JIT + stage-scheduling jitter), then
+        # min of 3 timed runs: at sub-3 s per query the first timed run
+        # still carries scheduler noise that min-of-2 let through, which
+        # masqueraded as 40-150% regressions across rounds.  Per-run arrays
+        # are emitted so variance is visible downstream.
+        run(name)  # warm-up, untimed
+        samples = [round(run(name), 3) for _ in range(3)]
+        runs[name] = samples
+        timings[name] = min(samples)
 
     total = round(sum(timings.values()), 3)
 
@@ -78,10 +85,11 @@ def main() -> None:
     # True pipeline E2E (source -> envelope -> append+upsert sinks + checkpoint),
     # the exact scenario behind the reference's 38,647 msg/s tuned consume
     # throughput (BASELINE.md): micro-batched availableNow run, fresh dirs.
-    # Same min-of-2 policy as the queries: the first execution of the
-    # streaming path pays one-time codegen/JIT for the foreachBatch plan;
-    # the reference's number is steady-state throughput of a long-running
-    # consumer, so the warmed run is the comparable figure.
+    # Min-of-3 with per-run arrays, same rationale as the queries: the
+    # first execution of the streaming path pays one-time codegen/JIT for
+    # the foreachBatch plan; the reference's number is steady-state
+    # throughput of a long-running consumer, so the best warmed run is the
+    # comparable figure.
     import shutil
     import tempfile
 
@@ -121,9 +129,11 @@ def main() -> None:
             "upsert": BucketedUpsertSink(f"{wd}/state", n_buckets=16),
         }
 
-    pipeline_sec = min(run_pipeline(flat_sinks), run_pipeline(flat_sinks))
+    pipeline_runs = [round(run_pipeline(flat_sinks), 3) for _ in range(3)]
+    pipeline_sec = min(pipeline_runs)
     pipeline_eps = round(n_events / pipeline_sec, 1)
-    bucketed_sec = min(run_pipeline(bucketed_sinks), run_pipeline(bucketed_sinks))
+    bucketed_runs = [round(run_pipeline(bucketed_sinks), 3) for _ in range(3)]
+    bucketed_sec = min(bucketed_runs)
     bucketed_eps = round(n_events / bucketed_sec, 1)
 
     print(
@@ -133,11 +143,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_runs": runs,
                 "sf": SF_DIR,
                 "events_per_sec": eps,
                 "pipeline_e2e_sec": round(pipeline_sec, 3),
                 "pipeline_events_per_sec": pipeline_eps,
                 "pipeline_bucketed_events_per_sec": bucketed_eps,
+                "pipeline_runs": pipeline_runs,
+                "pipeline_bucketed_runs": bucketed_runs,
             }
         )
     )

@@ -391,11 +391,14 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= N_PROBE)
         .select(F.col("vec_id").alias("qid"), "cent_id")
     )
+    # No distinct needed: assign holds exactly one cell per vector and a
+    # query's probe cells are distinct (row_number over cells), so the
+    # equi-join cannot produce a (qid, nid) pair twice — the dedup shuffle
+    # over the candidate set (the big intermediate at scale) is a no-op.
     cand = (
         probes.join(assign, "cent_id")
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", F.col("vec_id").alias("nid"))
-        .distinct()
     )
     q = e.select(F.col("vec_id").alias("qid"), F.col("a").alias("qa"), F.col("norm").alias("qn"))
     n = e.select(F.col("vec_id").alias("nid"), F.col("a").alias("na"), F.col("norm").alias("nn"))
@@ -493,15 +496,23 @@ PQ_K = 8  # codewords per subspace
 PQ_ITERS = 2  # unrolled Lloyd iterations per subspace (mirrored in oracle)
 
 
-def _pq_train_ctes(iters: int) -> tuple[str, str]:
+def _pq_train_ctes(iters: int, seed_table: str = "cents") -> tuple[str, str]:
     """Unrolled per-subspace Lloyd CTE chain for the PQ oracle.
 
     Identical recipe to the IVF oracle but grouped by (sub, cent_id) and
     with exact-integer L2 distance instead of cosine: assign each subvector
     to its min-distance codeword, re-estimate codewords as element-wise
     ROUND(mean) in BIGINT micro-units (both engines round half away from
-    zero), empty cells keep their previous codeword."""
-    ctes = "pc0 AS (SELECT s.sub, c.cent_id, s.j, s.v AS cv FROM su s JOIN cents c ON s.vec_id = c.cent_id)"
+    zero), empty cells keep their previous codeword.
+
+    ``seed_table`` names the CTE holding the seed vector ids (column
+    ``cent_id``) — a parameter rather than post-hoc string surgery so a
+    template rewording can never silently leave a caller seeding from the
+    wrong CTE."""
+    ctes = (
+        "pc0 AS (SELECT s.sub, c.cent_id, s.j, s.v AS cv "
+        f"FROM su s JOIN {seed_table} c ON s.vec_id = c.cent_id)"
+    )
     prev = "pc0"
     for k in range(1, iters + 1):
         ctes += f""",
@@ -688,7 +699,10 @@ R_RERANK = 64
 
 # The PQ training chain seeded from its own table name to avoid colliding
 # with the IVF chain's `cents` when both live in one oracle query.
-_PQ_TRAIN_CTES_NS = _PQ_TRAIN_CTES.replace("JOIN cents c ON", "JOIN pqseeds c ON")
+# ivf_pq's oracle seeds PQ training from its own `pqseeds` CTE (the IVF
+# oracle's `cents` CTE holds the coarse-quantizer seeds there).
+_PQ_TRAIN_CTES_NS, _PQ_FINAL_NS = _pq_train_ctes(PQ_ITERS, seed_table="pqseeds")
+assert _PQ_FINAL_NS == _PQ_FINAL
 
 
 @register(
@@ -814,11 +828,14 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= N_PROBE)
         .select(F.col("vec_id").alias("qid"), "cent_id")
     )
+    # No distinct needed: assign holds exactly one cell per vector and a
+    # query's probe cells are distinct (row_number over cells), so the
+    # equi-join cannot produce a (qid, nid) pair twice — the dedup shuffle
+    # over the candidate set (the big intermediate at scale) is a no-op.
     cand = (
         probes.join(assign, "cent_id")
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", F.col("vec_id").alias("nid"))
-        .distinct()
     )
 
     # --- PQ codes + the queries' ADC lookup tables ---
