@@ -251,9 +251,16 @@ def q30_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = envelope(spark, sf_dir)
     # Replay the suffix: redeliver every event in the top 10% of offsets (per full
     # stream) — duplicates with identical (partition, offset), like a consumer
-    # restart from an old checkpoint.
-    cutoff = env.agg(F.expr("percentile_approx(offset, 0.9, 2147483647)")).collect()[0][0]
-    replay = env.filter(F.col("offset") >= F.lit(cutoff))
+    # restart from an old checkpoint.  The cutoff stays IN the plan as a
+    # broadcast single-row join (no driver .collect(): one lazy composable
+    # plan, no extra scheduled job; the broadcast-scalar crossJoin is the
+    # q53/tpch_like scale-free pattern).
+    cutoff = env.agg(
+        F.expr("percentile_approx(offset, 0.9, 2147483647)").alias("replay_cutoff")
+    )
+    replay = env.crossJoin(F.broadcast(cutoff)).filter(
+        F.col("offset") >= F.col("replay_cutoff")
+    ).drop("replay_cutoff")
     redelivered = env.unionAll(replay)
     deduped = redelivered.dropDuplicates(["partition", "offset"])
     w = Window.partitionBy("pk").orderBy(F.col("offset").desc())

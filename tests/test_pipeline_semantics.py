@@ -481,3 +481,20 @@ def test_ivf_pq_recall_and_cosine_agreement(spark):
             assert abs(brute[key] - r["cosine"]) < 1e-12
     recall = len(set(brute) & {(r["query_id"], r["neighbor_id"]) for r in ivf_pq}) / len(brute)
     assert recall >= 0.5
+
+
+def test_no_driver_collect_in_operator_builders():
+    """Registry builders must stay one lazy composable plan: a driver-side
+    .collect() forces an extra scheduled job and breaks composability (the
+    q30 replay-cutoff scalar was the last one — now a broadcast single-row
+    crossJoin).  Static scan so a future builder can't reintroduce one."""
+    import pathlib
+
+    import cdc_platform_spark.operators as ops
+
+    offenders = []
+    for path in pathlib.Path(ops.__file__).parent.glob("*.py"):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if ".collect()" in line.split("#")[0]:
+                offenders.append(f"{path.name}:{i}")
+    assert offenders == [], f"driver-side collect in operator module: {offenders}"
