@@ -23,12 +23,28 @@ builders only pin the deterministic availableNow harness around them.
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 from cdc_platform_spark.operators import register
+
+# All builder work dirs live under one session-scoped root removed at
+# process exit: each dir holds a full repartitioned copy of the events
+# fixture, so leaking them per driver/bench run filled /tmp.  The result
+# dirs the returned DataFrames read from stay alive until exit (the
+# driver collects within the same process).
+_WORK_ROOT: str | None = None
+
+
+def _workdir(prefix: str) -> str:
+    global _WORK_ROOT
+    if _WORK_ROOT is None:
+        _WORK_ROOT = tempfile.mkdtemp(prefix="sq_work_root_")
+        atexit.register(shutil.rmtree, _WORK_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_WORK_ROOT)
 
 # The envelope op mapping (signup->c, error->d, else u) mirrored in SQL.
 _ENV_SQL = """
@@ -67,7 +83,7 @@ def _run_windowed(spark: SparkSession, sf_dir: str, build_agg) -> DataFrame:
     return the final table (the last micro-batch's complete output)."""
     from cdc_platform_spark.streaming.pipeline import EVENTS_SCHEMA, to_envelope
 
-    work = tempfile.mkdtemp(prefix="sq_stream_")
+    work = _workdir("sq_stream_")
     src = _stage_chunks(spark, sf_dir, work)
     out = f"{work}/result"
     stream = spark.readStream.schema(EVENTS_SCHEMA).option(
@@ -182,7 +198,7 @@ def sq_session_per_user_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sq_upsert_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_platform_spark.streaming.pipeline import CdcPipeline, UpsertSink
 
-    work = tempfile.mkdtemp(prefix="sq_upsert_")
+    work = _workdir("sq_upsert_")
     src = _stage_chunks(spark, sf_dir, work)
     sink = UpsertSink(f"{work}/state")
     CdcPipeline(
@@ -215,7 +231,7 @@ def sq_exactly_once_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from cdc_platform_spark.streaming.pipeline import AppendSink, CdcPipeline
 
-    work = tempfile.mkdtemp(prefix="sq_replay_")
+    work = _workdir("sq_replay_")
     src = _stage_chunks(spark, sf_dir, work)
     sink = AppendSink(f"{work}/append")
     for run in range(2):
@@ -261,7 +277,7 @@ def sq_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cdc_platform_spark.streaming.pipeline import EVENTS_SCHEMA, to_envelope
 
-    work = tempfile.mkdtemp(prefix="sq_ssj_")
+    work = _workdir("sq_ssj_")
     src = _stage_chunks(spark, sf_dir, work)
     out = f"{work}/result"
 
@@ -318,7 +334,7 @@ def lk_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cdc_platform_spark.lakehouse.table import VersionedTable
 
-    work = tempfile.mkdtemp(prefix="lk_tt_")
+    work = _workdir("lk_tt_")
     events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -352,7 +368,7 @@ def lk_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cdc_platform_spark.lakehouse.table import VersionedTable
 
-    work = tempfile.mkdtemp(prefix="lk_evo_")
+    work = _workdir("lk_evo_")
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     t = VersionedTable(spark, f"{work}/t")
     t.append(events.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id"))
@@ -403,4 +419,80 @@ def q83_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(money("o_totalprice")).cast("double").alias("total_price"),
         )
         .orderBy("nationkey")
+    )
+
+
+@register(
+    "sq_dlq_quarantine_stream",
+    category="streaming",
+    doc=(
+        "SQ6/P7 as a driver-checkable artifact: a poison sink (rejects any "
+        "batch holding chunk-2 rows) runs through the REAL CdcPipeline "
+        "per-sink isolation — the healthy co-sink receives every batch, the "
+        "poisoned batch is quarantined to the DLQ table with the "
+        "reference's diagnostic headers (source coordinates + error "
+        "metadata, ref streaming/dlq.py:41-56) — then the quarantine "
+        "accounting per source partition is returned.  Chunking is "
+        "deterministic (event_id % 4 -> one file per residue, one "
+        "micro-batch per file), so exactly the residue-2 rows land in the "
+        "DLQ regardless of batch order."
+    ),
+    oracle="""
+        SELECT user_id % 8 AS partition,
+               'poison' AS sink_id,
+               'RuntimeError' AS error_type,
+               COUNT(*) AS n_quarantined,
+               COUNT(DISTINCT user_id) AS n_keys,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM events
+        WHERE event_id % 4 = 2
+        GROUP BY 1
+        ORDER BY partition
+    """,
+)
+def sq_dlq_quarantine_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.streaming.pipeline import AppendSink, CdcPipeline, DlqWriter
+
+    work = _workdir("sq_dlq_")
+    # Deterministic chunks: one file per event_id residue class, so "the
+    # batch containing residue-2 rows" is exactly one micro-batch.
+    src = f"{work}/source"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for k in range(4):
+        events.filter(F.col("event_id") % 4 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    healthy = AppendSink(f"{work}/healthy")
+    poison = AppendSink(f"{work}/poison", fail_predicate="pmod(seq, 4) = 2")
+    dlq = DlqWriter(f"{work}/dlq")
+    CdcPipeline(
+        spark=spark,
+        source_dir=src,
+        checkpoint_dir=f"{work}/ck",
+        sinks={"healthy": healthy, "poison": poison},
+        dlq=dlq,
+        max_files_per_trigger=1,
+    ).run_available_now()
+    q = dlq.read(spark)
+    payload = F.from_json(
+        F.col("payload"),
+        "seq long, pk long, op string, event_type string, value double, "
+        "props string, event_ts_us long",
+    )
+    return (
+        q.select(
+            F.col("dlq_source_partition").alias("partition"),
+            F.col("dlq_sink_id").alias("sink_id"),
+            F.col("dlq_error_type").alias("error_type"),
+            payload.alias("p"),
+        )
+        .groupBy("partition", "sink_id", "error_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_quarantined"),
+            F.countDistinct("p.pk").alias("n_keys"),
+            F.sum(F.col("p.value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .orderBy("partition")
     )
