@@ -1050,3 +1050,59 @@ def q45_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
         F.datediff(F.lit("1998-12-01").cast("date"), d).cast("long").alias("age_days"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q84_range_join_binned",
+    category="join",
+    doc=(
+        "Non-equi interval join at scale (functions.range_join): events "
+        "matched to 1-hour 'incident windows' with NO equality key — the "
+        "shape Catalyst can only plan as BroadcastNestedLoop/cartesian — "
+        "rewritten as bin discretization (floor(t/15min) on points, "
+        "interval exploded to overlapped bins) + equi-join on bin + exact "
+        "residual. One hash-partitionable shuffle; bin hotspots are plain "
+        "join-key skew, AQE/salting-compatible. A plan test pins the "
+        "nested-loop join's absence."
+    ),
+    oracle="""
+        WITH w AS (
+            SELECT event_id AS window_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS lo_us,
+                   CAST(epoch_us(ts) AS BIGINT) + 3600000000 AS hi_us
+            FROM events WHERE event_id % 997 = 0
+        )
+        SELECT w.window_id, COUNT(*) AS n_events,
+               COUNT(DISTINCT e.user_id) AS n_users,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM w JOIN events e
+          ON CAST(epoch_us(e.ts) AS BIGINT) >= w.lo_us
+         AND CAST(epoch_us(e.ts) AS BIGINT) < w.hi_us
+        GROUP BY w.window_id
+        ORDER BY window_id
+    """,
+)
+def q84_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.functions.range_join import range_join_binned
+
+    e = _t(spark, "events", sf_dir)
+    pts = e.select(
+        F.expr("ts_ns div 1000").alias("t_us"), "user_id", "value"
+    )
+    win = e.filter(F.col("event_id") % 997 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.expr("ts_ns div 1000").alias("lo_us"),
+        (F.expr("ts_ns div 1000") + F.lit(3_600_000_000)).alias("hi_us"),
+    )
+    joined = range_join_binned(
+        pts, win, "t_us", "lo_us", "hi_us", bin_width=900_000_000, closed="left"
+    )
+    return (
+        joined.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(money("value")).cast("double").alias("value_sum"),
+        )
+        .orderBy("window_id")
+    )

@@ -498,3 +498,51 @@ def test_no_driver_collect_in_operator_builders():
             if ".collect()" in line.split("#")[0]:
                 offenders.append(f"{path.name}:{i}")
     assert offenders == [], f"driver-side collect in operator module: {offenders}"
+
+
+def test_range_join_binned_is_an_equi_join(spark):
+    """The binned range join must compile to a hash-partitionable equi-join
+    on the bin id — never the BroadcastNestedLoopJoin/cartesian Catalyst
+    produces for a raw interval predicate."""
+    df = REGISTRY["q84_range_join_binned"].builder(spark, SF_SMOKE)
+    plan = plan_text(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # the bin equi-join survived optimization
+
+
+def test_range_join_binned_matches_naive_and_respects_bounds(spark):
+    """Bin width never changes the result (only the explode factor); closed
+    endpoints behave as documented."""
+    from cdc_platform_spark.functions.range_join import range_join_binned
+
+    pts = spark.createDataFrame([(i,) for i in range(0, 100)], "t long")
+    iv = spark.createDataFrame(
+        [(1, 10, 20), (2, 15, 15), (3, 90, 120), (4, -5, 3)],
+        "iv_id long, lo long, hi long",
+    )
+    naive = {
+        (r.t, r.iv_id)
+        for r in pts.crossJoin(iv).filter("t >= lo AND t <= hi").collect()
+    }
+    for width in (1, 7, 64, 1000):
+        got = {
+            (r.t, r.iv_id)
+            for r in range_join_binned(pts, iv, "t", "lo", "hi", bin_width=width).collect()
+        }
+        assert got == naive, f"width={width}"
+    half_open = {
+        (r.t, r.iv_id)
+        for r in range_join_binned(
+            pts, iv, "t", "lo", "hi", bin_width=7, closed="left"
+        ).collect()
+    }
+    assert half_open == {
+        (t, i) for (t, i) in naive if t < {1: 20, 2: 15, 3: 120, 4: 3}[i]
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bin_width"):
+        range_join_binned(pts, iv, "t", "lo", "hi", bin_width=0)
+    with _pytest.raises(ValueError, match="closed"):
+        range_join_binned(pts, iv, "t", "lo", "hi", bin_width=5, closed="right")
