@@ -496,3 +496,44 @@ def sq_dlq_quarantine_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partition")
     )
+
+
+@register(
+    "sq_incremental_agg_stream",
+    category="streaming",
+    doc=(
+        "Incremental materialized-aggregate maintenance as a driver-"
+        "checkable artifact (the aggregate-level complement of SQ5's "
+        "row-level upsert): AggregatingSink folds one partial-aggregate "
+        "merge per micro-batch into a per-key count/sum/min/max view — "
+        "never rescanning history, decimal sums so the end state is "
+        "batch-split-independent, batch-id-fenced against at-least-once "
+        "redelivery — driven availableNow over 4 micro-batches; the final "
+        "view must equal the one-shot batch aggregate."
+    ),
+    oracle="""
+        SELECT user_id AS pk,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+               MIN(value) AS value_min,
+               MAX(value) AS value_max,
+               MAX(event_id) AS last_offset
+        FROM events
+        GROUP BY user_id
+        ORDER BY pk
+    """,
+)
+def sq_incremental_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.streaming.pipeline import AggregatingSink, CdcPipeline
+
+    work = _workdir("sq_incr_")
+    src = _stage_chunks(spark, sf_dir, work)
+    sink = AggregatingSink(f"{work}/aggview")
+    CdcPipeline(
+        spark=spark,
+        source_dir=src,
+        checkpoint_dir=f"{work}/ck",
+        sinks={"aggview": sink},
+        max_files_per_trigger=1,
+    ).run_available_now()
+    return sink.state(spark).orderBy("pk")

@@ -314,6 +314,108 @@ class BucketedUpsertSink:
         )
 
 
+class AggregatingSink:
+    """Incremental materialized AGGREGATE view over the CDC stream — the
+    aggregate-level complement of ``UpsertSink``'s row-level merge (the
+    reference materializes aggregates by re-querying the upserted table;
+    here the view maintains itself incrementally, one partial-aggregate
+    merge per micro-batch).
+
+    Batch algebra (all aggregates chosen mergeable/commutative):
+      1. partials = batch.groupBy(pk).agg(count, SUM(value) in DECIMAL,
+         min, max, max(offset)) — map-side combinable, one shuffle of the
+         BATCH only (never a rescan of raw history),
+      2. state' = (state ∪ partials).groupBy(pk).agg(merge) — decimal
+         sums make the end state independent of how events were split
+         across micro-batches,
+      3. transactional two-rename swap (same as UpsertSink).
+
+    foreachBatch delivery is at-least-once; an aggregate merge is NOT
+    naturally idempotent, so redelivery is fenced by batch id: the max
+    applied id is committed atomically WITH the state (an ``_agg_meta``
+    file inside the swapped directory — underscore-prefixed, so parquet
+    readers ignore it), and ``write`` skips any batch id at or below it —
+    the standard idempotent-foreachBatch transaction pattern (Delta's
+    txn appId/version fencing). A fresh pipeline run must pair a fresh
+    checkpoint with a fresh state path.
+
+    At 100 TB the state table is one row per key: partition the swap like
+    ``BucketedUpsertSink`` (state buckets touched by the batch's keys) or
+    land step 2 as a lakehouse MERGE; the batch algebra is unchanged.
+    """
+
+    wants_batch_id = True
+    _COLS = ["pk", "n_events", "value_sum", "value_min", "value_max", "last_offset"]
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def _meta_path(self) -> str:
+        return f"{self.path}/_agg_meta"
+
+    def _last_applied(self) -> int | None:
+        try:
+            with open(self._meta_path()) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    @staticmethod
+    def _partials(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("pk").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+            F.max("offset").alias("last_offset"),
+        )
+
+    def write(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        last = self._last_applied()
+        if batch_id is not None and last is not None and batch_id <= last:
+            return  # redelivered batch: already folded into the state
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        updates = self._partials(batch)
+        if os.path.isdir(self.path):
+            current = spark.read.parquet(self.path).select(*self._COLS)
+            merged = (
+                current.unionByName(updates)
+                .groupBy("pk")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("value_sum").cast("decimal(18,2)").alias("value_sum"),
+                    F.min("value_min").alias("value_min"),
+                    F.max("value_max").alias("value_max"),
+                    F.max("last_offset").alias("last_offset"),
+                )
+            )
+        else:
+            merged = updates
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
+        merged.select(*self._COLS).write.mode("overwrite").parquet(tmp)
+        if batch_id is not None:
+            with open(f"{tmp}/_agg_meta", "w") as fh:
+                fh.write(str(batch_id))
+        old = f"{self.path}.old-{uuid.uuid4().hex}"
+        if os.path.isdir(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def state(self, spark: SparkSession) -> DataFrame:
+        """The live aggregate view (decimal sum surfaced as double)."""
+        return spark.read.parquet(self.path).select(
+            "pk",
+            "n_events",
+            F.col("value_sum").cast("double").alias("value_sum"),
+            "value_min",
+            "value_max",
+            "last_offset",
+        )
+
+
 class DlqWriter:
     """Quarantine failed batches with the reference's diagnostic headers
     (ref P7, streaming/dlq.py:41-56): source coordinates + error metadata."""
@@ -453,7 +555,13 @@ class CdcPipeline:
         try:
             for sink_id, sink in self.sinks.items():
                 try:
-                    sink.write(env)
+                    if getattr(sink, "wants_batch_id", False):
+                        # batch-id-fenced sinks (AggregatingSink) need the
+                        # micro-batch id to make their merge idempotent
+                        # under at-least-once redelivery
+                        sink.write(env, batch_id=batch_id)
+                    else:
+                        sink.write(env)
                 except Exception as e:  # noqa: BLE001 - per-sink isolation
                     if self.dlq is None:
                         raise
