@@ -193,3 +193,80 @@ def w_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "w_gapfill_locf",
+    category="window-time",
+    doc=(
+        "Gap-filled hourly series with LOCF (TimescaleDB time_bucket_gapfill"
+        " + locf semantics, which neither Spark nor the reference has "
+        "natively): hourly (event_type) aggregates projected onto the DENSE "
+        "hour grid spanning the stream — absent hours appear with n=0 and "
+        "the value carried forward from the latest preceding observed hour. "
+        "Scale shape: one agg shuffle of the raw data; the grid is "
+        "|keys| x |hours| (generated, never shuffled wide — bounds enter "
+        "the plan as a broadcast scalar row) and LOCF is a per-key running "
+        "last() over the GRID, bounded by grid size not event count. The "
+        "oracle fills via DuckDB's ASOF LEFT JOIN — an independent "
+        "formulation of the same semantics."
+    ),
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+            FROM events
+        ),
+        grid AS (
+            SELECT et.event_type, gs.h
+            FROM (SELECT DISTINCT event_type FROM events) et,
+                 (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds) gs
+        )
+        SELECT g.event_type, CAST(epoch(g.h) AS BIGINT) AS hour_start,
+               COALESCE(hy.n, 0) AS n,
+               locf.v AS v_locf
+        FROM grid g
+        LEFT JOIN hourly hy ON hy.event_type = g.event_type AND hy.h = g.h
+        ASOF LEFT JOIN hourly locf ON g.event_type = locf.event_type AND g.h >= locf.h
+        ORDER BY g.event_type, hour_start
+    """,
+)
+def w_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir).withColumn(
+        # exact integer hour bucket from the ns clock (epoch >= 0)
+        "hour_s", F.expr("(ts_ns div 3600000000000) * 3600").cast("long")
+    )
+    hourly = e.groupBy("event_type", "hour_s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(money("value")).cast("double").alias("v"),
+    )
+    bounds = e.agg(
+        F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi")
+    )
+    keys = e.select("event_type").distinct()
+    grid = keys.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(3600))).alias("hour_s"),
+    )
+    w_locf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour_s"], "left")
+        .withColumn("v_locf", F.last("v", ignorenulls=True).over(w_locf))
+        .select(
+            "event_type",
+            F.col("hour_s").alias("hour_start"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            "v_locf",
+        )
+        .orderBy("event_type", "hour_start")
+    )
