@@ -72,7 +72,20 @@ def main() -> None:
         # masqueraded as 40-150% regressions across rounds.  Per-run arrays
         # are emitted so variance is visible downstream.
         run(name)  # warm-up, untimed
-        samples = [round(run(name), 3) for _ in range(3)]
+        samples = []
+        for _ in range(3):
+            samples.append(round(run(name), 3))
+            # Drop the run's localCheckpoint blocks before the next timing:
+            # each builder invocation checkpoints fresh RDDs, and the dead
+            # blocks from prior runs otherwise pile up in the block manager
+            # until a mid-run GC pause (observed as 1.6s-vs-5s bimodal
+            # timings on dedup_span_ngram). Collect the Python refs, then
+            # ask the JVM to run the ContextCleaner's GC hook — both
+            # OUTSIDE the timed region.
+            import gc
+
+            gc.collect()
+            spark._jvm.System.gc()
         runs[name] = samples
         timings[name] = min(samples)
 
