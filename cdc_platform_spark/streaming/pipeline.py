@@ -350,6 +350,25 @@ class AggregatingSink:
     def __init__(self, path: str) -> None:
         self.path = path
 
+    def _recover(self) -> None:
+        """Crash recovery for the two-rename swap (same protocol as
+        UpsertSink): live dir missing + displaced ``.old-*`` snapshot =>
+        restore the newest one. Restoring an older state is safe because
+        the batch that was mid-swap replays and its id is NOT in the
+        restored ``_agg_meta``, so the merge re-applies exactly once."""
+        if os.path.isdir(self.path):
+            return
+        parent = os.path.dirname(self.path) or "."
+        base = os.path.basename(self.path)
+        if not os.path.isdir(parent):
+            return
+        candidates = sorted(
+            (f"{parent}/{name}" for name in os.listdir(parent) if name.startswith(f"{base}.old-")),
+            key=os.path.getmtime,
+        )
+        if candidates:
+            os.rename(candidates[-1], self.path)
+
     def _meta_path(self) -> str:
         return f"{self.path}/_agg_meta"
 
@@ -371,6 +390,7 @@ class AggregatingSink:
         )
 
     def write(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        self._recover()
         last = self._last_applied()
         if batch_id is not None and last is not None and batch_id <= last:
             return  # redelivered batch: already folded into the state
@@ -406,6 +426,7 @@ class AggregatingSink:
 
     def state(self, spark: SparkSession) -> DataFrame:
         """The live aggregate view (decimal sum surfaced as double)."""
+        self._recover()
         return spark.read.parquet(self.path).select(
             "pk",
             "n_events",

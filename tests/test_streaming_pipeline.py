@@ -772,3 +772,23 @@ def test_aggregating_sink_merge_is_batch_split_independent(spark, tmp_path):
     a = sorted(map(tuple, whole.state(spark).collect()))
     b = sorted(map(tuple, split.state(spark).collect()))
     assert a == b
+
+
+def test_aggregating_sink_recovers_displaced_state(spark, tmp_path):
+    """Crash between the two swap renames leaves only a .old-* snapshot;
+    the next write/state call must restore it, and the replayed batch
+    (its id absent from the restored meta) re-applies exactly once."""
+    import os
+
+    from cdc_platform_spark.streaming.pipeline import AggregatingSink, to_envelope
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(100)
+    env = to_envelope(events)
+    sink = AggregatingSink(str(tmp_path / "agg"))
+    sink.write(env, batch_id=0)
+    expected = sorted(map(tuple, sink.state(spark).collect()))
+    # simulate the crash window: live dir displaced, new dir never landed
+    os.rename(str(tmp_path / "agg"), str(tmp_path / "agg.old-deadbeef"))
+    assert sorted(map(tuple, sink.state(spark).collect())) == expected
+    sink.write(env, batch_id=0)  # replay of the already-applied batch: no-op
+    assert sorted(map(tuple, sink.state(spark).collect())) == expected
