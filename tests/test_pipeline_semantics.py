@@ -546,3 +546,28 @@ def test_range_join_binned_matches_naive_and_respects_bounds(spark):
         range_join_binned(pts, iv, "t", "lo", "hi", bin_width=0)
     with _pytest.raises(ValueError, match="closed"):
         range_join_binned(pts, iv, "t", "lo", "hi", bin_width=5, closed="right")
+
+
+def test_range_join_binned_exact_past_double_precision(spark):
+    """The bin id must be exact for longs beyond 2^53 (epoch nanos):
+    double-division floor would mis-bin these and silently drop matches."""
+    from cdc_platform_spark.functions.range_join import range_join_binned
+
+    # points straddling bin edges at magnitudes where doubles round
+    base = 2**60
+    ts = [base + d for d in (-2, -1, 0, 1, 2)] + [-base + d for d in (-1, 0, 1)] + [0, -1, 1]
+    pts = spark.createDataFrame([(t,) for t in ts], "t long")
+    iv = spark.createDataFrame(
+        [(1, base - 1, base + 1), (2, -base - 1, -base + 1), (3, -1, 1)],
+        "iv_id long, lo long, hi long",
+    )
+    naive = {
+        (r.t, r.iv_id)
+        for r in pts.crossJoin(iv).filter("t >= lo AND t <= hi").collect()
+    }
+    for width in (3, 1000, 2**31 - 1):
+        got = {
+            (r.t, r.iv_id)
+            for r in range_join_binned(pts, iv, "t", "lo", "hi", bin_width=width).collect()
+        }
+        assert got == naive, f"width={width}: {got ^ naive}"
