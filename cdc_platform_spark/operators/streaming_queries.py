@@ -537,3 +537,82 @@ def sq_incremental_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files_per_trigger=1,
     ).run_available_now()
     return sink.state(spark).orderBy("pk")
+
+
+@register(
+    "sq_topic_router_stream",
+    category="streaming",
+    doc=(
+        "P2/F1 multiplexing as a driver-checkable artifact: ONE stream "
+        "carrying two CDC topics (per-row topic derived from the key — the "
+        "multi-table capture shape) runs through TopicRouterSink, which "
+        "dispatches each envelope row to the sink registered for its "
+        "topic; per-destination-table accounting must equal the batch "
+        "partition of the same rows. Driver evidence for the one-stream-"
+        "to-N-tables routing path (reference topic naming semantics, "
+        "streaming/topics.py)."
+    ),
+    oracle="""
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'cdc.public.users'
+                    ELSE 'cdc.public.orders' END AS topic,
+               COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS n_keys,
+               MAX(event_id) AS max_offset
+        FROM events
+        GROUP BY 1
+        ORDER BY topic
+    """,
+)
+def sq_topic_router_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.streaming.pipeline import (
+        AppendSink,
+        CdcPipeline,
+        TopicRouterSink,
+        to_envelope,
+    )
+    from cdc_platform_spark.streaming.topics import cdc_topic
+
+    t_users = cdc_topic("cdc", "public.users", source_type="postgres")
+    t_orders = cdc_topic("cdc", "public.orders", source_type="postgres")
+
+    def multi_topic_envelope(df: DataFrame) -> DataFrame:
+        env = to_envelope(df)
+        return env.withColumn(
+            "topic",
+            F.when(F.pmod(F.col("pk"), F.lit(2)) == 0, F.lit(t_users)).otherwise(
+                F.lit(t_orders)
+            ),
+        )
+
+    work = _workdir("sq_router_")
+    src = _stage_chunks(spark, sf_dir, work)
+    users_sink = AppendSink(f"{work}/users")
+    orders_sink = AppendSink(f"{work}/orders")
+    router = TopicRouterSink({t_users: users_sink, t_orders: orders_sink})
+    CdcPipeline(
+        spark=spark,
+        source_dir=src,
+        checkpoint_dir=f"{work}/ck",
+        sinks={"router": router},
+        envelope_fn=multi_topic_envelope,
+        max_files_per_trigger=1,
+    ).run_available_now()
+    parts = []
+    for sink in (users_sink, orders_sink):
+        parts.append(
+            sink.exactly_once_view(spark).select(
+                F.col("_cdc_topic").alias("topic"), "pk", F.col("_cdc_offset").alias("offset")
+            )
+        )
+    routed = parts[0].unionByName(parts[1])
+    return (
+        routed.groupBy("topic")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("pk").alias("n_keys"),
+            F.max("offset").alias("max_offset"),
+        )
+        .orderBy("topic")
+    )
