@@ -616,3 +616,101 @@ def sq_topic_router_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("topic")
     )
+
+
+@register(
+    "sq_webhook_sink_stream",
+    category="streaming",
+    doc=(
+        "K1 as a driver-checkable artifact: the pipeline delivers every "
+        "envelope row to a LIVE local HTTP collector through WebhookSink "
+        "(executor-side POSTs, reference payload shape key/value/metadata), "
+        "then the received payloads are parsed back and their accounting "
+        "hash-compared against the batch view of the same rows — wire-"
+        "format fidelity and at-least-once delivery verified end to end. "
+        "The 1-in-5 event subset keeps the HTTP volume bounded at any SF."
+    ),
+    oracle="""
+        SELECT user_id % 8 AS partition,
+               COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS n_keys,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM events
+        WHERE event_id % 5 = 0
+        GROUP BY 1
+        ORDER BY partition
+    """,
+)
+def sq_webhook_sink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import http.server
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.streaming.pipeline import CdcPipeline
+    from cdc_platform_spark.streaming.webhook import WebhookSink
+
+    received: list[bytes] = []
+    lock = threading.Lock()
+
+    class Collector(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802 - stdlib handler contract
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            with lock:
+                received.append(body)
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *args):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Collector)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        work = _workdir("sq_webhook_")
+        src = f"{work}/source"
+        spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+            F.col("event_id") % 5 == 0
+        ).repartition(4).write.mode("overwrite").parquet(src)
+        sink = WebhookSink(
+            f"http://127.0.0.1:{srv.server_address[1]}/hook", base_delay=0.01
+        )
+        CdcPipeline(
+            spark=spark,
+            source_dir=src,
+            checkpoint_dir=f"{work}/ck",
+            sinks={"webhook": sink},
+            max_files_per_trigger=1,
+        ).run_available_now()
+    finally:
+        srv.shutdown()
+        t.join(timeout=5)
+    payloads = spark.createDataFrame(
+        [(b.decode("utf-8"),) for b in received], "payload string"
+    )
+    p = F.from_json(
+        "payload",
+        "key struct<pk:long>, "
+        "value struct<seq:long,op:string,event_type:string,value:double,props:string>, "
+        "metadata struct<topic:string,partition:long,offset:long>",
+    )
+    parsed = payloads.select(p.alias("p")).select(
+        F.col("p.metadata.partition").alias("partition"),
+        F.col("p.key.pk").alias("pk"),
+        F.col("p.value.value").alias("value"),
+        F.col("p.metadata.offset").alias("offset"),
+    )
+    # at-least-once delivery -> coordinate-keyed dedup before accounting
+    # (same exactly-once read every sink exposes)
+    parsed = parsed.dropDuplicates(["partition", "offset"])
+    return (
+        parsed.groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("pk").alias("n_keys"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .orderBy("partition")
+    )
