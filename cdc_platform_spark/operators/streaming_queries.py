@@ -714,3 +714,44 @@ def sq_webhook_sink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partition")
     )
+
+
+@register(
+    "lk_compaction_rewrite",
+    category="lakehouse",
+    doc=(
+        "L2/L3 compaction as a driver-checkable artifact: eight small "
+        "appends land as eight file groups, compact() rewrites them into "
+        "fewer groups through a new snapshot, and the compacted read must "
+        "be byte-identical to the union of the appends (oracle = the same "
+        "rows straight from the fixture). The builder also asserts the "
+        "file-group count actually dropped and that pre-compaction "
+        "snapshots remain time-travel-readable."
+    ),
+    oracle="""
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE event_id % 2 = 0
+        ORDER BY event_id
+    """,
+)
+def lk_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.lakehouse.table import VersionedTable
+
+    work = _workdir("lk_compact_")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    ).filter(F.col("event_id") % 2 == 0)
+    t = VersionedTable(spark, f"{work}/t")
+    for k in range(8):
+        t.append(events.filter(F.pmod(F.expr("event_id div 2"), F.lit(8)) == k))
+    pre_compact_snapshot = t.current_snapshot_id()
+    n_groups_before = len(t._snapshot(pre_compact_snapshot)["files"])
+    t.compact(max_files=4)
+    n_groups_after = len(t._snapshot(t.current_snapshot_id())["files"])
+    assert n_groups_after < n_groups_before, (n_groups_before, n_groups_after)
+    # pre-compaction snapshot still reads the same rows (time travel intact)
+    assert t.read(snapshot_id=pre_compact_snapshot).count() == t.read().count()
+    return t.read().orderBy("event_id")
