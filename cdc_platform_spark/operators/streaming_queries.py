@@ -755,3 +755,52 @@ def lk_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre-compaction snapshot still reads the same rows (time travel intact)
     assert t.read(snapshot_id=pre_compact_snapshot).count() == t.read().count()
     return t.read().orderBy("event_id")
+
+
+@register(
+    "lk_stats_pruned_scan",
+    category="lakehouse",
+    doc=(
+        "Manifest stats pruning as a driver-checkable artifact (L5 + the "
+        "sort-clustered rewrite that makes pruning effective): events land "
+        "unsorted, rewrite_sorted range-clusters them on event_id into "
+        "disjoint file groups, and a read_where point-range scan must both "
+        "(a) PRUNE most groups from manifest min/max alone — asserted in "
+        "the builder via last_scan_files — and (b) return exactly the "
+        "oracle's filter result."
+    ),
+    oracle="""
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE event_id >= (4 * (SELECT MAX(event_id) FROM events)) // 5
+        ORDER BY event_id
+    """,
+)
+def lk_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.lakehouse.table import VersionedTable
+
+    work = _workdir("lk_prune_")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = VersionedTable(spark, f"{work}/t")
+    # land in key-interleaved chunks so pre-rewrite groups have overlapping
+    # [min, max] ranges (pruning impossible), then sort-cluster
+    for k in range(4):
+        t.append(events.filter(F.pmod(F.col("event_id"), F.lit(4)) == k))
+    t.rewrite_sorted("event_id", n_groups=8)
+    # cutoff from the snapshot manifest's own column stats — metadata-only,
+    # no Spark job (the same min/max the pruning decision reads)
+    snap = t._snapshot(t.current_snapshot_id())
+    hi = max(
+        s["event_id"]["max"]
+        for s in snap["stats"].values()
+        if s.get("event_id") and s["event_id"]["max"] is not None
+    )
+    cutoff = 4 * hi // 5
+    result = t.read_where("event_id", ">=", int(cutoff))
+    kept, total = t.last_scan_files
+    assert kept < total, (kept, total)  # pruning actually happened
+    return result.orderBy("event_id")
