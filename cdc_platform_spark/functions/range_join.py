@@ -18,9 +18,10 @@ fixed-width bins:
   AQE-skew-splittable like any other shuffle join, followed by the
   exact residual predicate.
 
-Correctness does not depend on the bin width — every (point, interval)
-pair with ``lo <= point <= hi`` shares at least the bin containing the
-point — only the explode factor and the candidate-pair selectivity do.
+Correctness does not depend on the bin width — ``bin_of`` is monotone,
+so every (point, interval) pair with ``lo <= point <= hi`` has the
+point's bin inside ``[bin_of(lo), bin_of(hi)]`` — only the explode
+factor and the candidate-pair selectivity do.
 """
 
 from __future__ import annotations
@@ -29,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 BIN_COL = "__range_bin"
+_BIN_COL_R = "__range_bin_r"
 
 
 def range_join_binned(
@@ -48,7 +50,19 @@ def range_join_binned(
     ``point``/``lo``/``hi`` are integer columns in the same unit (e.g.
     epoch micros); ``bin_width`` is in that unit.  ``closed`` is
     ``"both"`` (lo <= p <= hi) or ``"left"`` (lo <= p < hi).  All columns
-    of both inputs survive; the internal bin column does not.
+    of both inputs survive; the internal bin columns do not.
+
+    ``how`` is ``"inner"`` or ``"left"`` (every point survives; points
+    matching no interval are null-extended — the residual predicate is
+    part of the JOIN CONDITION on this path, never a post-filter that
+    would silently re-create inner semantics).  Right/full joins are
+    rejected: an unmatched interval spans several bins, so its
+    null-extended row would be emitted once per bin.
+
+    When ``point``/``lo``/``hi`` are passed as STRINGS they are resolved
+    against their own input frame, so the same column name may exist on
+    both sides; ``Column`` arguments are used as given (the caller owns
+    disambiguation).
 
     At 100 TB: both sides shuffle on hash(bin) only; an interval explodes
     into O(interval_len / bin_width + 1) rows, so pick the bin width near
@@ -60,20 +74,51 @@ def range_join_binned(
         raise ValueError("bin_width must be a positive integer")
     if closed not in ("both", "left"):
         raise ValueError(f"closed must be 'both' or 'left', got {closed!r}")
-    p = F.col(point) if isinstance(point, str) else point
-    lo_c = F.col(lo) if isinstance(lo, str) else lo
-    hi_c = F.col(hi) if isinstance(hi, str) else hi
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"how must be 'inner' or 'left', got {how!r}: right/full joins "
+            "would emit an unmatched interval once per overlapped bin"
+        )
+    for df, side in ((points, "points"), (intervals, "intervals")):
+        for reserved in (BIN_COL, _BIN_COL_R):
+            if reserved in df.columns:
+                raise ValueError(
+                    f"{side} already has a column named {reserved!r} "
+                    "(reserved for the internal bin id)"
+                )
 
     def bin_of(c: Column) -> Column:
         # exact floor division for the full long range: double division
         # (F.floor(c / w)) silently rounds above 2^53, which epoch-nanos
-        # exceed — decimal division stays exact.
+        # exceed — decimal division stays exact (and remains monotone,
+        # which is all binning correctness needs).
         return F.floor(c.cast("decimal(38,0)") / F.lit(bin_width)).cast("long")
 
-    left = points.withColumn(BIN_COL, bin_of(p))
+    p_raw = F.col(point) if isinstance(point, str) else point
+    lo_raw = F.col(lo) if isinstance(lo, str) else lo
+    hi_raw = F.col(hi) if isinstance(hi, str) else hi
+
+    left = points.withColumn(BIN_COL, bin_of(p_raw))
     # explode each interval into the bins it overlaps
     right = intervals.withColumn(
-        BIN_COL, F.explode(F.sequence(bin_of(lo_c), bin_of(hi_c)))
+        _BIN_COL_R, F.explode(F.sequence(bin_of(lo_raw), bin_of(hi_raw)))
     )
+    # string-named columns re-resolve against their own frame so shared
+    # names across the two inputs stay unambiguous in the join condition
+    p = left[point] if isinstance(point, str) else point
+    lo_c = right[lo] if isinstance(lo, str) else lo
+    hi_c = right[hi] if isinstance(hi, str) else hi
     residual = (p >= lo_c) & ((p <= hi_c) if closed == "both" else (p < hi_c))
-    return left.join(right, on=BIN_COL, how=how).filter(residual).drop(BIN_COL)
+    if how == "inner":
+        joined = left.join(
+            right, on=left[BIN_COL] == right[_BIN_COL_R], how="inner"
+        ).filter(residual)
+    else:
+        # left join: the residual joins the CONDITION so unmatched points
+        # survive null-extended instead of being dropped by a post-filter
+        joined = left.join(
+            right,
+            on=(left[BIN_COL] == right[_BIN_COL_R]) & residual,
+            how="left",
+        )
+    return joined.drop(BIN_COL, _BIN_COL_R)

@@ -286,6 +286,11 @@ class SchemaRegistryClient:
         """{'version': int, 'id': int, 'schema': str} or None when absent."""
         return self._get(f"/subjects/{subject}/versions/latest")
 
+    def subjects(self) -> list[str]:
+        """All registered subject names ([] when none/unsupported)."""
+        data = self._get("/subjects")
+        return list(data) if isinstance(data, list) else []
+
     def versions(self, subject: str) -> list[int]:
         """All registered version numbers for a subject ([] when absent)."""
         data = self._get(f"/subjects/{subject}/versions")

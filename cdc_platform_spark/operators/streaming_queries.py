@@ -745,15 +745,23 @@ def lk_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value"
     ).filter(F.col("event_id") % 2 == 0)
     t = VersionedTable(spark, f"{work}/t")
+    partial_snapshot = None
     for k in range(8):
         t.append(events.filter(F.pmod(F.expr("event_id div 2"), F.lit(8)) == k))
+        if k == 6:  # a snapshot whose contents DIFFER from the final state
+            partial_snapshot = t.current_snapshot_id()
     pre_compact_snapshot = t.current_snapshot_id()
     n_groups_before = len(t._snapshot(pre_compact_snapshot)["files"])
+    partial_rows = t._snapshot(partial_snapshot)["rows"]
+    full_rows = t._snapshot(pre_compact_snapshot)["rows"]
     t.compact(max_files=4)
     n_groups_after = len(t._snapshot(t.current_snapshot_id())["files"])
     assert n_groups_after < n_groups_before, (n_groups_before, n_groups_after)
-    # pre-compaction snapshot still reads the same rows (time travel intact)
-    assert t.read(snapshot_id=pre_compact_snapshot).count() == t.read().count()
+    # time travel must still serve the 7-append snapshot, whose row set
+    # differs from the compacted head — a read(snapshot_id) regression
+    # that silently returned the current state would fail this count
+    assert partial_rows < full_rows, (partial_rows, full_rows)
+    assert t.read(snapshot_id=partial_snapshot).count() == partial_rows
     return t.read().orderBy("event_id")
 
 

@@ -133,7 +133,7 @@ def compile_pipeline(
                 # keeps the JVM path on the pinned reader schema and the
                 # Python fallback still fetches lazily per frame.
                 resolver = RegistrySchemaResolver(src.schema_registry_url).warm(
-                    list(src.topics or [])
+                    list(src.topics or []), topic_pattern=src.topic_pattern
                 )
 
             def envelope_fn(df, _resolver=resolver):  # noqa: F811 - deliberate rebind

@@ -380,8 +380,12 @@ class SchemaResolver:
         return set(self._key_ids)
 
     def is_key_schema(self, schema_id: int, schema: Any) -> bool:
-        if self._key_ids:
-            return schema_id in self._key_ids
+        # Union of explicit attribution and the record-name heuristic: a
+        # seeded-but-unattributed key schema (record named 'Key') must not
+        # lose its routing just because OTHER ids gained -key attribution
+        # (e.g. after RegistrySchemaResolver.warm ran).
+        if schema_id in self._key_ids:
+            return True
         return isinstance(schema, dict) and schema.get("name") == "Key"
 
 
@@ -419,7 +423,9 @@ class RegistrySchemaResolver(SchemaResolver):
             self._schemas[schema_id] = schema
             return schema
 
-    def warm(self, topics: list[str]) -> "RegistrySchemaResolver":
+    def warm(
+        self, topics: list[str], topic_pattern: str | None = None
+    ) -> "RegistrySchemaResolver":
         """Fetch and memoize every registered version of each topic's
         ``-key``/``-value`` subject so ``known_ids()`` is populated BEFORE
         the JVM multi-schema plan is built (the plan compiles one
@@ -430,10 +436,29 @@ class RegistrySchemaResolver(SchemaResolver):
         Subject suffix also resolves key-vs-envelope routing explicitly:
         ids seen under ``-key`` go to ``key_schema_ids()``, replacing the
         record-name heuristic.  Unreachable registry / absent subjects are
-        skipped (best effort); returns self for chaining."""
+        skipped (best effort); returns self for chaining.
+
+        ``topic_pattern`` (a Java/Python-compatible regex, the same string
+        Spark's ``subscribePattern`` takes) warms every registered subject
+        whose topic part matches — pattern-subscribed sources would
+        otherwise stay permanently cold."""
+        import re
+
         from cdc_platform_spark.observability import SchemaRegistryClient
 
         client = SchemaRegistryClient(self.registry_url)
+        topics = list(topics)
+        if topic_pattern:
+            try:
+                pat = re.compile(topic_pattern)
+                for subject in client.subjects():
+                    for suffix in ("-key", "-value"):
+                        if subject.endswith(suffix):
+                            t = subject[: -len(suffix)]
+                            if pat.fullmatch(t) and t not in topics:
+                                topics.append(t)
+            except Exception:  # noqa: BLE001 — registry unreachable: stay lazy
+                pass
         for topic in topics:
             for suffix in ("-key", "-value"):
                 subject = topic + suffix
@@ -687,56 +712,87 @@ def _parse_multi_schema_from_avro(
         key_exprs.append(from_avro(masked, json.dumps(schema), options)["id"].cast("long"))
 
     known_env_ids = [s for s, _ in env_versions]
+    known_key_ids = [s for s, _ in key_versions]
     unknown_id = (
         F.col("value").isNotNull() & ~sid_v.isin(*known_env_ids)
         if known_env_ids
         else F.lit(False)  # pinned fallback: no id space to be unknown in
     )
-    op_expr = env_field(lambda v, s: top(v, s, "op", "string"))
-    if not permissive and known_env_ids:
-        # Strict semantics must match the Python fallback: an unknown
-        # schema id FAILS THE TASK (KeyError there).  Without this the JVM
-        # path would silently emit a null envelope — silent data loss on
-        # the hot path only.
-        op_expr = F.when(
-            unknown_id,
+    # value.isNotNull() keeps tombstones quiet: the Python fallback
+    # swallows key-decode errors on the tombstone branch (null value is a
+    # normal stream condition), raising/diagnosing only for data rows.
+    unknown_key_id = (
+        F.col("key").isNotNull() & F.col("value").isNotNull() & ~sid_k.isin(*known_key_ids)
+        if known_key_ids
+        else F.lit(False)
+    )
+
+    def strict_guard(expr: F.Column) -> F.Column:
+        """Strict semantics must match the Python fallback: an unknown
+        schema id (value OR key) FAILS THE TASK (KeyError there).  The
+        guard wraps EVERY decoded output column — attaching it to one
+        column only would let Catalyst column-pruning eliminate it for
+        consumers that never read that column, silently reproducing the
+        null-envelope data loss it exists to prevent."""
+        if permissive or (not known_env_ids and not known_key_ids):
+            return expr
+        bad_sid = F.when(unknown_id, sid_v).otherwise(sid_k)
+        return F.when(
+            unknown_id | unknown_key_id,
             F.raise_error(
-                F.concat(F.lit("unknown schema id "), sid_v.cast("string"))
-            ).cast("string"),
-        ).otherwise(op_expr)
+                F.concat(F.lit("unknown schema id "), bad_sid.cast("string"))
+            ),
+        ).otherwise(expr)
+
     cols = [
         F.col("topic"),
         F.col("partition").cast("int").alias("partition"),
         F.col("offset").cast("long").alias("offset"),
-        F.coalesce(*key_exprs).alias("pk"),
-        op_expr.alias("op"),
-        env_field(lambda v, s: top(v, s, "ts_ms", "long")).alias("ts_ms"),
-        env_field(
-            lambda v, s: project_row(v["before"], _writer_row_schema(s, "before"))
-            if any(f["name"] == "before" for f in s["fields"])
-            else None
+        strict_guard(F.coalesce(*key_exprs)).alias("pk"),
+        strict_guard(env_field(lambda v, s: top(v, s, "op", "string"))).alias("op"),
+        strict_guard(env_field(lambda v, s: top(v, s, "ts_ms", "long"))).alias("ts_ms"),
+        strict_guard(
+            env_field(
+                lambda v, s: project_row(v["before"], _writer_row_schema(s, "before"))
+                if any(f["name"] == "before" for f in s["fields"])
+                else None
+            )
         ).alias("before"),
-        env_field(
-            lambda v, s: project_row(v["after"], _writer_row_schema(s, "after"))
-            if any(f["name"] == "after" for f in s["fields"])
-            else None
+        strict_guard(
+            env_field(
+                lambda v, s: project_row(v["after"], _writer_row_schema(s, "after"))
+                if any(f["name"] == "after" for f in s["fields"])
+                else None
+            )
         ).alias("after"),
-        env_field(
-            lambda v, s: v["source"]["lsn"].cast("long")
-            if any(f["name"] == "source" for f in s["fields"])
-            else None
+        strict_guard(
+            env_field(
+                lambda v, s: v["source"]["lsn"].cast("long")
+                if any(f["name"] == "source" for f in s["fields"])
+                else None
+            )
         ).alias("lsn"),
-        env_field(
-            lambda v, s: v["source"]["table"].cast("string")
-            if any(f["name"] == "source" for f in s["fields"])
-            else None
+        strict_guard(
+            env_field(
+                lambda v, s: v["source"]["table"].cast("string")
+                if any(f["name"] == "source" for f in s["fields"])
+                else None
+            )
         ).alias("source_table"),
     ]
     if permissive:
+        # Key-poison rows keep their decoded value fields here (the Python
+        # fallback nulls the whole envelope because its key decode fails
+        # first) — same DLQ routing via decode_error, strictly more
+        # information retained.
         cols.append(
             F.when(
                 unknown_id,
                 F.concat(F.lit("unknown schema id "), sid_v.cast("string")),
+            )
+            .when(
+                unknown_key_id,
+                F.concat(F.lit("unknown key schema id "), sid_k.cast("string")),
             )
             .when(
                 F.col("value").isNotNull()

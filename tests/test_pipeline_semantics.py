@@ -571,3 +571,38 @@ def test_range_join_binned_exact_past_double_precision(spark):
             for r in range_join_binned(pts, iv, "t", "lo", "hi", bin_width=width).collect()
         }
         assert got == naive, f"width={width}: {got ^ naive}"
+
+
+def test_range_join_binned_left_join_preserves_unmatched_points(spark):
+    """how='left' must keep points matching no interval (null-extended) —
+    the residual is part of the join condition, not a post-filter that
+    would silently degrade to inner semantics."""
+    from cdc_platform_spark.functions.range_join import range_join_binned
+
+    pts = spark.createDataFrame([(i,) for i in range(0, 50)], "t long")
+    iv = spark.createDataFrame([(1, 10, 20), (2, 40, 45)], "iv_id long, lo long, hi long")
+    out = range_join_binned(pts, iv, "t", "lo", "hi", bin_width=7, how="left").collect()
+    assert len(out) == 50  # every point exactly once (no interval overlap here)
+    matched = {r.t: r.iv_id for r in out if r.iv_id is not None}
+    assert matched == {t: (1 if 10 <= t <= 20 else 2) for t in list(range(10, 21)) + list(range(40, 46))}
+    unmatched = [r for r in out if r.iv_id is None]
+    assert all(r.lo is None and r.hi is None for r in unmatched)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="how"):
+        range_join_binned(pts, iv, "t", "lo", "hi", bin_width=7, how="right")
+    bad = pts.withColumn("__range_bin", F.lit(0))
+    with _pytest.raises(ValueError, match="__range_bin"):
+        range_join_binned(bad, iv, "t", "lo", "hi", bin_width=7)
+
+
+def test_range_join_binned_shared_column_names(spark):
+    """String-named join columns resolve against their own frame, so the
+    same name may exist on both inputs."""
+    from cdc_platform_spark.functions.range_join import range_join_binned
+
+    pts = spark.createDataFrame([(5, "a"), (25, "b")], "t long, tag string")
+    iv = spark.createDataFrame([(1, 0, 10, "x")], "iv_id long, lo long, hi long, tag string")
+    out = range_join_binned(pts, iv, "t", "lo", "hi", bin_width=4).collect()
+    assert len(out) == 1 and out[0].t == 5

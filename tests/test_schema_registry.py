@@ -41,7 +41,12 @@ class _StubRegistry(http.server.BaseHTTPRequestHandler):
 
     def do_GET(self):  # noqa: N802
         parts = self.path.strip("/").split("/")
-        if parts[:1] == ["subjects"] and parts[2:3] == ["versions"]:
+        if parts == ["subjects"]:
+            names = sorted(
+                set(self.state["subjects"]) | set(self.state.get("all_versions", {}))
+            )
+            self._send(200, names)
+        elif parts[:1] == ["subjects"] and parts[2:3] == ["versions"]:
             subject = parts[1]
             # all_versions: {subject: {version: {...}}} for multi-version
             # subjects; "subjects" holds the latest (single) version.
@@ -359,3 +364,79 @@ def test_key_only_resolver_decodes_values_with_pinned_schema(spark, monkeypatch)
     )
     assert "op" in df.columns
     assert "Envelope" in calls and "EventsKey" in calls
+
+
+def test_resolver_warm_with_topic_pattern(registry):
+    """Pattern-subscribed sources must warm too: warm() lists the
+    registry's subjects and matches their topic part against the same
+    regex Spark's subscribePattern takes."""
+    url, state = registry
+    state["all_versions"] = {
+        "cdc.public.events-value": {
+            1: {"version": 1, "id": 3, "schema": json.dumps(AVRO_ENVELOPE_SCHEMA)},
+        },
+        "cdc.public.users-value": {
+            1: {"version": 1, "id": 4, "schema": json.dumps(AVRO_ENVELOPE_SCHEMA)},
+        },
+        "other.topic-value": {
+            1: {"version": 1, "id": 9, "schema": json.dumps(AVRO_ENVELOPE_SCHEMA)},
+        },
+    }
+    resolver = RegistrySchemaResolver(url).warm([], topic_pattern=r"cdc\..*")
+    assert resolver.known_ids() == [3, 4]  # other.topic excluded
+
+
+def test_is_key_schema_union_of_attribution_and_name():
+    """A seeded-but-unattributed key schema (record named 'Key') keeps its
+    routing even after other ids gain explicit -key attribution."""
+    from cdc_platform_spark.sources.avro import SchemaResolver
+
+    named_key = {"type": "record", "name": "Key", "fields": []}
+    env = {"type": "record", "name": "Envelope", "fields": []}
+    r = SchemaResolver({5: named_key, 7: named_key, 3: env}, key_ids={5})
+    assert r.is_key_schema(5, named_key)
+    assert r.is_key_schema(7, named_key)  # name heuristic still applies
+    assert not r.is_key_schema(3, env)
+
+
+def test_strict_guard_survives_column_pruning(spark, monkeypatch):
+    """The unknown-id raise must wrap EVERY decoded column: a consumer
+    selecting only `after` still fails on an unknown id — attaching the
+    guard to `op` alone let Catalyst prune it away."""
+    from cdc_platform_spark.sources.avro import SchemaResolver, _parse_with_from_avro
+
+    calls: list = []
+    _stub_from_avro(monkeypatch, calls)
+    seeded = SchemaResolver({3: AVRO_ENVELOPE_SCHEMA})
+    df = _parse_with_from_avro(
+        _raw_frames(spark), confluent_wire=True, permissive=False, resolver=seeded
+    )
+    pruned = df.select("after")
+    plan = pruned._jdf.queryExecution().optimizedPlan().toString()
+    assert "raise_error" in plan
+
+
+def test_strict_guard_covers_unknown_key_ids(spark, monkeypatch):
+    """Unknown KEY schema ids also fail strict mode (Python-fallback
+    parity), but tombstones (null value) stay quiet."""
+    from cdc_platform_spark.sources.avro import SchemaResolver, _parse_with_from_avro
+
+    key_schema = {"type": "record", "name": "EventsKey",
+                  "fields": [{"name": "id", "type": "long"}]}
+    calls: list = []
+    _stub_from_avro(monkeypatch, calls)
+    seeded = SchemaResolver(
+        {3: AVRO_ENVELOPE_SCHEMA, 5: key_schema}, key_ids={5}
+    )
+    df = _parse_with_from_avro(
+        _raw_frames(spark), confluent_wire=True, permissive=False, resolver=seeded
+    )
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "raise_error" in plan
+    # permissive: key-unknown surfaces as a decode_error branch, no raise
+    df_p = _parse_with_from_avro(
+        _raw_frames(spark), confluent_wire=True, permissive=True, resolver=seeded
+    )
+    plan_p = df_p._jdf.queryExecution().analyzed().toString()
+    assert "raise_error" not in plan_p
+    assert "unknown key schema id" in plan_p
