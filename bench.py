@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_span_ngram",
     "sim_quantize_pq",
     "text_export_shards",
+    "q84_range_join_binned",
+    "w_gapfill_locf",
 ]
 
 
@@ -107,6 +109,7 @@ def main() -> None:
     import tempfile
 
     from cdc_platform_spark.streaming.pipeline import (
+        AggregatingSink,
         AppendSink,
         BucketedUpsertSink,
         CdcPipeline,
@@ -142,12 +145,21 @@ def main() -> None:
             "upsert": BucketedUpsertSink(f"{wd}/state", n_buckets=16),
         }
 
+    def agg_sinks(wd: str) -> dict:
+        # incremental materialized-aggregate view maintenance
+        return {
+            "append": AppendSink(f"{wd}/append"),
+            "aggview": AggregatingSink(f"{wd}/aggview"),
+        }
+
     pipeline_runs = [round(run_pipeline(flat_sinks), 3) for _ in range(3)]
     pipeline_sec = min(pipeline_runs)
     pipeline_eps = round(n_events / pipeline_sec, 1)
     bucketed_runs = [round(run_pipeline(bucketed_sinks), 3) for _ in range(3)]
     bucketed_sec = min(bucketed_runs)
     bucketed_eps = round(n_events / bucketed_sec, 1)
+    agg_runs = [round(run_pipeline(agg_sinks), 3) for _ in range(3)]
+    agg_eps = round(n_events / min(agg_runs), 1)
 
     print(
         json.dumps(
@@ -164,6 +176,8 @@ def main() -> None:
                 "pipeline_bucketed_events_per_sec": bucketed_eps,
                 "pipeline_runs": pipeline_runs,
                 "pipeline_bucketed_runs": bucketed_runs,
+                "pipeline_aggview_events_per_sec": agg_eps,
+                "pipeline_aggview_runs": agg_runs,
             }
         )
     )

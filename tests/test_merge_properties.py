@@ -192,3 +192,61 @@ def test_connected_components_long_path_converges(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(60)], "doc_a long, doc_b long")
     got = {r["node"]: r["label"] for r in connected_components(df).collect()}
     assert got == {i: 0 for i in range(61)}
+
+
+def agg_oracle(events: list[tuple[int, int, str, int]]) -> dict[int, tuple]:
+    """Single-delivery per-key aggregate (count, sum, min, max, max_offset)."""
+    out: dict[int, list] = {}
+    for off, pk, op, val in events:
+        v = float(val)
+        if pk not in out:
+            out[pk] = [0, 0.0, v, v, off]
+        acc = out[pk]
+        acc[0] += 1
+        acc[1] += v
+        acc[2] = min(acc[2], v)
+        acc[3] = max(acc[3], v)
+        acc[4] = max(acc[4], off)
+    return {pk: tuple(a) for pk, a in out.items()}
+
+
+@given(
+    events=events_strategy,
+    split_seed=st.integers(0, 2**16),
+    n_batches=st.integers(1, 5),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_aggregating_sink_converges_under_any_batching(
+    spark, tmp_path_factory, mkdf, events, split_seed, n_batches
+):
+    """Incremental aggregate maintenance must reach the one-shot batch
+    aggregate under ANY split of the log into micro-batches, with the
+    just-committed batch optionally redelivered (at-least-once) — the
+    batch-id fence must make redelivery a no-op."""
+    import random
+
+    from cdc_platform_spark.streaming.pipeline import AggregatingSink
+
+    rng = random.Random(split_seed)
+    batches: list[list] = [[] for _ in range(n_batches)]
+    for ev in events:
+        batches[rng.randrange(n_batches)].append(ev)
+
+    sink = AggregatingSink(str(tmp_path_factory.mktemp("aggprop") / "view"))
+    for bid, batch in enumerate(batches):
+        if not batch:
+            continue
+        sink.write(mkdf(batch), batch_id=bid)
+        if rng.random() < 0.5:  # redelivery of the just-committed batch
+            sink.write(mkdf(batch), batch_id=bid)
+
+    expected = agg_oracle(events)
+    got = {
+        r["pk"]: (r["n_events"], r["value_sum"], r["value_min"], r["value_max"], r["last_offset"])
+        for r in sink.state(spark).collect()
+    }
+    assert got == expected, f"aggregate diverged: got={got} expected={expected}"
