@@ -30,10 +30,13 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-# Runtime jar for this engine's Spark (pyspark 4.1 / Scala 2.13). The
-# artifact name tracks the Spark minor: a 3.5 cluster uses
+# Runtime jar coordinates. The artifact name tracks the SPARK minor the
+# cluster runs — Iceberg 1.10 publishes runtimes for Spark 3.4/3.5/4.0
+# (iceberg-spark-runtime-<spark>_<scala>); pin the newest PUBLISHED one
+# and bump when the matching artifact for a newer Spark minor lands
+# (there is no 4.1 artifact at 1.10.0). A 3.5 cluster uses
 # iceberg-spark-runtime-3.5_2.12 with the same session config.
-ICEBERG_RUNTIME_COORDS = "org.apache.iceberg:iceberg-spark-runtime-4.1_2.13:1.10.0"
+ICEBERG_RUNTIME_COORDS = "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0"
 
 
 def iceberg_session_config(
@@ -115,9 +118,19 @@ class IcebergTable(TableFormat):
     def read_where(self, column: str, op: str, value, snapshot_id: str | None = None) -> DataFrame:
         # Iceberg does manifest min/max pruning natively; a plain filter is
         # the whole implementation (the VersionedTable stats pruning emulates
-        # exactly this).
-        ops = {"=": "==", ">": ">", ">=": ">=", "<": "<", "<=": "<="}
-        return self.read(snapshot_id).filter(f"{column} {ops[op]} {value!r}")
+        # exactly this).  Column/literal API, not repr-into-SQL: Python repr
+        # is not SQL (quotes, datetimes) and invites expression injection.
+        from pyspark.sql import functions as F
+
+        col = F.col(column)
+        residual = {
+            "=": col == F.lit(value),
+            ">": col > F.lit(value),
+            ">=": col >= F.lit(value),
+            "<": col < F.lit(value),
+            "<=": col <= F.lit(value),
+        }[op]
+        return self.read(snapshot_id).filter(residual)
 
     # --- metadata ------------------------------------------------------
     def snapshots(self) -> list[dict]:
@@ -127,9 +140,13 @@ class IcebergTable(TableFormat):
         return self.spark.read.table(f"{self.identifier}.snapshots")
 
     def current_snapshot_id(self) -> str | None:
+        # The .history metadata table tracks which snapshot is CURRENT: after
+        # rollback_to_snapshot, .snapshots still lists the newer (now
+        # non-current) snapshots, so ordering .snapshots by committed_at
+        # would return the wrong id and break the TableFormat contract.
         rows = (
-            self.spark.read.table(f"{self.identifier}.snapshots")
-            .orderBy("committed_at", ascending=False)
+            self.spark.read.table(f"{self.identifier}.history")
+            .orderBy("made_current_at", ascending=False)
             .limit(1)
             .collect()
         )
@@ -142,11 +159,16 @@ class IcebergTable(TableFormat):
         )
 
     def expire_snapshots(self, older_than_ms: int) -> int:
-        row = self.spark.sql(
+        # The procedure's output row is file counts (deleted_data_files_count,
+        # ...), NOT an expired-snapshot count — the TableFormat contract
+        # promises the latter, so measure the snapshot set around the call.
+        before = self.spark.read.table(f"{self.identifier}.snapshots").count()
+        self.spark.sql(
             f"CALL {self.catalog}.system.expire_snapshots(table => '{self.identifier}', "
             f"older_than => TIMESTAMP_MILLIS({older_than_ms}))"
-        ).collect()[0]
-        return int(row[0])
+        ).collect()
+        after = self.spark.read.table(f"{self.identifier}.snapshots").count()
+        return int(before - after)
 
     def compact(self, max_files: int = 4) -> str | None:
         self.spark.sql(

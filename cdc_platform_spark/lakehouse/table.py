@@ -48,19 +48,34 @@ class VersionedTable(TableFormat):
         self.spark = spark
         self.root = root
         self._group_stats: dict[str, dict] = {}
+        # committed manifests are immutable, so parsed JSON is cached per
+        # file name; the directory is still re-listed on every call, so
+        # additions/removals by OTHER table handles are always visible —
+        # without this, every commit re-parses every manifest and table
+        # lifetime cost is O(n^2) driver I/O
+        self._manifest_cache: dict[str, dict] = {}
         os.makedirs(f"{root}/data", exist_ok=True)
         os.makedirs(f"{root}/snapshots", exist_ok=True)
 
     # --- snapshot bookkeeping ------------------------------------------------
     def _snapshot_files(self) -> list[str]:
-        return sorted(os.listdir(f"{self.root}/snapshots"))
+        # only committed manifests: a crash between the .tmp write and the
+        # rename in _commit leaves a partial .json.tmp behind, and parsing
+        # it would wedge every subsequent table operation
+        return sorted(
+            n for n in os.listdir(f"{self.root}/snapshots") if n.endswith(".json")
+        )
 
     def snapshots(self) -> list[dict]:
         """All snapshots, oldest first (ref time_travel.py:19-23)."""
         out = []
         for name in self._snapshot_files():
-            with open(f"{self.root}/snapshots/{name}") as f:
-                out.append(json.load(f))
+            snap = self._manifest_cache.get(name)
+            if snap is None:
+                with open(f"{self.root}/snapshots/{name}") as f:
+                    snap = json.load(f)
+                self._manifest_cache[name] = snap
+            out.append(snap)
         return out
 
     def current_snapshot_id(self) -> str | None:
@@ -231,15 +246,28 @@ class VersionedTable(TableFormat):
 
         keep = [g for g in snap["files"] if may_match(snap.get("stats", {}).get(g, {}))]
         self.last_scan_files = (len(keep), len(snap["files"]))
-        if not keep:
-            empty = self.spark.read.parquet(*snap["files"]).limit(0)
-            return empty
         from pyspark.sql import functions as F
 
-        ops = {"=": "==", ">": ">", ">=": ">=", "<": "<", "<=": "<="}
-        return self.spark.read.parquet(*keep).filter(
-            F.expr(f"{column} {ops[op]} {value!r}")
-        )
+        # mergeSchema everywhere a snapshot's groups are read together:
+        # pre-evolution groups lack added columns, and they always survive
+        # pruning for such a column (no stats -> cannot prune), so without
+        # the union schema the scan either crashes (UNRESOLVED_COLUMN) or
+        # silently drops the column
+        if not keep:
+            return self.spark.read.option("mergeSchema", "true").parquet(
+                *snap["files"]
+            ).limit(0)
+        # residual via the column/literal API — repr-into-SQL breaks on
+        # quote-containing strings and datetimes and invites injection
+        col = F.col(column)
+        residual = {
+            "=": col == F.lit(value),
+            ">": col > F.lit(value),
+            ">=": col >= F.lit(value),
+            "<": col < F.lit(value),
+            "<=": col <= F.lit(value),
+        }[op]
+        return self.spark.read.option("mergeSchema", "true").parquet(*keep).filter(residual)
 
     def diff(self, from_snapshot: str, to_snapshot: str) -> DataFrame:
         """Row-level change feed between two snapshots: every row tagged
@@ -265,7 +293,11 @@ class VersionedTable(TableFormat):
         return added.unionByName(removed)
 
     def snapshots_df(self) -> DataFrame:
-        """Snapshot metadata as a DataFrame (Iceberg `tbl.snapshots` shape)."""
+        """Snapshot metadata as a DataFrame (Iceberg `tbl.snapshots` shape).
+
+        Explicit schema: with zero snapshots (no rows) or one (whose
+        parent_id is None) schema inference fails with
+        CANNOT_DETERMINE_TYPE."""
         rows = [
             Row(
                 snapshot_id=s["id"],
@@ -277,7 +309,11 @@ class VersionedTable(TableFormat):
             )
             for s in self.snapshots()
         ]
-        return self.spark.createDataFrame(rows)
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id string, parent_id string, committed_at_ms long, "
+            "operation string, n_files long, n_rows long",
+        )
 
     # --- maintenance ---------------------------------------------------------
     def rollback(self, snapshot_id: str) -> None:
@@ -296,20 +332,26 @@ class VersionedTable(TableFormat):
         keep: list[str] = []
         expired = 0
         for name in self._snapshot_files():
-            with open(f"{self.root}/snapshots/{name}") as f:
-                s = json.load(f)
-            if s["id"] == head or s["ts_ms"] >= older_than_ms:
+            snap = self._manifest_cache.get(name)
+            if snap is None:
+                with open(f"{self.root}/snapshots/{name}") as f:
+                    snap = json.load(f)
+            if snap["id"] == head or snap["ts_ms"] >= older_than_ms:
                 keep.append(name)
             else:
                 expired += 1
                 os.remove(f"{self.root}/snapshots/{name}")
-        # garbage-collect unreferenced file groups
+                self._manifest_cache.pop(name, None)
+        # garbage-collect unreferenced file groups.  Compare REAL paths:
+        # manifests record the root spelling used at write time, and a
+        # maintenance job opening the same table as './tbl' or 'tbl/'
+        # would otherwise see zero matches and delete live data.
         referenced: set[str] = set()
         for s in self.snapshots():
-            referenced.update(s["files"])
+            referenced.update(os.path.realpath(g) for g in s["files"])
         for group in os.listdir(f"{self.root}/data"):
             path = f"{self.root}/data/{group}"
-            if path not in referenced:
+            if os.path.realpath(path) not in referenced:
                 import shutil
 
                 shutil.rmtree(path, ignore_errors=True)
@@ -333,7 +375,11 @@ class VersionedTable(TableFormat):
         part_groups = [g for g in snap["files"] if in_partition(g)]
         if len(part_groups) <= max_files:
             return None
-        df = self.spark.read.parquet(*part_groups)
+        # mergeSchema: groups written before an additive evolution lack the
+        # added columns; reading without the union schema would rewrite the
+        # partition WITHOUT them — permanent data loss once the old groups
+        # are expired
+        df = self.spark.read.option("mergeSchema", "true").parquet(*part_groups)
         group, rows = self._write_group(df.coalesce(1))
         self._group_stats[group]["__partition__"] = {"min": key, "max": key}
         other = [g for g in snap["files"] if g not in part_groups]
@@ -354,7 +400,11 @@ class VersionedTable(TableFormat):
         snap = self._snapshot(cur)
         if len(snap["files"]) <= max_files:
             return None
-        df = self.spark.read.parquet(*snap["files"])
+        # mergeSchema: without the union schema a compaction after additive
+        # evolution adopts one group's schema and silently drops the other
+        # groups' added columns from the table forever (the auto-compacting
+        # LakehouseAppendSink would hit this on its own)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*snap["files"])
         group, rows = self._write_group(df.coalesce(max(1, df.rdd.getNumPartitions() // 4)))
         return self._commit([group], "rewrite", rows)
 

@@ -331,3 +331,74 @@ def test_iceberg_session_config_recipe(spark):
     assert "spark.sql.catalog.fs.uri" not in iceberg_session_config(
         catalog="fs", warehouse="/data/wh", catalog_type="hadoop"
     )
+
+
+def test_compaction_preserves_evolved_columns(spark, table):
+    """Compacting after additive evolution must carry the added column —
+    without mergeSchema the rewrite adopted one group's schema and
+    silently dropped the other's columns from the table forever
+    (LakehouseAppendSink auto-compacts, so the pipeline hit this alone)."""
+    table.append(spark.range(0, 10).selectExpr("id"))
+    table.append(spark.range(10, 20).selectExpr("id", "id * 2 AS extra"))
+    table.append(spark.range(20, 30).selectExpr("id", "id * 2 AS extra"))
+    assert table.compact(max_files=2) is not None
+    got = table.read()
+    assert set(got.columns) == {"id", "extra"}
+    rows = {r.id: r.extra for r in got.collect()}
+    assert len(rows) == 30
+    assert rows[15] == 30 and rows[5] is None  # pre-evolution rows null-fill
+
+
+def test_read_where_on_evolved_column(spark, table):
+    """Stats-pruned scans must resolve columns added by evolution: the
+    pre-evolution groups always survive pruning (no stats for the new
+    column), and without mergeSchema the scan crashed UNRESOLVED_COLUMN."""
+    table.append(spark.range(0, 10).selectExpr("id"))
+    table.append(spark.range(10, 20).selectExpr("id", "id * 2 AS extra"))
+    got = table.read_where("extra", ">=", 30).collect()
+    assert sorted(r.id for r in got) == list(range(15, 20))
+
+
+def test_read_where_string_values_with_quotes(spark, table):
+    """The residual filter takes values through the literal API — repr'd
+    SQL broke on quote-containing strings."""
+    df = spark.createDataFrame([(1, "it's \"x\""), (2, "plain")], "id long, name string")
+    table.append(df)
+    got = table.read_where("name", "=", "it's \"x\"").collect()
+    assert [r.id for r in got] == [1]
+
+
+def test_snapshots_df_with_zero_and_one_snapshot(spark, table):
+    """Explicit schema: a single snapshot (parent_id None on every row) or
+    an empty table made createDataFrame's type inference fail."""
+    assert table.snapshots_df().count() == 0
+    table.append(spark.range(0, 5).selectExpr("id"))
+    df = table.snapshots_df()
+    assert df.count() == 1
+    assert df.collect()[0].parent_id is None
+
+
+def test_orphaned_tmp_manifest_is_ignored(spark, table):
+    """A crash between the manifest .tmp write and its rename must not
+    wedge the table: only committed *.json manifests are parsed."""
+    table.append(spark.range(0, 5).selectExpr("id"))
+    with open(f"{table.root}/snapshots/000009-deadbeef.json.tmp", "w") as f:
+        f.write('{"partial":')  # truncated JSON
+    assert len(table.snapshots()) == 1
+    table.append(spark.range(5, 10).selectExpr("id"))  # commit still works
+    assert table.read().count() == 10
+
+
+def test_expire_gc_with_differently_spelled_root(spark, tmp_path):
+    """GC compares real paths: a maintenance handle opened via a
+    non-canonical spelling of the same root must not delete live data."""
+    root = str(tmp_path / "tbl")
+    writer = VersionedTable(spark, root)
+    writer.append(spark.range(0, 5).selectExpr("id"))
+    time.sleep(0.01)
+    writer.append(spark.range(5, 10).selectExpr("id"))
+    alias = str(tmp_path / "." / "tbl")  # same dir, different spelling
+    maint = VersionedTable(spark, alias)
+    cutoff = maint._snapshot(maint.current_snapshot_id())["ts_ms"]
+    maint.expire_snapshots(cutoff)
+    assert writer.read().count() == 10  # live groups survived the GC
