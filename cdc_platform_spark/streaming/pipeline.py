@@ -72,6 +72,53 @@ def to_envelope(df: DataFrame, topic: str = CDC_TOPIC, n_partitions: int = 8) ->
     )
 
 
+def _sweep_stale_tmp(path: str) -> None:
+    """Remove crash-orphaned ``.tmp-*`` siblings of a swapped state dir: a
+    crash during the tmp write (or between the renames) strands a full
+    state copy that no recovery path ever matches — a crash-looping
+    pipeline would fill the volume with them."""
+    parent = os.path.dirname(path) or "."
+    base = os.path.basename(path)
+    if not os.path.isdir(parent):
+        return
+    for name in os.listdir(parent):
+        if name.startswith(f"{base}.tmp-"):
+            shutil.rmtree(f"{parent}/{name}", ignore_errors=True)
+
+
+def _recover_swapped_dir(path: str) -> None:
+    """Crash recovery for the two-rename swap protocol (shared by
+    UpsertSink and AggregatingSink): sweep stale tmp dirs, and if the live
+    dir is missing but a displaced ``.old-*`` snapshot exists (crash
+    between the renames), restore the newest one.  Restoring an older
+    state is safe under both sinks' merge semantics: the mid-swap batch
+    replays and re-merges (idempotent keyed merge / absent-from-meta
+    batch-id fence)."""
+    _sweep_stale_tmp(path)
+    if os.path.isdir(path):
+        return
+    parent = os.path.dirname(path) or "."
+    base = os.path.basename(path)
+    if not os.path.isdir(parent):
+        return
+    candidates = sorted(
+        (f"{parent}/{name}" for name in os.listdir(parent) if name.startswith(f"{base}.old-")),
+        key=os.path.getmtime,
+    )
+    if candidates:
+        os.rename(candidates[-1], path)
+
+
+def _commit_swap(path: str, tmp: str) -> None:
+    """Swap a fully-written tmp dir into place: displace the live dir,
+    rename tmp over it, drop the displaced copy."""
+    old = f"{path}.old-{uuid.uuid4().hex}"
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 class AppendSink:
     """Append materialization with _cdc_* metadata (ref K3 append,
     sinks/iceberg.py:124-133). Idempotent read via `exactly_once_view`."""
@@ -99,9 +146,16 @@ class AppendSink:
         out.write.mode("append").parquet(self.path)
 
     def exactly_once_view(self, spark: SparkSession) -> DataFrame:
-        """At-least-once delivery + keyed dedup = exactly-once read (ref J4)."""
+        """At-least-once delivery + keyed dedup = exactly-once read (ref J4).
+
+        The dedup key includes the topic: with TopicRouterSink multi-topic
+        streams two topics can legitimately share (partition, offset)
+        coordinates — deduping without the topic silently dropped one of
+        them (same 3-coordinate key RelationalAppendSink uses)."""
         return (
-            spark.read.parquet(self.path).dropDuplicates(["_cdc_partition", "_cdc_offset"])
+            spark.read.parquet(self.path).dropDuplicates(
+                ["_cdc_topic", "_cdc_partition", "_cdc_offset"]
+            )
         )
 
 
@@ -151,22 +205,7 @@ class UpsertSink:
         self.path = path
 
     def _recover(self) -> None:
-        """Crash recovery for the two-rename swap: if the live dir is missing
-        but a displaced `.old-*` snapshot exists (crash between the renames),
-        restore the newest one. Idempotent-merge semantics make the restored
-        older state safe: the batch replays and re-merges."""
-        if os.path.isdir(self.path):
-            return
-        parent = os.path.dirname(self.path) or "."
-        base = os.path.basename(self.path)
-        if not os.path.isdir(parent):
-            return
-        candidates = sorted(
-            (f"{parent}/{name}" for name in os.listdir(parent) if name.startswith(f"{base}.old-")),
-            key=os.path.getmtime,
-        )
-        if candidates:
-            os.rename(candidates[-1], self.path)
+        _recover_swapped_dir(self.path)
 
     def write(self, batch: DataFrame) -> None:
         if not batch.take(1):
@@ -189,12 +228,7 @@ class UpsertSink:
         )
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
         merged.write.mode("overwrite").parquet(tmp)
-        old = f"{self.path}.old-{uuid.uuid4().hex}"
-        if os.path.isdir(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        if os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
+        _commit_swap(self.path, tmp)
 
     def state(self, spark: SparkSession) -> DataFrame:
         """Live state: latest row per key, tombstones filtered out."""
@@ -239,6 +273,9 @@ class BucketedUpsertSink:
         """Per-bucket two-rename crash recovery. Displaced snapshots live in
         a sibling ``.work`` dir (NOT inside the state dir, where partition
         discovery would try to parse them as bucket values)."""
+        # crash-orphaned .tmp-<run_id> bucket trees leak a batch-sized copy
+        # per crash; the batch replays, so they are always garbage
+        _sweep_stale_tmp(self.path)
         if not os.path.isdir(self._work):
             return
         # newest first: if several snapshots of one bucket ever coexist, the
@@ -351,23 +388,7 @@ class AggregatingSink:
         self.path = path
 
     def _recover(self) -> None:
-        """Crash recovery for the two-rename swap (same protocol as
-        UpsertSink): live dir missing + displaced ``.old-*`` snapshot =>
-        restore the newest one. Restoring an older state is safe because
-        the batch that was mid-swap replays and its id is NOT in the
-        restored ``_agg_meta``, so the merge re-applies exactly once."""
-        if os.path.isdir(self.path):
-            return
-        parent = os.path.dirname(self.path) or "."
-        base = os.path.basename(self.path)
-        if not os.path.isdir(parent):
-            return
-        candidates = sorted(
-            (f"{parent}/{name}" for name in os.listdir(parent) if name.startswith(f"{base}.old-")),
-            key=os.path.getmtime,
-        )
-        if candidates:
-            os.rename(candidates[-1], self.path)
+        _recover_swapped_dir(self.path)
 
     def _meta_path(self) -> str:
         return f"{self.path}/_agg_meta"
@@ -418,11 +439,7 @@ class AggregatingSink:
         if batch_id is not None:
             with open(f"{tmp}/_agg_meta", "w") as fh:
                 fh.write(str(batch_id))
-        old = f"{self.path}.old-{uuid.uuid4().hex}"
-        if os.path.isdir(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        _commit_swap(self.path, tmp)
 
     def state(self, spark: SparkSession) -> DataFrame:
         """The live aggregate view (decimal sum surfaced as double)."""
@@ -474,13 +491,22 @@ class DlqWriter:
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
 
-    def replay(self, spark: SparkSession, sink, sink_id: str | None = None) -> int:
+    def replay(
+        self, spark: SparkSession, sink, sink_id: str | None = None, purge: bool = False
+    ) -> int:
         """Reprocess quarantined events through a (now healthy) sink.
 
         Payloads are parsed back into the envelope schema from the stored
         JSON; the source coordinates come from the dlq_source_* columns, so
         idempotent sinks dedup any rows that also succeeded elsewhere.
         Returns the number of replayed events.
+
+        ``purge=True`` removes the replayed rows from the quarantine table
+        after a successful sink write (two-rename swap), so a repeated
+        replay invocation is a no-op.  REQUIRED when the target sink's
+        write is not idempotent (AggregatingSink — its batch-id fence does
+        not apply to out-of-band replays); optional for idempotent sinks,
+        where it only keeps the quarantine table from re-sending.
         """
         q = self.read(spark)
         if sink_id is not None:
@@ -509,9 +535,27 @@ class DlqWriter:
         # part of the key — with TopicRouterSink multi-topic streams two topics
         # can legitimately share (partition, offset) coordinates
         env = env.dropDuplicates(["topic", "partition", "offset"])
-        n = env.count()
-        if n:
-            sink.write(env)
+        # persist: count() and the sink write would otherwise each execute
+        # the full read + from_json + dedup plan
+        env.persist()
+        try:
+            n = env.count()
+            if n:
+                sink.write(env)
+            if purge and n:
+                if sink_id is None:
+                    shutil.rmtree(self.path, ignore_errors=True)
+                else:
+                    remaining = self.read(spark).filter(
+                        F.col("dlq_sink_id") != sink_id
+                    )
+                    tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
+                    # coalesce(1): an all-filtered frame still writes one
+                    # schema-bearing file, keeping the table readable
+                    remaining.coalesce(1).write.mode("overwrite").parquet(tmp)
+                    _commit_swap(self.path, tmp)
+        finally:
+            env.unpersist()
         return n
 
 
@@ -522,18 +566,26 @@ class TopicRouterSink:
     raise). With topic derived per-row, this is the multi-table CDC
     multiplexing path — one stream, N destination tables."""
 
+    # the router must RECEIVE the micro-batch id so it can forward it to
+    # routed sinks that fence on it (AggregatingSink) — otherwise routing
+    # through it silently disabled their redelivery protection
+    wants_batch_id = True
+
     def __init__(self, routes: dict[str, object], fallback: object | None = None) -> None:
         self.routes = routes
         self.fallback = fallback
 
-    def write(self, batch: DataFrame) -> None:
+    def write(self, batch: DataFrame, batch_id: int | None = None) -> None:
         topics = [r[0] for r in batch.select("topic").distinct().collect()]
         for topic in sorted(topics):
             sub = batch.filter(F.col("topic") == topic)
             sink = self.routes.get(topic, self.fallback)
             if sink is None:
                 raise KeyError(f"no route for topic {topic!r} and no fallback sink")
-            sink.write(sub)
+            if getattr(sink, "wants_batch_id", False):
+                sink.write(sub, batch_id=batch_id)
+            else:
+                sink.write(sub)
 
 
 @dataclass

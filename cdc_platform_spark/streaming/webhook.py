@@ -42,7 +42,15 @@ class WebhookSink:
         self.timeout = timeout
 
     def write(self, batch: DataFrame) -> None:
-        payloads = batch.select(
+        # The per-partition ordering the docstring promises is per CDC
+        # partition, which is NOT what the incoming Spark task partitioning
+        # gives (a file-source batch interleaves one CDC partition's rows
+        # across several concurrent tasks): co-locate each CDC partition
+        # into one task and sort it by offset before delivery.
+        ordered = batch.repartition(F.col("partition")).sortWithinPartitions(
+            "partition", "offset"
+        )
+        payloads = ordered.select(
             F.to_json(
                 F.struct(
                     F.struct(F.col("pk")).alias("key"),

@@ -792,3 +792,81 @@ def test_aggregating_sink_recovers_displaced_state(spark, tmp_path):
     assert sorted(map(tuple, sink.state(spark).collect())) == expected
     sink.write(env, batch_id=0)  # replay of the already-applied batch: no-op
     assert sorted(map(tuple, sink.state(spark).collect())) == expected
+
+
+def test_exactly_once_view_keeps_distinct_topics_same_coordinates(spark, tmp_path):
+    """AppendSink's exactly-once read deduplicates on all THREE source
+    coordinates: two topics legitimately sharing (partition, offset) in a
+    multi-topic stream must both survive."""
+    from cdc_platform_spark.streaming.pipeline import AppendSink
+
+    rows = spark.createDataFrame(
+        [
+            (1, "cdc.public.a", 0, 7, "c", 10, "signup", 1.0, "{}",),
+            (2, "cdc.public.b", 0, 7, "c", 20, "signup", 2.0, "{}",),
+        ],
+        "seq long, topic string, partition long, offset long, op string, "
+        "pk long, event_type string, value double, props string",
+    ).withColumn("event_ts", F.current_timestamp())
+    sink = AppendSink(str(tmp_path / "multi"))
+    sink.write(rows)
+    sink.write(rows)  # redelivery: dedup must collapse copies, not topics
+    view = sink.exactly_once_view(spark)
+    assert view.count() == 2
+    assert {r._cdc_topic for r in view.collect()} == {"cdc.public.a", "cdc.public.b"}
+
+
+def test_topic_router_forwards_batch_id_to_fenced_sinks(spark, tmp_path):
+    """Routing through TopicRouterSink must not disable AggregatingSink's
+    redelivery fence: the router forwards the micro-batch id."""
+    from cdc_platform_spark.streaming.pipeline import (
+        AggregatingSink,
+        TopicRouterSink,
+        to_envelope,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(50)
+    env = to_envelope(events)
+    agg = AggregatingSink(str(tmp_path / "agg"))
+    router = TopicRouterSink({}, fallback=agg)
+    assert getattr(router, "wants_batch_id", False)
+    router.write(env, batch_id=0)
+    once = {r.pk: r.n_events for r in agg.state(spark).collect()}
+    router.write(env, batch_id=0)  # redelivered micro-batch
+    assert {r.pk: r.n_events for r in agg.state(spark).collect()} == once
+
+
+def test_dlq_replay_purge_makes_repeat_a_noop(spark, tmp_path):
+    """purge=True removes the replayed rows, so an operational retry of
+    the replay cannot double-apply into a non-idempotent sink."""
+    from cdc_platform_spark.streaming.pipeline import AggregatingSink, DlqWriter, to_envelope
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(40)
+    env = to_envelope(events)
+    dlq = DlqWriter(str(tmp_path / "dlq"))
+    dlq.write(env, "agg", RuntimeError("sink down"))
+    dlq.write(env.limit(10), "other", RuntimeError("unrelated"))
+    agg = AggregatingSink(str(tmp_path / "view"))
+    n = dlq.replay(spark, agg, sink_id="agg", purge=True)
+    assert n == 40
+    once = {r.pk: (r.n_events, r.value_sum) for r in agg.state(spark).collect()}
+    assert dlq.replay(spark, agg, sink_id="agg", purge=True) == 0  # purged
+    assert {r.pk: (r.n_events, r.value_sum) for r in agg.state(spark).collect()} == once
+    # the other sink's quarantine rows survived the partial purge
+    assert dlq.read(spark).count() == 10
+
+
+def test_recover_sweeps_stale_tmp_dirs(spark, tmp_path):
+    """Crash-orphaned .tmp-* state copies are swept on recovery instead of
+    accumulating one full state copy per crash."""
+    import os
+
+    from cdc_platform_spark.streaming.pipeline import UpsertSink, to_envelope
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(30)
+    sink = UpsertSink(str(tmp_path / "state"))
+    sink.write(to_envelope(events))
+    stale = str(tmp_path / "state.tmp-deadbeef")
+    os.makedirs(stale)
+    sink.write(to_envelope(events))  # next write recovers + sweeps
+    assert not os.path.isdir(stale)
