@@ -97,14 +97,22 @@ CONFLUENT_HEADER_LEN = 5  # magic 0x00 + 4-byte schema id
 # ---------------------------------------------------------------------------
 
 
-def _collect_names(schema: Any, names: dict[str, Any]) -> None:
+def _collect_names(schema: Any, names: dict[str, Any], enclosing_ns: str | None = None) -> None:
+    """Index named types by BOTH bare name and fullname: Avro JSON may
+    reference a previously-defined record either way ('Row' or
+    'cdc.public.events.Row'), and registry-fetched schemas commonly use
+    the fullname form.  Nested records inherit the enclosing namespace
+    per the Avro spec."""
     if isinstance(schema, dict) and schema.get("type") == "record":
+        ns = schema.get("namespace", enclosing_ns)
         names[schema["name"]] = schema
+        if ns:
+            names[f"{ns}.{schema['name']}"] = schema
         for f in schema["fields"]:
-            _collect_names(f["type"], names)
+            _collect_names(f["type"], names, enclosing_ns=ns)
     elif isinstance(schema, list):
         for s in schema:
-            _collect_names(s, names)
+            _collect_names(s, names, enclosing_ns=enclosing_ns)
 
 
 def _resolve(schema: Any, names: dict[str, Any]) -> Any:
@@ -553,8 +561,21 @@ def spark_avro_usable(spark) -> bool:
 
 
 def _schema_id_expr(col: str) -> F.Column:
-    """Big-endian uint32 at bytes [2,5] of a Confluent frame, JVM-side."""
-    return F.expr(f"cast(conv(hex(substring({col}, 2, 4)), 16, 10) as long)")
+    """Big-endian uint32 at bytes [2,5] of a Confluent frame, JVM-side.
+
+    NULL for malformed frames (wrong magic byte or shorter than the
+    5-byte header): ``substring`` would otherwise parse whatever bytes
+    are available into a WRONG — possibly registered — schema id (e.g. a
+    2-byte frame b'\\x00\\x01' would alias to id 1), silently routing the
+    frame to the wrong decoder.  A NULL id is treated as unknown by the
+    multi-schema guards, so malformed frames surface as poison instead."""
+    c = F.col(col)
+    valid = (F.length(c) >= CONFLUENT_HEADER_LEN) & (
+        F.substring(c, 1, 1) == F.lit(b"\x00")
+    )
+    return F.when(
+        valid, F.expr(f"cast(conv(hex(substring({col}, 2, 4)), 16, 10) as long)")
+    )
 
 
 def _parse_with_from_avro(
@@ -628,6 +649,25 @@ def _parse_with_from_avro(
     return frames.select(*cols)
 
 
+def _writer_source_has(env_schema: Any, sub: str) -> bool:
+    """True when the writer envelope's ``source`` record carries ``sub``.
+
+    Guarding only on the top-level ``source`` field is not enough: a
+    MySQL/Mongo-connector envelope HAS a source record but no ``lsn``
+    sub-field, and accessing a missing struct field is a plan-time
+    AnalysisException."""
+    names: dict[str, Any] = {}
+    _collect_names(env_schema, names)
+    for f in env_schema.get("fields", []):
+        if f["name"] == "source":
+            t = f["type"]
+            for b in t if isinstance(t, list) else [t]:
+                b = _resolve(b, names)
+                if isinstance(b, dict) and b.get("type") == "record":
+                    return any(sf["name"] == sub for sf in b["fields"])
+    return False
+
+
 def _writer_row_schema(env_schema: Any, field: str) -> Any | None:
     """The writer's Row record for envelope field ``before``/``after`` (or
     None when the writer envelope lacks the field entirely)."""
@@ -671,14 +711,6 @@ def _parse_multi_schema_from_avro(
         # record-name heuristic only backs up unattributed seeds.
         target = key_versions if resolver.is_key_schema(sid, schema) else env_versions
         target.append((sid, schema))
-    if not env_versions:
-        # Registry knows only key schemas: no envelope version to route on —
-        # decode values with the pinned reader schema, keys multi-version.
-        decoded_env = [(None, from_avro(body, AVRO_ENVELOPE_SCHEMA_JSON, options),
-                        AVRO_ENVELOPE_SCHEMA)]
-    else:
-        decoded_env = None
-
     reader_row_fields = (("id", "long"), ("event_type", "string"), ("value", "double"))
 
     def project_row(struct_col: F.Column, writer_row: Any | None) -> F.Column:
@@ -690,12 +722,19 @@ def _parse_multi_schema_from_avro(
         ]
         return F.when(struct_col.isNotNull(), F.struct(*cols))
 
-    decoded = []  # (sid, from_avro struct, writer schema) per envelope version
-    for sid, schema in env_versions:
-        masked = F.when(sid_v == sid, body)
-        decoded.append((sid, from_avro(masked, json.dumps(schema), options), schema))
-    if decoded_env is not None:
-        decoded = decoded_env
+    # (sid, from_avro struct, writer schema) per envelope version; a
+    # registry knowing only key schemas has no envelope version to route
+    # on, so values decode with the pinned reader schema (keys stay
+    # multi-version)
+    if env_versions:
+        decoded = [
+            (sid, from_avro(F.when(sid_v == sid, body), json.dumps(schema), options), schema)
+            for sid, schema in env_versions
+        ]
+    else:
+        decoded = [
+            (None, from_avro(body, AVRO_ENVELOPE_SCHEMA_JSON, options), AVRO_ENVELOPE_SCHEMA)
+        ]
 
     def env_field(getter) -> F.Column:
         exprs = [e for e in (getter(v, s) for _, v, s in decoded) if e is not None]
@@ -713,8 +752,12 @@ def _parse_multi_schema_from_avro(
 
     known_env_ids = [s for s, _ in env_versions]
     known_key_ids = [s for s, _ in key_versions]
+    # NULL-safe unknowns: a malformed frame gives a NULL schema id (see
+    # _schema_id_expr), and `~NULL.isin(...)` is NULL — which would fall
+    # straight through F.when and silently emit a null envelope in strict
+    # mode. Treat a NULL id as unknown explicitly.
     unknown_id = (
-        F.col("value").isNotNull() & ~sid_v.isin(*known_env_ids)
+        F.col("value").isNotNull() & (sid_v.isNull() | ~sid_v.isin(*known_env_ids))
         if known_env_ids
         else F.lit(False)  # pinned fallback: no id space to be unknown in
     )
@@ -722,10 +765,17 @@ def _parse_multi_schema_from_avro(
     # swallows key-decode errors on the tombstone branch (null value is a
     # normal stream condition), raising/diagnosing only for data rows.
     unknown_key_id = (
-        F.col("key").isNotNull() & F.col("value").isNotNull() & ~sid_k.isin(*known_key_ids)
+        F.col("key").isNotNull()
+        & F.col("value").isNotNull()
+        & (sid_k.isNull() | ~sid_k.isin(*known_key_ids))
         if known_key_ids
         else F.lit(False)
     )
+
+    def sid_text(sid: F.Column) -> F.Column:
+        # never NULL (a NULL message would make raise_error/decode_error
+        # themselves NULL and hide the poison row)
+        return F.coalesce(sid.cast("string"), F.lit("<malformed frame>"))
 
     def strict_guard(expr: F.Column) -> F.Column:
         """Strict semantics must match the Python fallback: an unknown
@@ -736,12 +786,10 @@ def _parse_multi_schema_from_avro(
         null-envelope data loss it exists to prevent."""
         if permissive or (not known_env_ids and not known_key_ids):
             return expr
-        bad_sid = F.when(unknown_id, sid_v).otherwise(sid_k)
+        bad_sid = F.when(unknown_id, sid_text(sid_v)).otherwise(sid_text(sid_k))
         return F.when(
             unknown_id | unknown_key_id,
-            F.raise_error(
-                F.concat(F.lit("unknown schema id "), bad_sid.cast("string"))
-            ),
+            F.raise_error(F.concat(F.lit("unknown schema id "), bad_sid)),
         ).otherwise(expr)
 
     cols = [
@@ -768,14 +816,14 @@ def _parse_multi_schema_from_avro(
         strict_guard(
             env_field(
                 lambda v, s: v["source"]["lsn"].cast("long")
-                if any(f["name"] == "source" for f in s["fields"])
+                if _writer_source_has(s, "lsn")
                 else None
             )
         ).alias("lsn"),
         strict_guard(
             env_field(
                 lambda v, s: v["source"]["table"].cast("string")
-                if any(f["name"] == "source" for f in s["fields"])
+                if _writer_source_has(s, "table")
                 else None
             )
         ).alias("source_table"),
@@ -788,15 +836,18 @@ def _parse_multi_schema_from_avro(
         cols.append(
             F.when(
                 unknown_id,
-                F.concat(F.lit("unknown schema id "), sid_v.cast("string")),
+                F.concat(F.lit("unknown schema id "), sid_text(sid_v)),
             )
             .when(
                 unknown_key_id,
-                F.concat(F.lit("unknown key schema id "), sid_k.cast("string")),
+                F.concat(F.lit("unknown key schema id "), sid_text(sid_k)),
             )
             .when(
+                # op presence must be guarded per writer version (env_field/
+                # top semantics): a registered envelope without a top-level
+                # 'op' would otherwise crash this expression at plan time
                 F.col("value").isNotNull()
-                & F.coalesce(*[v["op"] for _, v, _ in decoded]).isNull(),
+                & env_field(lambda v, s: top(v, s, "op", "string")).isNull(),
                 F.lit("decode failed"),
             )
             .cast("string")
@@ -828,12 +879,17 @@ def _parse_with_python(
         env_names: dict[str, Any] = {}
         _collect_names(env_schema, env_names)
 
-        def decode_frame(frame: bytes, reader: Any) -> Any:
+        def decode_frame(frame: bytes, reader: Any, is_key: bool = False) -> Any:
             """One frame -> reader-shaped value, honoring the schema id."""
             if not confluent_wire:
                 return decode_value(reader, frame)[0]
             body = confluent_body(frame)
-            if resolver is None:
+            if resolver is None or (is_key and not resolver.key_schema_ids()):
+                # JVM parity: with no key-subject attribution the JVM path
+                # decodes keys with the PINNED reader schema (key_versions
+                # empty) — consulting the resolver here would KeyError on
+                # every key frame for an envelope-only-seeded resolver,
+                # poisoning 100% of rows on this path only.
                 names = env_names if reader is env_schema else None
                 return decode_value(reader, body, names=names)[0]
             writer = resolver.schema_for(confluent_schema_id(frame))
@@ -866,7 +922,7 @@ def _parse_with_python(
                     # produces, with the key's pk when decodable
                     try:
                         if key is not None:
-                            row["pk"] = decode_frame(bytes(key), key_schema)["id"]
+                            row["pk"] = decode_frame(bytes(key), key_schema, is_key=True)["id"]
                     except Exception:  # noqa: BLE001
                         pass
                     if permissive:
@@ -875,8 +931,13 @@ def _parse_with_python(
                     continue
                 try:
                     # key first: a value-poison frame keeps its decodable pk
-                    # so the DLQ row stays key-routable (reference posture)
-                    row["pk"] = decode_frame(bytes(key), key_schema)["id"]
+                    # so the DLQ row stays key-routable (reference posture).
+                    # A NULL key on a data row is legal (keyless producer /
+                    # table without a primary key): pk stays null, exactly
+                    # like the JVM (from_avro(null) -> null) and JSON paths
+                    # — bytes(None) would otherwise poison a decodable row.
+                    if key is not None:
+                        row["pk"] = decode_frame(bytes(key), key_schema, is_key=True)["id"]
                     v = decode_frame(bytes(value), env_schema)
                     row.update(
                         op=v["op"],

@@ -79,9 +79,12 @@ def resume_after_checkpoint(frames: DataFrame, checkpoint: DataFrame) -> DataFra
     committed_offset``. Partitions without a checkpoint row replay from
     the start (TRIM_HORIZON), exactly like the reference.
     """
-    ckpt = checkpoint.select(
-        F.col("partition").alias("_ckpt_partition"),
-        F.col("committed_offset").alias("_ckpt_offset"),
+    # one row per partition, LATEST commit wins: a commit-history table
+    # with several rows per partition would otherwise fan the join out
+    # (duplicating frames) and let a stale row resurrect already-committed
+    # offsets through the filter
+    ckpt = checkpoint.groupBy(F.col("partition").alias("_ckpt_partition")).agg(
+        F.max("committed_offset").alias("_ckpt_offset")
     )
     return (
         frames.join(ckpt, frames["partition"] == ckpt["_ckpt_partition"], "left")

@@ -235,4 +235,4 @@ def kafka_envelope_flat(records: DataFrame) -> DataFrame:
     """Raw Kafka records -> the engine's flat envelope (sink-ready)."""
     from cdc_platform_spark.sources.debezium import to_flat_envelope
 
-    return to_flat_envelope(parse_debezium(kafka_frames(records)))
+    return to_flat_envelope(kafka_envelope(records))

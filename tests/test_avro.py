@@ -567,3 +567,119 @@ def test_unknown_schema_id_flows_to_dlq_route(spark):
     assert rows[2]["pk"] == 5  # key decoded -> the DLQ row stays key-routable
     quarantined = env.filter("decode_error IS NOT NULL")
     assert quarantined.count() == 1 and quarantined.first()["offset"] == 2
+
+
+def _env_bytes(i, op="c"):
+    img = {"id": i, "event_type": "purchase", "value": float(i)}
+    return confluent_frame(
+        encode_value(
+            AVRO_ENVELOPE_SCHEMA,
+            {
+                "op": op,
+                "ts_ms": 1700000000000 + i,
+                "before": None,
+                "after": img,
+                "source": {
+                    "version": "2.5", "connector": "postgresql", "name": "cdc",
+                    "ts_ms": 1700000000000 + i, "snapshot": "false", "db": "app",
+                    "schema": "public", "table": "users", "txId": i, "lsn": 1000 + i,
+                },
+            },
+        )
+    )
+
+
+def test_null_key_data_row_decodes(spark):
+    """A keyless producer (value != null, key = None) must decode like the
+    JVM/JSON paths: pk null, envelope intact — not a task failure (strict)
+    or a poisoned row (permissive)."""
+    frames = spark.createDataFrame(
+        [("t", 0, 1, None, bytearray(_env_bytes(7)))],
+        "topic string, partition int, offset long, key binary, value binary",
+    )
+    strict = parse_debezium_avro(frames, confluent_wire=True, permissive=False).collect()
+    assert strict[0]["pk"] is None and strict[0]["op"] == "c"
+    perm = parse_debezium_avro(frames, confluent_wire=True, permissive=True).collect()
+    assert perm[0]["decode_error"] is None and perm[0]["after"]["id"] == 7
+
+
+def test_envelope_only_resolver_pinned_decodes_keys(spark):
+    """A resolver seeded with envelope schemas only (no key attribution)
+    must decode KEY frames with the pinned reader schema — consulting it
+    for the key's registry id KeyErrored every data row on the Python
+    path while the JVM path worked."""
+    from cdc_platform_spark.sources.avro import SchemaResolver
+
+    resolver = SchemaResolver({3: AVRO_ENVELOPE_SCHEMA})
+    frames = spark.createDataFrame(
+        [(
+            "t", 0, 1,
+            bytearray(confluent_frame(encode_value(AVRO_KEY_SCHEMA, {"id": 9}), schema_id=10)),
+            bytearray(confluent_frame(encode_value(AVRO_ENVELOPE_SCHEMA, {
+                "op": "c", "ts_ms": 1, "before": None,
+                "after": {"id": 9, "event_type": "e", "value": 1.0},
+                "source": {"version": "v", "connector": "c", "name": "n", "ts_ms": 1,
+                           "snapshot": "false", "db": "d", "schema": "s", "table": "t",
+                           "txId": 1, "lsn": 5},
+            }), schema_id=3)),
+        )],
+        "topic string, partition int, offset long, key binary, value binary",
+    )
+    rows = parse_debezium_avro(
+        frames, confluent_wire=True, permissive=False, resolver=resolver
+    ).collect()
+    assert rows[0]["pk"] == 9 and rows[0]["op"] == "c"
+
+
+def test_schema_id_expr_rejects_malformed_frames(spark):
+    """Truncated or wrong-magic frames must yield a NULL schema id — the
+    raw substring parse aliased b'\\x00\\x01' to id 1, routing the frame
+    to a wrong registered decoder."""
+    from cdc_platform_spark.sources.avro import _schema_id_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"\x00\x01")),               # truncated header
+            (2, bytearray(b"\x01\x00\x00\x00\x01x")),  # wrong magic
+            (3, bytearray(confluent_frame(b"body", schema_id=7))),
+        ],
+        "i long, value binary",
+    )
+    got = {r.i: r.sid for r in df.select("i", _schema_id_expr("value").alias("sid")).collect()}
+    assert got == {1: None, 2: None, 3: 7}
+
+
+def test_codec_resolves_fullname_type_references():
+    """Registry schemas may reference named types by FULLNAME
+    ('cdc.public.events.Row'); the codec indexed bare names only and
+    failed with 'unsupported Avro type'."""
+    schema = {
+        "type": "record",
+        "name": "Env",
+        "namespace": "cdc.public.events",
+        "fields": [
+            {"name": "a", "type": {"type": "record", "name": "Row",
+                                   "fields": [{"name": "x", "type": "long"}]}},
+            {"name": "b", "type": ["null", "cdc.public.events.Row"]},
+        ],
+    }
+    value = {"a": {"x": 1}, "b": {"x": 2}}
+    body = encode_value(schema, value)
+    decoded, _ = decode_value(schema, body)
+    assert decoded == value
+
+
+def test_resume_after_checkpoint_dedups_commit_history(spark):
+    """Several checkpoint rows per partition (a commit-history table) must
+    not fan out the join or resurrect already-committed offsets."""
+    from cdc_platform_spark.sources.cloud import resume_after_checkpoint
+
+    frames = spark.createDataFrame(
+        [("s", 3, off, "{}", "{}") for off in (50, 150, 250)],
+        "topic string, partition int, offset long, key_json string, value_json string",
+    )
+    ckpt = spark.createDataFrame(
+        [(3, 100), (3, 200)], "partition int, committed_offset long"
+    )
+    got = sorted(r.offset for r in resume_after_checkpoint(frames, ckpt).collect())
+    assert got == [250]  # 150 not resurrected by stale row 100; no duplicates
