@@ -73,13 +73,13 @@ ORACLE_MD5_60BIT = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
 
 
 def doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
+    from cdc_platform_spark.functions import spread
+
     # The fixture is a single-row-group parquet file (one input split); the
     # downstream shingle/hash transforms are compute-bound, so spread the
-    # corpus across cores before them. On a real cluster with many input
-    # splits this shuffle is skipped (upstream parallelism is sufficient).
-    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism // 2:
-        d = d.repartition(spark.sparkContext.defaultParallelism)
+    # corpus across cores before them (spread() is a no-op on a real
+    # cluster with enough input splits).
+    d = spread(load_table(spark, "documents", sf_dir))
     return d.select("doc_id", "lang", "source", F.split(F.col("text"), " ").alias("words"))
 
 
@@ -195,6 +195,13 @@ _ORACLE_MINHASH_PAIR_CTES = f"""sh AS ({ORACLE_SHINGLES}),
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted near-dup pair set — the global sort exists only for the
+    driver's hash-compare, so composites (dedup_clusters) consume this
+    form and skip a full range-partition exchange of the pair set."""
     # Signatures compute per-row (array_min over transform) — no explode, no
     # shuffle; the 16 minhash values then explode to 16 narrow rows per doc
     # for the band-bucket join. Exact Jaccard runs only on candidate pairs
@@ -248,7 +255,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
         .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), "n_common", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -273,9 +279,9 @@ def _simhash_oracle_sql() -> str:
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
-    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism // 2:
-        d = d.repartition(spark.sparkContext.defaultParallelism)
+    from cdc_platform_spark.functions import spread
+
+    d = spread(load_table(spark, "documents", sf_dir))
     wc = (
         d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
         .groupBy("doc_id", "word")
@@ -314,6 +320,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_df(spark, sf_dir).orderBy("doc_id")
 
 
+def simhash_banded(sh: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Explode 32-bit simhash fingerprints into (band, band_val) rows for
+    the LSH bucket self-join — shared by dedup_simhash_pairs and
+    dedup_edit_distance so the banding layout cannot drift between them.
+    ``extra_cols`` are passed through (e.g. a precomputed length)."""
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_width) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bd).cast("long").alias("band"),
+                F.shiftright(F.col("simhash"), bd * band_width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for bd in range(SIMHASH_BANDS)
+        ]
+    )
+    keep = ["doc_id", "simhash", *extra_cols]
+    return sh.select(*keep, F.explode(band_structs).alias("bv")).select(
+        *keep, F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val")
+    )
+
+
 @register(
     "dedup_simhash_pairs",
     category="dedup",
@@ -346,20 +376,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the fingerprint subtree once — it feeds both sides of the
     # band self-join (Spark does not dedupe common subplans across joins)
     sh = _simhash_df(spark, sf_dir).localCheckpoint(eager=False)
-    band_width = SIMHASH_BITS // SIMHASH_BANDS
-    mask = (1 << band_width) - 1
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bd).cast("long").alias("band"),
-                F.shiftright(F.col("simhash"), bd * band_width).bitwiseAND(F.lit(mask)).alias("band_val"),
-            )
-            for bd in range(SIMHASH_BANDS)
-        ]
-    )
-    banded = sh.select("doc_id", "simhash", F.explode(band_structs).alias("bv")).select(
-        "doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val")
-    )
+    banded = simhash_banded(sh)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
@@ -582,10 +599,15 @@ def srp_bands(spark: SparkSession, e: DataFrame) -> DataFrame:
             FROM u JOIN hyper h ON u.i = h.d + 1
             GROUP BY u.vec_id, h.p
         ),
+        nzproj AS (
+            -- zero-norm vectors (all coords quantize to 0) have undefined
+            -- cosine; keep them out of banding so no 0/0 division occurs
+            SELECT proj.* FROM proj JOIN norms ON proj.vec_id = norms.vec_id AND norms.n > 0
+        ),
         bands AS (
             SELECT vec_id, p // {EMB_LSH_BAND_BITS} AS band,
                    CAST(SUM(CASE WHEN s > 0 THEN 1 << (p % {EMB_LSH_BAND_BITS}) ELSE 0 END) AS BIGINT) AS val
-            FROM proj GROUP BY vec_id, p // {EMB_LSH_BAND_BITS}
+            FROM nzproj GROUP BY vec_id, p // {EMB_LSH_BAND_BITS}
         ),
         cand AS (
             SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
@@ -619,7 +641,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("norm", dot_long(F.col("a"), F.col("a")))
         .localCheckpoint(eager=False)  # reused by bands + both re-rank sides
     )
-    bands = srp_bands(spark, e)
+    # zero-norm vectors (all coords quantize to 0) have undefined cosine;
+    # banding them would put 0/0 into the re-rank (ANSI DIVIDE_BY_ZERO).
+    # They stay in the OUTPUT via the final left join, with null neighbor.
+    nz = e.filter(F.col("norm") > 0)
+    bands = srp_bands(spark, nz)
     a, b = bands.alias("ba"), bands.alias("bb")
     cand = (
         a.join(
@@ -631,8 +657,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ba.vec_id").alias("ia"), F.col("bb.vec_id").alias("ib"))
         .distinct()
     )
-    x = e.select(F.col("vec_id").alias("ia"), F.col("a").alias("xa"), F.col("norm").alias("nx"))
-    y = e.select(F.col("vec_id").alias("ib"), F.col("a").alias("ya"), F.col("norm").alias("ny"))
+    x = nz.select(F.col("vec_id").alias("ia"), F.col("a").alias("xa"), F.col("norm").alias("nx"))
+    y = nz.select(F.col("vec_id").alias("ib"), F.col("a").alias("ya"), F.col("norm").alias("ny"))
     pairs = (
         cand.join(x, "ia")
         .join(y, "ib")
@@ -762,7 +788,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs = _minhash_pairs(spark, sf_dir)  # unsorted: components re-shuffle anyway
     return (
         connected_components(pairs.select("doc_a", "doc_b"))
         .select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
@@ -825,15 +851,14 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load_table(spark, "documents", sf_dir))
     words = F.split(F.col("text"), " ")
-    grams = F.when(
-        F.size(words) >= SPAN_NGRAM,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (SPAN_NGRAM - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + j) for j in range(SPAN_NGRAM)]
-            ),
+    # no short-doc guard needed here: g filters to size(words) >= SPAN_NGRAM
+    # below, so the sequence bounds are always valid
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (SPAN_NGRAM - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(SPAN_NGRAM)]
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    )
     g = (
         d.filter(F.size(words) >= SPAN_NGRAM)
         .select("doc_id", F.array_distinct(grams).alias("grams"))
@@ -887,8 +912,10 @@ EDIT_MAX_HAMMING = 3
         "levenshtein runs ONLY on candidates (the O(len^2) DP never touches "
         "the full corpus cross product). Kept when lev*5 <= max(len) — an "
         "exact integer comparison (>= 80% similar), with the IEEE ratio "
-        "reported. Both engines implement the identical Wagner-Fischer "
-        "metric, so results hash-match."
+        "reported. Cross-engine scope: Spark's levenshtein counts "
+        "CODEPOINTS while DuckDB's counts BYTES, so the oracle agreement "
+        "holds for ASCII corpora (the fixtures); the engine's codepoint "
+        "metric is the canonical semantics for non-ASCII text."
     ),
     oracle=f"""
         WITH sh AS ({{simhash_sql}}),
@@ -908,7 +935,7 @@ EDIT_MAX_HAMMING = 3
         scored AS (
             SELECT c.doc_a, c.doc_b,
                    CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
-                   GREATEST(length(da.text), length(db.text)) AS maxlen
+                   GREATEST(length(da.text), length(db.text), 1) AS maxlen
             FROM cand c
             JOIN documents da ON da.doc_id = c.doc_a
             JOIN documents db ON db.doc_id = c.doc_b
@@ -925,26 +952,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.length("text").alias("len")
     )
     sh = _simhash_df(spark, sf_dir).join(lens, "doc_id").localCheckpoint(eager=False)
-    band_width = SIMHASH_BITS // SIMHASH_BANDS
-    mask = (1 << band_width) - 1
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bd).cast("long").alias("band"),
-                F.shiftright(F.col("simhash"), bd * band_width)
-                .bitwiseAND(F.lit(mask))
-                .alias("band_val"),
-            )
-            for bd in range(SIMHASH_BANDS)
-        ]
-    )
-    banded = sh.select("doc_id", "simhash", "len", F.explode(band_structs).alias("bv")).select(
-        "doc_id",
-        "simhash",
-        "len",
-        F.col("bv.band").alias("band"),
-        F.col("bv.band_val").alias("band_val"),
-    )
+    banded = simhash_banded(sh, extra_cols=("len",))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -974,7 +982,10 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
     db = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
     lev = F.levenshtein(F.col("ta"), F.col("tb"))
-    maxlen = F.greatest(F.length("ta"), F.length("tb"))
+    # greatest(.., 1): two EMPTY texts are a legitimate candidate pair
+    # (identical simhash, zero length gap) and 0/0 throws under Spark 4's
+    # default ANSI mode; lev=0 / 1 still reports similarity 1.0
+    maxlen = F.greatest(F.length("ta"), F.length("tb"), F.lit(1))
     return (
         cand.join(da, "doc_a")
         .join(db, "doc_b")

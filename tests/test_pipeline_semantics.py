@@ -606,3 +606,38 @@ def test_range_join_binned_shared_column_names(spark):
     iv = spark.createDataFrame([(1, 0, 10, "x")], "iv_id long, lo long, hi long, tag string")
     out = range_join_binned(pts, iv, "t", "lo", "hi", bin_width=4).collect()
     assert len(out) == 1 and out[0].t == 5
+
+
+def test_embedding_cosine_survives_zero_norm_vectors(spark, tmp_path):
+    """A vector quantizing to all-zeros (norm 0) has undefined cosine and
+    previously put 0/0 into the re-rank — ANSI DIVIDE_BY_ZERO killed the
+    operator. It must survive in the OUTPUT with a null neighbor."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(20, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], "l0") for i in range(20)]
+    rows.append((20, [1e-9] * 64, "l0"))  # quantizes to the zero vector
+    rows.append((21, [0.0] * 64, "l0"))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r.vec_id: r for r in REGISTRY["dedup_embedding_cosine"].builder(spark, str(tmp_path)).collect()}
+    assert len(out) == 22
+    assert out[20].nn_id is None and out[20].is_dup == 0
+    assert out[21].nn_id is None and out[21].is_dup == 0
+
+
+def test_edit_distance_survives_empty_documents(spark, tmp_path):
+    """Two empty documents are a legitimate candidate pair (identical
+    simhash, zero length gap): similarity must report 1.0, not throw
+    DIVIDE_BY_ZERO on 0/0."""
+    rows = [
+        (0, "", "en", "s0", 0),
+        (1, "", "en", "s0", 0),
+        (2, "some real words here again words", "en", "s0", 32),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {(r.doc_a, r.doc_b): r for r in REGISTRY["dedup_edit_distance"].builder(spark, str(tmp_path)).collect()}
+    assert (0, 1) in out
+    assert out[(0, 1)].lev == 0 and out[(0, 1)].similarity == 1.0
