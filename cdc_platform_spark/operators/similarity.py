@@ -34,6 +34,7 @@ from cdc_platform_spark.sources.registry import load_table
 N_PROBES = 8  # probe set = vec_id < 8
 TOP_K = 5
 N_PLANES = 16
+LSH_BANDS = 4  # 4 bands x 4 bits over the 16-bit SRP signature
 DIM = 64
 
 
@@ -104,9 +105,13 @@ _plane_hash = ORACLE_MD5_60BIT.format(x="p.range || ',' || d.range")
     category="similarity",
     doc=(
         f"ANN via sign-random-projection LSH: {N_PLANES} deterministic md5-derived "
-        "±1 hyperplanes -> 16-bit signature -> bucket join -> exact cosine re-rank "
-        f"top-{TOP_K} within bucket. The scale path: candidates via equi-join on "
-        "signature, cross product avoided entirely."
+        f"±1 hyperplanes -> 16-bit signature -> {LSH_BANDS} bands x "
+        f"{N_PLANES // LSH_BANDS} bits -> band-bucket equi-join -> exact cosine "
+        f"re-rank top-{TOP_K} over candidates. Banding is what makes the recall "
+        "curve usable: full-signature equality needs all 16 sign bits to agree "
+        "(~(1-θ/π)^16 — near-zero recall); sharing ANY of 4 bands needs only 4. "
+        "The scale path: candidates via equi-join on (band, value), cross "
+        "product avoided entirely."
     ),
     oracle=f"""
         WITH u AS ({ORACLE_EMB_UNNEST}),
@@ -125,9 +130,15 @@ _plane_hash = ORACLE_MD5_60BIT.format(x="p.range || ',' || d.range")
             FROM proj GROUP BY vec_id
         ),
         norms AS (SELECT vec_id, SUM(v * v) AS n FROM u GROUP BY vec_id),
+        bands AS (
+            SELECT vec_id, b.range AS band,
+                   (sig >> (b.range * {N_PLANES // LSH_BANDS})) & {(1 << (N_PLANES // LSH_BANDS)) - 1} AS bval
+            FROM sigs, range({LSH_BANDS}) b
+        ),
         cand AS (
-            SELECT q.vec_id AS qid, x.vec_id AS nid
-            FROM sigs q JOIN sigs x ON q.sig = x.sig AND q.vec_id <> x.vec_id
+            SELECT DISTINCT q.vec_id AS qid, x.vec_id AS nid
+            FROM bands q JOIN bands x
+              ON q.band = x.band AND q.bval = x.bval AND q.vec_id <> x.vec_id
             WHERE q.vec_id < {N_PROBES}
         ),
         dots AS (
@@ -173,17 +184,46 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = proj.groupBy("vec_id").agg(
         F.expr("CAST(SUM(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(p AS INT)) ELSE 0 END) AS BIGINT)").alias("sig")
     )
-    with_sig = e.join(sigs, "vec_id")
-    q = with_sig.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("qid"), F.col("sig").alias("qsig"), F.col("a").alias("qa"), F.col("norm").alias("qn")
+    # banded candidates: share ANY of the 4 bands (full-signature equality
+    # needed all 16 sign bits to agree — near-zero recall)
+    band_bits = N_PLANES // LSH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.shiftright(F.col("sig"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("bval"),
+            )
+            for b in range(LSH_BANDS)
+        ]
     )
-    cand = with_sig.join(F.broadcast(q), (F.col("qsig") == F.col("sig")) & (F.col("qid") != F.col("vec_id")))
+    with_sig = e.join(sigs, "vec_id").localCheckpoint(eager=False)
+    bands = with_sig.select("vec_id", F.explode(band_structs).alias("bv")).select(
+        "vec_id", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval")
+    )
+    qbands = bands.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), "band", "bval"
+    )
+    # a pair can share several bands -> distinct (unlike the one-cell IVF join)
+    cand = (
+        bands.join(F.broadcast(qbands), ["band", "bval"])
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", F.col("vec_id").alias("nid"))
+        .distinct()
+    )
+    qv = with_sig.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("a").alias("qa"), F.col("norm").alias("qn")
+    )
+    nv = with_sig.select(F.col("vec_id").alias("nid"), F.col("a").alias("na"), F.col("norm").alias("nn"))
     w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nid"))
     return (
-        cand.select(
+        cand.join(F.broadcast(qv), "qid")
+        .join(nv, "nid")
+        .select(
             "qid",
-            F.col("vec_id").alias("nid"),
-            (dot_long(F.col("qa"), F.col("a")) / (F.sqrt("qn") * F.sqrt("norm"))).alias("c"),
+            "nid",
+            (dot_long(F.col("qa"), F.col("na")) / (F.sqrt("qn") * F.sqrt("nn"))).alias("c"),
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
@@ -263,8 +303,7 @@ def train_ivf_centroids(e: DataFrame, n_cells: int = N_CELLS, iters: int = IVF_T
     the distributed k-means shape that holds at 100 TB (the per-round
     reduce state is n_cells x dim integers)."""
     cents = (
-        e.orderBy(md5_60bit(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(n_cells)
+        md5_sample(e, n_cells)
         .select(F.col("vec_id").alias("cent_id"), F.col("a").alias("ca"), F.col("norm").alias("cn"))
         .localCheckpoint(eager=True)
     )
@@ -300,6 +339,39 @@ def train_ivf_centroids(e: DataFrame, n_cells: int = N_CELLS, iters: int = IVF_T
         )
         cents = newc.unionByName(missing).localCheckpoint(eager=True)
     return cents
+
+
+def ivf_candidates(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Shared IVF candidate selection for sim_ann_ivf and sim_ann_ivf_pq:
+    assign every vector to its max-cosine trained cell (map-side max_by),
+    probe each query's top cells, and equi-join probes to assignments.
+    One definition so the two operators' candidate sets cannot drift.
+
+    No distinct needed: assign holds exactly one cell per vector and a
+    query's probe cells are distinct (row_number over cells), so the
+    equi-join cannot produce a (qid, nid) pair twice — the dedup shuffle
+    over the candidate set (the big intermediate at scale) is a no-op."""
+    vc = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        (dot_long(F.col("a"), F.col("ca")) / (F.sqrt("norm") * F.sqrt("cn"))).alias("c"),
+    )
+    vc = vc.localCheckpoint(eager=False)
+    assign = vc.groupBy("vec_id").agg(
+        F.max_by("cent_id", F.struct(F.col("c"), (-F.col("cent_id")).alias("t"))).alias("cent_id")
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cent_id"))
+    probes = (
+        vc.filter(F.col("vec_id") < N_PROBES)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("qid"), "cent_id")
+    )
+    return (
+        probes.join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"))
+    )
 
 
 @register(
@@ -371,35 +443,7 @@ def train_ivf_centroids(e: DataFrame, n_cells: int = N_CELLS, iters: int = IVF_T
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _fixed_embeddings(spark, sf_dir).localCheckpoint(eager=False)
-    cents = train_ivf_centroids(e)
-    vc = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cent_id",
-        (dot_long(F.col("a"), F.col("ca")) / (F.sqrt("norm") * F.sqrt("cn"))).alias("c"),
-    )
-    vc = vc.localCheckpoint(eager=False)
-    # cell assignment: map-side-combinable argmax over the whole corpus
-    # (ties -> smallest cent_id); the window sort runs only on the tiny
-    # probe subset (N_PROBES x N_CELLS rows)
-    assign = vc.groupBy("vec_id").agg(
-        F.max_by("cent_id", F.struct(F.col("c"), (-F.col("cent_id")).alias("t"))).alias("cent_id")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cent_id"))
-    probes = (
-        vc.filter(F.col("vec_id") < N_PROBES)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= N_PROBE)
-        .select(F.col("vec_id").alias("qid"), "cent_id")
-    )
-    # No distinct needed: assign holds exactly one cell per vector and a
-    # query's probe cells are distinct (row_number over cells), so the
-    # equi-join cannot produce a (qid, nid) pair twice — the dedup shuffle
-    # over the candidate set (the big intermediate at scale) is a no-op.
-    cand = (
-        probes.join(assign, "cent_id")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", F.col("vec_id").alias("nid"))
-    )
+    cand = ivf_candidates(e, train_ivf_centroids(e))
     q = e.select(F.col("vec_id").alias("qid"), F.col("a").alias("qa"), F.col("norm").alias("qn"))
     n = e.select(F.col("vec_id").alias("nid"), F.col("a").alias("na"), F.col("norm").alias("nn"))
     w_rank = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nid"))
@@ -572,12 +616,19 @@ def pq_subvectors(e: DataFrame) -> DataFrame:
 
 
 def pq_seeds(e: DataFrame) -> DataFrame:
-    """Deterministic md5-ordered codebook seeds, shared by every subspace."""
-    return (
-        e.orderBy(md5_60bit(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(PQ_K)
-        .select(F.col("vec_id").alias("cent_id"))
+    """Deterministic md5-ordered codebook seeds, shared by every subspace.
+    Checkpointed: both codebook training and the code-rank assignment read
+    it, and without the checkpoint the corpus TakeOrdered ran twice."""
+    return md5_sample(e, PQ_K).select(F.col("vec_id").alias("cent_id")).localCheckpoint(
+        eager=False
     )
+
+
+def md5_sample(df: DataFrame, k: int) -> DataFrame:
+    """The deterministic md5-ordered k-sample both quantizer families seed
+    from (oracle mirror: ORDER BY _cent_hash, vec_id LIMIT k) — one
+    definition so IVF and PQ seeds can never drift apart."""
+    return df.orderBy(md5_60bit(F.col("vec_id").cast("string")), F.col("vec_id")).limit(k)
 
 
 def train_pq_codebooks(subvecs: DataFrame, seeds: DataFrame) -> DataFrame:
@@ -810,33 +861,8 @@ assert _PQ_FINAL_NS == _PQ_FINAL
 def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _fixed_embeddings(spark, sf_dir).localCheckpoint(eager=False)
 
-    # --- IVF candidate selection (same machinery as sim_ann_ivf) ---
-    ivf_cents = train_ivf_centroids(e)
-    vc = e.crossJoin(F.broadcast(ivf_cents)).select(
-        "vec_id",
-        "cent_id",
-        (dot_long(F.col("a"), F.col("ca")) / (F.sqrt("norm") * F.sqrt("cn"))).alias("c"),
-    )
-    vc = vc.localCheckpoint(eager=False)
-    assign = vc.groupBy("vec_id").agg(
-        F.max_by("cent_id", F.struct(F.col("c"), (-F.col("cent_id")).alias("t"))).alias("cent_id")
-    )
-    w_probe = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cent_id"))
-    probes = (
-        vc.filter(F.col("vec_id") < N_PROBES)
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= N_PROBE)
-        .select(F.col("vec_id").alias("qid"), "cent_id")
-    )
-    # No distinct needed: assign holds exactly one cell per vector and a
-    # query's probe cells are distinct (row_number over cells), so the
-    # equi-join cannot produce a (qid, nid) pair twice — the dedup shuffle
-    # over the candidate set (the big intermediate at scale) is a no-op.
-    cand = (
-        probes.join(assign, "cent_id")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", F.col("vec_id").alias("nid"))
-    )
+    # --- IVF candidate selection (the exact machinery of sim_ann_ivf) ---
+    cand = ivf_candidates(e, train_ivf_centroids(e))
 
     # --- PQ codes + the queries' ADC lookup tables ---
     plain = e.select("vec_id", "a")
@@ -844,7 +870,8 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = train_pq_codebooks(subvecs, pq_seeds(plain))
     dist = subvecs.join(F.broadcast(cb), "sub").select(
         "vec_id", "sub", "cent_id", _l2_long(F.col("sa"), F.col("ca")).alias("d")
-    )
+    ).localCheckpoint(eager=False)  # feeds codes AND dtab: the corpus-wide
+    # L2 evaluation (the widest map stage of the PQ path) must run once
     codes = dist.groupBy("vec_id", "sub").agg(
         F.min_by("cent_id", F.struct("d", "cent_id")).alias("cent_id")
     )

@@ -65,10 +65,18 @@ def test_ann_lsh_results_subset_of_bruteforce_space(spark):
         for r in REGISTRY["sim_topk_bruteforce"].builder(spark, SF_SMOKE).collect()
     }
     ann = REGISTRY["sim_ann_lsh"].builder(spark, SF_SMOKE).collect()
+    # non-vacuous: the pre-banding form returned ~0 rows (full-signature
+    # equality), making this loop and the oracle gate trivially green
+    assert len(ann) > 0
+    queries_served = {r["query_id"] for r in ann}
+    assert len(queries_served) >= 6  # banding must serve nearly every probe
+    hits = 0
     for r in ann:
         key = (r["query_id"], r["neighbor_id"])
         if key in brute:  # ANN found a true top-k member -> cosine must agree
             assert abs(brute[key] - r["cosine"]) < 1e-12
+            hits += 1
+    assert hits > 0  # at least some true top-k members are recalled
 
 
 def test_dedup_exact_is_partition_of_docs(spark):
