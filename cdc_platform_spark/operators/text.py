@@ -31,11 +31,6 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = ("the", "a", "of", "and")
 
 
-def _in_set(col, values: tuple[str, ...]):
-    out = F.lit(False)
-    for v in values:
-        out = out | (col == v)
-    return out
 
 
 @register(
@@ -75,7 +70,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         markers = LANG_MARKERS[lg]
         # NB: the filter lambda must take exactly one parameter — a second one
         # would be interpreted by Spark as the element-index column.
-        return F.size(F.filter(words, lambda w: _in_set(w, markers))).cast("long")
+        return F.size(F.filter(words, lambda w: w.isin(*markers))).cast("long")
 
     score_structs = F.array(
         *[
@@ -132,7 +127,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
-    n_stop = F.size(F.filter(words, lambda w: _in_set(w, STOPWORDS)))
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
     total_chars = F.aggregate(
         F.transform(words, lambda w: F.length(w).cast("long")), F.lit(0).cast("long"), lambda acc, v: acc + v
     )
@@ -224,7 +219,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(words, i + 3),
         ),
     )
-    min_fp = F.array_min(F.transform(grams, lambda g: md5_60bit(g)))
+    # short-doc guard: under 4 words the sequence would step NEGATIVE and
+    # element_at would throw INVALID_ARRAY_INDEX (job abort); the oracle's
+    # empty range() yields NULL, so mirror that
+    min_fp = F.when(
+        F.size(words) >= 4, F.array_min(F.transform(grams, lambda g: md5_60bit(g)))
+    )
     return (
         d.select(
             "doc_id",
@@ -293,9 +293,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialized once: both term-stats branches explode from this, and
     # re-deriving it means re-running the split + 2-wide concat over every
     # document per branch (the dominant compute at corpus scale).
-    base = d.select("doc_id", words.alias("words"), bigrams.alias("bigrams")).localCheckpoint(
-        eager=False
-    )
+    # persist, not localCheckpoint: branch reuse needs materialize-once,
+    # and persist keeps LINEAGE so a lost executor recomputes instead of
+    # failing the job (localCheckpoint is reserved for iterative plans
+    # where lineage must be CUT — Lloyd training, components)
+    base = d.select("doc_id", words.alias("words"), bigrams.alias("bigrams")).persist()
 
     def term_stats(col: str, prefix: str) -> DataFrame:
         return (
@@ -397,14 +399,18 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the per-doc gram counts)
     g = (
         d.select("doc_id", F.array_distinct(grams).alias("grams"))
-        .localCheckpoint(eager=False)
+        .persist()  # branch reuse with lineage kept (see text_repetition note)
     )
     exploded = g.select("doc_id", F.explode("grams").alias("gram")).select(
         "doc_id", md5_60bit(F.col("gram")).alias("gh")
     )
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
-    # eval sets are tiny relative to the corpus: broadcast by construction
-    bench = F.broadcast(exploded.filter(is_bench).select("gh").distinct())
+    # No broadcast HINT: a real eval set is fixed-size and auto-broadcasts
+    # under the threshold, but this fixture stand-in (a mod-97 slice) grows
+    # WITH the corpus — a forced broadcast would bypass
+    # autoBroadcastJoinThreshold and OOM at scale, so let Catalyst/AQE pick
+    # the strategy from actual sizes.
+    bench = exploded.filter(is_bench).select("gh").distinct()
     hits = (
         exploded.filter(~is_bench)
         .join(bench, "gh")
@@ -559,6 +565,38 @@ def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURATION_MIN_WORDS = 20
+CURATION_MIN_DISTINCT_RATIO = 0.15
+
+
+def curation_survivors(d: DataFrame, *extra_cols: F.Column) -> DataFrame:
+    """The canonical curation funnel — quality filter (>= CURATION_MIN_WORDS
+    words, >= CURATION_MIN_DISTINCT_RATIO distinct-word ratio) then exact
+    dedup to the lowest doc_id per content md5.  ONE definition shared by
+    text_curation_pipeline and the export-side curated_packed_docs, so the
+    metrics operator and the CLI export can never disagree about which
+    documents survived.  ``extra_cols`` are computed alongside (e.g. lang,
+    token counts); output always has doc_id, content_md5, n_words,
+    distinct_ratio plus the extras."""
+    from pyspark.sql import Window
+
+    words = F.split(F.col("text"), " ")
+    scored = d.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.size(words).alias("n_words"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("distinct_ratio"),
+        *extra_cols,
+    )
+    quality = scored.filter(
+        (F.col("n_words") >= CURATION_MIN_WORDS)
+        & (F.col("distinct_ratio") >= CURATION_MIN_DISTINCT_RATIO)
+    )
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    return quality.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+
+
+
 @register(
     "text_curation_pipeline",
     category="text",
@@ -598,8 +636,6 @@ def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = spread(load_table(spark, "documents", sf_dir))
     words = F.split(F.col("text"), " ")
     subtok = F.aggregate(
@@ -607,17 +643,7 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    scored = d.select(
-        "doc_id",
-        "lang",
-        F.md5("text").alias("content_md5"),
-        F.size(words).alias("n_words"),
-        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("distinct_ratio"),
-        subtok.alias("subword_tokens"),
-    )
-    quality = scored.filter((F.col("n_words") >= 20) & (F.col("distinct_ratio") >= 0.15))
-    w = Window.partitionBy("content_md5").orderBy("doc_id")
-    canonical = quality.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    canonical = curation_survivors(d, F.col("lang"), subtok.alias("subword_tokens"))
     return (
         canonical.filter(F.col("lang").isin("en", "de", "fr"))
         .groupBy("lang")
@@ -689,19 +715,8 @@ def curated_packed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_platform_spark.functions import distributed_prefix_sum
 
     d = spread(load_table(spark, "documents", sf_dir))
-    words = F.split(F.col("text"), " ")
-    scored = d.select(
-        "doc_id",
-        F.md5("text").alias("content_md5"),
-        F.size(words).cast("long").alias("n_tokens"),
-        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("distinct_ratio"),
-    )
-    quality = scored.filter((F.col("n_tokens") >= 20) & (F.col("distinct_ratio") >= 0.15))
-    w = Window.partitionBy("content_md5").orderBy("doc_id")
-    canonical = (
-        quality.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("doc_id", "n_tokens")
+    canonical = curation_survivors(d).select(
+        "doc_id", F.col("n_words").cast("long").alias("n_tokens")
     )
     return distributed_prefix_sum(canonical, "doc_id", "n_tokens", out_col="start").select(
         "doc_id", "n_tokens", F.expr(f"start div {SHARD_TOKEN_BUDGET}").alias("shard_id")
@@ -878,7 +893,7 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bg = (
         d.select("doc_id", F.explode(bigrams).alias("bigram"))
-        .localCheckpoint(eager=False)  # feeds both the count and the lookup side
+        .persist()  # feeds both the count and the lookup side; lineage kept
     )
     counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
     return (
@@ -942,7 +957,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load_table(spark, "documents", sf_dir))
     terms = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
-    terms = terms.localCheckpoint(eager=False)  # tf and df share one scan
+    terms = terms.persist()  # tf and df share one scan; lineage kept
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     score = F.col("tf").cast("double") / F.col("df")

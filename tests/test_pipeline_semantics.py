@@ -649,3 +649,19 @@ def test_edit_distance_survives_empty_documents(spark, tmp_path):
     out = {(r.doc_a, r.doc_b): r for r in REGISTRY["dedup_edit_distance"].builder(spark, str(tmp_path)).collect()}
     assert (0, 1) in out
     assert out[(0, 1)].lev == 0 and out[(0, 1)].similarity == 1.0
+
+
+def test_text_fingerprint_survives_short_documents(spark, tmp_path):
+    """Docs under 4 words previously made the gram sequence step NEGATIVE
+    and element_at threw INVALID_ARRAY_INDEX, aborting the job; they must
+    fingerprint with a NULL rolling fp (the oracle's empty range())."""
+    rows = [
+        (0, "a b c", "en", "s0", 5),
+        (1, "", "en", "s0", 0),
+        (2, "one two three four five six", "en", "s0", 27),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in REGISTRY["text_fingerprint"].builder(spark, str(tmp_path)).collect()}
+    assert out[0].rolling_min_fp is None and out[1].rolling_min_fp is None
+    assert out[2].rolling_min_fp is not None
