@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cdc_platform_spark.functions import MONEY, money
+from cdc_platform_spark.functions import money
 from cdc_platform_spark.operators import register
 from cdc_platform_spark.sources.registry import load_table
 
@@ -41,7 +41,7 @@ TOPIC = "cdc.public.users"
 ORACLE_ENVELOPE = f"""
     SELECT event_id AS seq,
            '{TOPIC}' AS topic,
-           CAST(user_id % 8 AS BIGINT) AS partition,
+           CAST(((user_id % 8) + 8) % 8 AS BIGINT) AS partition,  -- pmod parity (negative keys)
            event_id AS "offset",
            CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
            user_id AS pk,
@@ -50,6 +50,25 @@ ORACLE_ENVELOPE = f"""
            props
     FROM events
 """
+
+# Shared construct->parse roundtrip oracle: q50 (JSON wire) and q51 (Avro
+# wire) must reach the IDENTICAL flat form — one definition, two decoders.
+ORACLE_FLAT_ROUNDTRIP = """
+        WITH ordered AS (
+            SELECT event_id, user_id, event_type, value,
+                   CAST(epoch_ns(ts) AS BIGINT) // 1000000 AS ts_ms,
+                   CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+                   LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+            FROM events
+        )
+        SELECT event_id AS lsn, user_id AS pk, op, ts_ms,
+               CASE WHEN op = 'c' THEN NULL ELSE prev_value END AS before_value,
+               CASE WHEN op = 'd' THEN NULL ELSE value END AS after_value,
+               'users' AS source_table
+        FROM ordered
+        ORDER BY lsn
+"""
+
 
 
 def envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,14 +169,19 @@ def q27_cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sinks/iceberg.py:202-205). Sinks simulated by deterministic flush predicates."
     ),
     oracle=f"""
-        WITH env AS ({ORACLE_ENVELOPE})
+        WITH env AS ({ORACLE_ENVELOPE}),
+        s AS (
+            SELECT partition,
+                   MAX(CASE WHEN value < 150.0 THEN "offset" END) AS a,
+                   MAX(CASE WHEN op <> 'd' THEN "offset" END) AS b
+            FROM env GROUP BY partition
+        )
         SELECT partition,
-               CAST(MAX(CASE WHEN value < 150.0 THEN "offset" END) AS BIGINT) AS sink_a_max,
-               CAST(MAX(CASE WHEN op <> 'd' THEN "offset" END) AS BIGINT) AS sink_b_max,
-               CAST(LEAST(MAX(CASE WHEN value < 150.0 THEN "offset" END),
-                          MAX(CASE WHEN op <> 'd' THEN "offset" END)) + 1 AS BIGINT) AS committed
-        FROM env
-        GROUP BY partition
+               CAST(a AS BIGINT) AS sink_a_max,
+               CAST(b AS BIGINT) AS sink_b_max,
+               CAST(CASE WHEN a IS NULL OR b IS NULL THEN NULL
+                    ELSE LEAST(a, b) + 1 END AS BIGINT) AS committed
+        FROM s
         ORDER BY partition
     """,
 )
@@ -165,15 +189,21 @@ def q28_min_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = envelope(spark, sf_dir)
     sink_a = F.max(F.when(F.col("value") < 150.0, F.col("offset")))
     sink_b = F.max(F.when(F.col("op") != "d", F.col("offset")))
-    return (
-        env.groupBy("partition")
-        .agg(
-            sink_a.cast("long").alias("sink_a_max"),
-            sink_b.cast("long").alias("sink_b_max"),
-            (F.least(sink_a, sink_b) + 1).cast("long").alias("committed"),
-        )
-        .orderBy("partition")
+    agg = env.groupBy("partition").agg(
+        sink_a.cast("long").alias("sink_a_max"),
+        sink_b.cast("long").alias("sink_b_max"),
     )
+    # Min-watermark SAFETY: a sink that has flushed NOTHING has no
+    # watermark, so the partition commits nothing (NULL) — least() skips
+    # NULLs on both engines, which would otherwise commit to the OTHER
+    # sink's offset+1 and permanently skip redelivery to the empty sink.
+    committed = F.when(
+        F.col("sink_a_max").isNotNull() & F.col("sink_b_max").isNotNull(),
+        F.least("sink_a_max", "sink_b_max") + 1,
+    ).cast("long")
+    return agg.select(
+        "partition", "sink_a_max", "sink_b_max", committed.alias("committed")
+    ).orderBy("partition")
 
 
 @register(
@@ -255,8 +285,12 @@ def q30_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast single-row join (no driver .collect(): one lazy composable
     # plan, no extra scheduled job; the broadcast-scalar crossJoin is the
     # q53/tpch_like scale-free pattern).
+    # default sketch accuracy: the oracle is the single-delivery Q27 state,
+    # so ANY deterministic cutoff yields the same deduped result — the
+    # previous accuracy=INT_MAX made the per-partition sketch state scale
+    # with the data for zero benefit
     cutoff = env.agg(
-        F.expr("percentile_approx(offset, 0.9, 2147483647)").alias("replay_cutoff")
+        F.expr("percentile_approx(offset, 0.9)").alias("replay_cutoff")
     )
     replay = env.crossJoin(F.broadcast(cutoff)).filter(
         F.col("offset") >= F.col("replay_cutoff")
@@ -288,21 +322,7 @@ def q30_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         "materialize. Construct->parse must be the identity (oracle computes the "
         "flat form directly)."
     ),
-    oracle="""
-        WITH ordered AS (
-            SELECT event_id, user_id, event_type, value,
-                   CAST(epoch_ns(ts) AS BIGINT) // 1000000 AS ts_ms,
-                   CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
-                   LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
-            FROM events
-        )
-        SELECT event_id AS lsn, user_id AS pk, op, ts_ms,
-               CASE WHEN op = 'c' THEN NULL ELSE prev_value END AS before_value,
-               CASE WHEN op = 'd' THEN NULL ELSE value END AS after_value,
-               'users' AS source_table
-        FROM ordered
-        ORDER BY lsn
-    """,
+    oracle=ORACLE_FLAT_ROUNDTRIP,
 )
 def q50_debezium_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_platform_spark.sources.debezium import parse_debezium
@@ -314,10 +334,22 @@ def q50_debezium_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         .when(F.col("event_type") == "error", "d")
         .otherwise("u")
     )
-    row = lambda val: F.struct(  # noqa: E731
-        F.col("user_id").alias("id"), F.col("event_type"), val.alias("value")
+    # the before-image is the PRIOR row state: event_type must lag along
+    # with value, or deletes would carry a chimera before-row (current
+    # event_type + previous value)
+    before_row = F.struct(
+        F.col("user_id").alias("id"),
+        F.col("prev_event_type").alias("event_type"),
+        F.col("prev_value").alias("value"),
     )
-    staged = e.withColumn("prev_value", F.lag("value").over(w)).withColumn("op", op)
+    after_row = F.struct(
+        F.col("user_id").alias("id"), F.col("event_type"), F.col("value")
+    )
+    staged = (
+        e.withColumn("prev_value", F.lag("value").over(w))
+        .withColumn("prev_event_type", F.lag("event_type").over(w))
+        .withColumn("op", op)
+    )
     frames = staged.select(
         F.lit(TOPIC).alias("topic"),
         F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("partition"),
@@ -327,8 +359,8 @@ def q50_debezium_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
             F.struct(
                 F.col("op"),
                 F.expr("ts_ns div 1000000").alias("ts_ms"),
-                F.when(F.col("op") != "c", row(F.col("prev_value"))).alias("before"),
-                F.when(F.col("op") != "d", row(F.col("value"))).alias("after"),
+                F.when(F.col("op") != "c", before_row).alias("before"),
+                F.when(F.col("op") != "d", after_row).alias("after"),
                 F.struct(
                     F.lit("2.5").alias("version"),
                     F.lit("postgresql").alias("connector"),
@@ -371,21 +403,7 @@ def q50_debezium_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         "Encode->frame->decode must be the identity (oracle computes the flat "
         "form directly, same as q50)."
     ),
-    oracle="""
-        WITH ordered AS (
-            SELECT event_id, user_id, event_type, value,
-                   CAST(epoch_ns(ts) AS BIGINT) // 1000000 AS ts_ms,
-                   CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
-                   LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
-            FROM events
-        )
-        SELECT event_id AS lsn, user_id AS pk, op, ts_ms,
-               CASE WHEN op = 'c' THEN NULL ELSE prev_value END AS before_value,
-               CASE WHEN op = 'd' THEN NULL ELSE value END AS after_value,
-               'users' AS source_table
-        FROM ordered
-        ORDER BY lsn
-    """,
+    oracle=ORACLE_FLAT_ROUNDTRIP,
 )
 def q51_avro_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_platform_spark.sources.avro import (
@@ -411,6 +429,7 @@ def q51_avro_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         op.alias("op"),
         F.expr("ts_ns div 1000000").alias("ts_ms"),
         F.lag("value").over(w).alias("prev_value"),
+        F.lag("event_type").over(w).alias("prev_event_type"),
         F.col("value"),
         F.col("event_type"),
     )
@@ -423,18 +442,21 @@ def q51_avro_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                def img(val):
+                def img(val, event_type):
                     return {
                         "id": int(r.user_id),
-                        "event_type": r.event_type,
+                        "event_type": None if event_type is None or (
+                            isinstance(event_type, float) and pd.isna(event_type)
+                        ) else event_type,
                         "value": None if pd.isna(val) else float(val),
                     }
 
                 env = {
                     "op": r.op,
                     "ts_ms": int(r.ts_ms),
-                    "before": None if r.op == "c" else img(r.prev_value),
-                    "after": None if r.op == "d" else img(r.value),
+                    # before-image = PRIOR row state (lagged event_type too)
+                    "before": None if r.op == "c" else img(r.prev_value, r.prev_event_type),
+                    "after": None if r.op == "d" else img(r.value, r.event_type),
                     "source": {
                         "version": "2.5",
                         "connector": "postgresql",

@@ -31,12 +31,18 @@ DECODE_SCHEMA = "doc_id long, n_bytes long, format string, width long, height lo
 FORMATS = ("jpeg", "png", "webp")
 
 
-def real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Real image decode — requires PIL/libvips, not present in this container."""
+def real_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real image decode — requires PIL/libvips, not present in this container.
+
+    Same Iterator[pd.DataFrame] -> Iterator[pd.DataFrame] contract as
+    fake_decode_batch, so the documented swap-in (pass this to mapInPandas
+    in fake_decode_batch's place) fails with THIS error, not a confusing
+    iterator-vs-DataFrame type error."""
     raise NotImplementedError(
         "real image decode requires an imaging library; use fake_decode_batch "
         "for the deterministic test path"
     )
+    yield  # pragma: no cover — marks this as a generator (mapInPandas contract)
 
 
 def md5_h60(col: F.Column) -> F.Column:
@@ -72,6 +78,24 @@ def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
+def decoded_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> decoded metadata via the Arrow-batched decode
+    stage — the shared front half of mm_decode_metadata and mm_resize_plan
+    (one definition of the payload projection + decode plumbing).  Note:
+    the decode stage itself is a Python mapInPandas, NOT whole-stage
+    codegen; only the downstream shape math is codegen."""
+    d = spread(load_table(spark, "documents", sf_dir))
+    payload = F.encode(F.col("text"), "utf-8")
+    payloads = d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        md5_h60(payload).alias("h60"),
+    )
+    return payloads.mapInPandas(fake_decode_batch, schema=DECODE_SCHEMA)
+
+
+
 @register(
     "mm_decode_metadata",
     category="multimodal",
@@ -92,15 +116,7 @@ def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     """,
 )
 def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(load_table(spark, "documents", sf_dir))
-    payload = F.encode(F.col("text"), "utf-8")
-    payloads = d.select(
-        "doc_id",
-        payload.alias("payload"),
-        F.length(payload).cast("long").alias("n_bytes"),
-        md5_h60(payload).alias("h60"),
-    )
-    return payloads.mapInPandas(fake_decode_batch, schema=DECODE_SCHEMA).orderBy("doc_id")
+    return decoded_meta(spark, sf_dir).orderBy("doc_id")
 
 
 @register(
@@ -165,7 +181,8 @@ RESIZE_TARGET = 256  # fit longest side to 256, preserve aspect (integer math)
         f"fit-to-{RESIZE_TARGET} output dims (longest side {RESIZE_TARGET}, "
         "aspect preserved, floor division — the deterministic shape math a "
         "real resize kernel receives; the pixel op itself is the stubbed "
-        "decode's swap-in point). Runs entirely in whole-stage codegen."
+        "decode's swap-in point). The shape math runs in whole-stage "
+        "codegen downstream of the Arrow decode stage."
     ),
     oracle=f"""
         WITH meta AS (
@@ -184,15 +201,7 @@ RESIZE_TARGET = 256  # fit longest side to 256, preserve aspect (integer math)
     """,
 )
 def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(load_table(spark, "documents", sf_dir))
-    payload = F.encode(F.col("text"), "utf-8")
-    payloads = d.select(
-        "doc_id",
-        payload.alias("payload"),
-        F.length(payload).cast("long").alias("n_bytes"),
-        md5_h60(payload).alias("h60"),
-    )
-    meta = payloads.mapInPandas(fake_decode_batch, schema=DECODE_SCHEMA)
+    meta = decoded_meta(spark, sf_dir)
     w, h = F.col("width"), F.col("height")
     t = F.lit(RESIZE_TARGET)
     return meta.select(

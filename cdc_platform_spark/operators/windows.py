@@ -170,8 +170,6 @@ def w_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from cdc_platform_spark.functions import money
-
     e = load_table(spark, "events", sf_dir).select(
         "event_id",
         "user_id",
