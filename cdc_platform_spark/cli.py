@@ -97,10 +97,14 @@ def main(argv: list[str] | None = None) -> int:
 
         from cdc_platform_spark.config import load_pipeline_config, load_platform_config
 
+        import yaml
+
         try:
             cfg = load_pipeline_config(args.config)
             platform = load_platform_config(args.platform_config)
-        except (ValidationError, KeyError, OSError) as e:
+        except (ValidationError, KeyError, OSError, ValueError, yaml.YAMLError) as e:
+            # ValueError: non-mapping top level; YAMLError: malformed YAML —
+            # both must keep the JSON output contract, never a traceback
             print(json.dumps({"valid": False, "error": str(e)}))
             return 1
         print(json.dumps({"valid": True, "pipeline": cfg.model_dump(), "platform": platform.model_dump()}))
@@ -190,6 +194,18 @@ def main(argv: list[str] | None = None) -> int:
         from cdc_platform_spark.streaming.pipeline import EVENTS_SCHEMA, to_envelope
 
         cfg = load_pipeline_config(args.config)
+        if cfg.source.path is None:
+            # kafka sources have no batch path to print from — a clear
+            # message instead of an opaque py4j traceback on parquet(None)
+            print(
+                json.dumps(
+                    {
+                        "error": f"consume supports file sources only; "
+                        f"source.type={cfg.source.type!r} has no path"
+                    }
+                )
+            )
+            return 1
         batch = spark.read.schema(cfg.source.schema_ddl or EVENTS_SCHEMA).parquet(cfg.source.path)
         for row in to_envelope(batch).orderBy("partition", "offset").limit(args.limit).collect():
             print(json.dumps(row.asDict(), default=str))

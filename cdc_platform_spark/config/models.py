@@ -70,6 +70,10 @@ class SinkConfig(BaseModel, extra="forbid"):
     fail_predicate: str | None = None
     # inline small-file compaction cadence (lakehouse_append only; 0 = off)
     compact_every_n_batches: int = Field(default=0, ge=0)
+    # small-file threshold the scheduled compaction uses (independent of
+    # the cadence: compact when the snapshot has more than this many
+    # file groups)
+    compact_max_files: int = Field(default=4, ge=1)
     # upsert only: >0 hash-buckets the state so a micro-batch rewrites only
     # the buckets its keys fall in (BucketedUpsertSink); 0 = full rewrite
     state_buckets: int = Field(default=0, ge=0)

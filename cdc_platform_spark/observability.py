@@ -36,14 +36,18 @@ class SchemaDriftError(RuntimeError):
 class SchemaMonitor:
     """Structural schema-drift detection per batch (M1).
 
-    ``compatible`` drift = new nullable columns only (backward compatible,
-    like the registry's BACKWARD mode); anything else (dropped columns,
-    type changes) is incompatible.
+    ``compatible`` drift = ADDED columns (pre-drift rows read them as
+    null — the Iceberg additive-evolution posture VersionedTable enforces
+    on write); dropped columns and type changes are incompatible.  Batch
+    nullability is deliberately NOT consulted: Spark infers
+    nullable=False for any batch that happens to contain no nulls (e.g.
+    literals), so halting on it would be a false positive generator.
     """
 
     expected: T.StructType
     mode: str = "halt"  # halt | warn
     drift_log: list[dict] = field(default_factory=list)
+    max_log = 1000  # drift_log cap: polled per micro-batch, must not grow unbounded
 
     def check(self, df: DataFrame) -> bool:
         got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -62,6 +66,7 @@ class SchemaMonitor:
             "incompatible": incompatible,
         }
         self.drift_log.append(record)
+        del self.drift_log[: -self.max_log]
         if incompatible and self.mode == "halt":
             raise SchemaDriftError(f"incompatible schema drift: {record}")
         return not incompatible
@@ -123,11 +128,19 @@ def check_pipeline_health(spark, cfg, dlq_warn_depth: int = 1) -> dict:
     src = cfg.source
     if src.type == "kafka":
         for server in (src.bootstrap_servers or "").split(","):
-            host, _, port = server.strip().partition(":")
+            server = server.strip()
+            if not server:
+                continue  # trailing comma must not probe a phantom broker
+            # rsplit: IPv6 literals ([::1]:9092) contain colons in the host
+            host, _, port = server.rpartition(":")
+            if not host:
+                host, port = server, ""
+            host = host.strip("[]")
             try:
                 with socket.create_connection((host, int(port or 9092)), timeout=5):
                     add(f"kafka:{server}", True, "broker reachable")
-            except OSError as e:
+            except (OSError, ValueError) as e:
+                # ValueError: non-numeric port — report unhealthy, never crash
                 add(f"kafka:{server}", False, str(e))
     else:
         try:
@@ -304,15 +317,19 @@ class SchemaRegistryClient:
         data = self._get(f"/schemas/ids/{schema_id}")
         return None if data is None else data.get("schema")
 
-    def check_compatibility(self, subject: str, schema_str: str) -> bool:
-        """POST /compatibility/...; registry-unreachable degrades to True,
-        matching the reference's permissive posture on check failure."""
+    def check_compatibility(
+        self, subject: str, schema_str: str, version: int | str = "latest"
+    ) -> bool:
+        """POST /compatibility/... — is ``schema_str`` a compatible NEW
+        version against the subject's ``version``?  Registry-unreachable
+        degrades to True, matching the reference's permissive posture on
+        check failure."""
         import json as _json
         import urllib.error
         import urllib.request
 
         req = urllib.request.Request(
-            f"{self.url}/compatibility/subjects/{subject}/versions/latest",
+            f"{self.url}/compatibility/subjects/{subject}/versions/{version}",
             data=_json.dumps({"schema": schema_str}).encode("utf-8"),
             headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
             method="POST",
@@ -341,6 +358,8 @@ class SchemaRegistryMonitor:
     ``SchemaDriftError`` — the hook the pipeline checks per micro-batch.
     """
 
+    MAX_EVENTS = 1000  # polled per micro-batch: the log must not grow unbounded
+
     def __init__(
         self,
         registry_url: str,
@@ -348,9 +367,14 @@ class SchemaRegistryMonitor:
         mode: str = "halt",  # halt | warn
         on_incompatible=None,
         client: SchemaRegistryClient | None = None,
+        topic_pattern: str | None = None,
     ):
         self.client = client or SchemaRegistryClient(registry_url)
         self.topics = list(topics)
+        # pattern-subscribed pipelines have no static topic list; the
+        # monitor expands the pattern against the registry's subjects on
+        # every poll, so newly-created matching topics are picked up too
+        self.topic_pattern = topic_pattern
         self.mode = mode
         self.on_incompatible = on_incompatible
         self.known_versions: dict[str, int] = {}
@@ -360,49 +384,74 @@ class SchemaRegistryMonitor:
         self._thread = None
         self._stop_flag = None
 
+    def _subjects(self, new_events: list[dict]) -> list[str]:
+        subjects = [f"{t}{sfx}" for t in self.topics for sfx in ("-key", "-value")]
+        if self.topic_pattern:
+            import re
+
+            try:
+                pat = re.compile(self.topic_pattern)
+                for s in self.client.subjects():
+                    for sfx in ("-key", "-value"):
+                        if (
+                            s.endswith(sfx)
+                            and pat.fullmatch(s[: -len(sfx)])
+                            and s not in subjects
+                        ):
+                            subjects.append(s)
+            except Exception as exc:  # noqa: BLE001 — unreachable registry is a warn
+                new_events.append(
+                    {"subject": self.topic_pattern, "kind": "check_failed", "error": str(exc)}
+                )
+        return subjects
+
     def poll_once(self) -> list[dict]:
         """Check every subject once; returns the change events observed."""
         new_events: list[dict] = []
-        for topic in self.topics:
-            for suffix in ("-key", "-value"):
-                subject = f"{topic}{suffix}"
-                try:
-                    data = self.client.latest_version(subject)
-                except Exception as exc:  # noqa: BLE001 — unreachable registry is a warn
-                    new_events.append(
-                        {"subject": subject, "kind": "check_failed", "error": str(exc)}
+        for subject in self._subjects(new_events):
+            try:
+                data = self.client.latest_version(subject)
+            except Exception as exc:  # noqa: BLE001 — unreachable registry is a warn
+                new_events.append(
+                    {"subject": subject, "kind": "check_failed", "error": str(exc)}
+                )
+                continue
+            if data is None:
+                continue
+            version, schema_str = data["version"], data.get("schema", "")
+            prev = self.known_versions.get(subject)
+            if prev is None:
+                self.known_versions[subject] = version
+                self.known_schemas[subject] = schema_str
+            elif version != prev:
+                # Direction matters: ask whether the NEW schema is a
+                # compatible evolution AGAINST THE VERSION WE CONSUME.
+                # Posting the old schema against latest answered "can an
+                # old reader ignore the new fields" — true even for
+                # breaking changes like a new required field.
+                compatible = True
+                if schema_str:
+                    compatible = self.client.check_compatibility(
+                        subject, schema_str, version=prev
                     )
-                    continue
-                if data is None:
-                    continue
-                version, schema_str = data["version"], data.get("schema", "")
-                prev = self.known_versions.get(subject)
-                if prev is None:
-                    self.known_versions[subject] = version
-                    self.known_schemas[subject] = schema_str
-                elif version != prev:
-                    compatible = True
-                    if self.known_schemas.get(subject):
-                        compatible = self.client.check_compatibility(
-                            subject, self.known_schemas[subject]
-                        )
-                    new_events.append(
-                        {
-                            "subject": subject,
-                            "kind": "version_changed",
-                            "previous_version": prev,
-                            "new_version": version,
-                            "schema_id": data.get("id"),
-                            "compatible": compatible,
-                        }
-                    )
-                    if not compatible:
-                        self.incompatible_detected = True
-                        if self.on_incompatible is not None:
-                            self.on_incompatible()
-                    self.known_versions[subject] = version
-                    self.known_schemas[subject] = schema_str
+                new_events.append(
+                    {
+                        "subject": subject,
+                        "kind": "version_changed",
+                        "previous_version": prev,
+                        "new_version": version,
+                        "schema_id": data.get("id"),
+                        "compatible": compatible,
+                    }
+                )
+                if not compatible:
+                    self.incompatible_detected = True
+                    if self.on_incompatible is not None:
+                        self.on_incompatible()
+                self.known_versions[subject] = version
+                self.known_schemas[subject] = schema_str
         self.events.extend(new_events)
+        del self.events[: -self.MAX_EVENTS]
         return new_events
 
     def ensure_compatible(self) -> None:

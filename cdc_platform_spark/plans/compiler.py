@@ -32,43 +32,55 @@ class LakehouseAppendSink:
     runs in the same foreachBatch sequence as writes, so there is no
     concurrent-writer race by construction."""
 
-    def __init__(self, spark: SparkSession, path: str, compact_every_n_batches: int = 0) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        compact_every_n_batches: int = 0,
+        compact_max_files: int = 4,
+    ) -> None:
         self.table = VersionedTable(spark, path)
         self.compact_every_n_batches = compact_every_n_batches
+        # cadence (WHEN to check) and threshold (how many groups warrant a
+        # rewrite) are independent knobs: passing the cadence as the
+        # threshold made the first scheduled compaction a guaranteed no-op
+        self.compact_max_files = compact_max_files
         self._batches = 0
 
     def write(self, batch) -> None:
         self.table.append(batch)
         self._batches += 1
         if self.compact_every_n_batches and self._batches % self.compact_every_n_batches == 0:
-            self.table.compact(max_files=self.compact_every_n_batches)
+            self.table.compact(max_files=self.compact_max_files)
 
 
 class LakehouseUpsertSink:
     """Upsert sink: latest-per-key merge, one snapshot per batch (the
-    reference's Iceberg upsert path, sinks/iceberg.py:187-197)."""
+    reference's Iceberg upsert path, sinks/iceberg.py:187-197).  The merge
+    algebra is streaming.pipeline.latest_per_key_merge — the same
+    definition UpsertSink uses, so tie-break/tombstone semantics cannot
+    drift between the parquet-swap and lakehouse-snapshot forms."""
+
+    _COLS = ["pk", "offset", "op", "event_type", "value"]
 
     def __init__(self, spark: SparkSession, path: str) -> None:
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
-
         self.spark = spark
         self.table = VersionedTable(spark, path)
-        self._W = Window
-        self._F = F
 
     def write(self, batch) -> None:
-        F, Window = self._F, self._W
-        w = Window.partitionBy("pk").orderBy(F.col("offset").desc())
-        updates = batch.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
-        cols = ["pk", "offset", "op", "event_type", "value"]
-        updates = updates.select(*cols)
-        if self.table.current_snapshot_id() is not None:
-            merged = self.table.read().select(*cols).unionByName(updates)
-            merged = merged.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
-        else:
-            merged = updates
-        self.table.overwrite(merged)
+        from cdc_platform_spark.streaming.pipeline import latest_per_key_merge
+
+        if not batch.take(1):
+            # an empty micro-batch must not rewrite the whole table into a
+            # fresh zero-change snapshot (O(state) I/O + snapshot churn)
+            return
+        updates = latest_per_key_merge(batch.select(*self._COLS))
+        current = (
+            self.table.read().select(*self._COLS)
+            if self.table.current_snapshot_id() is not None
+            else None
+        )
+        self.table.overwrite(latest_per_key_merge(updates, current))
 
     def state(self):
         return self.table.read().filter("op <> 'd'")
@@ -92,7 +104,12 @@ def compile_pipeline(
             else:
                 sinks[s.id] = UpsertSink(s.path)
         elif s.type == "lakehouse_append":
-            sinks[s.id] = LakehouseAppendSink(spark, s.path, compact_every_n_batches=s.compact_every_n_batches)
+            sinks[s.id] = LakehouseAppendSink(
+                spark,
+                s.path,
+                compact_every_n_batches=s.compact_every_n_batches,
+                compact_max_files=s.compact_max_files,
+            )
         elif s.type == "lakehouse_upsert":
             sinks[s.id] = LakehouseUpsertSink(spark, s.path)
         else:  # pragma: no cover - pydantic Literal already forbids
@@ -144,10 +161,17 @@ def compile_pipeline(
     if cfg.schema_monitor != "off":
         from cdc_platform_spark.observability import SchemaRegistryMonitor
 
-        # monitor every topic this pipeline produces or consumes
+        # monitor every topic this pipeline produces or consumes; a
+        # pattern-subscribed source has no static list, so the pattern is
+        # handed to the monitor, which expands it against the registry's
+        # subjects on every poll — previously this resolved to ZERO
+        # monitored subjects and halt mode silently watched nothing
         topics = list(cfg.source.topics or []) or cfg.provisioned_topics()
         schema_monitor = SchemaRegistryMonitor(
-            cfg.source.schema_registry_url, topics, mode=cfg.schema_monitor
+            cfg.source.schema_registry_url,
+            topics,
+            mode=cfg.schema_monitor,
+            topic_pattern=cfg.source.topic_pattern,
         )
     return CdcPipeline(
         spark=spark,

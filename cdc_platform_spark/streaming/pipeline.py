@@ -119,6 +119,16 @@ def _commit_swap(path: str, tmp: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def latest_per_key_merge(updates, current=None):
+    """THE latest-per-key upsert algebra — one definition shared by
+    UpsertSink and the lakehouse upsert sink (plans/compiler.py), so the
+    tie-break (offset desc per pk) and tombstone handling cannot drift:
+    keep the newest row per pk across current state + updates."""
+    w = Window.partitionBy("pk").orderBy(F.col("offset").desc())
+    merged = updates if current is None else current.unionByName(updates)
+    return merged.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
 class AppendSink:
     """Append materialization with _cdc_* metadata (ref K3 append,
     sinks/iceberg.py:124-133). Idempotent read via `exactly_once_view`."""
@@ -212,20 +222,14 @@ class UpsertSink:
             return  # empty micro-batch: nothing to merge
         self._recover()
         spark = batch.sparkSession
-        w = Window.partitionBy("pk").orderBy(F.col("offset").desc())
-        latest_in_batch = (
-            batch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
-        )
         cols = ["pk", "offset", "op", "event_type", "value"]
-        updates = latest_in_batch.select(*cols)
-        if os.path.isdir(self.path):
-            current = spark.read.parquet(self.path).select(*cols)
-            merged = current.unionByName(updates)
-        else:
-            merged = updates
-        merged = (
-            merged.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+        # in-batch dedup-by-latest first (shrinks the union), then merge
+        # with state — both steps are the one shared merge algebra
+        updates = latest_per_key_merge(batch.select(*cols))
+        current = (
+            spark.read.parquet(self.path).select(*cols) if os.path.isdir(self.path) else None
         )
+        merged = latest_per_key_merge(updates, current)
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
         merged.write.mode("overwrite").parquet(tmp)
         _commit_swap(self.path, tmp)

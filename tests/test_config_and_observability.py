@@ -604,3 +604,54 @@ dlq_path: {tmp_path}/dlq
     assert out["pipeline_id"] == "t1"
     assert "cdc.public.users" in out["topics"]
     assert any(t.endswith("dlq") for t in out["topics"])
+
+
+def test_health_probe_survives_bad_broker_entries(spark, tmp_path):
+    """Non-numeric ports, IPv6 literals, and trailing commas must yield
+    unhealthy components (or be skipped), never a traceback."""
+    from cdc_platform_spark.config.models import PipelineConfig, SinkConfig, SourceConfig
+    from cdc_platform_spark.observability import check_pipeline_health
+
+    cfg = PipelineConfig(
+        pipeline_id="h",
+        source=SourceConfig(
+            type="kafka", bootstrap_servers="broker:abc,[::1]:1,", topics=["t"]
+        ),
+        sinks=[SinkConfig(id="a", type="append", path=str(tmp_path / "a"))],
+    )
+    report = check_pipeline_health(spark, cfg)
+    names = [c["name"] for c in report["components"]]
+    assert "kafka:broker:abc" in names  # reported, not crashed
+    assert not any(n == "kafka:" for n in names)  # trailing comma skipped
+
+
+def test_cli_validate_keeps_json_contract_on_malformed_yaml(tmp_path, capsys):
+    import json as _json
+
+    from cdc_platform_spark.cli import main
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("- just\n- a list\n")
+    rc = main(["validate", str(bad)])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["valid"] is False
+
+    syntax = tmp_path / "syntax.yaml"
+    syntax.write_text("a: [unclosed\n")
+    rc = main(["validate", str(syntax)])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["valid"] is False
+
+
+def test_lakehouse_upsert_sink_skips_empty_batches(spark, tmp_path):
+    """An empty micro-batch must not rewrite the table into a fresh
+    zero-change snapshot."""
+    from cdc_platform_spark.plans.compiler import LakehouseUpsertSink
+    from cdc_platform_spark.streaming.pipeline import to_envelope
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(20)
+    sink = LakehouseUpsertSink(spark, str(tmp_path / "t"))
+    sink.write(to_envelope(events))
+    n_snaps = len(sink.table.snapshots())
+    sink.write(to_envelope(events).filter("pk < 0"))  # empty batch
+    assert len(sink.table.snapshots()) == n_snaps

@@ -440,3 +440,61 @@ def test_strict_guard_covers_unknown_key_ids(spark, monkeypatch):
     plan_p = df_p._jdf.queryExecution().analyzed().toString()
     assert "raise_error" not in plan_p
     assert "unknown key schema id" in plan_p
+
+
+def test_monitor_checks_new_schema_against_previous_version(registry):
+    """Direction matters: the monitor must ask whether the NEW schema is a
+    compatible evolution against the version we were consuming — posting
+    the old schema against latest answered the wrong question (an old
+    reader can ignore new required fields, so breaking bumps looked
+    compatible)."""
+    url, state = registry
+    posts: list[str] = []
+    state["subjects"]["t-value"] = {
+        "version": 1, "id": 1, "schema": json.dumps(AVRO_ENVELOPE_SCHEMA),
+    }
+    mon = SchemaRegistryMonitor(url, ["t"], mode="halt")
+    orig = mon.client.check_compatibility
+
+    def spy(subject, schema_str, version="latest"):
+        posts.append((subject, json.loads(schema_str).get("name"), version))
+        return orig(subject, schema_str, version=version)
+
+    mon.client.check_compatibility = spy
+    mon.poll_once()
+    state["subjects"]["t-value"] = {
+        "version": 2, "id": 9, "schema": '{"type":"record","name":"NewEnv","fields":[]}',
+    }
+    state["compatible"]["t-value"] = False
+    events = mon.poll_once()
+    assert events[0]["compatible"] is False and mon.incompatible_detected
+    # the NEW schema was posted, against the PREVIOUS version
+    assert posts == [("t-value", "NewEnv", 1)]
+
+
+def test_monitor_expands_topic_pattern_per_poll(registry):
+    """Pattern-subscribed pipelines have no static topic list; the monitor
+    must expand the pattern against the registry's subjects on every poll
+    (previously it silently monitored ZERO subjects in halt mode)."""
+    url, state = registry
+    state["subjects"]["orders.a-value"] = {
+        "version": 1, "id": 1, "schema": json.dumps(AVRO_ENVELOPE_SCHEMA),
+    }
+    mon = SchemaRegistryMonitor(url, [], mode="halt", topic_pattern=r"orders\..*")
+    mon.poll_once()
+    assert mon.known_versions == {"orders.a-value": 1}
+    # a topic created AFTER the monitor started is picked up too
+    state["subjects"]["orders.b-value"] = {
+        "version": 1, "id": 2, "schema": json.dumps(AVRO_ENVELOPE_SCHEMA),
+    }
+    mon.poll_once()
+    assert "orders.b-value" in mon.known_versions
+
+
+def test_monitor_event_log_is_bounded():
+    mon = SchemaRegistryMonitor(
+        "http://127.0.0.1:9", ["t"], client=SchemaRegistryClient("http://127.0.0.1:9", timeout=0.1)
+    )
+    for _ in range(30):
+        mon.poll_once()  # unreachable registry: check_failed events each poll
+    assert len(mon.events) <= mon.MAX_EVENTS

@@ -225,7 +225,11 @@ def test_relational_append_sink_reference_schema(spark, workdir):
 def test_inline_compaction_during_stream(spark, workdir):
     from cdc_platform_spark.plans.compiler import LakehouseAppendSink
 
-    sink = LakehouseAppendSink(spark, f"{workdir}/lake", compact_every_n_batches=2)
+    # cadence and threshold are independent knobs: check every 2 batches,
+    # rewrite whenever more than 2 file groups accumulated
+    sink = LakehouseAppendSink(
+        spark, f"{workdir}/lake", compact_every_n_batches=2, compact_max_files=2
+    )
     pipe = _pipeline(spark, workdir, {"lake": sink}, max_files_per_trigger=1)
     pipe.run_available_now()  # 4 staged files -> 4 micro-batches, compaction after 2 and 4
     snaps = sink.table.snapshots()
