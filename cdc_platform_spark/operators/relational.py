@@ -292,7 +292,7 @@ def q07_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem l JOIN part p
           ON l.l_partkey = p.p_partkey
          AND l.l_quantity BETWEEN p.p_size - 2 AND p.p_size + 2
-        ORDER BY l.l_orderkey, l.l_linenumber
+        ORDER BY l.l_orderkey, l.l_linenumber, p.p_partkey, l.l_quantity
     """,
 )
 def q08_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,7 +306,10 @@ def q08_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (l.l_quantity <= p.p_size + 2),
         )
         .select("l_orderkey", "l_linenumber", "p_partkey", "p_size", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
+        # (l_orderkey, l_linenumber) is NOT unique in the fixtures (dedup
+        # bait); tied rows differ in payload, so the full column set keys
+        # the deterministic order (FIXTURES.md §5 contract)
+        .orderBy("l_orderkey", "l_linenumber", "p_partkey", "l_quantity")
     )
 
 
@@ -332,9 +335,13 @@ def q08_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, "events", sf_dir).filter(F.col("event_type").isin("purchase", "click"))
+    # equal-ts ordering: purchases sort BEFORE clicks at the same ts_ns, so
+    # an equal-ts click never lands in the purchase's preceding frame — the
+    # oracle's ASOF condition is STRICT (p.ts_ns > c.ts_ns)
+    type_rank = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_ns", "event_id")
+        .orderBy(F.col("ts_ns"), type_rank, F.col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
@@ -533,7 +540,9 @@ def q15_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("o_totalprice").over(w).alias("next_price"),
             F.sum(money("o_totalprice")).over(wsum).cast("double").alias("running_spend"),
         )
-        .orderBy("o_custkey", "o_orderkey")
+        # same sort as the oracle (o_orderdate before o_orderkey): the two
+        # engines must emit rows in the SAME order, not merely the same set
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
 
 
@@ -551,7 +560,7 @@ def q15_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
                           RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_band_n
         FROM lineitem
-        ORDER BY l_orderkey, l_linenumber
+        ORDER BY l_orderkey, l_linenumber, mavg3, qty_band_n
     """,
 )
 def q16_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,7 +596,9 @@ def q16_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mavg3"),
             "qty_band_n",
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        # (l_orderkey, l_linenumber) is not unique; the derived columns
+        # break the remaining ties so row ORDER is engine-independent
+        .orderBy("l_orderkey", "l_linenumber", "mavg3", "qty_band_n")
     )
 
 
@@ -746,7 +757,7 @@ def q20_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
                POW(2.0, l_linenumber) AS pow2
         FROM lineitem
-        ORDER BY l_orderkey, l_linenumber
+        ORDER BY l_orderkey, l_linenumber, discount_amt, qty_dev
     """,
 )
 def q21_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,7 +773,8 @@ def q21_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("key_mod7"),
             F.pow(F.lit(2.0), F.col("l_linenumber")).alias("pow2"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        # non-unique (l_orderkey, l_linenumber): derived columns break ties
+        .orderBy("l_orderkey", "l_linenumber", "discount_amt", "qty_dev")
     )
 
 
@@ -780,14 +792,15 @@ def q21_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q22_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.operators.dedup import md5_60bit
+
     c = _t(spark, "customer", sf_dir)
-    md5_60bit = F.conv(F.substring(F.md5(F.col("c_name")), 1, 15), 16, 10).cast("long")
     return (
         c.select(
             "c_custkey",
             F.md5(F.concat(F.col("c_name"), F.lit("|"), F.col("c_custkey").cast("string"))).alias("key_md5"),
             F.sha2(F.col("c_name"), 256).alias("name_sha256"),
-            F.pmod(md5_60bit, F.lit(16)).cast("long").alias("vpart"),
+            F.pmod(md5_60bit(F.col("c_name")), F.lit(16)).cast("long").alias("vpart"),
         )
         .orderBy("c_custkey")
     )

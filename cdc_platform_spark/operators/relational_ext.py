@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cdc_platform_spark.functions import MONEY, money
+from cdc_platform_spark.functions import MONEY, money, revenue, revenue
 from cdc_platform_spark.operators import register
 from cdc_platform_spark.sources.registry import load_table
 
@@ -570,7 +570,6 @@ def q49_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q51_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdc_platform_spark.functions import revenue
 
     c = _t(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, "orders", sf_dir).filter(F.col("o_orderdate") < "1995-03-15")
@@ -611,7 +610,6 @@ def q51_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q52_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdc_platform_spark.functions import revenue
 
     c = _t(spark, "customer", sf_dir)
     o = _t(spark, "orders", sf_dir)
@@ -654,9 +652,7 @@ def q52_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q53_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
 
-    from cdc_platform_spark.functions import revenue
 
     l = _t(spark, "lineitem", sf_dir)
     o = _t(spark, "orders", sf_dir)
@@ -671,7 +667,7 @@ def q53_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(F.sum(revenue()).alias("rev"))
     )
-    total = F.sum("rev").over(W.partitionBy("o_year"))
+    total = F.sum("rev").over(Window.partitionBy("o_year"))
     return (
         rev.select(
             "r_name",
