@@ -57,12 +57,33 @@ _ENV_SQL = """
 """
 
 
+def _normalized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture with ``ts`` normalized to TIMESTAMP_NTZ.
+
+    Round-1 fixtures are TIMESTAMP(NANOS), which a nanosAsLong session
+    reads as BIGINT — staging that raw would make every readStream with
+    the pinned EVENTS_SCHEMA fail on a type mismatch.  Floor-div to
+    micros (exact for pre-epoch too) and cast; micros fixtures pass
+    through unchanged."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    return df
+
+
 def _stage_chunks(spark: SparkSession, sf_dir: str, work: str, n_chunks: int = 4) -> str:
     """Copy the events fixture into n_chunks files: with
     maxFilesPerTrigger=1 the stream processes n_chunks micro-batches, so
     cross-batch state (upsert merge, watermark advance) is exercised."""
     src = f"{work}/source"
-    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(n_chunks).write.mode(
+    _normalized_events(spark, sf_dir).repartition(n_chunks).write.mode(
         "overwrite"
     ).parquet(src)
     return src
@@ -455,15 +476,27 @@ def sq_dlq_quarantine_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cdc_platform_spark.streaming.pipeline import AppendSink, CdcPipeline, DlqWriter
 
+    import os
+    import shutil
+
     work = _workdir("sq_dlq_")
     # Deterministic chunks: one file per event_id residue class, so "the
-    # batch containing residue-2 rows" is exactly one micro-batch.
+    # batch containing residue-2 rows" is exactly one micro-batch.  ONE
+    # scan: a residue-partitioned write, then the per-residue files are
+    # moved up into the flat layout the file stream source expects.
     src = f"{work}/source"
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    staged = f"{work}/staged"
+    events = _normalized_events(spark, sf_dir)
+    events.withColumn("__r", F.pmod(F.col("event_id"), F.lit(4))).repartition(
+        F.col("__r")
+    ).write.partitionBy("__r").mode("overwrite").parquet(staged)
+    os.makedirs(src, exist_ok=True)
     for k in range(4):
-        events.filter(F.col("event_id") % 4 == k).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+        part_dir = f"{staged}/__r={k}"
+        for i, name in enumerate(sorted(os.listdir(part_dir))):
+            if name.endswith(".parquet"):
+                shutil.move(f"{part_dir}/{name}", f"{src}/chunk-{k}-{i}.parquet")
+    shutil.rmtree(staged, ignore_errors=True)
     healthy = AppendSink(f"{work}/healthy")
     poison = AppendSink(f"{work}/poison", fail_predicate="pmod(seq, 4) = 2")
     dlq = DlqWriter(f"{work}/dlq")
@@ -671,7 +704,7 @@ def sq_webhook_sink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         work = _workdir("sq_webhook_")
         src = f"{work}/source"
-        spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        _normalized_events(spark, sf_dir).filter(
             F.col("event_id") % 5 == 0
         ).repartition(4).write.mode("overwrite").parquet(src)
         sink = WebhookSink(

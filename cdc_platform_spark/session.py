@@ -67,5 +67,22 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate SILENTLY IGNORES builder configs when a session already
+    # exists (a notebook/library may have created one first) — re-assert
+    # the runtime-settable configs that change RESULT SEMANTICS, so e.g.
+    # a local-timezone pre-existing session cannot shift every
+    # window/unix_timestamp result away from the UTC the oracles assume.
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.shuffle.partitions": shuffle,
+        **(extra_conf or {}),
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — static confs can't be reset; skip
+            pass
     spark.sparkContext.setLogLevel("WARN")
     return spark

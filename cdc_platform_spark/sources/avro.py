@@ -646,6 +646,11 @@ def _parse_with_from_avro(
             .cast("string")
             .alias("decode_error")
         )
+    else:
+        # strict mode fails the task on poison, so the column is always
+        # null — but it must EXIST so every decode path (JSON, Avro
+        # permissive, Avro strict) shares one output schema
+        cols.append(F.lit(None).cast("string").alias("decode_error"))
     return frames.select(*cols)
 
 
@@ -853,6 +858,8 @@ def _parse_multi_schema_from_avro(
             .cast("string")
             .alias("decode_error")
         )
+    else:
+        cols.append(F.lit(None).cast("string").alias("decode_error"))
     return frames.select(*cols)
 
 
@@ -896,8 +903,8 @@ def _parse_with_python(
             return decode_resolved(writer, reader, body)[0]
         cols = [
             "topic", "partition", "offset", "pk", "op", "ts_ms",
-            "before", "after", "lsn", "source_table",
-        ] + (["decode_error"] if permissive else [])
+            "before", "after", "lsn", "source_table", "decode_error",
+        ]
         for pdf in batches:
             rows = []
             for topic, partition, offset, key, value in zip(
@@ -914,6 +921,7 @@ def _parse_with_python(
                     "after": None,
                     "lsn": None,
                     "source_table": None,
+                    "decode_error": None,
                 }
                 if value is None:
                     # Debezium tombstone (null value after a delete, for log
@@ -956,8 +964,7 @@ def _parse_with_python(
                 rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
 
-    schema = _PARSED_SCHEMA_PERMISSIVE if permissive else _PARSED_SCHEMA
-    return frames.mapInPandas(decode_batches, schema=schema)
+    return frames.mapInPandas(decode_batches, schema=_PARSED_SCHEMA_PERMISSIVE)
 
 
 def parse_debezium_avro(

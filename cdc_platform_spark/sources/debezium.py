@@ -62,6 +62,13 @@ def parse_debezium(frames: DataFrame) -> DataFrame:
     Debezium op codes map directly: c/r (snapshot read) create, u update,
     d delete; the order key is (partition, offset) exactly as in the
     reference's per-partition workers.
+
+    Poison posture: ``from_json`` yields a null struct for malformed
+    JSON, which previously surfaced as a SILENT null-op row — the merge
+    could pick it as latest-per-key (highest offset) and the served state
+    would drop the key entirely.  The ``decode_error`` column marks such
+    frames (value present, envelope undecodable) so the DLQ filter can
+    quarantine them, exactly like the Avro path's permissive diagnostic.
     """
     v = F.from_json(F.col("value_json"), ENVELOPE_SCHEMA)
     k = F.from_json(F.col("key_json"), KEY_SCHEMA)
@@ -76,6 +83,12 @@ def parse_debezium(frames: DataFrame) -> DataFrame:
         v["after"].alias("after"),
         v["source"]["lsn"].alias("lsn"),
         v["source"]["table"].alias("source_table"),
+        F.when(
+            F.col("value_json").isNotNull() & v["op"].isNull(),
+            F.lit("decode failed"),
+        )
+        .cast("string")
+        .alias("decode_error"),
     )
 
 

@@ -66,8 +66,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             # Parquet TIMESTAMP(NANOS) under nanosAsLong. Integer division:
             # epoch-ns (~1.7e18) exceeds double's 2^53 exact range, so
             # `floor(ts / 1000)` would be off by up to 1us.
+            # `div` truncates toward ZERO; pre-epoch (negative) nanos need
+            # FLOOR semantics to match DuckDB's epoch_us — subtracting the
+            # (always non-negative) pmod makes the division exact.
             df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
             )
         elif ts_type is not None and ts_type.startswith("timestamp"):
             # Parquet TIMESTAMP(MICROS/MILLIS), possibly NTZ: normalize to

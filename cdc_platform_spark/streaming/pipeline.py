@@ -50,7 +50,8 @@ def to_envelope(df: DataFrame, topic: str = CDC_TOPIC, n_partitions: int = 8) ->
     """events -> CDC envelope (same mapping as operators/cdc.py, stream-safe)."""
     ts = F.col("ts")
     if dict(df.dtypes).get("ts") == "bigint":
-        ts = F.timestamp_micros(F.expr("ts div 1000"))
+        # floor semantics for pre-epoch nanos (div truncates toward zero)
+        ts = F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
     else:
         # TIMESTAMP_NTZ parquet reads: normalize to TIMESTAMP (session tz is
         # UTC, so the cast is instant-preserving); watermarks require it.
@@ -123,7 +124,13 @@ def latest_per_key_merge(updates, current=None):
     """THE latest-per-key upsert algebra — one definition shared by
     UpsertSink and the lakehouse upsert sink (plans/compiler.py), so the
     tie-break (offset desc per pk) and tombstone handling cannot drift:
-    keep the newest row per pk across current state + updates."""
+    keep the newest row per pk across current state + updates.
+
+    Null-op rows (undecodable frames that slipped past DLQ routing) are
+    excluded from the UPDATES: a poison frame at the highest offset must
+    not displace valid state — it would win the merge and then vanish
+    from the served view (op <> 'd' is NULL), erasing the key."""
+    updates = updates.filter(F.col("op").isNotNull())
     w = Window.partitionBy("pk").orderBy(F.col("offset").desc())
     merged = updates if current is None else current.unionByName(updates)
     return merged.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
@@ -626,9 +633,23 @@ class CdcPipeline:
             self.schema_monitor.poll_once()
             self.schema_monitor.ensure_compatible()
         env = (self.envelope_fn or to_envelope)(batch)
-        # fan-out: persist once, write to every sink; per-sink failures are
-        # isolated and quarantined (ref F1 + P7, pipeline/runner.py:210-250).
-        env.persist()
+        # Row-level poison routing (ref P7): frames the decoder marked
+        # undecodable go to the DLQ as rows; sinks only ever see healthy
+        # rows.  (Per-sink FAILURES below still quarantine whole batches —
+        # that is the sink-fault path, this is the data-fault path.)
+        persisted = env
+        persisted.persist()
+        if self.dlq is not None and "decode_error" in env.columns:
+            poison = env.filter(F.col("decode_error").isNotNull())
+            if poison.take(1):
+                self.dlq.write(
+                    poison.drop("decode_error"),
+                    "decode",
+                    RuntimeError("undecodable frame (decode_error set)"),
+                )
+            env = env.filter(F.col("decode_error").isNull())
+        if "decode_error" in env.columns:
+            env = env.drop("decode_error")
         try:
             for sink_id, sink in self.sinks.items():
                 try:
@@ -644,7 +665,10 @@ class CdcPipeline:
                         raise
                     self.dlq.write(env, sink_id, e)
         finally:
-            env.unpersist()
+            # unpersist the ORIGINAL cached frame: the poison split above
+            # rebinds `env` to a derived DataFrame whose unpersist would
+            # not release the parent's blocks
+            persisted.unpersist()
 
     def run_available_now(self) -> None:
         if self.stream_builder is not None:

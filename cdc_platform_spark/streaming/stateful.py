@@ -34,7 +34,11 @@ def _update_user_state(
     running_cents = round(running * 100)
     for pdf in pdfs:
         n += len(pdf)
-        running_cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        # dropna: a null value (undecodable frame / before-image without the
+        # field) must be SKIPPED like every SQL aggregate around this
+        # operator — .astype('int64') on NaN raises IntCastingNaNError and
+        # would kill the whole streaming query
+        running_cents += int(pdf["value"].dropna().mul(100).round().astype("int64").sum())
         batch_max = int(pdf["offset"].max())
         if batch_max > max_off:
             last_type = str(pdf.loc[pdf["offset"].idxmax(), "event_type"])
@@ -87,7 +91,15 @@ try:  # Spark >= 4.0
                 i = pdf["offset"].idxmax()
                 off = int(pdf.loc[i, "offset"])
                 if cur is None or off > cur[0]:
-                    cur = (off, str(pdf.loc[i, "op"]), str(pdf.loc[i, "event_type"]), float(pdf.loc[i, "value"]))
+                    v = pdf.loc[i, "value"]
+                    cur = (
+                        off,
+                        str(pdf.loc[i, "op"]),
+                        str(pdf.loc[i, "event_type"]),
+                        # NaN (null value) stored as 0.0 sentinel-free:
+                        # keep None semantics via float('nan')-safe guard
+                        0.0 if pd.isna(v) else float(v),
+                    )
             self._latest.update(cur)
             yield pd.DataFrame(
                 {

@@ -874,3 +874,106 @@ def test_recover_sweeps_stale_tmp_dirs(spark, tmp_path):
     os.makedirs(stale)
     sink.write(to_envelope(events))  # next write recovers + sweeps
     assert not os.path.isdir(stale)
+
+
+def test_json_poison_frame_cannot_erase_upsert_state(spark, tmp_path):
+    """A malformed JSON value at the highest offset previously produced a
+    silent null-op row that won the latest-per-key merge and then fell out
+    of the served view (op <> 'd' is NULL) — erasing the key. The JSON
+    parser now marks it decode_error, and the merge excludes null-op rows."""
+    from cdc_platform_spark.sources.debezium import parse_debezium, to_flat_envelope
+    from cdc_platform_spark.streaming.pipeline import UpsertSink
+
+    frames = spark.createDataFrame(
+        [
+            ("t", 0, 1, '{"id": 7}', '{"op":"c","ts_ms":1,"after":{"id":7,"event_type":"e","value":1.0}}'),
+            ("t", 0, 99, '{"id": 7}', '{"op":"u","ts_ms":2,"after":{"id"'),  # truncated
+        ],
+        "topic string, partition int, offset long, key_json string, value_json string",
+    )
+    env = to_flat_envelope(parse_debezium(frames))
+    rows = {r.offset: r for r in env.collect()}
+    assert rows[99].decode_error == "decode failed" and rows[1].decode_error is None
+    sink = UpsertSink(str(tmp_path / "state"))
+    sink.write(env.drop("decode_error"))
+    state = {r.pk: r.offset for r in sink.state(spark).collect()}
+    assert state == {7: 1}  # the valid row survives; the poison one never merged
+
+
+def test_pipeline_routes_decode_poison_rows_to_dlq(spark, tmp_path):
+    """Row-level P7: rows the decoder marked undecodable go to the DLQ as
+    rows, and sinks only see healthy rows."""
+    from cdc_platform_spark.streaming.pipeline import AppendSink, CdcPipeline, DlqWriter
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(50)
+    src = str(tmp_path / "src")
+    events.coalesce(1).write.parquet(src)
+
+    def envelope_with_poison(df):
+        from cdc_platform_spark.streaming.pipeline import to_envelope
+
+        env = to_envelope(df)
+        return env.withColumn(
+            "decode_error",
+            F.when(F.pmod(F.col("seq"), F.lit(10)) == 0, F.lit("decode failed")),
+        )
+
+    sink = AppendSink(str(tmp_path / "append"))
+    dlq = DlqWriter(str(tmp_path / "dlq"))
+    CdcPipeline(
+        spark=spark,
+        source_dir=src,
+        checkpoint_dir=str(tmp_path / "ck"),
+        sinks={"append": sink},
+        dlq=dlq,
+        envelope_fn=envelope_with_poison,
+    ).run_available_now()
+    n_poison = dlq.read(spark).count()
+    n_clean = sink.exactly_once_view(spark).count()
+    assert n_poison == 5 and n_clean == 45
+    assert dlq.read(spark).select("dlq_sink_id").distinct().collect()[0][0] == "decode"
+
+
+def test_stateful_running_stats_skip_null_values(spark):
+    """A null value row must be skipped like a SQL aggregate, not crash the
+    query with IntCastingNaNError."""
+    import pandas as pd
+
+    from cdc_platform_spark.streaming.stateful import _update_user_state
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    pdf = pd.DataFrame(
+        {"value": [1.25, None, 2.75], "offset": [1, 2, 3], "event_type": ["a", "b", "c"]}
+    )
+    out = list(_update_user_state((7,), iter([pdf]), FakeState()))
+    assert out[0]["n_events"][0] == 3
+    assert out[0]["running_value"][0] == 4.0  # nulls skipped, not NaN
+
+
+def test_normalized_events_handles_nanos_fixture(spark, tmp_path):
+    """A nanos-as-long fixture (round-1 shape) must stage as TIMESTAMP_NTZ
+    so the pinned EVENTS_SCHEMA readStream does not type-mismatch."""
+    from cdc_platform_spark.operators.streaming_queries import _normalized_events
+
+    df = spark.createDataFrame(
+        [(1, 1700000000123456789, 5, "click", 1.0, "{}")],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = _normalized_events(spark, str(tmp_path))
+    assert dict(out.dtypes)["ts"] == "timestamp_ntz"
+
+
+def test_get_spark_reasserts_semantic_configs(spark):
+    """getOrCreate ignores builder configs on a pre-existing session; the
+    factory must re-assert the configs that change result semantics."""
+    from cdc_platform_spark.session import get_spark
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    s = get_spark()
+    assert s.conf.get("spark.sql.session.timeZone") == "UTC"
