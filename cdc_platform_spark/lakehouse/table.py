@@ -52,7 +52,11 @@ class VersionedTable(TableFormat):
         # file name; the directory is still re-listed on every call, so
         # additions/removals by OTHER table handles are always visible —
         # without this, every commit re-parses every manifest and table
-        # lifetime cost is O(n^2) driver I/O
+        # lifetime cost is O(n^2) driver I/O.
+        # Cache-safety invariant: manifest file names embed a fresh uuid
+        # (_commit's `sid`), so a deleted-and-recreated table root can
+        # never reuse a name with different contents — if that naming ever
+        # changes, key this cache by (name, mtime, size) instead.
         self._manifest_cache: dict[str, dict] = {}
         os.makedirs(f"{root}/data", exist_ok=True)
         os.makedirs(f"{root}/snapshots", exist_ok=True)

@@ -131,9 +131,15 @@ def check_pipeline_health(spark, cfg, dlq_warn_depth: int = 1) -> dict:
             server = server.strip()
             if not server:
                 continue  # trailing comma must not probe a phantom broker
-            # rsplit: IPv6 literals ([::1]:9092) contain colons in the host
-            host, _, port = server.rpartition(":")
-            if not host:
+            # IPv6 literals contain colons in the host.  A port is only
+            # present when the host is bracketed ([::1]:9092) or has a
+            # single colon (host:9092); a bare unbracketed '::1' must fall
+            # through to the default port, not split into host='::' port='1'.
+            head, _, tail = server.rpartition(":")
+            bare_ipv6 = not server.startswith("[") and server.count(":") > 1
+            if head and tail.isdigit() and not bare_ipv6:
+                host, port = head, tail
+            else:
                 host, port = server, ""
             host = host.strip("[]")
             try:

@@ -35,8 +35,8 @@ SAMPLE_PER_LANG = 10
             FROM documents
         )
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
-               SUM(CAST(n_distinct AS BIGINT)) AS total_distinct,
+               CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+               CAST(SUM(CAST(n_distinct AS BIGINT)) AS BIGINT) AS total_distinct,
                CAST(SUM(CAST(n_distinct AS BIGINT)) AS DOUBLE)
                    / CAST(SUM(CAST(n_tokens AS BIGINT)) AS DOUBLE) AS richness
         FROM d
@@ -117,7 +117,8 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS v
             FROM embeddings
         )
-        SELECT label, CAST(dim AS INTEGER) AS dim, SUM(v) AS sum_fp, COUNT(*) AS n,
+        SELECT label, CAST(dim AS INTEGER) AS dim,
+               CAST(SUM(v) AS BIGINT) AS sum_fp, COUNT(*) AS n,
                CAST(SUM(v) AS DOUBLE) / (1000000.0 * COUNT(*)) AS mean
         FROM u
         GROUP BY label, dim

@@ -4,15 +4,16 @@ Images/audio/video are carried as opaque ``binary`` columns with typed
 metadata, processed by Arrow-batched ``mapInPandas`` UDFs — the Spark
 pattern for decode / feature-extract / resize / frame-sample stages.
 
-The real decode libraries are not in this container, so the decode
-step is a STUB: :func:`fake_decode_batch` derives deterministic
-pseudo-metadata from the payload's md5 (hashlib.md5 == Spark md5 ==
-DuckDB md5, so the whole pipeline stays oracle-verifiable end to end).
-A production deployment swaps ``fake_decode_batch`` for a real decoder
-with the same signature — the Spark-side plumbing (binary encoding,
-schema, Arrow batch shape, partitioning) is exactly what ships.
-
-``real_decode_batch`` marks the unimplemented real path explicitly.
+The container's oracle path is a STUB: :func:`fake_decode_batch` derives
+deterministic pseudo-metadata from the payload's md5 (hashlib.md5 ==
+Spark md5 == DuckDB md5, so the whole pipeline stays oracle-verifiable
+end to end).  The REAL decode path, :func:`real_decode_batch`, is
+import-gated on PIL (same pattern as streaming/stateful.py's Spark-4
+version gate): on a PIL-capable host it is a drop-in replacement with
+the identical Arrow batch contract, reachable through
+:func:`decode_binary_column`.  The registered ``mm_*`` queries ALWAYS
+use the stub — their DuckDB oracles mirror the md5 arithmetic, and the
+fixtures' payloads are utf-8 text, not genuine image bytes.
 """
 
 from __future__ import annotations
@@ -30,19 +31,84 @@ from cdc_platform_spark.sources.registry import load_table
 DECODE_SCHEMA = "doc_id long, n_bytes long, format string, width long, height long"
 FORMATS = ("jpeg", "png", "webp")
 
+try:  # import-gated real decoder — PIL is absent in the test container
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover — exercised only where PIL is missing
+    _PILImage = None
+    HAS_PIL = False
+
 
 def real_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Real image decode — requires PIL/libvips, not present in this container.
+    """Real image decode over Arrow batches of (doc_id, payload, n_bytes, h60).
 
     Same Iterator[pd.DataFrame] -> Iterator[pd.DataFrame] contract as
-    fake_decode_batch, so the documented swap-in (pass this to mapInPandas
-    in fake_decode_batch's place) fails with THIS error, not a confusing
-    iterator-vs-DataFrame type error."""
-    raise NotImplementedError(
-        "real image decode requires an imaging library; use fake_decode_batch "
-        "for the deterministic test path"
+    fake_decode_batch, so it swaps into the same mapInPandas call site.
+    The per-payload loop is inherent — an image codec is per-row work;
+    the Arrow transfer keeps the batch boundary vectorized.  Undecodable
+    payloads yield format=NULL and 0x0 dims instead of killing the job
+    (poison-row tolerance, same stance as the DLQ decode paths).
+
+    Raises NotImplementedError without PIL so the documented swap-in
+    fails with THIS error, not a confusing iterator-vs-DataFrame one.
+    """
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "real image decode requires PIL (pip install pillow); use "
+            "fake_decode_batch for the deterministic container/oracle path"
+        )
+    import io
+
+    for pdf in batches:
+        fmts: list[str | None] = []
+        widths: list[int] = []
+        heights: list[int] = []
+        for payload in pdf["payload"]:
+            try:
+                with _PILImage.open(io.BytesIO(payload)) as im:
+                    fmts.append((im.format or "").lower())
+                    widths.append(int(im.width))
+                    heights.append(int(im.height))
+            except Exception:  # noqa: BLE001 — any codec failure is a poison row
+                fmts.append(None)
+                widths.append(0)
+                heights.append(0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["n_bytes"],
+                "format": pd.Series(fmts, dtype="object"),
+                "width": pd.Series(widths, dtype="int64"),
+                "height": pd.Series(heights, dtype="int64"),
+            }
+        )
+
+
+def decode_binary_column(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    use_real: bool | None = None,
+) -> DataFrame:
+    """Decode a binary image column into typed metadata.
+
+    ``use_real=None`` picks the PIL decoder when importable and falls back
+    to the deterministic stub otherwise; pass False to force the stub
+    (the oracle-verifiable path) or True to require PIL (raises without it).
+    """
+    if use_real is None:
+        use_real = HAS_PIL
+    payload = F.col(payload_col)
+    payloads = df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        md5_h60(payload).alias("h60"),
     )
-    yield  # pragma: no cover — marks this as a generator (mapInPandas contract)
+    return payloads.mapInPandas(
+        real_decode_batch if use_real else fake_decode_batch, schema=DECODE_SCHEMA
+    )
 
 
 def md5_h60(col: F.Column) -> F.Column:

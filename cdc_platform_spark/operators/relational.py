@@ -381,14 +381,30 @@ def q09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, "lineitem", sf_dir)
-    charge = revenue().cast("decimal(18,4)") * (F.lit(1).cast(MONEY) + money("l_tax"))
+    # Exact-decimal revenue/charge, computed in integer hundredths: the
+    # direct decimal(18,2) x decimal(18,2) products force the non-compact
+    # (BigDecimal) per-row path (precision 37/38), which cost q10 ~20%
+    # between r02 and r04.  price*(1-d) == price_fp*(100-d_fp)/10^4 and
+    # charge == rev_fp4*(100+t_fp)/10^6 exactly, with the per-row products
+    # in plain LONG arithmetic (max ~2e15 per row, no overflow) and only
+    # the overflow-safe SUM accumulator in decimal.  The /10^4 and /10^6
+    # rescales are exact decimal divisions (result scale 6), so the final
+    # double cast sees the identical exact value as the oracle's
+    # CAST(SUM(decimal) AS DOUBLE).
+    fp = lambda c: (money(c) * 100).cast("long")  # noqa: E731 — exact hundredths
+    rev_fp4 = fp("l_extendedprice") * (F.lit(100).cast("long") - fp("l_discount"))
+    charge_fp6 = rev_fp4 * (F.lit(100).cast("long") + fp("l_tax"))
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.sum(revenue()).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(rev_fp4.cast("decimal(38,0)")) / F.lit(10000))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(charge_fp6.cast("decimal(38,0)")) / F.lit(1000000))
+            .cast("double")
+            .alias("sum_charge"),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc"),

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cdc_platform_spark.functions import MONEY, money, revenue, revenue
+from cdc_platform_spark.functions import MONEY, money, revenue
 from cdc_platform_spark.operators import register
 from cdc_platform_spark.sources.registry import load_table
 

@@ -491,7 +491,7 @@ _SQ_MX_LIST = "[" + ", ".join(f"mx{i}" for i in range(DIM)) + "]"
                                  ELSE 0 END) AS codes
             FROM embeddings, s
         )
-        SELECT vec_id, label, codes,
+        SELECT vec_id, label, array_to_string(codes, ',') AS codes,
                CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum
         FROM q
         ORDER BY vec_id
@@ -529,6 +529,9 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(stats))
         .select("vec_id", "label", codes.alias("codes"))
         .withColumn("code_sum", code_sum)
+        # driver-canonicalizer contract: no array-typed output columns —
+        # serialize codes the same way on both engines (cf. q23_array_funcs)
+        .withColumn("codes", F.array_join(F.col("codes"), ","))
         .orderBy("vec_id")
     )
 

@@ -845,3 +845,118 @@ def lk_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept, total = t.last_scan_files
     assert kept < total, (kept, total)  # pruning actually happened
     return result.orderBy("event_id")
+
+
+def _ann_index_oracle() -> str:
+    """Full-rebuild oracle for sq_ann_index_stream: train on the ORIGINAL
+    table (frozen quantizer), assign the POST-CDC vectors (reversal remaps
+    subscript i -> DIM+1-i; deleted ids excluded)."""
+    from cdc_platform_spark.operators.dedup import ORACLE_EMB_UNNEST
+    from cdc_platform_spark.operators.similarity import (
+        _CENT_FINAL,
+        _TRAIN_CTES,
+        _cent_hash,
+        DIM,
+        N_CELLS,
+    )
+
+    return f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        norms AS (SELECT vec_id, SUM(v * v) AS n FROM u GROUP BY vec_id),
+        cents AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {N_CELLS}
+        ),
+        cu AS (SELECT u.* FROM u JOIN cents ON u.vec_id = cents.cent_id),
+        {_TRAIN_CTES},
+        ncf AS (SELECT cent_id, SUM(cv * cv) AS n FROM {_CENT_FINAL} GROUP BY cent_id),
+        final AS (
+            SELECT vec_id, i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 <> 0
+            UNION ALL
+            SELECT vec_id, {DIM} + 1 - i AS i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 = 0
+        ),
+        fnorms AS (SELECT vec_id, SUM(v * v) AS n FROM final GROUP BY vec_id),
+        fdots AS (
+            SELECT x.vec_id, c.cent_id, SUM(x.v * c.cv) AS d
+            FROM final x JOIN {_CENT_FINAL} c ON x.i = c.i
+            GROUP BY x.vec_id, c.cent_id
+        ),
+        fcos AS (
+            SELECT v.vec_id, v.cent_id, v.d / (sqrt(nx.n) * sqrt(nc.n)) AS c
+            FROM fdots v JOIN fnorms nx ON v.vec_id = nx.vec_id
+                         JOIN ncf nc ON v.cent_id = nc.cent_id
+        )
+        SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+            FROM fcos) WHERE rn = 1
+        ORDER BY vec_id
+    """
+
+
+@register(
+    "sq_ann_index_stream",
+    category="streaming",
+    doc=(
+        "Incremental ANN index maintenance as a driver-checkable artifact: "
+        "the IVF coarse quantizer is Lloyd-trained once on the base "
+        "embeddings table and FROZEN (the versioned-quantizer production "
+        "pattern), then a synthetic embedding CDC stream - full insert "
+        "wave, then updates (reversed vectors, vec_id % 7 = 0) and deletes "
+        "(vec_id % 11 = 3) - is driven availableNow through IvfIndexSink: "
+        "each micro-batch assigns ONLY its own vectors (broadcast "
+        "centroids, exact fixed-point argmax, never a corpus rescan), "
+        "deletes tombstone, and the merged latest-per-vec_id state is the "
+        "inverted file. The final index must equal a from-scratch rebuild "
+        "over the post-CDC vectors - which is exactly what the oracle "
+        "computes (same unrolled-Lloyd training CTEs as sim_ann_ivf)."
+    ),
+    oracle=_ann_index_oracle(),
+)
+def sq_ann_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.operators.similarity import (
+        _fixed_embeddings,
+        train_ivf_centroids,
+    )
+    from cdc_platform_spark.streaming.ann_index import IvfIndexSink
+
+    work = _workdir("sq_annidx_")
+    e = _fixed_embeddings(spark, sf_dir)
+    cents = train_ivf_centroids(e)
+    off = F.col("vec_id") + F.lit(100000000)  # wave-1 offsets after all wave-0
+    wave0 = e.select(
+        "vec_id", F.col("vec_id").alias("offset"), F.lit("c").alias("op"), "a"
+    )
+    upd = e.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 11 != 3)).select(
+        "vec_id", off.alias("offset"), F.lit("u").alias("op"), F.reverse("a").alias("a")
+    )
+    dels = e.filter(F.col("vec_id") % 11 == 3).select(
+        "vec_id",
+        off.alias("offset"),
+        F.lit("d").alias("op"),
+        F.lit(None).cast("array<long>").alias("a"),
+    )
+    src = f"{work}/source"
+    # arbitrary 4-way split: updates/deletes land in any micro-batch order;
+    # the offset-keyed merge must converge regardless
+    wave0.unionByName(upd).unionByName(dels).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, offset long, op string, a array<long>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = IvfIndexSink(f"{work}/index", cents)
+    q = (
+        stream.writeStream.foreachBatch(lambda b, _bid: sink.write(b))
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.state(spark).orderBy("vec_id")

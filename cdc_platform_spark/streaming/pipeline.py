@@ -306,53 +306,81 @@ class BucketedUpsertSink:
                 os.rename(f"{self._work}/{name}", live)
 
     def write(self, batch: DataFrame) -> None:
-        if not batch.take(1):
-            return
+        """One fully executor-side merge job per micro-batch.
+
+        The r04 shape ran TWO jobs plus a per-batch driver round-trip
+        (window the batch, persist, ``distinct().collect()`` the touched
+        buckets, then merge).  Here the touched-bucket set never visits
+        the driver before the merge:
+
+        1. the live state scan is restricted to touched buckets by a
+           broadcast LEFT SEMI join against the batch's distinct bucket
+           ids — dynamic partition pruning turns that into a partition
+           filter on the bucket= directory scan, so untouched state is
+           never read (the ``bucket >= 0`` filter is semantically a no-op
+           — pmod is non-negative — but marks the build side selective,
+           which Spark's DPP insertion heuristic requires; the plan test
+           asserts the pruning subquery is present),
+        2. latest-per-pk runs in the SAME single shuffle that clusters
+           the output: exchange on bucket, sort (pk, offset desc) within,
+           keep each pk's first row via lag — so the partitioned write
+           emits exactly one file per touched bucket instead of the
+           (tasks x buckets) small-file fan-out of a plain dynamic write,
+        3. the touched set for the swap comes from listing the job's own
+           output directory (every touched bucket has at least one batch
+           row, and tombstones are retained, so output buckets == touched
+           buckets exactly).
+        """
+        # implementation split into _merged() so the plan tests can assert
+        # the DPP subquery and exchange count without executing a write
         self._recover()
-        spark = batch.sparkSession
-        w = Window.partitionBy("pk").orderBy(F.col("offset").desc())
-        updates = (
-            batch.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(*self._COLS)
-            .withColumn("bucket", F.pmod(F.hash("pk"), F.lit(self.n_buckets)))
+        merged = self._merged(batch)
+        run_id = uuid.uuid4().hex
+        tmp = f"{self.path}.tmp-{run_id}"
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        touched = sorted(
+            int(name.split("=", 1)[1])
+            for name in os.listdir(tmp)
+            if name.startswith("bucket=")
         )
-        updates.persist()
-        try:
-            touched = sorted(r["bucket"] for r in updates.select("bucket").distinct().collect())
-            existing = [i for i in touched if os.path.isdir(self._bucket_dir(i))]
-            if existing:
-                current = (
-                    spark.read.option("basePath", self.path)
-                    .parquet(*[self._bucket_dir(i) for i in existing])
-                    .select(*self._COLS, "bucket")
-                )
-                merged = (
-                    current.unionByName(updates)
-                    .withColumn("rn", F.row_number().over(w))
-                    .filter(F.col("rn") == 1)
-                    .drop("rn")
-                )
-            else:
-                merged = updates
-            run_id = uuid.uuid4().hex
-            tmp = f"{self.path}.tmp-{run_id}"
-            merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-            os.makedirs(self.path, exist_ok=True)
-            os.makedirs(self._work, exist_ok=True)
-            for i in touched:
-                src = f"{tmp}/bucket={i}"
-                if not os.path.isdir(src):
-                    continue
-                live = self._bucket_dir(i)
-                old = f"{self._work}/bucket={i}.old-{run_id}"
-                if os.path.isdir(live):
-                    os.rename(live, old)
-                os.rename(src, live)
-                shutil.rmtree(old, ignore_errors=True)
-            shutil.rmtree(tmp, ignore_errors=True)
-        finally:
-            updates.unpersist()
+        os.makedirs(self.path, exist_ok=True)
+        os.makedirs(self._work, exist_ok=True)
+        for i in touched:
+            src = f"{tmp}/bucket={i}"
+            live = self._bucket_dir(i)
+            old = f"{self._work}/bucket={i}.old-{run_id}"
+            if os.path.isdir(live):
+                os.rename(live, old)
+            os.rename(src, live)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _merged(self, batch: DataFrame) -> DataFrame:
+        """The merge plan: (DPP-pruned live state ∪ batch) → latest-per-pk,
+        clustered by bucket in its single shuffle."""
+        spark = batch.sparkSession
+        upd = batch.select(*self._COLS).withColumn(
+            "bucket", F.pmod(F.hash("pk"), F.lit(self.n_buckets))
+        )
+        have_state = os.path.isdir(self.path) and any(
+            n.startswith("bucket=") for n in os.listdir(self.path)
+        )
+        if have_state:
+            touched_buckets = upd.select("bucket").distinct().filter(F.col("bucket") >= 0)
+            current = (
+                spark.read.parquet(self.path)
+                .join(F.broadcast(touched_buckets), "bucket", "leftsemi")
+                .select(*self._COLS, "bucket")
+            )
+            allrows = current.unionByName(upd)
+        else:
+            allrows = upd
+        w = Window.partitionBy("bucket").orderBy("pk", F.col("offset").desc())
+        return (
+            allrows.withColumn("_prev", F.lag("pk").over(w))
+            .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("pk")))
+            .drop("_prev")
+        )
 
     def state(self, spark: SparkSession) -> DataFrame:
         """Live state: latest row per key, tombstones filtered out."""
@@ -472,7 +500,15 @@ class DlqWriter:
     def __init__(self, path: str) -> None:
         self.path = path
 
+    def _recover(self) -> None:
+        # replay(purge=True) commits via the same two-rename swap as the
+        # sinks; a crash between the renames would otherwise leave the
+        # quarantine path missing and orphan pre-crash rows in .old-*
+        if os.path.isdir(os.path.dirname(self.path) or "."):
+            _recover_swapped_dir(self.path)
+
     def write(self, batch: DataFrame, sink_id: str, error: Exception) -> None:
+        self._recover()
         (
             batch.select(
                 F.col("topic").alias("dlq_source_topic"),
@@ -500,6 +536,7 @@ class DlqWriter:
         )
 
     def read(self, spark: SparkSession) -> DataFrame:
+        self._recover()
         return spark.read.parquet(self.path)
 
     def replay(

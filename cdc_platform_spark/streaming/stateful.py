@@ -96,9 +96,10 @@ try:  # Spark >= 4.0
                         off,
                         str(pdf.loc[i, "op"]),
                         str(pdf.loc[i, "event_type"]),
-                        # NaN (null value) stored as 0.0 sentinel-free:
-                        # keep None semantics via float('nan')-safe guard
-                        0.0 if pd.isna(v) else float(v),
+                        # a null value stays null (the schema's value field
+                        # is nullable) — a 0.0 sentinel would be
+                        # indistinguishable from a genuine 0.0 latest value
+                        None if pd.isna(v) else float(v),
                     )
             self._latest.update(cur)
             yield pd.DataFrame(

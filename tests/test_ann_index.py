@@ -1,0 +1,83 @@
+"""IvfIndexSink: incremental inverted-file maintenance must converge to
+the batch rebuild under any micro-batch split, tombstone deletes, and
+survive the swap crash-window (same protocol as the upsert sinks)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F  # noqa: N812
+import pytest
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def trained(spark):
+    from cdc_platform_spark.operators.similarity import (
+        _fixed_embeddings,
+        train_ivf_centroids,
+    )
+
+    e = _fixed_embeddings(spark, SF_SMOKE).localCheckpoint(eager=True)
+    return e, train_ivf_centroids(e)
+
+
+def _cdc_rows(e):
+    wave0 = e.select(
+        "vec_id", F.col("vec_id").alias("offset"), F.lit("c").alias("op"), "a"
+    )
+    upd = e.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id",
+        (F.col("vec_id") + 10**6).alias("offset"),
+        F.lit("u").alias("op"),
+        F.reverse("a").alias("a"),
+    )
+    dels = e.filter(F.col("vec_id") % 5 == 1).select(
+        "vec_id",
+        (F.col("vec_id") + 10**6).alias("offset"),
+        F.lit("d").alias("op"),
+        F.lit(None).cast("array<long>").alias("a"),
+    )
+    return wave0.unionByName(upd).unionByName(dels)
+
+
+def test_index_converges_under_any_batching(spark, tmp_path, trained):
+    from cdc_platform_spark.streaming.ann_index import IvfIndexSink
+
+    e, cents = trained
+    rows = _cdc_rows(e).localCheckpoint(eager=True)
+
+    whole = IvfIndexSink(str(tmp_path / "one"), cents)
+    whole.write(rows)
+    expected = sorted(map(tuple, whole.state(spark).collect()))
+    assert expected, "index must be non-empty"
+
+    split = IvfIndexSink(str(tmp_path / "many"), cents)
+    for k in range(3):  # deliberately interleaves waves across batches
+        split.write(rows.filter(F.pmod(F.col("offset"), F.lit(3)) == k))
+    assert sorted(map(tuple, split.state(spark).collect())) == expected
+
+
+def test_deletes_tombstone_and_updates_reassign(spark, tmp_path, trained):
+    from cdc_platform_spark.streaming.ann_index import IvfIndexSink
+
+    e, cents = trained
+    sink = IvfIndexSink(str(tmp_path / "idx"), cents)
+    sink.write(_cdc_rows(e))
+    state = {r["vec_id"]: r["cell"] for r in sink.state(spark).collect()}
+    deleted = [r["vec_id"] for r in e.filter(F.col("vec_id") % 5 == 1).collect()]
+    assert deleted and not any(v in state for v in deleted)
+    assert all(c is not None for c in state.values())
+
+
+def test_index_crash_recovery(spark, tmp_path, trained):
+    from cdc_platform_spark.streaming.ann_index import IvfIndexSink
+
+    e, cents = trained
+    sink = IvfIndexSink(str(tmp_path / "idx"), cents)
+    sink.write(_cdc_rows(e))
+    expected = sorted(map(tuple, sink.state(spark).collect()))
+    # crash between the two swap renames: live dir displaced
+    os.rename(str(tmp_path / "idx"), str(tmp_path / "idx.old-deadbeef"))
+    assert sorted(map(tuple, sink.state(spark).collect())) == expected

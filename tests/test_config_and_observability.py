@@ -625,6 +625,35 @@ def test_health_probe_survives_bad_broker_entries(spark, tmp_path):
     assert not any(n == "kafka:" for n in names)  # trailing comma skipped
 
 
+def test_health_probe_bare_ipv6_defaults_port(spark, tmp_path, monkeypatch):
+    """A bare unbracketed IPv6 host ('::1') has no port: the probe must hit
+    ('::1', 9092), not the rpartition artifact ('::', 1)."""
+    import socket as socket_mod
+
+    from cdc_platform_spark.config.models import PipelineConfig, SinkConfig, SourceConfig
+    from cdc_platform_spark.observability import check_pipeline_health
+
+    probed = []
+
+    def fake_connect(addr, timeout=None):
+        probed.append(addr)
+        raise OSError("probe recorded")
+
+    monkeypatch.setattr(socket_mod, "create_connection", fake_connect)
+    cfg = PipelineConfig(
+        pipeline_id="h6",
+        source=SourceConfig(
+            type="kafka", bootstrap_servers="::1,[::1],[::1]:19092,host:19092", topics=["t"]
+        ),
+        sinks=[SinkConfig(id="a", type="append", path=str(tmp_path / "a"))],
+    )
+    check_pipeline_health(spark, cfg)
+    assert ("::1", 9092) in probed  # bare IPv6, default port
+    assert ("::1", 19092) in probed  # bracketed IPv6 with port
+    assert ("host", 19092) in probed  # plain host:port
+    assert ("::", 1) not in probed  # the bug this test pins
+
+
 def test_cli_validate_keeps_json_contract_on_malformed_yaml(tmp_path, capsys):
     import json as _json
 

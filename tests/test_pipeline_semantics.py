@@ -332,7 +332,8 @@ def test_quantize_int8_reconstruction_error_bounded(spark):
     maxs = [max(v[i] for v in all_emb) for i in range(DIM)]
     for r in rows:
         x = emb[r["vec_id"]]
-        for i, code in enumerate(r["codes"]):
+        # codes is serialized as a CSV string (driver-canonicalizer contract)
+        for i, code in enumerate(int(c) for c in r["codes"].split(",")):
             lo, hi = mins[i], maxs[i]
             if hi <= lo:
                 assert code == 0

@@ -425,6 +425,34 @@ def test_bucketed_upsert_rewrites_only_touched_buckets(spark, workdir):
     assert sink.state(spark).count() == full.state(spark).count()
 
 
+def test_bucketed_upsert_merge_plan_is_executor_side(spark, workdir):
+    """The 100 TB contract of the collect-free merge: (a) the live-state
+    scan carries a dynamic-partition-pruning subquery on bucket, so a
+    micro-batch never reads untouched state; (b) the merge runs in ONE
+    shuffle (the bucket window) — no extra exchange for the dedup."""
+    from cdc_platform_spark.streaming.pipeline import BucketedUpsertSink
+
+    sink = BucketedUpsertSink(f"{workdir}/state", n_buckets=8)
+    env = to_envelope(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    sink.write(env)  # seed state so _merged takes the join path
+
+    merged = sink._merged(env.filter("pk = 1"))
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "state scan lost its DPP partition filter — every micro-batch "
+        "would rescan the full state table"
+    )
+    # hash exchanges: the single bucket-keyed window shuffle of the union,
+    # plus the tiny (<= n_buckets rows) bucket-distinct build side, which
+    # the plan materializes twice (broadcast build + DPP subquery instance).
+    # Anything beyond 3 means the dedup grew its own full-data exchange.
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) <= 3, "unexpected extra shuffle:\n" + "\n".join(exchanges)
+    assert all("bucket" in ln for ln in exchanges), (
+        "a non-bucket-keyed exchange appeared (pk-keyed dedup shuffle?):\n" + "\n".join(exchanges)
+    )
+
+
 def test_bucketed_upsert_crash_recovery(spark, workdir):
     """Crash between the per-bucket renames leaves a displaced snapshot in
     .work; the next read/write must restore it."""
@@ -796,6 +824,29 @@ def test_aggregating_sink_recovers_displaced_state(spark, tmp_path):
     assert sorted(map(tuple, sink.state(spark).collect())) == expected
     sink.write(env, batch_id=0)  # replay of the already-applied batch: no-op
     assert sorted(map(tuple, sink.state(spark).collect())) == expected
+
+
+def test_dlq_writer_recovers_displaced_quarantine(spark, tmp_path):
+    """replay(purge=True) commits via the two-rename swap; a crash between
+    the renames leaves only a .old-* copy.  The next read()/write() must
+    restore it instead of failing (read) or silently starting a fresh
+    quarantine that orphans the pre-crash rows (write)."""
+    import os
+
+    from cdc_platform_spark.streaming.pipeline import DlqWriter, to_envelope
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(50)
+    env = to_envelope(events)
+    dlq = DlqWriter(str(tmp_path / "dlq"))
+    dlq.write(env, "sink-a", RuntimeError("boom"))
+    expected = dlq.read(spark).count()
+    # simulate the crash window: live dir displaced, new dir never landed
+    os.rename(str(tmp_path / "dlq"), str(tmp_path / "dlq.old-deadbeef"))
+    assert dlq.read(spark).count() == expected
+    # write() after the crash must land in the restored table, not a fresh one
+    os.rename(str(tmp_path / "dlq"), str(tmp_path / "dlq.old-deadbee2"))
+    dlq.write(env.limit(10), "sink-b", RuntimeError("boom2"))
+    assert dlq.read(spark).count() == expected + 10
 
 
 def test_exactly_once_view_keeps_distinct_topics_same_coordinates(spark, tmp_path):

@@ -39,6 +39,27 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return res
 
 
+def representation_problems(side: str, df: pd.DataFrame) -> list[str]:
+    """Driver-canonicalizer contract: cells must be hashable/sortable scalars.
+
+    The driver's hasher lexsorts every column; a list/dict/ndarray cell
+    crashes it (r04 `sim_quantize_int8`), so flag them here before the
+    driver does. Checks every row — these frames are already materialized.
+    """
+    problems = []
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            bad = s.map(lambda v: isinstance(v, (list, dict, set, tuple, np.ndarray))).to_numpy()
+            if bad.any():
+                i = int(np.argmax(bad))
+                problems.append(
+                    f"col {c} ({side}): unhashable cell at row {i} "
+                    f"({type(s.iloc[i]).__name__}) — serialize arrays (array_join/array_to_string)"
+                )
+    return problems
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     if len(spark_pdf) != len(oracle_pdf):
@@ -46,6 +67,28 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     if sc != oc:
         problems.append(f"columns spark={sc} oracle={oc}")
+        return problems
+    problems += representation_problems("spark", spark_pdf)
+    problems += representation_problems("oracle", oracle_pdf)
+    if problems:
+        return problems
+    # Numeric-class drift: the driver renders int64 `3549` but float64 `3549.0`,
+    # so equal values still hash-mismatch when one engine returns an integer
+    # column and the other a float (DuckDB HUGEINT sums -> float64; r04
+    # `text_vocab_richness`/`sim_label_centroids`). Flag it even though the
+    # exact-value compare below would pass.
+    for c in spark_pdf.columns:
+        a_int = pd.api.types.is_integer_dtype(spark_pdf[c])
+        b_int = pd.api.types.is_integer_dtype(oracle_pdf[c])
+        a_num = a_int or pd.api.types.is_float_dtype(spark_pdf[c])
+        b_num = b_int or pd.api.types.is_float_dtype(oracle_pdf[c])
+        if a_num and b_num and a_int != b_int:
+            problems.append(
+                f"col {c}: numeric-class drift spark={spark_pdf[c].dtype} "
+                f"oracle={oracle_pdf[c].dtype} — driver renders these differently "
+                f"(CAST the aggregate to BIGINT / DOUBLE on both engines)"
+            )
+    if problems:
         return problems
     a, b = canon(spark_pdf), canon(oracle_pdf)
     if len(a) != len(b):
