@@ -83,6 +83,22 @@ def doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", "source", F.split(F.col("text"), " ").alias("words"))
 
 
+def shingles_col(words: Column) -> Column:
+    """Distinct word 3-gram shingles of a ``words`` array, as a column
+    expression (shared by the batch table reader and the streaming
+    dedup-index sink so the two can never drift)."""
+    sh = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh)
+
+
 def doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word 3-gram shingles per document, as one array column.
 
@@ -91,16 +107,7 @@ def doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the (band, minhash) bucket join and the candidate-pair join.
     """
     w = doc_words(spark, sf_dir)
-    shingles = F.when(
-        F.size("words") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("words") - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at("words", i), F.element_at("words", i + 1), F.element_at("words", i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return w.select("doc_id", F.array_distinct(shingles).alias("shingles"))
+    return w.select("doc_id", shingles_col(F.col("words")).alias("shingles"))
 
 
 ORACLE_SHINGLES = """
@@ -214,29 +221,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bh", F.transform(F.col("shingles"), lambda s: md5_60bit(s)))
         .localCheckpoint(eager=False)
     )
-
-    # All 16 minhashes in ONE traversal of the shingle-hash array: a single
-    # F.aggregate with a 16-long running-min accumulator (vs 16 separate
-    # array_min(transform) passes — measured 2.3x faster on the signature
-    # stage at sf0.1, bit-identical values).
-    coeffs_a = F.array(*[F.lit(MINHASH_COEFFS[i][0]) for i in range(N_MINHASH)])
-    coeffs_bc = F.array(
-        *[
-            F.struct(
-                F.lit(MINHASH_COEFFS[i][1]).alias("b"), F.lit(MINHASH_COEFFS[i][2]).alias("c")
-            )
-            for i in range(N_MINHASH)
-        ]
-    )
-    sig_init = F.array(*[F.lit((1 << 63) - 1).cast("long") for _ in range(N_MINHASH)])
-
-    def sig_step(acc, h):
-        lo = h.bitwiseAND(F.lit(_M30))
-        hi = F.shiftright(h, 30).bitwiseAND(F.lit(_M30))
-        hashes = F.zip_with(coeffs_a, coeffs_bc, lambda a, bc: a * lo + bc["b"] * hi + bc["c"])
-        return F.zip_with(acc, hashes, lambda x, y: F.least(x, y))
-
-    sig = docs.select("doc_id", F.aggregate("bh", sig_init, sig_step).alias("sig"))
+    sig = docs.select("doc_id", minhash_sig_col(F.col("bh")).alias("sig"))
     bands = sig.select("doc_id", F.posexplode("sig").alias("i", "h"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -256,6 +241,32 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
         .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), "n_common", "jaccard")
     )
+
+
+def minhash_sig_col(bh: Column) -> Column:
+    """All 16 minhashes in ONE traversal of the shingle-hash array ``bh``:
+    a single F.aggregate with a 16-long running-min accumulator (vs 16
+    separate array_min(transform) passes — measured 2.3x faster on the
+    signature stage at sf0.1, bit-identical values).  Shared by the batch
+    LSH pair query and the streaming dedup-index sink."""
+    coeffs_a = F.array(*[F.lit(MINHASH_COEFFS[i][0]) for i in range(N_MINHASH)])
+    coeffs_bc = F.array(
+        *[
+            F.struct(
+                F.lit(MINHASH_COEFFS[i][1]).alias("b"), F.lit(MINHASH_COEFFS[i][2]).alias("c")
+            )
+            for i in range(N_MINHASH)
+        ]
+    )
+    sig_init = F.array(*[F.lit((1 << 63) - 1).cast("long") for _ in range(N_MINHASH)])
+
+    def sig_step(acc, h):
+        lo = h.bitwiseAND(F.lit(_M30))
+        hi = F.shiftright(h, 30).bitwiseAND(F.lit(_M30))
+        hashes = F.zip_with(coeffs_a, coeffs_bc, lambda a, bc: a * lo + bc["b"] * hi + bc["c"])
+        return F.zip_with(acc, hashes, lambda x, y: F.least(x, y))
+
+    return F.aggregate(bh, sig_init, sig_step)
 
 
 def _simhash_oracle_sql() -> str:

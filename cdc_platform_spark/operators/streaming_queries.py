@@ -960,3 +960,94 @@ def sq_ann_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return sink.state(spark).orderBy("vec_id")
+
+
+def _dedup_index_oracle() -> str:
+    """Full-rebuild oracle for sq_dedup_index_stream: the batch
+    dedup_minhash_lsh pair CTE chain evaluated over the POST-CDC live
+    documents (updated ids carry the appended marker text, deleted ids
+    excluded).  The chain is reused verbatim with its document source
+    swapped to the docs_live CTE — the assert guards the single
+    substitution point so a reworded template cannot silently leave the
+    oracle reading the base table."""
+    from cdc_platform_spark.operators.dedup import _ORACLE_MINHASH_PAIR_CTES
+
+    assert _ORACLE_MINHASH_PAIR_CTES.count("FROM documents") == 1
+    ctes = _ORACLE_MINHASH_PAIR_CTES.replace("FROM documents", "FROM docs_live")
+    return f"""
+        WITH docs_live AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' spark dedup stream spark dedup stream'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 3
+        ),
+        {ctes}
+        SELECT da AS doc_a, db AS doc_b, n_common, jaccard
+        FROM scored
+        ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "sq_dedup_index_stream",
+    category="streaming",
+    doc=(
+        "Incremental near-dup detection as a driver-checkable artifact: a "
+        "document CDC stream - full insert wave, then updates (marker text "
+        "appended, doc_id % 7 = 0) and deletes (doc_id % 11 = 3) - driven "
+        "availableNow through MinHashIndexSink, which maintains the LSH "
+        "signature index AND the verified pair view incrementally: each "
+        "micro-batch hashes ONLY its own documents, candidates come from "
+        "the batch's band rows probing the live index (pairs between "
+        "untouched documents are never re-derived), exact Jaccard runs on "
+        "candidates only, and updates/deletes retract their stale pairs. "
+        "The final pair view must equal the from-scratch batch "
+        "dedup_minhash_lsh result over the live documents - which is what "
+        "the oracle computes."
+    ),
+    oracle=_dedup_index_oracle(),
+)
+def sq_dedup_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.streaming.dedup_index import MinHashIndexSink
+
+    work = _workdir("sq_dedupidx_")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    off = F.col("doc_id") + F.lit(100000000)  # wave-1 offsets after all wave-0
+    wave0 = d.select(
+        "doc_id", F.col("doc_id").alias("offset"), F.lit("c").alias("op"), "text"
+    )
+    upd = d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 3)).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("u").alias("op"),
+        F.concat(F.col("text"), F.lit(" spark dedup stream spark dedup stream")).alias("text"),
+    )
+    dels = d.filter(F.col("doc_id") % 11 == 3).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("d").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    src = f"{work}/source"
+    # arbitrary 4-way split: updates/deletes land in any micro-batch order;
+    # the offset-keyed merge + pair retraction must converge regardless
+    wave0.unionByName(upd).unionByName(dels).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, offset long, op string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = MinHashIndexSink(f"{work}/dedup")
+    q = (
+        stream.writeStream.foreachBatch(lambda b, _bid: sink.write(b))
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.pairs(spark).orderBy("doc_a", "doc_b")
