@@ -896,6 +896,52 @@ def _ann_index_oracle() -> str:
     """
 
 
+def _stage_embedding_cdc(spark: SparkSession, sf_dir: str, work: str):
+    """Stage the deterministic embedding CDC stream shared by the ANN
+    index queries: full insert wave, then updates (reversed vectors,
+    vec_id % 7 = 0) and deletes (vec_id % 11 = 3) — split into 4
+    arbitrary chunks so the waves interleave across micro-batches and the
+    offset-keyed merge must converge regardless of arrival order."""
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.operators.similarity import _fixed_embeddings
+
+    e = _fixed_embeddings(spark, sf_dir)
+    off = F.col("vec_id") + F.lit(100000000)  # wave-1 offsets after all wave-0
+    wave0 = e.select(
+        "vec_id", F.col("vec_id").alias("offset"), F.lit("c").alias("op"), "a"
+    )
+    upd = e.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 11 != 3)).select(
+        "vec_id", off.alias("offset"), F.lit("u").alias("op"), F.reverse("a").alias("a")
+    )
+    dels = e.filter(F.col("vec_id") % 11 == 3).select(
+        "vec_id",
+        off.alias("offset"),
+        F.lit("d").alias("op"),
+        F.lit(None).cast("array<long>").alias("a"),
+    )
+    src = f"{work}/source"
+    wave0.unionByName(upd).unionByName(dels).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, offset long, op string, a array<long>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return e, stream
+
+
+def _run_index_stream(stream, sink, work: str) -> None:
+    q = (
+        stream.writeStream.foreachBatch(lambda b, _bid: sink.write(b))
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 @register(
     "sq_ann_index_stream",
     category="streaming",
@@ -916,49 +962,13 @@ def _ann_index_oracle() -> str:
     oracle=_ann_index_oracle(),
 )
 def sq_ann_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from cdc_platform_spark.operators.similarity import (
-        _fixed_embeddings,
-        train_ivf_centroids,
-    )
+    from cdc_platform_spark.operators.similarity import train_ivf_centroids
     from cdc_platform_spark.streaming.ann_index import IvfIndexSink
 
     work = _workdir("sq_annidx_")
-    e = _fixed_embeddings(spark, sf_dir)
-    cents = train_ivf_centroids(e)
-    off = F.col("vec_id") + F.lit(100000000)  # wave-1 offsets after all wave-0
-    wave0 = e.select(
-        "vec_id", F.col("vec_id").alias("offset"), F.lit("c").alias("op"), "a"
-    )
-    upd = e.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 11 != 3)).select(
-        "vec_id", off.alias("offset"), F.lit("u").alias("op"), F.reverse("a").alias("a")
-    )
-    dels = e.filter(F.col("vec_id") % 11 == 3).select(
-        "vec_id",
-        off.alias("offset"),
-        F.lit("d").alias("op"),
-        F.lit(None).cast("array<long>").alias("a"),
-    )
-    src = f"{work}/source"
-    # arbitrary 4-way split: updates/deletes land in any micro-batch order;
-    # the offset-keyed merge must converge regardless
-    wave0.unionByName(upd).unionByName(dels).repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src)
-    stream = (
-        spark.readStream.schema("vec_id long, offset long, op string, a array<long>")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    sink = IvfIndexSink(f"{work}/index", cents)
-    q = (
-        stream.writeStream.foreachBatch(lambda b, _bid: sink.write(b))
-        .option("checkpointLocation", f"{work}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    e, stream = _stage_embedding_cdc(spark, sf_dir, work)
+    sink = IvfIndexSink(f"{work}/index", train_ivf_centroids(e))
+    _run_index_stream(stream, sink, work)
     return sink.state(spark).orderBy("vec_id")
 
 
@@ -1051,3 +1061,135 @@ def sq_dedup_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return sink.pairs(spark).orderBy("doc_a", "doc_b")
+
+
+def _ann_index_pq_oracle() -> str:
+    """Full-rebuild oracle for sq_ann_index_pq_stream: IVF coarse
+    quantizer AND per-subspace PQ codebooks trained on the ORIGINAL
+    table (frozen), then the POST-CDC vectors are (a) assigned to their
+    max-cosine cell and (b) encoded as min-L2 codes per subspace,
+    codes packed into the same CSV serialization the sink emits."""
+    from cdc_platform_spark.operators.dedup import ORACLE_EMB_UNNEST
+    from cdc_platform_spark.operators.similarity import (
+        _CENT_FINAL,
+        _PQ_FINAL_NS,
+        _PQ_TRAIN_CTES_NS,
+        _TRAIN_CTES,
+        _cent_hash,
+        DIM,
+        N_CELLS,
+        PQ_K,
+        PQ_SUBDIM,
+    )
+
+    return f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        norms AS (SELECT vec_id, SUM(v * v) AS n FROM u GROUP BY vec_id),
+        cents AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {N_CELLS}
+        ),
+        cu AS (SELECT u.* FROM u JOIN cents ON u.vec_id = cents.cent_id),
+        {_TRAIN_CTES},
+        ncf AS (SELECT cent_id, SUM(cv * cv) AS n FROM {_CENT_FINAL} GROUP BY cent_id),
+        su AS (SELECT vec_id, CAST((i - 1) // {PQ_SUBDIM} AS BIGINT) AS sub,
+                      CAST((i - 1) % {PQ_SUBDIM} AS BIGINT) AS j, v
+               FROM u),
+        pqseeds AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {PQ_K}
+        ),
+        {_PQ_TRAIN_CTES_NS},
+        final AS (
+            SELECT vec_id, i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 <> 0
+            UNION ALL
+            SELECT vec_id, {DIM} + 1 - i AS i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 = 0
+        ),
+        fnorms AS (SELECT vec_id, SUM(v * v) AS n FROM final GROUP BY vec_id),
+        fdots AS (
+            SELECT x.vec_id, c.cent_id, SUM(x.v * c.cv) AS d
+            FROM final x JOIN {_CENT_FINAL} c ON x.i = c.i
+            GROUP BY x.vec_id, c.cent_id
+        ),
+        fcos AS (
+            SELECT v.vec_id, v.cent_id, v.d / (sqrt(nx.n) * sqrt(nc.n)) AS c
+            FROM fdots v JOIN fnorms nx ON v.vec_id = nx.vec_id
+                         JOIN ncf nc ON v.cent_id = nc.cent_id
+        ),
+        cell_assign AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT vec_id, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM fcos) WHERE rn = 1
+        ),
+        suf AS (SELECT vec_id, CAST((i - 1) // {PQ_SUBDIM} AS BIGINT) AS sub,
+                       CAST((i - 1) % {PQ_SUBDIM} AS BIGINT) AS j, v
+                FROM final),
+        fd2 AS (
+            SELECT s.vec_id, s.sub, c.cent_id, SUM((s.v - c.cv) * (s.v - c.cv)) AS d
+            FROM suf s JOIN {_PQ_FINAL_NS} c ON s.sub = c.sub AND s.j = c.j
+            GROUP BY s.vec_id, s.sub, c.cent_id
+        ),
+        enc AS (
+            SELECT vec_id, sub, cent_id FROM (
+                SELECT vec_id, sub, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cent_id) AS rn
+                FROM fd2) WHERE rn = 1
+        ),
+        ranks AS (
+            SELECT cent_id, ROW_NUMBER() OVER (ORDER BY cent_id) - 1 AS code FROM pqseeds
+        ),
+        code_strs AS (
+            SELECT enc.vec_id,
+                   string_agg(CAST(ranks.code AS VARCHAR), ',' ORDER BY enc.sub) AS codes
+            FROM enc JOIN ranks ON enc.cent_id = ranks.cent_id
+            GROUP BY enc.vec_id
+        )
+        SELECT a.vec_id, a.cent_id AS cell, c.codes
+        FROM cell_assign a JOIN code_strs c ON a.vec_id = c.vec_id
+        ORDER BY a.vec_id
+    """
+
+
+@register(
+    "sq_ann_index_pq_stream",
+    category="streaming",
+    doc=(
+        "The full production ANN index (IVF-PQ composite) as an "
+        "incrementally-maintained materialized view: coarse quantizer and "
+        "per-subspace PQ codebooks are Lloyd-trained once on the base "
+        "table and frozen, then the same embedding CDC stream as "
+        "sq_ann_index_stream is driven availableNow through "
+        "IvfPqIndexSink — each micro-batch assigns cells AND encodes "
+        "8-byte PQ codes for ONLY its own vectors (broadcast codebooks, "
+        "exact-integer argmin), deletes tombstone, and the merged state is "
+        "the exact (cell, codes) artifact sim_ann_ivf_pq queries. The "
+        "final index must equal a from-scratch rebuild over the post-CDC "
+        "vectors (IVF assignment + PQ encode oracle)."
+    ),
+    oracle=_ann_index_pq_oracle(),
+)
+def sq_ann_index_pq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.operators.similarity import (
+        pq_seeds,
+        pq_subvectors,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from cdc_platform_spark.streaming.ann_index import IvfPqIndexSink
+
+    work = _workdir("sq_annpq_")
+    e, stream = _stage_embedding_cdc(spark, sf_dir, work)
+    seeds = pq_seeds(e)
+    codebooks = train_pq_codebooks(pq_subvectors(e.select("vec_id", "a")), seeds)
+    ranks = seeds.withColumn(
+        "code", (F.row_number().over(Window.orderBy("cent_id")) - 1).cast("long")
+    )
+    sink = IvfPqIndexSink(f"{work}/index", train_ivf_centroids(e), codebooks, ranks)
+    _run_index_stream(stream, sink, work)
+    return sink.state(spark).orderBy("vec_id")

@@ -82,7 +82,9 @@ class IvfIndexSink:
         dels = batch.filter(F.col("op") == "d").select(
             "vec_id", "offset", "op", F.lit(None).cast("long").alias("cell")
         )
-        return assigned.select(*self._COLS).unionByName(dels)
+        # explicit base columns, NOT self._COLS: a subclass extends _COLS
+        # with columns this stage does not produce yet (e.g. codes)
+        return assigned.select("vec_id", "offset", "op", "cell").unionByName(dels)
 
     def write(self, batch: DataFrame) -> None:
         _recover_swapped_dir(self.path)
@@ -90,14 +92,11 @@ class IvfIndexSink:
         updates = self._assign(batch)
         if os.path.isdir(self.path):
             updates = spark.read.parquet(self.path).unionByName(updates)
+        value_cols = self._COLS[1:]  # everything but the vec_id key
         merged = (
             updates.groupBy("vec_id")
-            .agg(
-                F.max_by(
-                    F.struct("offset", "op", "cell"), F.col("offset")
-                ).alias("m")
-            )
-            .select("vec_id", "m.offset", "m.op", "m.cell")
+            .agg(F.max_by(F.struct(*value_cols), F.col("offset")).alias("m"))
+            .select("vec_id", *[f"m.{c}" for c in value_cols])
         )
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
         merged.write.mode("overwrite").parquet(tmp)
@@ -110,4 +109,79 @@ class IvfIndexSink:
             spark.read.parquet(self.path)
             .filter(F.col("op") != "d")
             .select("vec_id", "cell")
+        )
+
+
+class IvfPqIndexSink(IvfIndexSink):
+    """IVF-PQ composite index as a materialized view: per vector the sink
+    maintains BOTH the coarse cell (inverted-file membership) and the
+    8-byte PQ code string — the full production ANN index artifact
+    (operators/similarity.py's sim_ann_ivf_pq is the batch query over
+    exactly this (cell, codes) pair).  Codebooks are trained once and
+    frozen alongside the coarse quantizer; each micro-batch encodes ONLY
+    its own vectors: subvector explode (8 rows/vector), broadcast-join
+    the codebooks, exact-integer argmin per (vector, subspace), codes
+    re-packed into one CSV string (the driver-canonicalizer-safe
+    serialization the batch family uses)."""
+
+    _COLS = ["vec_id", "offset", "op", "cell", "codes"]
+
+    def __init__(self, path: str, centroids: DataFrame, codebooks: DataFrame, ranks: DataFrame) -> None:
+        super().__init__(path, centroids)
+        self.codebooks = codebooks.localCheckpoint(eager=True)
+        self.ranks = ranks.localCheckpoint(eager=True)
+
+    def _assign(self, batch: DataFrame) -> DataFrame:
+        from cdc_platform_spark.operators.similarity import (
+            PQ_SUBDIM,
+            PQ_SUBS,
+            _l2_long,
+        )
+
+        base = super()._assign(batch)  # (vec_id, offset, op, cell)
+        # key the whole encode path by (vec_id, offset), not vec_id alone:
+        # a batch can legitimately carry several versions of one vector
+        # (insert + update in the same chunk), and a vec_id-only grouping
+        # would mix their subvectors into one garbage code string
+        ups = batch.filter(F.col("op") != "d").select("vec_id", "offset", "a")
+        subs = ups.select(
+            "vec_id",
+            "offset",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(PQ_SUBS - 1)),
+                    lambda s: F.slice(F.col("a"), s * PQ_SUBDIM + 1, PQ_SUBDIM),
+                )
+            ).alias("sub", "sa"),
+        ).withColumn("sub", F.col("sub").cast("long"))
+        best = (
+            subs.join(F.broadcast(self.codebooks), "sub")
+            .select(
+                "vec_id", "offset", "sub", "cent_id", _l2_long(F.col("sa"), F.col("ca")).alias("d")
+            )
+            .groupBy("vec_id", "offset", "sub")
+            .agg(F.min_by("cent_id", F.struct("d", "cent_id")).alias("cent_id"))
+        )
+        codes = (
+            best.join(F.broadcast(self.ranks), "cent_id")
+            .groupBy("vec_id", "offset")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                        lambda x: x["code"].cast("string"),
+                    ),
+                    ",",
+                ).alias("codes")
+            )
+        )
+        return base.join(codes, ["vec_id", "offset"], "left").select(*self._COLS)
+
+    def state(self, spark: SparkSession) -> DataFrame:
+        """The live composite index: (vec_id, cell, codes)."""
+        _recover_swapped_dir(self.path)
+        return (
+            spark.read.parquet(self.path)
+            .filter(F.col("op") != "d")
+            .select("vec_id", "cell", "codes")
         )

@@ -81,3 +81,66 @@ def test_index_crash_recovery(spark, tmp_path, trained):
     # crash between the two swap renames: live dir displaced
     os.rename(str(tmp_path / "idx"), str(tmp_path / "idx.old-deadbeef"))
     assert sorted(map(tuple, sink.state(spark).collect())) == expected
+
+
+@pytest.fixture(scope="module")
+def pq_trained(spark, trained):
+    from pyspark.sql import Window
+
+    from cdc_platform_spark.operators.similarity import (
+        pq_seeds,
+        pq_subvectors,
+        train_pq_codebooks,
+    )
+
+    e, cents = trained
+    seeds = pq_seeds(e)
+    codebooks = train_pq_codebooks(pq_subvectors(e.select("vec_id", "a")), seeds)
+    ranks = seeds.withColumn(
+        "code", (F.row_number().over(Window.orderBy("cent_id")) - 1).cast("long")
+    )
+    return cents, codebooks, ranks
+
+
+def test_pq_index_converges_under_any_batching(spark, tmp_path, trained, pq_trained):
+    from cdc_platform_spark.streaming.ann_index import IvfPqIndexSink
+
+    e, _ = trained
+    cents, codebooks, ranks = pq_trained
+    rows = _cdc_rows(e).localCheckpoint(eager=True)
+
+    whole = IvfPqIndexSink(str(tmp_path / "one"), cents, codebooks, ranks)
+    whole.write(rows)
+    expected = sorted(map(tuple, whole.state(spark).collect()))
+    assert expected and all(r[2].count(",") == 7 for r in expected)  # 8 codes each
+
+    split = IvfPqIndexSink(str(tmp_path / "many"), cents, codebooks, ranks)
+    for k in range(3):
+        split.write(rows.filter(F.pmod(F.col("offset"), F.lit(3)) == k))
+    assert sorted(map(tuple, split.state(spark).collect())) == expected
+
+
+def test_pq_codes_not_mixed_when_versions_share_a_batch(spark, tmp_path, trained, pq_trained):
+    """Regression: insert + update of one vector in the SAME micro-batch
+    must encode each version separately — the surviving row's codes are
+    the update's codes, not a mix of both versions' subvectors."""
+    from cdc_platform_spark.streaming.ann_index import IvfPqIndexSink
+
+    e, _ = trained
+    cents, codebooks, ranks = pq_trained
+    one = e.filter(F.col("vec_id") == 0)
+    both = one.select(
+        "vec_id", F.lit(1).alias("offset"), F.lit("c").alias("op"), "a"
+    ).unionByName(
+        one.select("vec_id", F.lit(2).alias("offset"), F.lit("u").alias("op"), F.reverse("a").alias("a"))
+    )
+    mixed = IvfPqIndexSink(str(tmp_path / "mixed"), cents, codebooks, ranks)
+    mixed.write(both)
+    clean = IvfPqIndexSink(str(tmp_path / "clean"), cents, codebooks, ranks)
+    clean.write(
+        one.select("vec_id", F.lit(2).alias("offset"), F.lit("u").alias("op"), F.reverse("a").alias("a"))
+    )
+    assert (
+        mixed.state(spark).collect()[0]["codes"]
+        == clean.state(spark).collect()[0]["codes"]
+    )
