@@ -86,3 +86,30 @@ def test_pair_view_matches_batch_operator_without_cdc(spark, tmp_path):
         map(tuple, load_all()["dedup_minhash_lsh"].builder(spark, SF_SMOKE).collect())
     )
     assert got == expected
+
+
+def test_index_and_pair_views_recover_from_crash_window(spark, tmp_path, cdc_rows):
+    """Crash between the index swap and the pairs swap (or mid-swap of
+    either dir) must heal: displaced .old-* snapshots are restored on the
+    next call, and a batch replay converges to the same views."""
+    import os
+
+    from cdc_platform_spark.streaming.dedup_index import MinHashIndexSink
+
+    sink = MinHashIndexSink(str(tmp_path / "idx"))
+    first = cdc_rows.filter(F.pmod(F.col("offset"), F.lit(2)) == 0)
+    second = cdc_rows.filter(F.pmod(F.col("offset"), F.lit(2)) == 1)
+    sink.write(first)
+    expected_pairs = _pairs(sink, spark)
+    # mid-swap crash on BOTH views: live dirs displaced, tmp never landed
+    os.rename(sink.pairs_path, f"{sink.pairs_path}.old-deadbeef")
+    os.rename(sink.index_path, f"{sink.index_path}.old-deadbeef")
+    assert _pairs(sink, spark) == expected_pairs
+    # replay of the same batch (at-least-once delivery) is a no-op
+    sink.write(first)
+    assert _pairs(sink, spark) == expected_pairs
+    # and the stream continues correctly afterwards
+    sink.write(second)
+    reference = MinHashIndexSink(str(tmp_path / "ref"))
+    reference.write(cdc_rows)
+    assert _pairs(sink, spark) == _pairs(reference, spark)
