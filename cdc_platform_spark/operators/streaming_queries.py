@@ -233,6 +233,49 @@ def sq_upsert_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sq_bucketed_upsert_stream",
+    category="streaming",
+    doc=(
+        "The 100 TB upsert form as its own driver-checkable artifact: the "
+        "same 4-micro-batch CDC stream as sq_upsert_state_stream driven "
+        "into a BucketedUpsertSink — hash-bucketed copy-on-write state "
+        "where each micro-batch merges in ONE fully executor-side job "
+        "(DPP-pruned semi-join restricts the state scan to touched "
+        "buckets, latest-per-pk rides the single bucket-keyed window "
+        "shuffle, touched set derived from the job's own output listing; "
+        "no per-batch driver collect). The final live state must be "
+        "byte-equal to the flat-layout oracle: bucketing is storage "
+        "granularity, never semantics."
+    ),
+    oracle=f"""
+        WITH env AS ({_ENV_SQL}),
+        latest AS (
+            SELECT pk, "offset", op, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY pk ORDER BY "offset" DESC) AS rn
+            FROM env
+        )
+        SELECT pk, "offset", op, event_type, value
+        FROM latest WHERE rn = 1 AND op <> 'd'
+        ORDER BY pk
+    """,
+)
+def sq_bucketed_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.streaming.pipeline import BucketedUpsertSink, CdcPipeline
+
+    work = _workdir("sq_bupsert_")
+    src = _stage_chunks(spark, sf_dir, work)
+    sink = BucketedUpsertSink(f"{work}/state", n_buckets=16)
+    CdcPipeline(
+        spark=spark,
+        source_dir=src,
+        checkpoint_dir=f"{work}/ck",
+        sinks={"state": sink},
+        max_files_per_trigger=1,
+    ).run_available_now()
+    return sink.state(spark).orderBy("pk")
+
+
+@register(
     "sq_exactly_once_replay_stream",
     category="streaming",
     doc=(
@@ -1193,3 +1236,46 @@ def sq_ann_index_pq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = IvfPqIndexSink(f"{work}/index", train_ivf_centroids(e), codebooks, ranks)
     _run_index_stream(stream, sink, work)
     return sink.state(spark).orderBy("vec_id")
+
+
+@register(
+    "sq_bucketed_agg_stream",
+    category="streaming",
+    doc=(
+        "The 100 TB materialized-aggregate form as a driver-checkable "
+        "artifact: the same 4-micro-batch CDC stream as "
+        "sq_incremental_agg_stream driven into a BucketedAggregatingSink "
+        "- hash-bucketed per-bucket copy-on-write aggregate state, one "
+        "executor-side shuffle per batch (map-only shaping, DPP-pruned "
+        "state semi-join, bucket-keyed merge aggregation riding the "
+        "single exchange), per-bucket batch-id fencing against "
+        "at-least-once redelivery. The final view must equal the one-shot "
+        "batch aggregate - bucketing is storage granularity, never "
+        "semantics."
+    ),
+    oracle="""
+        SELECT user_id AS pk,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+               MIN(value) AS value_min,
+               MAX(value) AS value_max,
+               MAX(event_id) AS last_offset
+        FROM events
+        GROUP BY user_id
+        ORDER BY pk
+    """,
+)
+def sq_bucketed_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.streaming.pipeline import BucketedAggregatingSink, CdcPipeline
+
+    work = _workdir("sq_bagg_")
+    src = _stage_chunks(spark, sf_dir, work)
+    sink = BucketedAggregatingSink(f"{work}/aggview", n_buckets=16)
+    CdcPipeline(
+        spark=spark,
+        source_dir=src,
+        checkpoint_dir=f"{work}/ck",
+        sinks={"aggview": sink},
+        max_files_per_trigger=1,
+    ).run_available_now()
+    return sink.state(spark).orderBy("pk")

@@ -493,6 +493,132 @@ class AggregatingSink:
         )
 
 
+class BucketedAggregatingSink(BucketedUpsertSink):
+    """The 100 TB form of ``AggregatingSink``: the materialized aggregate
+    view partitioned by ``pmod(hash(pk), n_buckets)`` with per-bucket
+    copy-on-write — a micro-batch reads and rewrites ONLY the buckets its
+    keys hash into (the upgrade path AggregatingSink's docstring pins).
+
+    One shuffle per micro-batch, fully executor-side:
+      1. batch rows are SHAPED map-only into partial-aggregate form
+         (n_events=1, value_sum=value, min=max=value, last_offset=offset)
+         — no separate batch aggregation pass; the merge's own map-side
+         partial aggregation does the combining,
+      2. live state is restricted to touched buckets by the same
+         broadcast-semi-join + dynamic-partition-pruning recipe as
+         ``BucketedUpsertSink`` (untouched state never read, no driver
+         round-trip),
+      3. the union repartitions by bucket once; the (bucket, pk) merge
+         aggregation rides that exchange (hash(bucket) satisfies the
+         clustered distribution on (bucket, pk), so the planner adds no
+         second exchange) and the partitioned write lands one file per
+         touched bucket,
+      4. redelivery fencing is PER BUCKET: each bucket dir carries its
+         own ``_agg_meta`` (underscore-prefixed — parquet readers skip
+         it) committed atomically with the bucket's single rename, and a
+         replayed batch is filtered to the buckets that have not applied
+         it — so a crash midway through the rename loop replays exactly
+         the buckets that missed the batch, never double-counting the
+         ones that landed.
+    """
+
+    wants_batch_id = True
+    _COLS = AggregatingSink._COLS
+
+    def _bucket_meta(self, i: int) -> int | None:
+        try:
+            with open(f"{self._bucket_dir(i)}/_agg_meta") as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _merged(self, batch: DataFrame, batch_id: int | None = None) -> DataFrame:
+        spark = batch.sparkSession
+        bucket = F.pmod(F.hash("pk"), F.lit(self.n_buckets))
+        shaped = batch.select(
+            "pk",
+            F.lit(1).cast("long").alias("n_events"),
+            F.col("value").cast("decimal(18,2)").alias("value_sum"),
+            F.col("value").alias("value_min"),
+            F.col("value").alias("value_max"),
+            F.col("offset").alias("last_offset"),
+            bucket.alias("bucket"),
+        )
+        if batch_id is not None:
+            fenced = [
+                i
+                for i in range(self.n_buckets)
+                if (m := self._bucket_meta(i)) is not None and batch_id <= m
+            ]
+            if fenced:
+                shaped = shaped.filter(~F.col("bucket").isin(fenced))
+        have_state = os.path.isdir(self.path) and any(
+            n.startswith("bucket=") for n in os.listdir(self.path)
+        )
+        if have_state:
+            touched_buckets = shaped.select("bucket").distinct().filter(F.col("bucket") >= 0)
+            current = (
+                spark.read.parquet(self.path)
+                .join(F.broadcast(touched_buckets), "bucket", "leftsemi")
+                .select(*self._COLS, "bucket")
+            )
+            allrows = current.unionByName(shaped)
+        else:
+            allrows = shaped
+        return (
+            allrows.repartition(self.n_buckets, "bucket")
+            .groupBy("bucket", "pk")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("value_sum").cast("decimal(18,2)").alias("value_sum"),
+                F.min("value_min").alias("value_min"),
+                F.max("value_max").alias("value_max"),
+                F.max("last_offset").alias("last_offset"),
+            )
+        )
+
+    def write(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        self._recover()
+        merged = self._merged(batch, batch_id)
+        run_id = uuid.uuid4().hex
+        tmp = f"{self.path}.tmp-{run_id}"
+        merged.select(*self._COLS, "bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(tmp)
+        touched = sorted(
+            int(name.split("=", 1)[1])
+            for name in os.listdir(tmp)
+            if name.startswith("bucket=")
+        )
+        if batch_id is not None:
+            for i in touched:
+                with open(f"{tmp}/bucket={i}/_agg_meta", "w") as fh:
+                    fh.write(str(batch_id))
+        os.makedirs(self.path, exist_ok=True)
+        os.makedirs(self._work, exist_ok=True)
+        for i in touched:
+            src = f"{tmp}/bucket={i}"
+            live = self._bucket_dir(i)
+            old = f"{self._work}/bucket={i}.old-{run_id}"
+            if os.path.isdir(live):
+                os.rename(live, old)
+            os.rename(src, live)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def state(self, spark: SparkSession) -> DataFrame:
+        """The live aggregate view (decimal sum surfaced as double)."""
+        self._recover()
+        return spark.read.parquet(self.path).select(
+            "pk",
+            "n_events",
+            F.col("value_sum").cast("double").alias("value_sum"),
+            "value_min",
+            "value_max",
+            "last_offset",
+        )
+
+
 class DlqWriter:
     """Quarantine failed batches with the reference's diagnostic headers
     (ref P7, streaming/dlq.py:41-56): source coordinates + error metadata."""

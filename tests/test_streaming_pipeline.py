@@ -1028,3 +1028,118 @@ def test_get_spark_reasserts_semantic_configs(spark):
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     s = get_spark()
     assert s.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_bucketed_agg_matches_flat_agg_under_any_batching(spark, tmp_path):
+    """BucketedAggregatingSink must produce the identical aggregate view to
+    the flat AggregatingSink for any micro-batch split."""
+    from cdc_platform_spark.streaming.pipeline import (
+        AggregatingSink,
+        BucketedAggregatingSink,
+        to_envelope,
+    )
+
+    env = to_envelope(
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ).localCheckpoint(eager=True)
+    flat = AggregatingSink(str(tmp_path / "flat"))
+    flat.write(env, batch_id=0)
+    expected = sorted(map(tuple, flat.state(spark).collect()))
+
+    bucketed = BucketedAggregatingSink(str(tmp_path / "bkt"), n_buckets=8)
+    for k in range(3):
+        bucketed.write(env.filter(F.pmod(F.col("seq"), F.lit(3)) == k), batch_id=k)
+    assert sorted(map(tuple, bucketed.state(spark).collect())) == expected
+
+
+def test_bucketed_agg_per_bucket_fence_heals_partial_commit(spark, tmp_path):
+    """A crash midway through the rename loop leaves SOME buckets with the
+    batch applied: the replay must fold the batch into exactly the buckets
+    that missed it — no double counts, no gaps."""
+    import os
+    import shutil as sh
+
+    from cdc_platform_spark.streaming.pipeline import BucketedAggregatingSink, to_envelope
+
+    env = to_envelope(
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(200)
+    ).localCheckpoint(eager=True)
+    first = env.filter("seq % 2 = 0")
+    second = env.filter("seq % 2 = 1")
+
+    sink = BucketedAggregatingSink(str(tmp_path / "s"), n_buckets=8)
+    sink.write(first, batch_id=0)
+    # simulate the partial-crash window for batch 1: roll HALF the touched
+    # buckets back to their batch-0 state (as if their renames never ran)
+    backup = str(tmp_path / "backup")
+    sh.copytree(sink.path, backup)
+    sink.write(second, batch_id=1)
+    buckets = sorted(n for n in os.listdir(sink.path) if n.startswith("bucket="))
+    rolled_back = buckets[: len(buckets) // 2]
+    for b in rolled_back:
+        if os.path.isdir(f"{backup}/{b}"):
+            sh.rmtree(f"{sink.path}/{b}")
+            sh.copytree(f"{backup}/{b}", f"{sink.path}/{b}")
+        else:
+            sh.rmtree(f"{sink.path}/{b}")  # bucket did not exist before batch 1
+    # foreachBatch replays batch 1 at-least-once: only the rolled-back
+    # buckets may apply it again
+    sink.write(second, batch_id=1)
+
+    ref = BucketedAggregatingSink(str(tmp_path / "ref"), n_buckets=8)
+    ref.write(first, batch_id=0)
+    ref.write(second, batch_id=1)
+    assert sorted(map(tuple, sink.state(spark).collect())) == sorted(
+        map(tuple, ref.state(spark).collect())
+    )
+
+
+def test_bucketed_agg_rewrites_only_touched_buckets(spark, tmp_path):
+    """A small batch must leave unrelated buckets physically untouched."""
+    import os
+
+    from cdc_platform_spark.streaming.pipeline import BucketedAggregatingSink, to_envelope
+
+    env = to_envelope(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    sink = BucketedAggregatingSink(str(tmp_path / "s"), n_buckets=8)
+    sink.write(env, batch_id=0)
+
+    def listing():
+        return {
+            b: sorted(os.listdir(f"{sink.path}/{b}"))
+            for b in os.listdir(sink.path)
+            if b.startswith("bucket=")
+        }
+
+    before = listing()
+    assert len(before) >= 4
+    one_key = env.filter("pk = 1").limit(1)
+    touched = one_key.select(F.pmod(F.hash("pk"), F.lit(8)).alias("b")).collect()[0]["b"]
+    sink.write(one_key, batch_id=1)
+    after = listing()
+    assert after[f"bucket={touched}"] != before[f"bucket={touched}"]
+    for b in before:
+        if b != f"bucket={touched}":
+            assert after[b] == before[b], f"{b} rewritten by an unrelated batch"
+
+
+def test_bucketed_agg_merge_plan_single_data_exchange(spark, tmp_path):
+    """The merge must shuffle the union exactly once (the bucket
+    repartition — hash(bucket) satisfies the (bucket, pk) aggregation's
+    distribution, so no second exchange) and carry the DPP subquery on
+    the state scan."""
+    from cdc_platform_spark.streaming.pipeline import BucketedAggregatingSink, to_envelope
+
+    env = to_envelope(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    sink = BucketedAggregatingSink(str(tmp_path / "s"), n_buckets=8)
+    sink.write(env, batch_id=0)
+    merged = sink._merged(env.filter("pk = 1"), batch_id=1)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "state scan lost its DPP filter"
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    # tiny bucket-distinct build side appears up to twice (broadcast + DPP
+    # instance); the union's only shuffle is the bucket repartition
+    assert len(exchanges) <= 3, "unexpected extra shuffle:\n" + "\n".join(exchanges)
+    assert all("bucket" in ln for ln in exchanges), (
+        "a non-bucket-keyed exchange appeared (pk aggregation shuffle?):\n" + "\n".join(exchanges)
+    )
