@@ -152,6 +152,15 @@ def main() -> None:
             "aggview": AggregatingSink(f"{wd}/aggview"),
         }
 
+    def bucketed_agg_sinks(wd: str) -> dict:
+        # the 100 TB aggregate form: per-bucket copy-on-write state
+        from cdc_platform_spark.streaming.pipeline import BucketedAggregatingSink
+
+        return {
+            "append": AppendSink(f"{wd}/append"),
+            "aggview": BucketedAggregatingSink(f"{wd}/aggview", n_buckets=16),
+        }
+
     pipeline_runs = [round(run_pipeline(flat_sinks), 3) for _ in range(3)]
     pipeline_sec = min(pipeline_runs)
     pipeline_eps = round(n_events / pipeline_sec, 1)
@@ -160,6 +169,8 @@ def main() -> None:
     bucketed_eps = round(n_events / bucketed_sec, 1)
     agg_runs = [round(run_pipeline(agg_sinks), 3) for _ in range(3)]
     agg_eps = round(n_events / min(agg_runs), 1)
+    bagg_runs = [round(run_pipeline(bucketed_agg_sinks), 3) for _ in range(3)]
+    bagg_eps = round(n_events / min(bagg_runs), 1)
 
     print(
         json.dumps(
@@ -178,6 +189,8 @@ def main() -> None:
                 "pipeline_bucketed_runs": bucketed_runs,
                 "pipeline_aggview_events_per_sec": agg_eps,
                 "pipeline_aggview_runs": agg_runs,
+                "pipeline_bucketed_aggview_events_per_sec": bagg_eps,
+                "pipeline_bucketed_aggview_runs": bagg_runs,
             }
         )
     )

@@ -131,17 +131,20 @@ def check_pipeline_health(spark, cfg, dlq_warn_depth: int = 1) -> dict:
             server = server.strip()
             if not server:
                 continue  # trailing comma must not probe a phantom broker
-            # IPv6 literals contain colons in the host.  A port is only
-            # present when the host is bracketed ([::1]:9092) or has a
-            # single colon (host:9092); a bare unbracketed '::1' must fall
-            # through to the default port, not split into host='::' port='1'.
-            head, _, tail = server.rpartition(":")
-            bare_ipv6 = not server.startswith("[") and server.count(":") > 1
-            if head and tail.isdigit() and not bare_ipv6:
-                host, port = head, tail
+            # Address forms: '[v6]:port' / '[v6]' (bracketed), bare
+            # unbracketed IPv6 ('::1' — multiple colons, NO port; must not
+            # split into host='::' port='1'), and 'host[:port]'.  An empty
+            # or non-numeric port part keeps the old behavior: default /
+            # ValueError -> reported unhealthy.
+            if server.startswith("[") and "]" in server:
+                end = server.index("]")
+                host = server[1:end]
+                rest = server[end + 1 :]
+                port = rest[1:] if rest.startswith(":") else ""
+            elif server.count(":") > 1:
+                host, port = server, ""  # bare IPv6 literal, no port
             else:
-                host, port = server, ""
-            host = host.strip("[]")
+                host, _, port = server.partition(":")
             try:
                 with socket.create_connection((host, int(port or 9092)), timeout=5):
                     add(f"kafka:{server}", True, "broker reachable")

@@ -146,19 +146,16 @@ def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 def decoded_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> decoded metadata via the Arrow-batched decode
-    stage — the shared front half of mm_decode_metadata and mm_resize_plan
-    (one definition of the payload projection + decode plumbing).  Note:
-    the decode stage itself is a Python mapInPandas, NOT whole-stage
-    codegen; only the downstream shape math is codegen."""
+    stage — the shared front half of mm_decode_metadata and mm_resize_plan,
+    routed through :func:`decode_binary_column` (one definition of the
+    payload projection + decode plumbing), pinned to the stub decoder
+    because the fixtures' payloads are text and the oracles mirror the
+    md5 arithmetic.  Note: the decode stage itself is a Python
+    mapInPandas, NOT whole-stage codegen; only the downstream shape math
+    is codegen."""
     d = spread(load_table(spark, "documents", sf_dir))
-    payload = F.encode(F.col("text"), "utf-8")
-    payloads = d.select(
-        "doc_id",
-        payload.alias("payload"),
-        F.length(payload).cast("long").alias("n_bytes"),
-        md5_h60(payload).alias("h60"),
-    )
-    return payloads.mapInPandas(fake_decode_batch, schema=DECODE_SCHEMA)
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return decode_binary_column(payloads, use_real=False)
 
 
 

@@ -1096,13 +1096,7 @@ def sq_dedup_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     sink = MinHashIndexSink(f"{work}/dedup")
-    q = (
-        stream.writeStream.foreachBatch(lambda b, _bid: sink.write(b))
-        .option("checkpointLocation", f"{work}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _run_index_stream(stream, sink, work)
     return sink.pairs(spark).orderBy("doc_a", "doc_b")
 
 
@@ -1245,10 +1239,10 @@ def sq_ann_index_pq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "The 100 TB materialized-aggregate form as a driver-checkable "
         "artifact: the same 4-micro-batch CDC stream as "
         "sq_incremental_agg_stream driven into a BucketedAggregatingSink "
-        "- hash-bucketed per-bucket copy-on-write aggregate state, one "
-        "executor-side shuffle per batch (map-only shaping, DPP-pruned "
-        "state semi-join, bucket-keyed merge aggregation riding the "
-        "single exchange), per-bucket batch-id fencing against "
+        "- hash-bucketed per-bucket copy-on-write aggregate state, "
+        "executor-side merge (map-only shaping with map-side partial "
+        "combine, DPP-pruned state semi-join, journaled atomic "
+        "multi-bucket commit), per-bucket batch-id fencing against "
         "at-least-once redelivery. The final view must equal the one-shot "
         "batch aggregate - bucketing is storage granularity, never "
         "semantics."

@@ -27,6 +27,7 @@ transactional commit.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -281,9 +282,19 @@ class BucketedUpsertSink:
         return f"{self.path}.work"
 
     def _recover(self) -> None:
-        """Per-bucket two-rename crash recovery. Displaced snapshots live in
-        a sibling ``.work`` dir (NOT inside the state dir, where partition
-        discovery would try to parse them as bucket values)."""
+        """Per-bucket crash recovery. Displaced snapshots live in a sibling
+        ``.work`` dir (NOT inside the state dir, where partition discovery
+        would try to parse them as bucket values).
+
+        Journaled commits (``_commit_buckets``) are resolved FIRST: an
+        interrupted commit is rolled back (its tmp dir still exists) or its
+        leftover cleanup is completed (tmp gone => the commit point passed)
+        — only then are legacy orphaned snapshots/tmp dirs swept, so the
+        sweep can never destroy a mid-commit tmp the rollback needs."""
+        if os.path.isdir(self._work):
+            for name in sorted(os.listdir(self._work)):
+                if name.startswith("commit-") and name.endswith(".json"):
+                    self._resolve_journal(f"{self._work}/{name}")
         # crash-orphaned .tmp-<run_id> bucket trees leak a batch-sized copy
         # per crash; the batch replays, so they are always garbage
         _sweep_stale_tmp(self.path)
@@ -292,7 +303,7 @@ class BucketedUpsertSink:
         # newest first: if several snapshots of one bucket ever coexist, the
         # most recent wins and the rest are treated as completed-swap garbage
         names = sorted(
-            os.listdir(self._work),
+            (n for n in os.listdir(self._work) if ".old-" in n),
             key=lambda n: os.path.getmtime(f"{self._work}/{n}"),
             reverse=True,
         )
@@ -304,6 +315,75 @@ class BucketedUpsertSink:
             else:
                 os.makedirs(self.path, exist_ok=True)
                 os.rename(f"{self._work}/{name}", live)
+
+    # --- atomic multi-bucket commit -------------------------------------
+    # write() must be all-or-nothing across its touched buckets: a failure
+    # midway through the rename loop would otherwise leave SOME buckets
+    # with the batch applied, and a later at-least-once redelivery (DLQ
+    # replay carries no batch id) would fold those buckets twice.  The
+    # commit is journaled: roll BACK on any pre-commit-point failure (the
+    # failed write leaves state untouched, so the redelivered batch
+    # applies exactly once), roll the cleanup forward after it.
+
+    def _journal_path(self, run_id: str) -> str:
+        return f"{self._work}/commit-{run_id}.json"
+
+    def _resolve_journal(self, journal: str) -> None:
+        try:
+            with open(journal) as fh:
+                j = json.load(fh)
+        except (OSError, ValueError):
+            os.remove(journal)
+            return
+        tmp, run_id, buckets = j["tmp"], j["run_id"], j["buckets"]
+        if os.path.isdir(tmp):  # commit point not reached: roll back
+            for i in buckets:
+                live = self._bucket_dir(i)
+                old = f"{self._work}/bucket={i}.old-{run_id}"
+                if os.path.isdir(old):
+                    if os.path.isdir(live):  # live is the new version
+                        shutil.rmtree(live, ignore_errors=True)
+                    os.rename(old, live)
+                elif os.path.isdir(live) and not os.path.isdir(f"{tmp}/bucket={i}"):
+                    # bucket had no predecessor and its new version landed
+                    shutil.rmtree(live, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:  # commit point passed: finish the cleanup
+            for i in buckets:
+                shutil.rmtree(
+                    f"{self._work}/bucket={i}.old-{run_id}", ignore_errors=True
+                )
+        os.remove(journal)
+
+    def _commit_buckets(self, tmp: str, run_id: str, touched: list[int]) -> None:
+        """Publish every touched bucket from ``tmp`` atomically (journaled
+        two-phase rename; removing ``tmp`` is the commit point)."""
+        if not touched:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+        os.makedirs(self.path, exist_ok=True)
+        os.makedirs(self._work, exist_ok=True)
+        journal = self._journal_path(run_id)
+        with open(journal, "w") as fh:
+            json.dump({"tmp": tmp, "run_id": run_id, "buckets": touched}, fh)
+        try:
+            olds = []
+            for i in touched:
+                live = self._bucket_dir(i)
+                if os.path.isdir(live):
+                    old = f"{self._work}/bucket={i}.old-{run_id}"
+                    os.rename(live, old)
+                    olds.append(old)
+            for i in touched:
+                os.rename(f"{tmp}/bucket={i}", self._bucket_dir(i))
+        except BaseException:
+            self._resolve_journal(journal)  # tmp still exists -> rollback
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)  # commit point
+        for old in olds:
+            shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(journal):
+            os.remove(journal)
 
     def write(self, batch: DataFrame) -> None:
         """One fully executor-side merge job per micro-batch.
@@ -333,6 +413,8 @@ class BucketedUpsertSink:
         """
         # implementation split into _merged() so the plan tests can assert
         # the DPP subquery and exchange count without executing a write
+        if not batch.take(1):
+            return  # empty/poisoned micro-batch: skip the whole merge job
         self._recover()
         merged = self._merged(batch)
         run_id = uuid.uuid4().hex
@@ -343,38 +425,34 @@ class BucketedUpsertSink:
             for name in os.listdir(tmp)
             if name.startswith("bucket=")
         )
-        os.makedirs(self.path, exist_ok=True)
-        os.makedirs(self._work, exist_ok=True)
-        for i in touched:
-            src = f"{tmp}/bucket={i}"
-            live = self._bucket_dir(i)
-            old = f"{self._work}/bucket={i}.old-{run_id}"
-            if os.path.isdir(live):
-                os.rename(live, old)
-            os.rename(src, live)
-            shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+        self._commit_buckets(tmp, run_id, touched)
+
+    def _pruned_state_union(self, upd: DataFrame) -> DataFrame:
+        """(DPP-pruned live state ∪ upd): the live bucket= scan is
+        restricted to ``upd``'s buckets by a broadcast left-semi join whose
+        build side carries the DPP-triggering selective filter.  Shared by
+        the upsert and aggregate merges so the pruning recipe cannot
+        drift."""
+        have_state = os.path.isdir(self.path) and any(
+            n.startswith("bucket=") for n in os.listdir(self.path)
+        )
+        if not have_state:
+            return upd
+        touched_buckets = upd.select("bucket").distinct().filter(F.col("bucket") >= 0)
+        current = (
+            upd.sparkSession.read.parquet(self.path)
+            .join(F.broadcast(touched_buckets), "bucket", "leftsemi")
+            .select(*self._COLS, "bucket")
+        )
+        return current.unionByName(upd)
 
     def _merged(self, batch: DataFrame) -> DataFrame:
         """The merge plan: (DPP-pruned live state ∪ batch) → latest-per-pk,
         clustered by bucket in its single shuffle."""
-        spark = batch.sparkSession
         upd = batch.select(*self._COLS).withColumn(
             "bucket", F.pmod(F.hash("pk"), F.lit(self.n_buckets))
         )
-        have_state = os.path.isdir(self.path) and any(
-            n.startswith("bucket=") for n in os.listdir(self.path)
-        )
-        if have_state:
-            touched_buckets = upd.select("bucket").distinct().filter(F.col("bucket") >= 0)
-            current = (
-                spark.read.parquet(self.path)
-                .join(F.broadcast(touched_buckets), "bucket", "leftsemi")
-                .select(*self._COLS, "bucket")
-            )
-            allrows = current.unionByName(upd)
-        else:
-            allrows = upd
+        allrows = self._pruned_state_union(upd)
         w = Window.partitionBy("bucket").orderBy("pk", F.col("offset").desc())
         return (
             allrows.withColumn("_prev", F.lag("pk").over(w))
@@ -499,27 +577,26 @@ class BucketedAggregatingSink(BucketedUpsertSink):
     copy-on-write — a micro-batch reads and rewrites ONLY the buckets its
     keys hash into (the upgrade path AggregatingSink's docstring pins).
 
-    One shuffle per micro-batch, fully executor-side:
+    Fully executor-side per micro-batch:
       1. batch rows are SHAPED map-only into partial-aggregate form
          (n_events=1, value_sum=value, min=max=value, last_offset=offset)
-         — no separate batch aggregation pass; the merge's own map-side
-         partial aggregation does the combining,
+         — no separate batch aggregation pass; the merge aggregation's
+         own map-side partial combine reduces raw event rows to per-key
+         partials BEFORE anything crosses the wire,
       2. live state is restricted to touched buckets by the same
          broadcast-semi-join + dynamic-partition-pruning recipe as
          ``BucketedUpsertSink`` (untouched state never read, no driver
          round-trip),
-      3. the union repartitions by bucket once; the (bucket, pk) merge
-         aggregation rides that exchange (hash(bucket) satisfies the
-         clustered distribution on (bucket, pk), so the planner adds no
-         second exchange) and the partitioned write lands one file per
-         touched bucket,
+      3. the (bucket, pk) merge aggregation shuffles those per-key
+         partials once; a second, key-count-sized repartition clusters
+         the aggregated rows by bucket so the partitioned write lands
+         one file per touched bucket (events never cross a wire twice —
+         only combined rows do),
       4. redelivery fencing is PER BUCKET: each bucket dir carries its
          own ``_agg_meta`` (underscore-prefixed — parquet readers skip
-         it) committed atomically with the bucket's single rename, and a
-         replayed batch is filtered to the buckets that have not applied
-         it — so a crash midway through the rename loop replays exactly
-         the buckets that missed the batch, never double-counting the
-         ones that landed.
+         it) committed atomically with the bucket's rename inside the
+         journaled all-or-nothing ``_commit_buckets``, and a replayed
+         batch is filtered to the buckets that have not applied it.
     """
 
     wants_batch_id = True
@@ -533,7 +610,6 @@ class BucketedAggregatingSink(BucketedUpsertSink):
             return None
 
     def _merged(self, batch: DataFrame, batch_id: int | None = None) -> DataFrame:
-        spark = batch.sparkSession
         bucket = F.pmod(F.hash("pk"), F.lit(self.n_buckets))
         shaped = batch.select(
             "pk",
@@ -552,32 +628,25 @@ class BucketedAggregatingSink(BucketedUpsertSink):
             ]
             if fenced:
                 shaped = shaped.filter(~F.col("bucket").isin(fenced))
-        have_state = os.path.isdir(self.path) and any(
-            n.startswith("bucket=") for n in os.listdir(self.path)
+        # groupBy WITHOUT a prior repartition: the planner's map-side
+        # partial aggregate then combines raw event rows BEFORE the
+        # (bucket, pk) exchange, so the wire carries per-key partials, not
+        # events.  (An explicit repartition first would sit below the
+        # partial aggregate and ship every raw row.)  The second, tiny
+        # repartition clusters the already-aggregated rows by bucket so
+        # the partitioned write emits one file per touched bucket.
+        merged = self._pruned_state_union(shaped).groupBy("bucket", "pk").agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_sum").cast("decimal(18,2)").alias("value_sum"),
+            F.min("value_min").alias("value_min"),
+            F.max("value_max").alias("value_max"),
+            F.max("last_offset").alias("last_offset"),
         )
-        if have_state:
-            touched_buckets = shaped.select("bucket").distinct().filter(F.col("bucket") >= 0)
-            current = (
-                spark.read.parquet(self.path)
-                .join(F.broadcast(touched_buckets), "bucket", "leftsemi")
-                .select(*self._COLS, "bucket")
-            )
-            allrows = current.unionByName(shaped)
-        else:
-            allrows = shaped
-        return (
-            allrows.repartition(self.n_buckets, "bucket")
-            .groupBy("bucket", "pk")
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("value_sum").cast("decimal(18,2)").alias("value_sum"),
-                F.min("value_min").alias("value_min"),
-                F.max("value_max").alias("value_max"),
-                F.max("last_offset").alias("last_offset"),
-            )
-        )
+        return merged.repartition(self.n_buckets, "bucket")
 
     def write(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        if not batch.take(1):
+            return  # empty/poisoned micro-batch: skip the whole merge job
         self._recover()
         merged = self._merged(batch, batch_id)
         run_id = uuid.uuid4().hex
@@ -591,20 +660,11 @@ class BucketedAggregatingSink(BucketedUpsertSink):
             if name.startswith("bucket=")
         )
         if batch_id is not None:
+            # the fence travels inside each bucket dir, atomically with it
             for i in touched:
                 with open(f"{tmp}/bucket={i}/_agg_meta", "w") as fh:
                     fh.write(str(batch_id))
-        os.makedirs(self.path, exist_ok=True)
-        os.makedirs(self._work, exist_ok=True)
-        for i in touched:
-            src = f"{tmp}/bucket={i}"
-            live = self._bucket_dir(i)
-            old = f"{self._work}/bucket={i}.old-{run_id}"
-            if os.path.isdir(live):
-                os.rename(live, old)
-            os.rename(src, live)
-            shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+        self._commit_buckets(tmp, run_id, touched)
 
     def state(self, spark: SparkSession) -> DataFrame:
         """The live aggregate view (decimal sum surfaced as double)."""

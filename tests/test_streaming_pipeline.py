@@ -1123,11 +1123,11 @@ def test_bucketed_agg_rewrites_only_touched_buckets(spark, tmp_path):
             assert after[b] == before[b], f"{b} rewritten by an unrelated batch"
 
 
-def test_bucketed_agg_merge_plan_single_data_exchange(spark, tmp_path):
-    """The merge must shuffle the union exactly once (the bucket
-    repartition — hash(bucket) satisfies the (bucket, pk) aggregation's
-    distribution, so no second exchange) and carry the DPP subquery on
-    the state scan."""
+def test_bucketed_agg_merge_plan_is_executor_side(spark, tmp_path):
+    """The merge must (a) carry the DPP subquery on the state scan,
+    (b) combine raw event rows map-side BEFORE the (bucket, pk) exchange
+    (a partial HashAggregate below the shuffle — events never cross the
+    wire uncombined), and (c) shuffle nothing on a non-bucket key."""
     from cdc_platform_spark.streaming.pipeline import BucketedAggregatingSink, to_envelope
 
     env = to_envelope(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
@@ -1136,10 +1136,60 @@ def test_bucketed_agg_merge_plan_single_data_exchange(spark, tmp_path):
     merged = sink._merged(env.filter("pk = 1"), batch_id=1)
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "state scan lost its DPP filter"
+    # map-side combine: a partial-mode aggregate must appear (the planner
+    # renders partial aggregates with partial_ function prefixes)
+    assert "partial_sum" in plan, "map-side partial aggregation missing:\n" + plan[:2000]
     exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
-    # tiny bucket-distinct build side appears up to twice (broadcast + DPP
-    # instance); the union's only shuffle is the bucket repartition
-    assert len(exchanges) <= 3, "unexpected extra shuffle:\n" + "\n".join(exchanges)
+    # union shuffles: the (bucket, pk) aggregation exchange + the tiny
+    # post-aggregation bucket repartition; the bucket-distinct build side
+    # appears up to twice (broadcast + DPP instance)
+    assert len(exchanges) <= 4, "unexpected extra shuffle:\n" + "\n".join(exchanges)
     assert all("bucket" in ln for ln in exchanges), (
-        "a non-bucket-keyed exchange appeared (pk aggregation shuffle?):\n" + "\n".join(exchanges)
+        "a non-bucket-keyed exchange appeared:\n" + "\n".join(exchanges)
+    )
+
+
+def test_bucketed_commit_rolls_back_on_partial_failure(spark, tmp_path, monkeypatch):
+    """A failure midway through the multi-bucket rename loop must leave the
+    state exactly as before the write (all-or-nothing commit), so an
+    at-least-once redelivery — including a DLQ replay that carries no
+    batch id — applies the batch exactly once."""
+    import os as os_mod
+
+    from cdc_platform_spark.streaming import pipeline as pl
+
+    env = to_envelope(
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(300)
+    ).localCheckpoint(eager=True)
+    first = env.filter("seq % 2 = 0")
+    second = env.filter("seq % 2 = 1")
+    sink = pl.BucketedAggregatingSink(str(tmp_path / "s"), n_buckets=8)
+    sink.write(first, batch_id=0)
+    before = sorted(map(tuple, sink.state(spark).collect()))
+
+    real_rename = os_mod.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        # fail on the 3rd bucket-dir publication of the commit
+        if "/bucket=" in str(dst) and f"{tmp_path}/s/bucket=" in str(dst):
+            calls["n"] += 1
+            if calls["n"] == 3:
+                raise OSError("simulated rename failure (ENOSPC)")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(pl.os, "rename", failing_rename)
+    with pytest.raises(OSError, match="simulated"):
+        sink.write(second, batch_id=1)
+    monkeypatch.setattr(pl.os, "rename", real_rename)
+
+    # rollback: the failed write left NO trace
+    assert sorted(map(tuple, sink.state(spark).collect())) == before
+    # redelivery applies the batch exactly once
+    sink.write(second, batch_id=1)
+    ref = pl.BucketedAggregatingSink(str(tmp_path / "ref"), n_buckets=8)
+    ref.write(first, batch_id=0)
+    ref.write(second, batch_id=1)
+    assert sorted(map(tuple, sink.state(spark).collect())) == sorted(
+        map(tuple, ref.state(spark).collect())
     )
