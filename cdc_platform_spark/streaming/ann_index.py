@@ -23,10 +23,12 @@ Batch algebra per micro-batch (never rescans the corpus or the index):
   3. merge: latest row per vec_id by offset into the swapped state dir
      (same crash-recovery protocol as UpsertSink).
 
-``state()`` is the live inverted file; reading one cell's members is a
-partition-pruned scan when the state is laid out by cell — at this
-scale-in-miniature it is a single dir, the BucketedUpsertSink layout is
-the drop-in upgrade (bucket == cell).
+``state()`` is the live inverted file.  ``IvfIndexSink`` keeps it as a
+single swapped dir (test-scale); :class:`BucketedIvfIndexSink` IS the
+100 TB layout — the same assignment stage feeding
+``BucketedUpsertSink``'s collect-free per-bucket copy-on-write merge
+(DPP-pruned state scan, journaled atomic multi-bucket commit), so a
+micro-batch rewrites only the buckets its vectors hash into.
 """
 
 from __future__ import annotations
@@ -39,6 +41,7 @@ from pyspark.sql import functions as F
 
 from cdc_platform_spark.operators.dedup import dot_long
 from cdc_platform_spark.streaming.pipeline import (
+    BucketedUpsertSink,
     _commit_swap,
     _recover_swapped_dir,
 )
@@ -184,4 +187,43 @@ class IvfPqIndexSink(IvfIndexSink):
             spark.read.parquet(self.path)
             .filter(F.col("op") != "d")
             .select("vec_id", "cell", "codes")
+        )
+
+
+class BucketedIvfIndexSink(BucketedUpsertSink):
+    """The 100 TB storage form of :class:`IvfIndexSink`: the inverted file
+    partitioned by ``pmod(hash(vec_id), n_buckets)`` with per-bucket
+    copy-on-write — a micro-batch of embedding CDC reads and rewrites
+    only the buckets its vectors hash into, through the exact
+    collect-free machinery of ``BucketedUpsertSink`` (DPP-pruned state
+    semi-join, single bucket-keyed merge shuffle, journaled atomic
+    multi-bucket commit).  Only ``_updates`` differs: batch rows pass
+    through the broadcast-centroid assignment before the merge.
+
+    Identical semantics to IvfIndexSink (latest assignment per vec_id by
+    offset, delete tombstones retained); only the storage granularity
+    changes — asserted by the equivalence test.
+    """
+
+    _KEY = "vec_id"
+    _COLS = ["vec_id", "offset", "op", "cell"]
+
+    def __init__(self, path: str, centroids: DataFrame, n_buckets: int = 16) -> None:
+        BucketedUpsertSink.__init__(self, path, n_buckets)
+        self.cents = centroids.localCheckpoint(eager=True)
+
+    _assign = IvfIndexSink._assign
+
+    def _updates(self, batch: DataFrame) -> DataFrame:
+        return self._assign(batch).withColumn(
+            "bucket", F.pmod(F.hash(self._KEY), F.lit(self.n_buckets))
+        )
+
+    def state(self, spark: SparkSession) -> DataFrame:
+        """The live inverted file: (vec_id, cell), tombstones dropped."""
+        self._recover()
+        return (
+            spark.read.parquet(self.path)
+            .filter(F.col("op") != "d")
+            .select("vec_id", "cell")
         )

@@ -269,6 +269,7 @@ class BucketedUpsertSink:
     """
 
     _COLS = ["pk", "offset", "op", "event_type", "value"]
+    _KEY = "pk"  # merge key; subclasses may re-key (e.g. vec_id indexes)
 
     def __init__(self, path: str, n_buckets: int = 16) -> None:
         self.path = path
@@ -446,17 +447,23 @@ class BucketedUpsertSink:
         )
         return current.unionByName(upd)
 
-    def _merged(self, batch: DataFrame) -> DataFrame:
-        """The merge plan: (DPP-pruned live state ∪ batch) → latest-per-pk,
-        clustered by bucket in its single shuffle."""
-        upd = batch.select(*self._COLS).withColumn(
-            "bucket", F.pmod(F.hash("pk"), F.lit(self.n_buckets))
+    def _updates(self, batch: DataFrame) -> DataFrame:
+        """Batch rows shaped into state form + bucket column.  Overridable:
+        index sinks (streaming/ann_index.py) compute derived columns (cell
+        assignment) here while reusing the merge/commit machinery."""
+        return batch.select(*self._COLS).withColumn(
+            "bucket", F.pmod(F.hash(self._KEY), F.lit(self.n_buckets))
         )
-        allrows = self._pruned_state_union(upd)
-        w = Window.partitionBy("bucket").orderBy("pk", F.col("offset").desc())
+
+    def _merged(self, batch: DataFrame) -> DataFrame:
+        """The merge plan: (DPP-pruned live state ∪ batch) → latest row per
+        key, clustered by bucket in its single shuffle."""
+        allrows = self._pruned_state_union(self._updates(batch))
+        key = self._KEY
+        w = Window.partitionBy("bucket").orderBy(key, F.col("offset").desc())
         return (
-            allrows.withColumn("_prev", F.lag("pk").over(w))
-            .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("pk")))
+            allrows.withColumn("_prev", F.lag(key).over(w))
+            .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(key)))
             .drop("_prev")
         )
 

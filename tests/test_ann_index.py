@@ -144,3 +144,43 @@ def test_pq_codes_not_mixed_when_versions_share_a_batch(spark, tmp_path, trained
         mixed.state(spark).collect()[0]["codes"]
         == clean.state(spark).collect()[0]["codes"]
     )
+
+
+def test_bucketed_index_matches_flat_and_rewrites_only_touched(spark, tmp_path, trained):
+    """BucketedIvfIndexSink must equal IvfIndexSink's final state under any
+    batching, and a single-vector batch must leave every bucket its key
+    does not hash into physically untouched."""
+    import os
+
+    from cdc_platform_spark.streaming.ann_index import BucketedIvfIndexSink, IvfIndexSink
+
+    e, cents = trained
+    rows = _cdc_rows(e).localCheckpoint(eager=True)
+
+    flat = IvfIndexSink(str(tmp_path / "flat"), cents)
+    flat.write(rows)
+    expected = sorted(map(tuple, flat.state(spark).collect()))
+
+    bkt = BucketedIvfIndexSink(str(tmp_path / "bkt"), cents, n_buckets=8)
+    for k in range(3):
+        bkt.write(rows.filter(F.pmod(F.col("offset"), F.lit(3)) == k))
+    assert sorted(map(tuple, bkt.state(spark).collect())) == expected
+
+    def listing():
+        return {
+            b: sorted(os.listdir(f"{bkt.path}/{b}"))
+            for b in os.listdir(bkt.path)
+            if b.startswith("bucket=")
+        }
+
+    before = listing()
+    assert len(before) >= 4
+    one = rows.filter("op != 'd'").orderBy("vec_id").limit(1)
+    vid = one.collect()[0]["vec_id"]
+    touched = one.select(F.pmod(F.hash("vec_id"), F.lit(8)).alias("b")).collect()[0]["b"]
+    bkt.write(one.withColumn("offset", F.lit(10**9)))
+    after = listing()
+    assert after[f"bucket={touched}"] != before[f"bucket={touched}"], vid
+    for b in before:
+        if b != f"bucket={touched}":
+            assert after[b] == before[b], f"{b} rewritten by an unrelated vector"

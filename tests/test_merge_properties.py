@@ -210,6 +210,21 @@ def agg_oracle(events: list[tuple[int, int, str, int]]) -> dict[int, tuple]:
     return {pk: tuple(a) for pk, a in out.items()}
 
 
+@pytest.fixture(params=["flat", "bucketed"], ids=["flat", "bucketed"])
+def agg_sink_cls(request):
+    """Both fence shapes: AggregatingSink's whole-view _agg_meta and
+    BucketedAggregatingSink's per-bucket metas under the journaled
+    atomic commit — identical convergence contract."""
+    from cdc_platform_spark.streaming.pipeline import (
+        AggregatingSink,
+        BucketedAggregatingSink,
+    )
+
+    if request.param == "flat":
+        return AggregatingSink
+    return lambda path: BucketedAggregatingSink(path, n_buckets=4)
+
+
 @given(
     events=events_strategy,
     split_seed=st.integers(0, 2**16),
@@ -221,22 +236,21 @@ def agg_oracle(events: list[tuple[int, int, str, int]]) -> dict[int, tuple]:
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 def test_aggregating_sink_converges_under_any_batching(
-    spark, tmp_path_factory, mkdf, events, split_seed, n_batches
+    spark, tmp_path_factory, mkdf, events, split_seed, n_batches, agg_sink_cls
 ):
     """Incremental aggregate maintenance must reach the one-shot batch
     aggregate under ANY split of the log into micro-batches, with the
     just-committed batch optionally redelivered (at-least-once) — the
-    batch-id fence must make redelivery a no-op."""
+    batch-id fence (whole-view or per-bucket) must make redelivery a
+    no-op."""
     import random
-
-    from cdc_platform_spark.streaming.pipeline import AggregatingSink
 
     rng = random.Random(split_seed)
     batches: list[list] = [[] for _ in range(n_batches)]
     for ev in events:
         batches[rng.randrange(n_batches)].append(ev)
 
-    sink = AggregatingSink(str(tmp_path_factory.mktemp("aggprop") / "view"))
+    sink = agg_sink_cls(str(tmp_path_factory.mktemp("aggprop") / "view"))
     for bid, batch in enumerate(batches):
         if not batch:
             continue
