@@ -1273,3 +1273,55 @@ def sq_bucketed_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files_per_trigger=1,
     ).run_available_now()
     return sink.state(spark).orderBy("pk")
+
+
+@register(
+    "sq_join_view_stream",
+    category="streaming",
+    doc=(
+        "Incremental materialized JOIN maintenance as a driver-checkable "
+        "artifact: EnrichedJoinViewSink keeps facts ⋈ latest-dimension "
+        "consistent while BOTH sides change (each event is a fact AND a "
+        "dimension update for its key) — per micro-batch only the batch's "
+        "keys are retracted and re-derived (delta-join maintenance), so a "
+        "dimension update re-enriches its key's facts and a dimension "
+        "delete drops them, driven availableNow over 4 micro-batches. The "
+        "final view must equal the batch join of all facts against the "
+        "final latest-per-key dimension - which is what the oracle "
+        "computes."
+    ),
+    oracle=f"""
+        WITH env AS ({_ENV_SQL}),
+        latest AS (
+            SELECT pk, value, op,
+                   ROW_NUMBER() OVER (PARTITION BY pk ORDER BY "offset" DESC) AS rn
+            FROM env
+        ),
+        dim AS (SELECT pk, value FROM latest WHERE rn = 1 AND op <> 'd')
+        SELECT f.seq, f.pk, f.event_type,
+               f.value AS fact_value, d.value AS dim_value
+        FROM env f JOIN dim d ON f.pk = d.pk
+        ORDER BY f.seq
+    """,
+)
+def sq_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.streaming.join_view import EnrichedJoinViewSink
+    from cdc_platform_spark.streaming.pipeline import EVENTS_SCHEMA, to_envelope
+
+    work = _workdir("sq_joinview_")
+    src = _stage_chunks(spark, sf_dir, work)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = EnrichedJoinViewSink(f"{work}/jv")
+    q = (
+        to_envelope(stream)
+        .writeStream.foreachBatch(lambda b, _bid: sink.write(b))
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.view(spark).orderBy("seq")
