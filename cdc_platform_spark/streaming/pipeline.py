@@ -121,6 +121,18 @@ def _commit_swap(path: str, tmp: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def pruned_bucket_read(spark: SparkSession, path: str, buckets: DataFrame) -> DataFrame:
+    """Read a ``bucket=<i>`` partitioned state dir restricted to the given
+    buckets: broadcast LEFT SEMI join on the partition column, whose build
+    side carries the DPP-triggering selective filter (``bucket >= 0`` is
+    semantically a no-op — pmod is non-negative — but marks the build side
+    selective, which Spark's dynamic-partition-pruning insertion heuristic
+    requires).  THE pruning recipe, shared by every bucketed sink and
+    derived view so it cannot drift; untouched buckets are never read."""
+    pruned = buckets.select("bucket").distinct().filter(F.col("bucket") >= 0)
+    return spark.read.parquet(path).join(F.broadcast(pruned), "bucket", "leftsemi")
+
+
 def latest_per_key_merge(updates, current=None):
     """THE latest-per-key upsert algebra — one definition shared by
     UpsertSink and the lakehouse upsert sink (plans/compiler.py), so the
@@ -140,6 +152,8 @@ def latest_per_key_merge(updates, current=None):
 class AppendSink:
     """Append materialization with _cdc_* metadata (ref K3 append,
     sinks/iceberg.py:124-133). Idempotent read via `exactly_once_view`."""
+
+    is_idempotent = True  # duplicates are folded by exactly_once_view
 
     def __init__(self, path: str, fail_predicate: str | None = None) -> None:
         self.path = path
@@ -219,6 +233,8 @@ class UpsertSink:
     ``state()`` exposes the live (non-tombstone) view.
     """
 
+    is_idempotent = True  # keyed merge: replaying a batch cannot double-apply
+
     def __init__(self, path: str) -> None:
         self.path = path
 
@@ -268,6 +284,7 @@ class BucketedUpsertSink:
     directory, which is all a checkpointed pipeline needs.
     """
 
+    is_idempotent = True  # keyed merge: replaying a batch cannot double-apply
     _COLS = ["pk", "offset", "op", "event_type", "value"]
     _KEY = "pk"  # merge key; subclasses may re-key (e.g. vec_id indexes)
 
@@ -282,7 +299,7 @@ class BucketedUpsertSink:
     def _work(self) -> str:
         return f"{self.path}.work"
 
-    def _recover(self) -> None:
+    def _recover(self) -> bool:
         """Per-bucket crash recovery. Displaced snapshots live in a sibling
         ``.work`` dir (NOT inside the state dir, where partition discovery
         would try to parse them as bucket values).
@@ -291,16 +308,23 @@ class BucketedUpsertSink:
         interrupted commit is rolled back (its tmp dir still exists) or its
         leftover cleanup is completed (tmp gone => the commit point passed)
         — only then are legacy orphaned snapshots/tmp dirs swept, so the
-        sweep can never destroy a mid-commit tmp the rollback needs."""
+        sweep can never destroy a mid-commit tmp the rollback needs.
+
+        Returns True iff recovery may have CHANGED live bucket contents
+        (a journal was resolved or a displaced snapshot restored) — the
+        aggregate subclass invalidates its in-memory fence cache on that
+        signal instead of re-reading every ``_agg_meta`` per batch."""
+        changed = False
         if os.path.isdir(self._work):
             for name in sorted(os.listdir(self._work)):
                 if name.startswith("commit-") and name.endswith(".json"):
                     self._resolve_journal(f"{self._work}/{name}")
+                    changed = True
         # crash-orphaned .tmp-<run_id> bucket trees leak a batch-sized copy
         # per crash; the batch replays, so they are always garbage
         _sweep_stale_tmp(self.path)
         if not os.path.isdir(self._work):
-            return
+            return changed
         # newest first: if several snapshots of one bucket ever coexist, the
         # most recent wins and the rest are treated as completed-swap garbage
         names = sorted(
@@ -316,6 +340,8 @@ class BucketedUpsertSink:
             else:
                 os.makedirs(self.path, exist_ok=True)
                 os.rename(f"{self._work}/{name}", live)
+                changed = True
+        return changed
 
     # --- atomic multi-bucket commit -------------------------------------
     # write() must be all-or-nothing across its touched buckets: a failure
@@ -439,20 +465,24 @@ class BucketedUpsertSink:
         )
         if not have_state:
             return upd
-        touched_buckets = upd.select("bucket").distinct().filter(F.col("bucket") >= 0)
-        current = (
-            upd.sparkSession.read.parquet(self.path)
-            .join(F.broadcast(touched_buckets), "bucket", "leftsemi")
-            .select(*self._COLS, "bucket")
+        current = pruned_bucket_read(upd.sparkSession, self.path, upd).select(
+            *self._COLS, "bucket"
         )
         return current.unionByName(upd)
 
     def _updates(self, batch: DataFrame) -> DataFrame:
         """Batch rows shaped into state form + bucket column.  Overridable:
         index sinks (streaming/ann_index.py) compute derived columns (cell
-        assignment) here while reusing the merge/commit machinery."""
-        return batch.select(*self._COLS).withColumn(
-            "bucket", F.pmod(F.hash(self._KEY), F.lit(self.n_buckets))
+        assignment) here while reusing the merge/commit machinery.
+
+        Null-op rows are excluded for the same reason as
+        ``latest_per_key_merge``: a poison frame (undecodable, op NULL) at
+        the highest offset must not win the merge and erase its key from
+        the served view (``op != 'd'`` is NULL for it)."""
+        return (
+            batch.filter(F.col("op").isNotNull())
+            .select(*self._COLS)
+            .withColumn("bucket", F.pmod(F.hash(self._KEY), F.lit(self.n_buckets)))
         )
 
     def _merged(self, batch: DataFrame) -> DataFrame:
@@ -473,6 +503,42 @@ class BucketedUpsertSink:
         return (
             spark.read.parquet(self.path).filter(F.col("op") != "d").drop("bucket")
         )
+
+
+class _BucketStore(BucketedUpsertSink):
+    """The bucket-dir storage primitive ALONE — journaled all-or-nothing
+    multi-bucket commit, crash recovery, and DPP-pruned partial reads —
+    for derived views whose bucket contents are maintained by their own
+    algebra rather than a keyed latest-per-key merge (the band / pair /
+    join-view tables of streaming/dedup_index.py and join_view.py).
+    The inherited upsert merge methods (_updates/_merged/write/state) are
+    intentionally unused."""
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            n.startswith("bucket=") for n in os.listdir(self.path)
+        )
+
+    def read_buckets(self, spark: SparkSession, buckets: DataFrame) -> DataFrame:
+        """DPP-pruned read of the buckets named by ``buckets.bucket``."""
+        return pruned_bucket_read(spark, self.path, buckets)
+
+    def write_buckets(self, content: DataFrame) -> None:
+        """Copy-on-write publish: overwrite exactly the buckets present in
+        ``content`` through the journaled atomic commit.  A bucket whose
+        new content would be EMPTY must be represented by marker rows (the
+        views write retracted rows back with ``dead=true``) — partitioned
+        parquet cannot emit an empty partition dir, and an absent dir
+        would silently keep the bucket's stale rows live."""
+        run_id = uuid.uuid4().hex
+        tmp = f"{self.path}.tmp-{run_id}"
+        content.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        touched = sorted(
+            int(name.split("=", 1)[1])
+            for name in os.listdir(tmp)
+            if name.startswith("bucket=")
+        )
+        self._commit_buckets(tmp, run_id, touched)
 
 
 class AggregatingSink:
@@ -506,6 +572,11 @@ class AggregatingSink:
     """
 
     wants_batch_id = True
+    # an aggregate merge double-applies on out-of-band redelivery: the
+    # batch-id fence only covers checkpointed foreachBatch delivery, NOT
+    # DlqWriter.replay (which calls write() with no batch id) — replay
+    # into this sink requires purge=True
+    is_idempotent = False
     _COLS = ["pk", "n_events", "value_sum", "value_min", "value_max", "last_offset"]
 
     def __init__(self, path: str) -> None:
@@ -607,7 +678,25 @@ class BucketedAggregatingSink(BucketedUpsertSink):
     """
 
     wants_batch_id = True
+    # same replay caveat as AggregatingSink: the per-bucket fence does not
+    # apply to out-of-band (no-batch-id) replays
+    is_idempotent = False
     _COLS = AggregatingSink._COLS
+
+    def __init__(self, path: str, n_buckets: int = 16) -> None:
+        super().__init__(path, n_buckets)
+        # last-applied batch id per bucket, loaded from the _agg_meta files
+        # once and maintained in memory afterwards — the per-batch fence
+        # check is then driver-RAM, not O(n_buckets) file reads per batch.
+        # Invalidated whenever _recover() actually changed bucket contents
+        # (this sink is single-writer per state dir, like every swap sink).
+        self._meta_cache: dict[int, int] | None = None
+
+    def _recover(self) -> bool:
+        changed = super()._recover()
+        if changed:
+            self._meta_cache = None
+        return changed
 
     def _bucket_meta(self, i: int) -> int | None:
         try:
@@ -615,6 +704,15 @@ class BucketedAggregatingSink(BucketedUpsertSink):
                 return int(fh.read().strip())
         except (OSError, ValueError):
             return None
+
+    def _bucket_metas(self) -> dict[int, int]:
+        if self._meta_cache is None:
+            self._meta_cache = {
+                i: m
+                for i in range(self.n_buckets)
+                if (m := self._bucket_meta(i)) is not None
+            }
+        return self._meta_cache
 
     def _merged(self, batch: DataFrame, batch_id: int | None = None) -> DataFrame:
         bucket = F.pmod(F.hash("pk"), F.lit(self.n_buckets))
@@ -628,11 +726,23 @@ class BucketedAggregatingSink(BucketedUpsertSink):
             bucket.alias("bucket"),
         )
         if batch_id is not None:
-            fenced = [
-                i
-                for i in range(self.n_buckets)
-                if (m := self._bucket_meta(i)) is not None and batch_id <= m
-            ]
+            # cache says which buckets MIGHT fence this batch; in normal
+            # operation batch ids are monotonically increasing so this list
+            # is empty and NO meta file is read.  A positive fence decision
+            # (only reached on redelivery) is verified against disk before
+            # skipping the bucket — a crash window healed outside this
+            # process (partial rename rollback) must not be masked by a
+            # stale in-memory entry.
+            suspects = [i for i, m in self._bucket_metas().items() if batch_id <= m]
+            fenced = []
+            for i in suspects:
+                m = self._bucket_meta(i)
+                if m is None:
+                    self._meta_cache.pop(i, None)
+                    continue
+                self._meta_cache[i] = m
+                if batch_id <= m:
+                    fenced.append(i)
             if fenced:
                 shaped = shaped.filter(~F.col("bucket").isin(fenced))
         # groupBy WITHOUT a prior repartition: the planner's map-side
@@ -672,6 +782,9 @@ class BucketedAggregatingSink(BucketedUpsertSink):
                 with open(f"{tmp}/bucket={i}/_agg_meta", "w") as fh:
                     fh.write(str(batch_id))
         self._commit_buckets(tmp, run_id, touched)
+        if batch_id is not None and self._meta_cache is not None:
+            for i in touched:
+                self._meta_cache[i] = batch_id
 
     def state(self, spark: SparkSession) -> DataFrame:
         """The live aggregate view (decimal sum surfaced as double)."""
@@ -744,10 +857,12 @@ class DlqWriter:
 
         ``purge=True`` removes the replayed rows from the quarantine table
         after a successful sink write (two-rename swap), so a repeated
-        replay invocation is a no-op.  REQUIRED when the target sink's
-        write is not idempotent (AggregatingSink — its batch-id fence does
-        not apply to out-of-band replays); optional for idempotent sinks,
-        where it only keeps the quarantine table from re-sending.
+        replay invocation is a no-op.  REQUIRED when the target sink
+        declares ``is_idempotent = False`` (AggregatingSink and
+        BucketedAggregatingSink — their batch-id fences cover only
+        checkpointed foreachBatch delivery, not this out-of-band path,
+        which calls ``write`` with no batch id); optional for idempotent
+        sinks, where it only keeps the quarantine table from re-sending.
         """
         q = self.read(spark)
         if sink_id is not None:
