@@ -1199,12 +1199,15 @@ def _ann_index_pq_oracle() -> str:
         "per-subspace PQ codebooks are Lloyd-trained once on the base "
         "table and frozen, then the same embedding CDC stream as "
         "sq_ann_index_stream is driven availableNow through "
-        "IvfPqIndexSink — each micro-batch assigns cells AND encodes "
-        "8-byte PQ codes for ONLY its own vectors (broadcast codebooks, "
-        "exact-integer argmin), deletes tombstone, and the merged state is "
-        "the exact (cell, codes) artifact sim_ann_ivf_pq queries. The "
-        "final index must equal a from-scratch rebuild over the post-CDC "
-        "vectors (IVF assignment + PQ encode oracle)."
+        "BucketedIvfPqIndexSink — each micro-batch assigns cells AND "
+        "encodes 8-byte PQ codes for ONLY its own vectors (broadcast "
+        "codebooks, exact-integer argmin), deletes tombstone, and the "
+        "per-bucket copy-on-write merge (DPP-pruned state scan, journaled "
+        "atomic multi-bucket commit) rewrites only the buckets the batch's "
+        "vectors hash into — the 100 TB layout of the exact (cell, codes) "
+        "artifact sim_ann_ivf_pq queries. The final index must equal a "
+        "from-scratch rebuild over the post-CDC vectors (IVF assignment + "
+        "PQ encode oracle)."
     ),
     oracle=_ann_index_pq_oracle(),
 )
@@ -1218,7 +1221,7 @@ def sq_ann_index_pq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_ivf_centroids,
         train_pq_codebooks,
     )
-    from cdc_platform_spark.streaming.ann_index import IvfPqIndexSink
+    from cdc_platform_spark.streaming.ann_index import BucketedIvfPqIndexSink
 
     work = _workdir("sq_annpq_")
     e, stream = _stage_embedding_cdc(spark, sf_dir, work)
@@ -1227,9 +1230,123 @@ def sq_ann_index_pq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = seeds.withColumn(
         "code", (F.row_number().over(Window.orderBy("cent_id")) - 1).cast("long")
     )
-    sink = IvfPqIndexSink(f"{work}/index", train_ivf_centroids(e), codebooks, ranks)
+    sink = BucketedIvfPqIndexSink(
+        f"{work}/index", train_ivf_centroids(e), codebooks, ranks
+    )
     _run_index_stream(stream, sink, work)
     return sink.state(spark).orderBy("vec_id")
+
+
+def _ann_search_oracle() -> str:
+    """Oracle for sq_ann_search_from_index: the sim_ann_ivf search recipe
+    (frozen-quantizer probe + cell equi-join + exact cosine top-k)
+    evaluated over the POST-CDC corpus — exactly what serving from the
+    maintained index must equal."""
+    from cdc_platform_spark.operators.dedup import ORACLE_EMB_UNNEST
+    from cdc_platform_spark.operators.similarity import (
+        _CENT_FINAL,
+        _TRAIN_CTES,
+        _cent_hash,
+        DIM,
+        N_CELLS,
+        N_PROBE,
+        N_PROBES,
+        TOP_K,
+    )
+
+    return f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        norms AS (SELECT vec_id, SUM(v * v) AS n FROM u GROUP BY vec_id),
+        cents AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {N_CELLS}
+        ),
+        cu AS (SELECT u.* FROM u JOIN cents ON u.vec_id = cents.cent_id),
+        {_TRAIN_CTES},
+        ncf AS (SELECT cent_id, SUM(cv * cv) AS n FROM {_CENT_FINAL} GROUP BY cent_id),
+        final AS (
+            SELECT vec_id, i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 <> 0
+            UNION ALL
+            SELECT vec_id, {DIM} + 1 - i AS i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 = 0
+        ),
+        fnorms AS (SELECT vec_id, SUM(v * v) AS n FROM final GROUP BY vec_id),
+        fdots AS (
+            SELECT x.vec_id, c.cent_id, SUM(x.v * c.cv) AS d
+            FROM final x JOIN {_CENT_FINAL} c ON x.i = c.i
+            GROUP BY x.vec_id, c.cent_id
+        ),
+        fcos AS (
+            SELECT v.vec_id, v.cent_id, v.d / (sqrt(nx.n) * sqrt(nc.n)) AS c
+            FROM fdots v JOIN fnorms nx ON v.vec_id = nx.vec_id
+                         JOIN ncf nc ON v.cent_id = nc.cent_id
+        ),
+        assign AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT vec_id, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM fcos) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS qid, cent_id FROM (
+                SELECT vec_id, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM fcos) WHERE rn <= {N_PROBE} AND vec_id < {N_PROBES}
+        ),
+        cand AS (
+            SELECT DISTINCT p.qid, a.vec_id AS nid
+            FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+            WHERE a.vec_id <> p.qid
+        ),
+        dots AS (
+            SELECT c.qid, c.nid, SUM(x.v * y.v) AS d
+            FROM cand c JOIN final x ON x.vec_id = c.qid
+                        JOIN final y ON y.vec_id = c.nid AND y.i = x.i
+            GROUP BY c.qid, c.nid
+        ),
+        cos AS (
+            SELECT qid, nid, d / (sqrt(nq.n) * sqrt(nn.n)) AS c
+            FROM dots JOIN fnorms nq ON qid = nq.vec_id
+                      JOIN fnorms nn ON nid = nn.vec_id
+        )
+        SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid AS neighbor_id, c AS cosine
+        FROM (SELECT qid, nid, c, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk FROM cos)
+        WHERE rnk <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
+@register(
+    "sq_ann_search_from_index",
+    category="streaming",
+    doc=(
+        "ANN search served FROM the maintained index — the loop from index "
+        "maintenance to query answering, the actual production path: the "
+        "same embedding CDC stream as sq_ann_index_stream is driven "
+        "availableNow through BucketedIvfFlatIndexSink (inverted file with "
+        "the vectors co-located, per-bucket copy-on-write), then top-k "
+        "probes are answered from state() ALONE — probe cells via the "
+        "frozen broadcast centroids, candidates via the cell-probe "
+        "equi-join against the materialized inverted file, exact cosine "
+        "re-rank from the stored vectors. Results must equal the batch "
+        "sim_ann_ivf recipe evaluated over the post-CDC corpus."
+    ),
+    oracle=_ann_search_oracle(),
+)
+def sq_ann_search_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.operators.similarity import train_ivf_centroids
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        ivf_search_from_index,
+    )
+
+    work = _workdir("sq_annsearch_")
+    e, stream = _stage_embedding_cdc(spark, sf_dir, work)
+    cents = train_ivf_centroids(e)
+    sink = BucketedIvfFlatIndexSink(f"{work}/index", cents)
+    _run_index_stream(stream, sink, work)
+    return ivf_search_from_index(sink.state(spark), cents).orderBy("query_id", "rank")
 
 
 @register(

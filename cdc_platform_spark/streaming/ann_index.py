@@ -90,6 +90,8 @@ class IvfIndexSink:
         return assigned.select("vec_id", "offset", "op", "cell").unionByName(dels)
 
     def write(self, batch: DataFrame) -> None:
+        if not batch.take(1):
+            return  # empty/replayed-out micro-batch: skip the index merge
         _recover_swapped_dir(self.path)
         spark = batch.sparkSession
         updates = self._assign(batch)
@@ -141,7 +143,9 @@ class IvfPqIndexSink(IvfIndexSink):
             _l2_long,
         )
 
-        base = super()._assign(batch)  # (vec_id, offset, op, cell)
+        # explicit base-class call, not super(): the bucketed subclass
+        # borrows this method from OUTSIDE this class's MRO
+        base = IvfIndexSink._assign(self, batch)  # (vec_id, offset, op, cell)
         # key the whole encode path by (vec_id, offset), not vec_id alone:
         # a batch can legitimately carry several versions of one vector
         # (insert + update in the same chunk), and a vec_id-only grouping
@@ -227,3 +231,138 @@ class BucketedIvfIndexSink(BucketedUpsertSink):
             .filter(F.col("op") != "d")
             .select("vec_id", "cell")
         )
+
+
+class BucketedIvfPqIndexSink(BucketedIvfIndexSink):
+    """The 100 TB storage form of :class:`IvfPqIndexSink`: the full IVF-ADC
+    composite artifact — coarse cell AND 8-byte PQ code string per vector —
+    in the per-bucket copy-on-write layout.  Identical semantics to
+    IvfPqIndexSink (same frozen quantizer + codebooks, same per-batch
+    encode of ONLY the batch's vectors, latest per vec_id by offset,
+    delete tombstones retained); only the storage granularity changes —
+    a micro-batch rewrites only the buckets its vectors hash into
+    (DPP-pruned state scan, journaled atomic multi-bucket commit),
+    asserted by the flat-vs-bucketed equivalence test."""
+
+    _COLS = ["vec_id", "offset", "op", "cell", "codes"]
+
+    def __init__(
+        self,
+        path: str,
+        centroids: DataFrame,
+        codebooks: DataFrame,
+        ranks: DataFrame,
+        n_buckets: int = 16,
+    ) -> None:
+        BucketedIvfIndexSink.__init__(self, path, centroids, n_buckets)
+        self.codebooks = codebooks.localCheckpoint(eager=True)
+        self.ranks = ranks.localCheckpoint(eager=True)
+
+    _assign = IvfPqIndexSink._assign
+
+    def state(self, spark: SparkSession) -> DataFrame:
+        """The live composite index: (vec_id, cell, codes)."""
+        self._recover()
+        return (
+            spark.read.parquet(self.path)
+            .filter(F.col("op") != "d")
+            .select("vec_id", "cell", "codes")
+        )
+
+
+class BucketedIvfFlatIndexSink(BucketedIvfIndexSink):
+    """IVF-Flat in the bucketed layout: the inverted file stores the
+    VECTOR alongside its cell assignment — the serving artifact for
+    exact-rerank ANN (FAISS IndexIVFFlat's storage contract).  With the
+    vectors co-located in the index, :func:`ivf_search_from_index` can
+    answer top-k probes from the maintained state alone — no side lookup
+    against the source table, so search serves the post-CDC corpus the
+    instant a micro-batch commits.
+
+    Storage is bucketed by ``hash(vec_id)`` (the upsert merge key).  A
+    cell-partitioned read-optimized projection — the CQRS serving copy —
+    is a derived view over this state; the maintenance path must stay
+    keyed by vec_id because an update can MOVE a vector between cells,
+    which a cell-partitioned primary could not merge bucket-locally."""
+
+    _COLS = ["vec_id", "offset", "op", "cell", "a"]
+
+    def _assign(self, batch: DataFrame) -> DataFrame:
+        base = IvfIndexSink._assign(self, batch)  # (vec_id, offset, op, cell)
+        vecs = batch.filter(F.col("op") != "d").select("vec_id", "offset", "a")
+        # key by (vec_id, offset): several versions of one vector may share
+        # a batch; delete tombstones keep a NULL vector
+        return base.join(vecs, ["vec_id", "offset"], "left").select(*self._COLS)
+
+    def state(self, spark: SparkSession) -> DataFrame:
+        """The live IVF-Flat inverted file: (vec_id, cell, a)."""
+        self._recover()
+        return (
+            spark.read.parquet(self.path)
+            .filter(F.col("op") != "d")
+            .select("vec_id", "cell", "a")
+        )
+
+
+def ivf_search_from_index(state: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Serve ANN top-k FROM the maintained IVF-Flat index — the production
+    query path that index maintenance exists for (closing the loop of
+    reference J1/W2 state maintenance into a read view, the same
+    state()-serves-queries contract as the other sinks).
+
+    ``state`` is :meth:`BucketedIvfFlatIndexSink.state` (vec_id, cell, a);
+    probes are the index rows with ``vec_id < N_PROBES`` (the similarity
+    family's fixed probe set), scored with the similarity operators' exact
+    fixed-point cosine so index-served results are bit-identical to the
+    batch ``sim_ann_ivf`` recipe over the same corpus:
+
+      1. probe cells: broadcast the frozen centroid table over the (tiny)
+         probe set, window top-``N_PROBE`` cells per query,
+      2. candidates: probe-cells equi-joined against the inverted file on
+         ``cell`` — the IVF read, ~n/cells of the corpus per probe instead
+         of a full scan,
+      3. exact cosine re-rank from the vectors stored IN the index,
+         window top-``TOP_K`` per query.
+    """
+    from pyspark.sql import Window
+
+    from cdc_platform_spark.operators.similarity import N_PROBE, N_PROBES, TOP_K
+
+    st = state.withColumn("norm", dot_long(F.col("a"), F.col("a")))
+    pv = st.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("a").alias("qa"), F.col("norm").alias("qn")
+    )
+    pc = pv.crossJoin(F.broadcast(centroids)).select(
+        "qid",
+        "qa",
+        "qn",
+        "cent_id",
+        (dot_long(F.col("qa"), F.col("ca")) / (F.sqrt("qn") * F.sqrt("cn"))).alias("c"),
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cent_id"))
+    probes = (
+        pc.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("qid", "qa", "qn", F.col("cent_id").alias("cell"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nid"))
+    return (
+        probes.join(
+            st.select(F.col("vec_id").alias("nid"), "cell", F.col("a").alias("na"), F.col("norm").alias("nn")),
+            "cell",
+        )
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            (dot_long(F.col("qa"), F.col("na")) / (F.sqrt("qn") * F.sqrt("nn"))).alias("c"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("nid").alias("neighbor_id"),
+            F.col("c").alias("cosine"),
+        )
+    )

@@ -146,6 +146,119 @@ def test_pq_codes_not_mixed_when_versions_share_a_batch(spark, tmp_path, trained
     )
 
 
+def test_bucketed_pq_index_matches_flat_and_rewrites_only_touched(spark, tmp_path, trained, pq_trained):
+    """BucketedIvfPqIndexSink must equal IvfPqIndexSink's final (cell,
+    codes) state under any batching, and a single-vector batch must leave
+    every bucket its key does not hash into physically untouched."""
+    import os
+
+    from cdc_platform_spark.streaming.ann_index import BucketedIvfPqIndexSink, IvfPqIndexSink
+
+    e, _ = trained
+    cents, codebooks, ranks = pq_trained
+    rows = _cdc_rows(e).localCheckpoint(eager=True)
+
+    flat = IvfPqIndexSink(str(tmp_path / "flat"), cents, codebooks, ranks)
+    flat.write(rows)
+    expected = sorted(map(tuple, flat.state(spark).collect()))
+    assert expected and all(r[2].count(",") == 7 for r in expected)
+
+    bkt = BucketedIvfPqIndexSink(str(tmp_path / "bkt"), cents, codebooks, ranks, n_buckets=8)
+    for k in range(3):
+        bkt.write(rows.filter(F.pmod(F.col("offset"), F.lit(3)) == k))
+    assert sorted(map(tuple, bkt.state(spark).collect())) == expected
+
+    def listing():
+        return {
+            b: sorted(os.listdir(f"{bkt.path}/{b}"))
+            for b in os.listdir(bkt.path)
+            if b.startswith("bucket=")
+        }
+
+    before = listing()
+    assert len(before) >= 4
+    one = rows.filter("op != 'd'").orderBy("vec_id").limit(1)
+    touched = one.select(F.pmod(F.hash("vec_id"), F.lit(8)).alias("b")).collect()[0]["b"]
+    bkt.write(one.withColumn("offset", F.lit(10**9)))
+    after = listing()
+    assert after[f"bucket={touched}"] != before[f"bucket={touched}"]
+    for b in before:
+        if b != f"bucket={touched}":
+            assert after[b] == before[b], f"{b} rewritten by an unrelated vector"
+
+
+def test_flat_index_search_matches_batch_ivf_recipe(spark, tmp_path, trained):
+    """Search served FROM the maintained IVF-Flat index must equal the
+    batch sim_ann_ivf recipe (same frozen centroids) evaluated over the
+    post-CDC corpus — the index answers queries, not just rebuild diffs."""
+    from pyspark.sql import Window
+
+    from cdc_platform_spark.operators.dedup import dot_long
+    from cdc_platform_spark.operators.similarity import N_PROBE, N_PROBES, TOP_K
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        ivf_search_from_index,
+    )
+
+    e, cents = trained
+    rows = _cdc_rows(e).localCheckpoint(eager=True)
+    sink = BucketedIvfFlatIndexSink(str(tmp_path / "idx"), cents, n_buckets=8)
+    for k in range(3):
+        sink.write(rows.filter(F.pmod(F.col("offset"), F.lit(3)) == k))
+
+    got = sorted(map(tuple, ivf_search_from_index(sink.state(spark), cents).collect()))
+
+    # batch oracle: the live post-CDC vectors through the same IVF math
+    live = (
+        rows.groupBy("vec_id")
+        .agg(F.max_by(F.struct("offset", "op", "a"), F.col("offset")).alias("m"))
+        .select("vec_id", "m.op", "m.a")
+        .filter(F.col("op") != "d")
+        .withColumn("norm", dot_long(F.col("a"), F.col("a")))
+    )
+    vc = live.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        (dot_long(F.col("a"), F.col("ca")) / (F.sqrt("norm") * F.sqrt("cn"))).alias("c"),
+    )
+    assign = vc.groupBy("vec_id").agg(
+        F.max_by("cent_id", F.struct(F.col("c"), (-F.col("cent_id")).alias("t"))).alias("cell")
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cent_id"))
+    probes = (
+        vc.filter(F.col("vec_id") < N_PROBES)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("cell"))
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"))
+    )
+    q = live.select(F.col("vec_id").alias("qid"), F.col("a").alias("qa"), F.col("norm").alias("qn"))
+    n = live.select(F.col("vec_id").alias("nid"), F.col("a").alias("na"), F.col("norm").alias("nn"))
+    w_rank = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nid"))
+    expected = sorted(
+        map(
+            tuple,
+            cand.join(q, "qid")
+            .join(n, "nid")
+            .select(
+                "qid",
+                "nid",
+                (dot_long(F.col("qa"), F.col("na")) / (F.sqrt("qn") * F.sqrt("nn"))).alias("c"),
+            )
+            .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+            .filter(F.col("rank") <= TOP_K)
+            .select(F.col("qid").alias("query_id"), "rank", F.col("nid").alias("neighbor_id"), F.col("c").alias("cosine"))
+            .collect(),
+        )
+    )
+    assert expected, "probe set must be non-empty"
+    assert got == expected
+
+
 def test_bucketed_index_matches_flat_and_rewrites_only_touched(spark, tmp_path, trained):
     """BucketedIvfIndexSink must equal IvfIndexSink's final state under any
     batching, and a single-vector batch must leave every bucket its key
