@@ -1049,13 +1049,15 @@ def _dedup_index_oracle() -> str:
         "Incremental near-dup detection as a driver-checkable artifact: a "
         "document CDC stream - full insert wave, then updates (marker text "
         "appended, doc_id % 7 = 0) and deletes (doc_id % 11 = 3) - driven "
-        "availableNow through MinHashIndexSink, which maintains the LSH "
-        "signature index AND the verified pair view incrementally: each "
-        "micro-batch hashes ONLY its own documents, candidates come from "
-        "the batch's band rows probing the live index (pairs between "
-        "untouched documents are never re-derived), exact Jaccard runs on "
-        "candidates only, and updates/deletes retract their stale pairs. "
-        "The final pair view must equal the from-scratch batch "
+        "availableNow through BucketedMinHashIndexSink, which maintains "
+        "the LSH signature index, the band-bucketed probe view AND the "
+        "verified pair view incrementally in the per-bucket copy-on-write "
+        "layout: each micro-batch hashes ONLY its own documents, "
+        "candidates come from the batch's band rows probing ONLY the band "
+        "buckets they hash into (DPP-pruned scan, currency-checked "
+        "against the live index), exact Jaccard runs on candidates only, "
+        "and updates/deletes retract their stale pairs per-bucket. The "
+        "final pair view must equal the from-scratch batch "
         "dedup_minhash_lsh result over the live documents - which is what "
         "the oracle computes."
     ),
@@ -1064,7 +1066,7 @@ def _dedup_index_oracle() -> str:
 def sq_dedup_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from cdc_platform_spark.streaming.dedup_index import MinHashIndexSink
+    from cdc_platform_spark.streaming.dedup_index import BucketedMinHashIndexSink
 
     work = _workdir("sq_dedupidx_")
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
@@ -1095,7 +1097,7 @@ def sq_dedup_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    sink = MinHashIndexSink(f"{work}/dedup")
+    sink = BucketedMinHashIndexSink(f"{work}/dedup")
     _run_index_stream(stream, sink, work)
     return sink.pairs(spark).orderBy("doc_a", "doc_b")
 

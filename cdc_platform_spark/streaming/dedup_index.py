@@ -55,8 +55,11 @@ from cdc_platform_spark.operators.dedup import (
     shingles_col,
 )
 from cdc_platform_spark.streaming.pipeline import (
+    BucketedUpsertSink,
+    _BucketStore,
     _commit_swap,
     _recover_swapped_dir,
+    pruned_bucket_read,
 )
 
 _PAIR_SCHEMA = "doc_a long, doc_b long, n_common long, jaccard double"
@@ -76,6 +79,8 @@ class MinHashIndexSink:
         _recover_swapped_dir(self.pairs_path)
 
     def write(self, batch: DataFrame) -> None:
+        if not batch.take(1):
+            return  # empty/replayed-out micro-batch: both views unchanged
         self._recover()
         spark = batch.sparkSession
         run_id = uuid.uuid4().hex
@@ -166,3 +171,253 @@ class MinHashIndexSink:
         """The live near-dup pair view."""
         self._recover()
         return spark.read.parquet(self.pairs_path)
+
+
+class _SigIndexSink(BucketedUpsertSink):
+    """The LSH signature index in the bucketed copy-on-write layout:
+    latest (doc_id, offset, op, shingles, sig) per document, bucketed by
+    ``pmod(hash(doc_id), n)`` — same merge semantics as the flat index
+    (tombstones retained), batch rows arrive pre-shaped."""
+
+    _KEY = "doc_id"
+    _COLS = ["doc_id", "offset", "op", "shingles", "sig"]
+
+
+class BucketedMinHashIndexSink:
+    """The 100 TB form of :class:`MinHashIndexSink`: all three tables are
+    hash-bucketed with per-bucket copy-on-write through the journaled
+    atomic commit, and the per-batch candidate probe reads ONLY the band
+    buckets the batch's band keys hash into (dynamic partition pruning)
+    instead of exploding the full live index.
+
+    - **index/** — :class:`_SigIndexSink`: the signature index bucketed by
+      ``hash(doc_id)`` (latest-per-doc merge, tombstones retained).
+    - **bands/** — (doc_id, i, h) rows bucketed by ``hash(i, h)`` — the
+      probe-side layout: a batch band key lands in exactly one bucket.
+      Maintained as a SUPERSET of the current live band rows: each batch
+      adds its documents' rows and opportunistically drops touched
+      documents' stale rows from the buckets it rewrites anyway.  Stale
+      rows elsewhere are tolerated because every candidate is
+      currency-checked against the live index (``sig[i] == h`` for the
+      partner's CURRENT signature) before verification, so a stale band
+      row can never create or resurrect a pair — it is only dead weight
+      until its bucket's next rewrite (or a compaction pass at scale).
+      This is what keeps maintenance replay-idempotent WITHOUT reading
+      the pre-merge signatures: no crash window between the index and
+      bands commits can corrupt either.
+    - **pairs/** — the verified pair set stored as adjacency rows: each
+      pair (a, b) is TWO rows (k=a, o=b) and (k=b, o=a), bucketed by
+      ``hash(k)`` — so every pair touching a document is findable from
+      that document's bucket.  Retraction for a batch is per-bucket
+      copy-on-write: read the touched documents' buckets to learn their
+      partners, rewrite exactly the buckets of ``hash(touched) ∪
+      hash(partners) ∪ hash(fresh)``; retracted rows are written back
+      with ``dead=true`` so a bucket emptied by retraction still commits
+      (partitioned parquet cannot emit an empty dir) — dead rows are
+      filtered from the view and dropped on the bucket's next rewrite.
+
+    Final ``pairs()`` must equal the flat sink's (and the from-scratch
+    batch ``dedup_minhash_lsh``) result — asserted by the equivalence
+    test and the ``sq_dedup_index_stream`` driver oracle.
+    """
+
+    def __init__(self, path: str, n_buckets: int = 16) -> None:
+        self.index = _SigIndexSink(f"{path}/index", n_buckets)
+        self.bands = _BucketStore(f"{path}/bands", n_buckets)
+        self.pair_store = _BucketStore(f"{path}/pairs", n_buckets)
+        self.n_buckets = n_buckets
+        os.makedirs(path, exist_ok=True)
+
+    def _recover(self) -> None:
+        self.index._recover()
+        self.bands._recover()
+        self.pair_store._recover()
+
+    def _batch_rows(self, batch: DataFrame) -> DataFrame:
+        """Latest row per doc within the batch + signatures — the exact
+        expressions of the batch operator (shingles_col / minhash_sig_col)
+        so streamed and batch signatures can never drift."""
+        latest = (
+            batch.filter(F.col("op").isNotNull())
+            .groupBy("doc_id")
+            .agg(F.max_by(F.struct("offset", "op", "text"), F.col("offset")).alias("m"))
+            .select("doc_id", "m.offset", "m.op", "m.text")
+        )
+        sh = F.when(
+            F.col("op") != "d", shingles_col(F.split(F.col("text"), " "))
+        ).otherwise(F.array().cast("array<string>"))
+        return latest.select("doc_id", "offset", "op", sh.alias("shingles")).withColumn(
+            "sig",
+            F.when(
+                F.size("shingles") > 0,
+                minhash_sig_col(F.transform(F.col("shingles"), lambda s: md5_60bit(s))),
+            ),
+        )
+
+    def write(self, batch: DataFrame) -> None:
+        if not batch.take(1):
+            return  # empty/replayed-out micro-batch: all three views unchanged
+        self._recover()
+        spark = batch.sparkSession
+        nb = F.lit(self.n_buckets)
+
+        rows = self._batch_rows(batch).persist()
+        persisted = [rows]
+        try:
+            touched = rows.select("doc_id")  # distinct by construction
+
+            # 1. signature index: per-bucket copy-on-write keyed merge
+            self.index.write(rows)
+
+            # 2. the batch docs' POST-MERGE rows (an out-of-order batch may
+            # carry an older version than the index already holds; pairs
+            # must re-derive from what actually won the merge) — DPP-pruned
+            # to the touched docs' index buckets
+            tb = touched.select(F.pmod(F.hash("doc_id"), nb).alias("bucket"))
+            batch_live = (
+                pruned_bucket_read(spark, self.index.path, tb)
+                .join(F.broadcast(touched), "doc_id", "leftsemi")
+                .filter((F.col("op") != "d") & (F.size("shingles") > 0))
+                .persist()
+            )
+            persisted.append(batch_live)
+
+            # 3. bands: add the batch docs' current band rows;
+            # opportunistically drop touched docs' stale rows from the
+            # buckets this batch rewrites anyway
+            bb = (
+                batch_live.select("doc_id", F.posexplode("sig").alias("i", "h"))
+                .withColumn("bucket", F.pmod(F.hash("i", "h"), nb))
+                .persist()
+            )
+            persisted.append(bb)
+            band_content = bb.select("doc_id", "i", "h", "bucket")
+            if self.bands.exists():
+                surviving_bands = (
+                    self.bands.read_buckets(spark, bb)
+                    .join(F.broadcast(touched), "doc_id", "leftanti")
+                    .select("doc_id", "i", "h", "bucket")
+                )
+                band_content = surviving_bands.unionByName(band_content)
+            # an empty band_content writes no bucket dirs and the commit
+            # no-ops, so no emptiness pre-check job is needed
+            self.bands.write_buckets(
+                band_content.repartition(self.n_buckets, "bucket")
+            )
+
+            # 4. candidate probe: batch band rows vs the band view pruned
+            # to THEIR buckets (the DPP partition filter the plan test
+            # asserts), currency-checked against the live index so stale
+            # band rows cannot create candidates the batch LSH would not
+            live = spark.read.parquet(self.index.path).filter(
+                (F.col("op") != "d") & (F.size("shingles") > 0)
+            )
+            others = live.select(
+                F.col("doc_id").alias("other_id"),
+                F.col("bucket").alias("ob"),
+                F.col("sig").alias("osig"),
+                F.col("shingles").alias("osh"),
+            )
+            if self.bands.exists():
+                lb = self.bands.read_buckets(spark, bb).select(
+                    F.col("doc_id").alias("other_id"), "i", "h", "bucket"
+                )
+            else:  # first batch was all deletes: nothing to probe
+                lb = spark.createDataFrame([], "other_id long, i int, h long, bucket int")
+            cand = (
+                bb.join(lb, ["bucket", "i", "h"])
+                .filter(F.col("doc_id") != F.col("other_id"))
+                .withColumn("ob", F.pmod(F.hash("other_id"), nb))
+                .join(others.select("other_id", "ob", "osig"), ["other_id", "ob"])
+                .filter(F.element_at("osig", (F.col("i") + 1).cast("int")) == F.col("h"))
+                .select("doc_id", "other_id")
+                .distinct()
+            )
+
+            # 5. exact Jaccard verification on candidates only
+            ver = (
+                cand.join(batch_live.select("doc_id", F.col("shingles").alias("sh")), "doc_id")
+                .withColumn("ob", F.pmod(F.hash("other_id"), nb))
+                .join(others.select("other_id", "ob", "osh"), ["other_id", "ob"])
+            )
+            ni = F.size(F.array_intersect(F.col("sh"), F.col("osh")))
+            jac = ni.cast("double") / (F.size("sh") + F.size("osh") - ni)
+            fresh = (
+                ver.withColumn("n_common", ni.cast("long"))
+                .withColumn("jaccard", jac)
+                .filter(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
+                .select(F.col("doc_id").alias("k"), F.col("other_id").alias("o"), "n_common", "jaccard")
+            )
+            # both adjacency orientations; a batch-batch pair arises once
+            # per endpoint, so the mirror union double-counts it — distinct
+            # folds the copies (jaccard math is symmetric, values identical)
+            fresh_rows = (
+                fresh.unionByName(
+                    fresh.select(
+                        F.col("o").alias("k"), F.col("k").alias("o"), "n_common", "jaccard"
+                    )
+                )
+                .distinct()
+                .withColumn("bucket", F.pmod(F.hash("k"), nb))
+                .withColumn("dead", F.lit(False))
+            )
+
+            # 6. pair view: retract everything touching a batch doc, add
+            # the fresh rows — per-bucket copy-on-write over exactly
+            # hash(touched) ∪ hash(partners) ∪ hash(fresh)
+            pair_content = fresh_rows
+            if self.pair_store.exists():
+                t_rows = (
+                    self.pair_store.read_buckets(spark, tb)
+                    .filter(~F.col("dead"))
+                    .join(
+                        F.broadcast(touched.withColumnRenamed("doc_id", "k")),
+                        "k",
+                        "leftsemi",
+                    )
+                )
+                partner_buckets = t_rows.select(
+                    F.pmod(F.hash("o"), nb).alias("bucket")
+                )
+                all_buckets = (
+                    tb.unionByName(partner_buckets)
+                    .unionByName(fresh_rows.select("bucket"))
+                    .distinct()
+                )
+                tk = F.broadcast(
+                    touched.select(F.col("doc_id").alias("k"), F.lit(True).alias("_tk"))
+                )
+                to = F.broadcast(
+                    touched.select(F.col("doc_id").alias("o"), F.lit(True).alias("_to"))
+                )
+                existing = (
+                    self.pair_store.read_buckets(spark, all_buckets)
+                    .filter(~F.col("dead"))
+                    .join(tk, "k", "left")
+                    .join(to, "o", "left")
+                    # retracted rows stay as dead markers so a bucket
+                    # emptied by retraction still commits its rewrite
+                    .withColumn("dead", F.col("_tk").isNotNull() | F.col("_to").isNotNull())
+                    .select("k", "o", "n_common", "jaccard", "dead", "bucket")
+                )
+                pair_content = existing.unionByName(fresh_rows)
+            self.pair_store.write_buckets(
+                pair_content.repartition(self.n_buckets, "bucket")
+            )
+        finally:
+            for df in persisted:
+                df.unpersist()
+
+    def pairs(self, spark: SparkSession) -> DataFrame:
+        """The live near-dup pair view (canonical doc_a < doc_b rows)."""
+        self._recover()
+        if not self.pair_store.exists():
+            return spark.createDataFrame([], _PAIR_SCHEMA)
+        return (
+            spark.read.parquet(self.pair_store.path)
+            .filter(~F.col("dead"))
+            .filter(F.col("k") < F.col("o"))
+            .select(
+                F.col("k").alias("doc_a"), F.col("o").alias("doc_b"), "n_common", "jaccard"
+            )
+        )

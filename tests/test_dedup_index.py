@@ -113,3 +113,142 @@ def test_index_and_pair_views_recover_from_crash_window(spark, tmp_path, cdc_row
     reference = MinHashIndexSink(str(tmp_path / "ref"))
     reference.write(cdc_rows)
     assert _pairs(sink, spark) == _pairs(reference, spark)
+
+
+def test_bucketed_pair_view_matches_flat_under_any_batching(spark, tmp_path, cdc_rows):
+    """BucketedMinHashIndexSink must produce the flat sink's exact pair
+    view under any micro-batch split, and a replayed batch must be a
+    no-op (at-least-once delivery)."""
+    from cdc_platform_spark.streaming.dedup_index import (
+        BucketedMinHashIndexSink,
+        MinHashIndexSink,
+    )
+
+    flat = MinHashIndexSink(str(tmp_path / "flat"))
+    flat.write(cdc_rows)
+    expected = _pairs(flat, spark)
+    assert expected, "smoke fixture must produce near-dup pairs"
+
+    bkt = BucketedMinHashIndexSink(str(tmp_path / "bkt"), n_buckets=8)
+    batches = [cdc_rows.filter(F.pmod(F.col("offset"), F.lit(3)) == k) for k in range(3)]
+    for b in batches:
+        bkt.write(b)
+    assert _pairs(bkt, spark) == expected
+    bkt.write(batches[1])  # replay: retract + re-derive must converge
+    assert _pairs(bkt, spark) == expected
+
+
+def test_bucketed_deletes_and_updates_retract_stale_pairs(spark, tmp_path, cdc_rows):
+    from cdc_platform_spark.streaming.dedup_index import BucketedMinHashIndexSink
+
+    sink = BucketedMinHashIndexSink(str(tmp_path / "idx"), n_buckets=8)
+    sink.write(cdc_rows.filter(F.col("op") == "c"))
+    deleted = {r["doc_id"] for r in cdc_rows.filter(F.col("op") == "d").collect()}
+    before = sink.pairs(spark)
+    assert before.filter(
+        F.col("doc_a").isin(deleted) | F.col("doc_b").isin(deleted)
+    ).count() > 0
+    sink.write(cdc_rows.filter(F.col("op") != "c"))
+    after = sink.pairs(spark)
+    assert (
+        after.filter(F.col("doc_a").isin(deleted) | F.col("doc_b").isin(deleted)).count()
+        == 0
+    )
+
+
+def test_bucketed_probe_is_pruned_and_untouched_buckets_stay(spark, tmp_path, cdc_rows):
+    """The 100 TB contract: (a) the candidate probe's band scan carries a
+    dynamic-partition-pruning subquery (a micro-batch never explodes the
+    full live index), (b) a single-document batch leaves index and pair
+    buckets it does not touch physically identical on disk."""
+    import os
+
+    from cdc_platform_spark.streaming.dedup_index import BucketedMinHashIndexSink
+
+    nb = 8
+    sink = BucketedMinHashIndexSink(str(tmp_path / "idx"), n_buckets=nb)
+    sink.write(cdc_rows.filter(F.col("op") == "c"))
+
+    def listing(path):
+        return {
+            b: sorted(os.listdir(f"{path}/{b}"))
+            for b in os.listdir(path)
+            if b.startswith("bucket=")
+        }
+
+    idx_before = listing(sink.index.path)
+    pairs_before = listing(sink.pair_store.path)
+    assert len(idx_before) >= 4 and len(pairs_before) >= 2
+
+    # DPP assert on the probe recipe itself
+    one_band = spark.createDataFrame([(0,)], "bucket int")
+    plan = (
+        sink.bands.read_buckets(spark, one_band)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower(), (
+        "band probe lost its DPP partition filter — every micro-batch "
+        "would rescan the full band table"
+    )
+
+    one = cdc_rows.filter((F.col("op") == "c") & (F.col("doc_id") == 0)).withColumn(
+        "offset", F.lit(10**9)
+    )
+    assert one.count() == 1
+    sink.write(one)
+
+    idx_after = listing(sink.index.path)
+    touched_idx = one.select(F.pmod(F.hash("doc_id"), F.lit(nb)).alias("b")).collect()[0]["b"]
+    assert idx_after[f"bucket={touched_idx}"] != idx_before[f"bucket={touched_idx}"]
+    for b in idx_before:
+        if b != f"bucket={touched_idx}":
+            assert idx_after[b] == idx_before[b], f"index {b} rewritten by an unrelated doc"
+
+    # pair buckets beyond hash(touched ∪ partners ∪ fresh) stay identical;
+    # with one doc touched there must be at least one untouched bucket
+    pairs_after = listing(sink.pair_store.path)
+    unchanged = [b for b in pairs_before if pairs_after.get(b) == pairs_before[b]]
+    assert unchanged, "a single-doc batch rewrote every pair bucket"
+
+
+def test_bucketed_crash_window_heals(spark, tmp_path, cdc_rows):
+    """A crash mid-commit on any of the three stores (journal left behind)
+    must roll back, and the batch replay must converge to the reference."""
+    import json
+    import os
+    import shutil as sh
+
+    from cdc_platform_spark.streaming.dedup_index import (
+        BucketedMinHashIndexSink,
+        MinHashIndexSink,
+    )
+
+    sink = BucketedMinHashIndexSink(str(tmp_path / "idx"), n_buckets=8)
+    first = cdc_rows.filter(F.pmod(F.col("offset"), F.lit(2)) == 0)
+    second = cdc_rows.filter(F.pmod(F.col("offset"), F.lit(2)) == 1)
+    sink.write(first)
+    expected_pairs = _pairs(sink, spark)
+
+    # simulate an interrupted pair-store commit: displace one live bucket
+    # into .work with a journal claiming the commit never reached its point
+    store = sink.pair_store
+    buckets = [b for b in os.listdir(store.path) if b.startswith("bucket=")]
+    victim = sorted(buckets)[0]
+    i = int(victim.split("=", 1)[1])
+    os.makedirs(store._work, exist_ok=True)
+    tmp = f"{store.path}.tmp-deadbeef"
+    os.makedirs(f"{tmp}/bucket={i}")
+    os.rename(f"{store.path}/{victim}", f"{store._work}/bucket={i}.old-deadbeef")
+    with open(store._journal_path("deadbeef"), "w") as fh:
+        json.dump({"tmp": tmp, "run_id": "deadbeef", "buckets": [i]}, fh)
+    sh.copytree(f"{store._work}/bucket={i}.old-deadbeef", f"{store.path}/{victim}")
+
+    assert _pairs(sink, spark) == expected_pairs  # read-side recovery
+    sink.write(first)  # replay is a no-op
+    assert _pairs(sink, spark) == expected_pairs
+    sink.write(second)
+    reference = MinHashIndexSink(str(tmp_path / "ref"))
+    reference.write(cdc_rows)
+    assert _pairs(sink, spark) == _pairs(reference, spark)
