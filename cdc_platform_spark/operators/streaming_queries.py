@@ -1399,15 +1399,16 @@ def sq_bucketed_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="streaming",
     doc=(
         "Incremental materialized JOIN maintenance as a driver-checkable "
-        "artifact: EnrichedJoinViewSink keeps facts ⋈ latest-dimension "
+        "artifact: BucketedJoinViewSink keeps facts ⋈ latest-dimension "
         "consistent while BOTH sides change (each event is a fact AND a "
         "dimension update for its key) — per micro-batch only the batch's "
-        "keys are retracted and re-derived (delta-join maintenance), so a "
-        "dimension update re-enriches its key's facts and a dimension "
-        "delete drops them, driven availableNow over 4 micro-batches. The "
-        "final view must equal the batch join of all facts against the "
-        "final latest-per-key dimension - which is what the oracle "
-        "computes."
+        "keys are retracted and re-derived (delta-join maintenance), and "
+        "all three tables (facts, dim, view) are pk-bucketed with "
+        "per-bucket copy-on-write + DPP-pruned reads, so the batch "
+        "rewrites only the buckets its keys hash into, driven "
+        "availableNow over 4 micro-batches. The final view must equal the "
+        "batch join of all facts against the final latest-per-key "
+        "dimension - which is what the oracle computes."
     ),
     oracle=f"""
         WITH env AS ({_ENV_SQL}),
@@ -1424,7 +1425,7 @@ def sq_bucketed_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sq_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdc_platform_spark.streaming.join_view import EnrichedJoinViewSink
+    from cdc_platform_spark.streaming.join_view import BucketedJoinViewSink
     from cdc_platform_spark.streaming.pipeline import EVENTS_SCHEMA, to_envelope
 
     work = _workdir("sq_joinview_")
@@ -1434,7 +1435,7 @@ def sq_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    sink = EnrichedJoinViewSink(f"{work}/jv")
+    sink = BucketedJoinViewSink(f"{work}/jv")
     q = (
         to_envelope(stream)
         .writeStream.foreachBatch(lambda b, _bid: sink.write(b))

@@ -47,11 +47,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_platform_spark.streaming.pipeline import (
+    BucketedUpsertSink,
+    _BucketStore,
     _commit_swap,
     _recover_swapped_dir,
+    pruned_bucket_read,
 )
 
 _VIEW_COLS = ["seq", "pk", "event_type", "fact_value", "dim_value"]
+_VIEW_SCHEMA = "seq long, pk long, event_type string, fact_value double, dim_value double"
+
+
+def _has_buckets(path: str) -> bool:
+    return os.path.isdir(path) and any(n.startswith("bucket=") for n in os.listdir(path))
 
 
 class EnrichedJoinViewSink:
@@ -68,7 +76,9 @@ class EnrichedJoinViewSink:
             _recover_swapped_dir(p)
 
     def write(self, batch: DataFrame) -> None:
-        if not batch.take(1):
+        # isEmpty, not take(1): on the pipeline's persisted batch it scans
+        # an empty projection of the cached rows — the cheapest guard job
+        if batch.isEmpty():
             return  # empty/poisoned micro-batch: all three tables unchanged
         self._recover()
         spark = batch.sparkSession
@@ -143,3 +153,130 @@ class EnrichedJoinViewSink:
         """The live enriched view."""
         self._recover()
         return spark.read.parquet(self.view_path).select(*_VIEW_COLS)
+
+
+class _FactsSink(BucketedUpsertSink):
+    """The fact log in the bucketed layout: keyed by ``seq`` (idempotent
+    replay dedup) but BUCKETED by ``hash(pk)`` — co-located with the
+    dimension key so the view re-derive for a batch's keys prunes to their
+    buckets.  All rows of one seq share its pk, so the per-bucket
+    latest-per-seq merge stays bucket-local."""
+
+    _KEY = "seq"
+    _COLS = ["seq", "offset", "pk", "op", "event_type", "value"]
+
+    def _updates(self, batch: DataFrame) -> DataFrame:
+        # every envelope row is a fact (op is the dimension's concern, and
+        # the flat sink/oracle enrich facts regardless of op) — bucket by
+        # pk, NOT the merge key
+        return batch.select(*self._COLS).withColumn(
+            "bucket", F.pmod(F.hash("pk"), F.lit(self.n_buckets))
+        )
+
+
+class _DimSink(BucketedUpsertSink):
+    """The dimension in the standard bucketed-upsert layout: latest per pk
+    by offset, tombstones retained, bucketed by ``hash(pk)``."""
+
+    _KEY = "pk"
+    _COLS = ["pk", "offset", "op", "value"]
+
+
+class BucketedJoinViewSink:
+    """The 100 TB form of :class:`EnrichedJoinViewSink`: facts/, dim/ and
+    view/ are all hash-bucketed by ``pk`` with per-bucket copy-on-write —
+    a micro-batch reads and rewrites ONLY the buckets its keys hash into,
+    in all three tables, through the journaled atomic multi-bucket commit
+    (exactly the upgrade the flat sink's docstring plans).
+
+    Batch algebra is unchanged (delta-join maintenance: retract +
+    re-derive for the batch's keys only); what changes is that every step
+    is bucket-pruned:
+      1. facts' and dim' merge through ``BucketedUpsertSink`` (DPP-pruned
+         state scan, one bucket-keyed exchange each),
+      2. the re-derive reads facts' and dim' restricted to the TOUCHED
+         pk buckets (broadcast-semi DPP prune) then semi-joined to the
+         touched keys,
+      3. the view rewrite touches only the touched pk buckets: surviving
+         rows keep their bucket, retracted rows are written back with
+         ``dead=true`` so a bucket whose every row was retracted still
+         commits (partitioned parquet cannot emit an empty dir); dead
+         rows are filtered from the view and dropped on the bucket's
+         next rewrite.
+
+    Crash between the three commits heals exactly as the flat sink: the
+    replayed batch re-runs idempotent keyed merges and a deterministic
+    view re-derive."""
+
+    def __init__(self, path: str, n_buckets: int = 16) -> None:
+        self.facts = _FactsSink(f"{path}/facts", n_buckets)
+        self.dim = _DimSink(f"{path}/dim", n_buckets)
+        self.view_store = _BucketStore(f"{path}/view", n_buckets)
+        self.n_buckets = n_buckets
+        os.makedirs(path, exist_ok=True)
+
+    def _recover(self) -> None:
+        self.facts._recover()
+        self.dim._recover()
+        self.view_store._recover()
+
+    def write(self, batch: DataFrame) -> None:
+        if batch.isEmpty():
+            return  # empty/poisoned micro-batch: all three tables unchanged
+        self._recover()
+        spark = batch.sparkSession
+        nb = F.lit(self.n_buckets)
+        rows = batch.select("seq", "offset", "pk", "op", "event_type", "value").persist()
+        try:
+            # 1-2. keyed merges, per-bucket copy-on-write
+            self.facts.write(rows)
+            self.dim.write(rows)
+
+            # 3-4. view: retract + re-derive for the batch's keys only,
+            # reading facts'/dim' pruned to the touched pk buckets
+            touched = rows.select("pk").distinct()
+            tb = touched.select(F.pmod(F.hash("pk"), nb).alias("bucket"))
+            fresh = spark.createDataFrame([], _VIEW_SCHEMA)
+            if _has_buckets(self.facts.path) and _has_buckets(self.dim.path):
+                f_state = pruned_bucket_read(spark, self.facts.path, tb).join(
+                    F.broadcast(touched), "pk", "leftsemi"
+                )
+                d_live = (
+                    pruned_bucket_read(spark, self.dim.path, tb)
+                    .join(F.broadcast(touched), "pk", "leftsemi")
+                    .filter(F.col("op") != "d")
+                    .select("pk", F.col("value").alias("dim_value"))
+                )
+                fresh = f_state.join(d_live, "pk").select(
+                    "seq", "pk", "event_type", F.col("value").alias("fact_value"), "dim_value"
+                )
+            fresh = fresh.withColumn("bucket", F.pmod(F.hash("pk"), nb)).withColumn(
+                "dead", F.lit(False)
+            )
+            content = fresh
+            if self.view_store.exists():
+                tkey = F.broadcast(touched.withColumn("_t", F.lit(True)))
+                existing = (
+                    self.view_store.read_buckets(spark, tb)
+                    .filter(~F.col("dead"))
+                    .join(tkey, "pk", "left")
+                    # retracted rows stay as dead markers so an
+                    # all-retracted bucket still commits its rewrite
+                    .withColumn("dead", F.col("_t").isNotNull())
+                    .select(*_VIEW_COLS, "dead", "bucket")
+                )
+                content = existing.unionByName(fresh)
+            self.view_store.write_buckets(content.repartition(self.n_buckets, "bucket"))
+        finally:
+            rows.unpersist()
+
+    def view(self, spark: SparkSession) -> DataFrame:
+        """The live enriched view."""
+        self._recover()
+        if not self.view_store.exists():
+            return spark.createDataFrame([], _VIEW_SCHEMA)
+        return (
+            spark.read.parquet(self.view_store.path)
+            .filter(~F.col("dead"))
+            .select(*_VIEW_COLS)
+        )
