@@ -408,6 +408,31 @@ class BucketedMinHashIndexSink:
             for df in persisted:
                 df.unpersist()
 
+    def compact(self, spark: SparkSession) -> None:
+        """Maintenance pass (the L3-compaction analogue for this view):
+        rewrite the band buckets keeping only CURRENT rows — each (doc, i,
+        h) must match the live index's signature — and drop the pair
+        stores' dead markers.  Correctness never requires this (the probe
+        currency-check already ignores stale rows); it reclaims the dead
+        weight the opportunistic per-batch cleaning leaves in
+        rarely-rewritten buckets.  O(index) — schedule like compaction,
+        not per batch."""
+        self._recover()
+        nb = F.lit(self.n_buckets)
+        if self.bands.exists():
+            live = spark.read.parquet(self.index.path).filter(
+                (F.col("op") != "d") & (F.size("shingles") > 0)
+            )
+            current = (
+                live.select("doc_id", F.posexplode("sig").alias("i", "h"))
+                .withColumn("bucket", F.pmod(F.hash("i", "h"), nb))
+                .select("doc_id", "i", "h", "bucket")
+            )
+            self.bands.rewrite_all(current.repartition(self.n_buckets, "bucket"))
+        if self.pair_store.exists():
+            kept = spark.read.parquet(self.pair_store.path).filter(~F.col("dead"))
+            self.pair_store.rewrite_all(kept.repartition(self.n_buckets, "bucket"))
+
     def pairs(self, spark: SparkSession) -> DataFrame:
         """The live near-dup pair view (canonical doc_a < doc_b rows)."""
         self._recover()

@@ -402,7 +402,11 @@ class BucketedUpsertSink:
                     os.rename(live, old)
                     olds.append(old)
             for i in touched:
-                os.rename(f"{tmp}/bucket={i}", self._bucket_dir(i))
+                # a touched bucket absent from tmp means its new content is
+                # EMPTY (compaction/rewrite_all): displacing the live dir
+                # without a replacement deletes the bucket at commit
+                if os.path.isdir(f"{tmp}/bucket={i}"):
+                    os.rename(f"{tmp}/bucket={i}", self._bucket_dir(i))
         except BaseException:
             self._resolve_journal(journal)  # tmp still exists -> rollback
             raise
@@ -539,6 +543,29 @@ class _BucketStore(BucketedUpsertSink):
             if name.startswith("bucket=")
         )
         self._commit_buckets(tmp, run_id, touched)
+
+    def rewrite_all(self, content: DataFrame) -> None:
+        """Full-view rewrite (the compaction path): every EXISTING bucket
+        is either replaced by its new content or removed if now empty —
+        still one journaled all-or-nothing commit."""
+        run_id = uuid.uuid4().hex
+        tmp = f"{self.path}.tmp-{run_id}"
+        content.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        written = {
+            int(name.split("=", 1)[1])
+            for name in os.listdir(tmp)
+            if name.startswith("bucket=")
+        }
+        existing = (
+            {
+                int(name.split("=", 1)[1])
+                for name in os.listdir(self.path)
+                if name.startswith("bucket=")
+            }
+            if os.path.isdir(self.path)
+            else set()
+        )
+        self._commit_buckets(tmp, run_id, sorted(written | existing))
 
 
 class AggregatingSink:

@@ -252,3 +252,49 @@ def test_bucketed_crash_window_heals(spark, tmp_path, cdc_rows):
     reference = MinHashIndexSink(str(tmp_path / "ref"))
     reference.write(cdc_rows)
     assert _pairs(sink, spark) == _pairs(reference, spark)
+
+
+def test_compact_drops_stale_band_rows_and_dead_markers(spark, tmp_path, cdc_rows):
+    """compact() must reduce the band view to exactly the live current
+    rows and drop dead pair markers, without changing the served pair
+    view.  A delete-only batch is the guaranteed stale-row generator: it
+    rewrites no band bucket (the batch emits no band rows), so the
+    deleted doc's 16 rows stay until compaction."""
+    from cdc_platform_spark.streaming.dedup_index import BucketedMinHashIndexSink
+
+    sink = BucketedMinHashIndexSink(str(tmp_path / "idx"), n_buckets=8)
+    sink.write(cdc_rows.filter(F.col("op") == "c"))
+    # delete a doc that participates in a pair so retraction leaves markers
+    doc = sink.pairs(spark).first()["doc_a"]
+    dele = spark.createDataFrame(
+        [(int(doc), 10**9, "d", None)],
+        "doc_id long, offset long, op string, text string",
+    )
+    sink.write(dele)
+    pairs_before = _pairs(sink, spark)
+
+    def n_bands():
+        return spark.read.parquet(sink.bands.path).count()
+
+    live = spark.read.parquet(sink.index.path).filter(
+        (F.col("op") != "d") & (F.size("shingles") > 0)
+    )
+    n_current = live.select("doc_id", F.posexplode("sig").alias("i", "h")).count()
+    assert n_bands() > n_current, "the deleted doc's band rows should be stale"
+    assert spark.read.parquet(sink.pair_store.path).filter("dead").count() > 0
+
+    sink.compact(spark)
+    assert n_bands() == n_current
+    assert spark.read.parquet(sink.pair_store.path).filter("dead").count() == 0
+    assert _pairs(sink, spark) == pairs_before
+
+    # and the stream continues correctly after a compaction
+    rest = cdc_rows.filter((F.col("op") != "c") & (F.col("doc_id") != int(doc)))
+    sink.write(rest)
+    from cdc_platform_spark.streaming.dedup_index import MinHashIndexSink
+
+    ref = MinHashIndexSink(str(tmp_path / "ref"))
+    ref.write(cdc_rows.filter(F.col("op") == "c"))
+    ref.write(dele)
+    ref.write(rest)
+    assert _pairs(sink, spark) == _pairs(ref, spark)
