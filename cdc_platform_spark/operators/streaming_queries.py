@@ -1319,6 +1319,190 @@ def _ann_search_oracle() -> str:
     """
 
 
+def _ann_search_pq_oracle() -> str:
+    """Oracle for sq_ann_search_pq_from_index: the sim_ann_ivf_pq IVF-ADC
+    recipe (probe cells -> candidate codes -> asymmetric-distance
+    shortlist -> exact cosine re-rank) evaluated over the POST-CDC corpus
+    with quantizer and codebooks frozen on the original table."""
+    from cdc_platform_spark.operators.dedup import ORACLE_EMB_UNNEST
+    from cdc_platform_spark.operators.similarity import (
+        _CENT_FINAL,
+        _PQ_FINAL_NS,
+        _PQ_TRAIN_CTES_NS,
+        _TRAIN_CTES,
+        _cent_hash,
+        DIM,
+        N_CELLS,
+        N_PROBE,
+        N_PROBES,
+        PQ_K,
+        PQ_SUBDIM,
+        R_RERANK,
+        TOP_K,
+    )
+
+    return f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        norms AS (SELECT vec_id, SUM(v * v) AS n FROM u GROUP BY vec_id),
+        cents AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {N_CELLS}
+        ),
+        cu AS (SELECT u.* FROM u JOIN cents ON u.vec_id = cents.cent_id),
+        {_TRAIN_CTES},
+        ncf AS (SELECT cent_id, SUM(cv * cv) AS n FROM {_CENT_FINAL} GROUP BY cent_id),
+        su AS (SELECT vec_id, CAST((i - 1) // {PQ_SUBDIM} AS BIGINT) AS sub,
+                      CAST((i - 1) % {PQ_SUBDIM} AS BIGINT) AS j, v
+               FROM u),
+        pqseeds AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {PQ_K}
+        ),
+        {_PQ_TRAIN_CTES_NS},
+        final AS (
+            SELECT vec_id, i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 <> 0
+            UNION ALL
+            SELECT vec_id, {DIM} + 1 - i AS i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 = 0
+        ),
+        fnorms AS (SELECT vec_id, SUM(v * v) AS n FROM final GROUP BY vec_id),
+        fdots AS (
+            SELECT x.vec_id, c.cent_id, SUM(x.v * c.cv) AS d
+            FROM final x JOIN {_CENT_FINAL} c ON x.i = c.i
+            GROUP BY x.vec_id, c.cent_id
+        ),
+        fcos AS (
+            SELECT v.vec_id, v.cent_id, v.d / (sqrt(nx.n) * sqrt(nc.n)) AS c
+            FROM fdots v JOIN fnorms nx ON v.vec_id = nx.vec_id
+                         JOIN ncf nc ON v.cent_id = nc.cent_id
+        ),
+        assign AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT vec_id, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM fcos) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS qid, cent_id FROM (
+                SELECT vec_id, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM fcos) WHERE rn <= {N_PROBE} AND vec_id < {N_PROBES}
+        ),
+        cand AS (
+            SELECT DISTINCT p.qid, a.vec_id AS nid
+            FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+            WHERE a.vec_id <> p.qid
+        ),
+        suf AS (SELECT vec_id, CAST((i - 1) // {PQ_SUBDIM} AS BIGINT) AS sub,
+                       CAST((i - 1) % {PQ_SUBDIM} AS BIGINT) AS j, v
+                FROM final),
+        fd2 AS (
+            SELECT s.vec_id, s.sub, c.cent_id, SUM((s.v - c.cv) * (s.v - c.cv)) AS d
+            FROM suf s JOIN {_PQ_FINAL_NS} c ON s.sub = c.sub AND s.j = c.j
+            GROUP BY s.vec_id, s.sub, c.cent_id
+        ),
+        enc AS (
+            SELECT vec_id, sub, cent_id FROM (
+                SELECT vec_id, sub, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cent_id) AS rn
+                FROM fd2) WHERE rn = 1
+        ),
+        adc AS (
+            SELECT c.qid, c.nid, SUM(fq.d) AS adist
+            FROM cand c
+            JOIN enc e ON e.vec_id = c.nid
+            JOIN fd2 fq ON fq.vec_id = c.qid AND fq.sub = e.sub AND fq.cent_id = e.cent_id
+            GROUP BY c.qid, c.nid
+        ),
+        shortlist AS (
+            SELECT qid, nid FROM (
+                SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+                FROM adc) WHERE rn <= {R_RERANK}
+        ),
+        dots AS (
+            SELECT s.qid, s.nid, SUM(a.v * b.v) AS d
+            FROM shortlist s JOIN final a ON a.vec_id = s.qid
+                             JOIN final b ON b.vec_id = s.nid AND b.i = a.i
+            GROUP BY s.qid, s.nid
+        ),
+        cos AS (
+            SELECT qid, nid, d / (sqrt(nq.n) * sqrt(nn.n)) AS c
+            FROM dots JOIN fnorms nq ON qid = nq.vec_id
+                      JOIN fnorms nn ON nid = nn.vec_id
+        )
+        SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid AS neighbor_id, c AS cosine
+        FROM (SELECT qid, nid, c, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk FROM cos)
+        WHERE rnk <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
+@register(
+    "sq_ann_search_pq_from_index",
+    category="streaming",
+    doc=(
+        "IVF-ADC serving from the maintained composite index — the "
+        "production read path over BOTH maintained artifacts: the same "
+        "embedding CDC stream drives BucketedIvfPqIndexSink (cell + "
+        "8-byte PQ codes, the RAM-resident index) and "
+        "BucketedIvfFlatIndexSink (the cold vector store) in one "
+        "foreachBatch; top-k probes are then answered by probe cells -> "
+        "cell equi-join for candidate codes -> the query's broadcast "
+        "exact L2 code tables (ADC, never touching candidate vectors) -> "
+        "top-R shortlist -> exact cosine re-rank reading full vectors for "
+        "the R survivors only. Results must equal the batch "
+        "sim_ann_ivf_pq recipe evaluated over the post-CDC corpus."
+    ),
+    oracle=_ann_search_pq_oracle(),
+)
+def sq_ann_search_pq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.operators.similarity import (
+        pq_seeds,
+        pq_subvectors,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        BucketedIvfPqIndexSink,
+        ivf_pq_search_from_index,
+    )
+
+    work = _workdir("sq_annpqsearch_")
+    e, stream = _stage_embedding_cdc(spark, sf_dir, work)
+    cents = train_ivf_centroids(e)
+    seeds = pq_seeds(e)
+    codebooks = train_pq_codebooks(pq_subvectors(e.select("vec_id", "a")), seeds)
+    ranks = seeds.withColumn(
+        "code", (F.row_number().over(Window.orderBy("cent_id")) - 1).cast("long")
+    )
+    pq = BucketedIvfPqIndexSink(f"{work}/pq", cents, codebooks, ranks)
+    flat = BucketedIvfFlatIndexSink(f"{work}/flat", cents)
+
+    def both(b, _bid):
+        b.persist()
+        try:
+            pq.write(b)
+            flat.write(b)
+        finally:
+            b.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(both)
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ivf_pq_search_from_index(
+        pq.state(spark), flat.state(spark), cents, codebooks, ranks
+    ).orderBy("query_id", "rank")
+
+
 @register(
     "sq_ann_search_from_index",
     category="streaming",

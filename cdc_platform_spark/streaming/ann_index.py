@@ -304,6 +304,125 @@ class BucketedIvfFlatIndexSink(BucketedIvfIndexSink):
         )
 
 
+def ivf_pq_search_from_index(
+    pq_state: DataFrame,
+    vec_state: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    ranks: DataFrame,
+) -> DataFrame:
+    """IVF-ADC serving FROM the maintained composite index — the
+    production 100 TB read path over the artifacts the sinks maintain:
+
+    - ``pq_state`` = :meth:`BucketedIvfPqIndexSink.state` (vec_id, cell,
+      codes): the RAM-resident index — candidates come from the cell
+      equi-join, scoring reads ONLY the 8-byte codes,
+    - ``vec_state`` = :meth:`BucketedIvfFlatIndexSink.state` (vec_id,
+      cell, a): the cold vector store — read only for the probe vectors
+      and the ``R_RERANK`` ADC survivors per query (the standard
+      PQ-in-memory / full-vectors-in-storage split).
+
+    Stages (each exact fixed-point, bit-identical to the batch
+    ``sim_ann_ivf_pq`` recipe over the same corpus): probe cells via the
+    frozen broadcast centroids; candidate (qid, nid, codes) via the cell
+    join; the query's exact subvector-to-codeword L2 table (queries x
+    subs x K, broadcast) looked up against each candidate's decoded code
+    string; top-``R_RERANK`` by asymmetric distance; exact cosine re-rank
+    to top-``TOP_K``."""
+    from pyspark.sql import Window
+
+    from cdc_platform_spark.operators.similarity import (
+        N_PROBE,
+        N_PROBES,
+        PQ_SUBDIM,
+        PQ_SUBS,
+        R_RERANK,
+        TOP_K,
+        _l2_long,
+    )
+
+    st = vec_state.withColumn("norm", dot_long(F.col("a"), F.col("a")))
+    pv = st.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("a").alias("qa"), F.col("norm").alias("qn")
+    )
+    pc = pv.crossJoin(F.broadcast(centroids)).select(
+        "qid",
+        "cent_id",
+        (dot_long(F.col("qa"), F.col("ca")) / (F.sqrt("qn") * F.sqrt("cn"))).alias("c"),
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cent_id"))
+    probes = (
+        pc.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("qid", F.col("cent_id").alias("cell"))
+    )
+    cand = (
+        probes.join(
+            pq_state.select(F.col("vec_id").alias("nid"), "cell", "codes"), "cell"
+        )
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", "codes")
+    )
+
+    # the query's ADC lookup table: exact L2 from its subvectors to every
+    # codeword, keyed by the stored RANK (codes serialize ranks, not ids)
+    qsubs = pv.select(
+        "qid",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_SUBS - 1)),
+                lambda s: F.slice(F.col("qa"), s * PQ_SUBDIM + 1, PQ_SUBDIM),
+            )
+        ).alias("sub", "sa"),
+    ).withColumn("sub", F.col("sub").cast("long"))
+    dtab = (
+        qsubs.join(F.broadcast(codebooks), "sub")
+        .select("qid", "sub", "cent_id", _l2_long(F.col("sa"), F.col("ca")).alias("d"))
+        .join(F.broadcast(ranks.select("cent_id", "code")), "cent_id")
+        .select("qid", "sub", "code", "d")
+    )
+    ccodes = cand.select(
+        "qid",
+        "nid",
+        F.posexplode(F.split("codes", ",")).alias("sub", "code_s"),
+    ).select(
+        "qid",
+        "nid",
+        F.col("sub").cast("long").alias("sub"),
+        F.col("code_s").cast("long").alias("code"),
+    )
+    adc = (
+        ccodes.join(F.broadcast(dtab), ["qid", "sub", "code"])
+        .groupBy("qid", "nid")
+        .agg(F.sum("d").alias("adist"))
+    )
+    w_short = Window.partitionBy("qid").orderBy(F.col("adist"), F.col("nid"))
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= R_RERANK)
+        .select("qid", "nid")
+    )
+    n = st.select(F.col("vec_id").alias("nid"), F.col("a").alias("na"), F.col("norm").alias("nn"))
+    w_rank = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nid"))
+    return (
+        shortlist.join(pv, "qid")
+        .join(n, "nid")
+        .select(
+            "qid",
+            "nid",
+            (dot_long(F.col("qa"), F.col("na")) / (F.sqrt("qn") * F.sqrt("nn"))).alias("c"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("nid").alias("neighbor_id"),
+            F.col("c").alias("cosine"),
+        )
+    )
+
+
 def ivf_search_from_index(state: DataFrame, centroids: DataFrame) -> DataFrame:
     """Serve ANN top-k FROM the maintained IVF-Flat index — the production
     query path that index maintenance exists for (closing the loop of
