@@ -1319,6 +1319,46 @@ def _ann_search_oracle() -> str:
     """
 
 
+@register(
+    "sq_ann_search_projection",
+    category="streaming",
+    doc=(
+        "ANN search from the cell-partitioned SERVING PROJECTION — the "
+        "CQRS read replica of the maintained IVF-Flat index: after the "
+        "embedding CDC stream is folded into BucketedIvfFlatIndexSink "
+        "(vec_id-bucketed maintenance primary), IvfCellProjection.refresh "
+        "re-clusters the live state into cell= partition dirs with norms "
+        "precomputed, and the probe then reads ONLY its probed cells' "
+        "partitions (broadcast-semi DPP prune — plan-test pinned) with no "
+        "join against the primary. Must equal the primary-path "
+        "sq_ann_search_from_index result, i.e. the batch sim_ann_ivf "
+        "recipe over the post-CDC corpus (same oracle)."
+    ),
+    oracle=_ann_search_oracle(),
+)
+def sq_ann_search_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.operators.similarity import N_PROBES, train_ivf_centroids
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        IvfCellProjection,
+    )
+
+    work = _workdir("sq_annproj_")
+    e, stream = _stage_embedding_cdc(spark, sf_dir, work)
+    cents = train_ivf_centroids(e)
+    sink = BucketedIvfFlatIndexSink(f"{work}/index", cents)
+    _run_index_stream(stream, sink, work)
+    state = sink.state(spark)
+    proj = IvfCellProjection(f"{work}/serving")
+    proj.refresh(state)
+    pv = state.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("a").alias("qa")
+    )
+    return proj.search(spark, cents, pv).orderBy("query_id", "rank")
+
+
 def _ann_search_pq_oracle() -> str:
     """Oracle for sq_ann_search_pq_from_index: the sim_ann_ivf_pq IVF-ADC
     recipe (probe cells -> candidate codes -> asymmetric-distance

@@ -304,6 +304,95 @@ class BucketedIvfFlatIndexSink(BucketedIvfIndexSink):
         )
 
 
+class IvfCellProjection:
+    """Read-optimized serving copy of the IVF-Flat index — the CQRS
+    counterpart of :class:`BucketedIvfFlatIndexSink`.
+
+    The maintenance primary must stay bucketed by ``hash(vec_id)`` (an
+    update can MOVE a vector between cells, which only a vec_id-keyed
+    merge can apply bucket-locally), but the SERVING access pattern is by
+    cell: a probe wants exactly its probed cells' members.  This
+    projection re-clusters the live state into ``cell=<id>`` partition
+    dirs with the norm precomputed, so a top-k probe is a
+    partition-pruned scan of ~``N_PROBE / N_CELLS`` of the corpus — no
+    join against the primary, no shuffle of the inverted file.
+
+    ``refresh`` is a full rewrite on the compaction cadence (per N
+    batches / on cell-delta thresholds), NOT per micro-batch — the
+    primary serves point-in-time correct answers at all times
+    (``ivf_search_from_index``); the projection trades refresh lag for
+    scan locality, exactly like any read replica."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def refresh(self, state: DataFrame) -> None:
+        """Re-cluster ``BucketedIvfFlatIndexSink.state()`` by cell
+        (two-rename swap; crash mid-swap heals on next refresh/search)."""
+        _recover_swapped_dir(self.path)
+        out = state.select(
+            "vec_id", "a", dot_long(F.col("a"), F.col("a")).alias("norm"), "cell"
+        ).repartition("cell")
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
+        out.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        _commit_swap(self.path, tmp)
+
+    def search(self, spark: SparkSession, centroids: DataFrame, probe_vectors: DataFrame) -> DataFrame:
+        """Top-k cosine probes against the projection: probe cells via the
+        broadcast frozen centroids, then a DPP-pruned scan of exactly the
+        probed ``cell=`` partitions (the broadcast-semi recipe shared with
+        the bucketed stores), exact fixed-point re-rank.
+
+        ``probe_vectors`` is (qid, qa) — from the primary's state for
+        corpus probes, or an external query batch."""
+        from pyspark.sql import Window
+
+        from cdc_platform_spark.operators.similarity import N_PROBE, TOP_K
+
+        _recover_swapped_dir(self.path)
+        pv = probe_vectors.withColumn("qn", dot_long(F.col("qa"), F.col("qa")))
+        pc = pv.crossJoin(F.broadcast(centroids)).select(
+            "qid",
+            "qa",
+            "qn",
+            "cent_id",
+            (dot_long(F.col("qa"), F.col("ca")) / (F.sqrt("qn") * F.sqrt("cn"))).alias("c"),
+        )
+        w_probe = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cent_id"))
+        probes = (
+            pc.withColumn("rn", F.row_number().over(w_probe))
+            .filter(F.col("rn") <= N_PROBE)
+            .select("qid", "qa", "qn", F.col("cent_id").alias("cell"))
+        )
+        cells = probes.select("cell").distinct().filter(F.col("cell") >= 0)
+        members = spark.read.parquet(self.path).join(
+            F.broadcast(cells), "cell", "leftsemi"
+        )
+        w_rank = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nid"))
+        return (
+            probes.join(
+                members.select(
+                    F.col("vec_id").alias("nid"), "cell", F.col("a").alias("na"), F.col("norm").alias("nn")
+                ),
+                "cell",
+            )
+            .filter(F.col("nid") != F.col("qid"))
+            .select(
+                "qid",
+                "nid",
+                (dot_long(F.col("qa"), F.col("na")) / (F.sqrt("qn") * F.sqrt("nn"))).alias("c"),
+            )
+            .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+            .filter(F.col("rank") <= TOP_K)
+            .select(
+                F.col("qid").alias("query_id"),
+                "rank",
+                F.col("nid").alias("neighbor_id"),
+                F.col("c").alias("cosine"),
+            )
+        )
+
+
 def ivf_pq_search_from_index(
     pq_state: DataFrame,
     vec_state: DataFrame,

@@ -297,3 +297,38 @@ def test_bucketed_index_matches_flat_and_rewrites_only_touched(spark, tmp_path, 
     for b in before:
         if b != f"bucket={touched}":
             assert after[b] == before[b], f"{b} rewritten by an unrelated vector"
+
+
+def test_cell_projection_search_matches_primary_and_prunes(spark, tmp_path, trained):
+    """The cell-partitioned serving projection must return exactly the
+    primary-path answer, and its member scan must be DPP-pruned to the
+    probed cells."""
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        IvfCellProjection,
+        ivf_search_from_index,
+    )
+
+    e, cents = trained
+    rows = _cdc_rows(e).localCheckpoint(eager=True)
+    sink = BucketedIvfFlatIndexSink(str(tmp_path / "idx"), cents, n_buckets=8)
+    for k in range(3):
+        sink.write(rows.filter(F.pmod(F.col("offset"), F.lit(3)) == k))
+    state = sink.state(spark)
+    expected = sorted(map(tuple, ivf_search_from_index(state, cents).collect()))
+
+    proj = IvfCellProjection(str(tmp_path / "serving"))
+    proj.refresh(state)
+    from cdc_platform_spark.operators.similarity import N_PROBES
+
+    pv = state.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("a").alias("qa")
+    )
+    result = proj.search(spark, cents, pv)
+    assert sorted(map(tuple, result.collect())) == expected
+
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "projection member scan lost its DPP partition filter — a probe "
+        "would scan every cell"
+    )
