@@ -1102,6 +1102,109 @@ def sq_dedup_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.pairs(spark).orderBy("doc_a", "doc_b")
 
 
+def _corpus_curation_oracle() -> str:
+    """Oracle for sq_corpus_curation_stream: the batch curation funnel
+    (quality filter -> exact dedup -> near-dup suppression) evaluated over
+    the POST-CDC live documents.  Quality thresholds and the pair CTE
+    chain are the canonical definitions (text.curation_survivors /
+    dedup._ORACLE_MINHASH_PAIR_CTES) with the document source swapped to
+    the docs_live CTE."""
+    from cdc_platform_spark.operators.dedup import _ORACLE_MINHASH_PAIR_CTES
+    from cdc_platform_spark.operators.text import (
+        CURATION_MIN_DISTINCT_RATIO,
+        CURATION_MIN_WORDS,
+    )
+
+    assert _ORACLE_MINHASH_PAIR_CTES.count("FROM documents") == 1
+    ctes = _ORACLE_MINHASH_PAIR_CTES.replace("FROM documents", "FROM docs_live")
+    return f"""
+        WITH docs_live AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' spark dedup stream spark dedup stream'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 3
+        ),
+        {ctes},
+        qdocs AS (
+            SELECT doc_id, str_split(text, ' ') AS words, md5(text) AS content_md5
+            FROM docs_live
+        ),
+        qual AS (
+            SELECT doc_id, content_md5,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio
+            FROM qdocs
+            WHERE len(words) >= {CURATION_MIN_WORDS}
+              AND CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                  >= {CURATION_MIN_DISTINCT_RATIO}
+        ),
+        qcanon AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+                FROM qual) WHERE rn = 1
+        ),
+        suppressed AS (SELECT DISTINCT db AS doc_id FROM scored)
+        SELECT q.doc_id, q.n_words, q.distinct_ratio
+        FROM qcanon q LEFT JOIN suppressed s ON q.doc_id = s.doc_id
+        WHERE s.doc_id IS NULL
+        ORDER BY q.doc_id
+    """
+
+
+@register(
+    "sq_corpus_curation_stream",
+    category="streaming",
+    doc=(
+        "The full LLM training-data curation funnel as ONE incrementally "
+        "maintained artifact: the same document CDC stream as "
+        "sq_dedup_index_stream drives CuratedCorpusSink (the bucketed "
+        "near-dup index retaining text), and curated() then serves the "
+        "corpus a training run would read — latest live docs -> quality "
+        "filter (the exact batch curation_survivors thresholds) -> exact "
+        "dedup (lowest doc_id per content md5) -> near-dup suppression "
+        "(drop doc_b of every maintained verified pair). Must equal the "
+        "batch funnel over the post-CDC live documents."
+    ),
+    oracle=_corpus_curation_oracle(),
+)
+def sq_corpus_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    work = _workdir("sq_curation_")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    off = F.col("doc_id") + F.lit(100000000)
+    wave0 = d.select(
+        "doc_id", F.col("doc_id").alias("offset"), F.lit("c").alias("op"), "text"
+    )
+    upd = d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 3)).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("u").alias("op"),
+        F.concat(F.col("text"), F.lit(" spark dedup stream spark dedup stream")).alias("text"),
+    )
+    dels = d.filter(F.col("doc_id") % 11 == 3).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("d").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    src = f"{work}/source"
+    wave0.unionByName(upd).unionByName(dels).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, offset long, op string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = CuratedCorpusSink(f"{work}/corpus")
+    _run_index_stream(stream, sink, work)
+    return sink.curated(spark).orderBy("doc_id")
+
+
 def _ann_index_pq_oracle() -> str:
     """Full-rebuild oracle for sq_ann_index_pq_stream: IVF coarse
     quantizer AND per-subspace PQ codebooks trained on the ORIGINAL

@@ -446,3 +446,74 @@ class BucketedMinHashIndexSink:
                 F.col("k").alias("doc_a"), F.col("o").alias("doc_b"), "n_common", "jaccard"
             )
         )
+
+
+class _CuratedSigIndexSink(_SigIndexSink):
+    """Signature index that also retains the document text — the curated
+    corpus is served straight from the index, no side lookup."""
+
+    _COLS = ["doc_id", "offset", "op", "text", "shingles", "sig"]
+
+
+class CuratedCorpusSink(BucketedMinHashIndexSink):
+    """The full LLM training-data curation funnel as ONE incrementally
+    maintained artifact: under a document CDC stream this keeps
+    (a) the latest live text per document, (b) the LSH signature index +
+    band probe view, and (c) the verified near-dup pair view — and serves
+    ``curated()``, the corpus a training run would actually read:
+
+      live documents
+        → quality filter  (>= CURATION_MIN_WORDS words, >=
+          CURATION_MIN_DISTINCT_RATIO distinct-word ratio — the exact
+          ``curation_survivors`` expressions of the batch funnel, one
+          definition so streamed and batch curation can never disagree)
+        → exact dedup     (lowest doc_id per content md5)
+        → near-dup suppression (drop every ``doc_b`` of a verified pair —
+          the canonical lower id survives; the pair view is the maintained
+          index, so suppression needs NO per-read LSH work).
+
+    Storage cost over :class:`BucketedMinHashIndexSink` is the text
+    column in the index; everything else is the same per-bucket
+    copy-on-write machinery.  ``curated()`` is a derived read — quality
+    metrics are cheap JVM expressions over the stored text, suppression
+    is one broadcast anti join against the pair view."""
+
+    def __init__(self, path: str, n_buckets: int = 16) -> None:
+        super().__init__(path, n_buckets)
+        self.index = _CuratedSigIndexSink(f"{path}/index", n_buckets)
+
+    def _batch_rows(self, batch: DataFrame) -> DataFrame:
+        latest = (
+            batch.filter(F.col("op").isNotNull())
+            .groupBy("doc_id")
+            .agg(F.max_by(F.struct("offset", "op", "text"), F.col("offset")).alias("m"))
+            .select("doc_id", "m.offset", "m.op", "m.text")
+        )
+        sh = F.when(
+            F.col("op") != "d", shingles_col(F.split(F.col("text"), " "))
+        ).otherwise(F.array().cast("array<string>"))
+        return latest.select(
+            "doc_id", "offset", "op", "text", sh.alias("shingles")
+        ).withColumn(
+            "sig",
+            F.when(
+                F.size("shingles") > 0,
+                minhash_sig_col(F.transform(F.col("shingles"), lambda s: md5_60bit(s))),
+            ),
+        )
+
+    def curated(self, spark: SparkSession) -> DataFrame:
+        """The curated corpus view: (doc_id, n_words, distinct_ratio)."""
+        from cdc_platform_spark.operators.text import curation_survivors
+
+        self._recover()
+        live = (
+            spark.read.parquet(self.index.path)
+            .filter(F.col("op") != "d")
+            .select("doc_id", "text")
+        )
+        surv = curation_survivors(live)
+        suppressed = self.pairs(spark).select(F.col("doc_b").alias("doc_id")).distinct()
+        return surv.join(F.broadcast(suppressed), "doc_id", "leftanti").select(
+            "doc_id", F.col("n_words").cast("long").alias("n_words"), "distinct_ratio"
+        )

@@ -298,3 +298,55 @@ def test_compact_drops_stale_band_rows_and_dead_markers(spark, tmp_path, cdc_row
     ref.write(dele)
     ref.write(rest)
     assert _pairs(sink, spark) == _pairs(ref, spark)
+
+
+def test_curated_corpus_reacts_to_quality_dedup_and_cdc(spark, tmp_path, cdc_rows):
+    """CuratedCorpusSink.curated() must equal the batch funnel over the
+    live docs, drop deleted docs, and re-admit a suppressed near-dup when
+    its canonical partner is deleted."""
+    from cdc_platform_spark.operators.text import curation_survivors
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    sink = CuratedCorpusSink(str(tmp_path / "c"), n_buckets=8)
+    for k in range(3):
+        sink.write(cdc_rows.filter(F.pmod(F.col("offset"), F.lit(3)) == k))
+
+    # batch expectation over the post-CDC live docs
+    live = (
+        spark.read.parquet(sink.index.path)
+        .filter("op != 'd'")
+        .select("doc_id", "text")
+    )
+    surv = curation_survivors(live)
+    suppressed = sink.pairs(spark).select(F.col("doc_b").alias("doc_id")).distinct()
+    expected = sorted(
+        r["doc_id"]
+        for r in surv.join(suppressed, "doc_id", "leftanti").select("doc_id").collect()
+    )
+    got = sorted(r["doc_id"] for r in sink.curated(spark).collect())
+    assert got == expected and got, "curated view must match the batch funnel"
+
+    # deleting the canonical (lower) member of a pair re-admits its partner
+    pair = sink.pairs(spark).orderBy("doc_a").first()
+    a, b = pair["doc_a"], pair["doc_b"]
+    assert b not in got
+    sink.write(
+        spark.createDataFrame(
+            [(int(a), 10**10, "d", None)],
+            "doc_id long, offset long, op string, text string",
+        )
+    )
+    after = {r["doc_id"] for r in sink.curated(spark).collect()}
+    assert a not in after
+    # b re-admitted unless it is ALSO doc_b of another surviving pair or
+    # fails quality/exact-dedup on its own
+    still_suppressed = {
+        r["doc_b"] for r in sink.pairs(spark).collect()
+    }
+    surv_ids = {
+        r["doc_id"]
+        for r in curation_survivors(
+            spark.read.parquet(sink.index.path).filter("op != 'd'").select("doc_id", "text")
+        ).collect()
+    }
+    assert (b in after) == (b in surv_ids and b not in still_suppressed)
