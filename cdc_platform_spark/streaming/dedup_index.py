@@ -309,26 +309,41 @@ class BucketedMinHashIndexSink:
             # to THEIR buckets (the DPP partition filter the plan test
             # asserts), currency-checked against the live index so stale
             # band rows cannot create candidates the batch LSH would not
-            live = spark.read.parquet(self.index.path).filter(
-                (F.col("op") != "d") & (F.size("shingles") > 0)
-            )
-            others = live.select(
-                F.col("doc_id").alias("other_id"),
-                F.col("bucket").alias("ob"),
-                F.col("sig").alias("osig"),
-                F.col("shingles").alias("osh"),
-            )
             if self.bands.exists():
                 lb = self.bands.read_buckets(spark, bb).select(
                     F.col("doc_id").alias("other_id"), "i", "h", "bucket"
                 )
             else:  # first batch was all deletes: nothing to probe
                 lb = spark.createDataFrame([], "other_id long, i int, h long, bucket int")
-            cand = (
+            cand0 = (
                 bb.join(lb, ["bucket", "i", "h"])
                 .filter(F.col("doc_id") != F.col("other_id"))
                 .withColumn("ob", F.pmod(F.hash("other_id"), nb))
-                .join(others.select("other_id", "ob", "osig"), ["other_id", "ob"])
+                .persist()
+            )
+            persisted.append(cand0)
+
+            # the partners' index rows, DPP-pruned to THEIR buckets — the
+            # currency check and the Jaccard verification never scan index
+            # buckets no candidate partner hashes into, so the whole batch
+            # touches only batch-adjacent state
+            def _partner_rows(*cols: str) -> DataFrame:
+                return (
+                    pruned_bucket_read(
+                        spark, self.index.path, cand0.select(F.col("ob").alias("bucket"))
+                    )
+                    .filter((F.col("op") != "d") & (F.size("shingles") > 0))
+                    .select(
+                        F.col("doc_id").alias("other_id"),
+                        F.col("bucket").alias("ob"),
+                        F.col("sig").alias("osig"),
+                        F.col("shingles").alias("osh"),
+                    )
+                    .select("other_id", "ob", *cols)
+                )
+
+            cand = (
+                cand0.join(_partner_rows("osig"), ["other_id", "ob"])
                 .filter(F.element_at("osig", (F.col("i") + 1).cast("int")) == F.col("h"))
                 .select("doc_id", "other_id")
                 .distinct()
@@ -338,7 +353,7 @@ class BucketedMinHashIndexSink:
             ver = (
                 cand.join(batch_live.select("doc_id", F.col("shingles").alias("sh")), "doc_id")
                 .withColumn("ob", F.pmod(F.hash("other_id"), nb))
-                .join(others.select("other_id", "ob", "osh"), ["other_id", "ob"])
+                .join(_partner_rows("osh"), ["other_id", "ob"])
             )
             ni = F.size(F.array_intersect(F.col("sh"), F.col("osh")))
             jac = ni.cast("double") / (F.size("sh") + F.size("osh") - ni)
