@@ -584,21 +584,12 @@ def srp_bands(spark: SparkSession, e: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding_cosine",
-    category="dedup",
-    doc=(
-        "Embedding near-dup via LSH candidates + exact re-rank: banded "
-        f"sign-random-projection signatures ({EMB_LSH_PLANES} planes, "
-        f"{EMB_LSH_PLANES // EMB_LSH_BAND_BITS} bands x {EMB_LSH_BAND_BITS} bits) "
-        "generate candidates through a (band, val) equi-join; each vector's "
-        "best candidate by exact fixed-point cosine is flagged duplicate at "
-        f">= {COSINE_DUP_THRESHOLD}. No all-pairs block join anywhere — at "
-        "100 TB candidate volume is sum of bucket^2 over uniform hash "
-        "buckets, and band width is the knob that bounds bucket size."
-    ),
-    oracle=f"""
-        WITH u AS ({ORACLE_EMB_UNNEST}),
+# The SRP-LSH candidate + exact-cosine best-neighbor CTE chain, assuming a
+# CTE ``u`` (vec_id, i, v) of fixed-point coordinates is already in scope.
+# Shared verbatim by the batch dedup_embedding_cosine oracle (u = the base
+# embeddings unnest) and the streaming sq_neighbor_index_stream oracle
+# (u = the post-CDC live unnest), so the two oracles cannot drift.
+_ORACLE_COSINE_BEST_CTES = f"""
         norms AS (SELECT vec_id, SUM(v * v) AS n FROM u GROUP BY vec_id),
         hyper AS (
             SELECT p.range AS p, d.range AS d,
@@ -638,7 +629,25 @@ def srp_bands(spark: SparkSession, e: DataFrame) -> DataFrame:
             SELECT ia, ib, c FROM (
                 SELECT ia, ib, c, ROW_NUMBER() OVER (PARTITION BY ia ORDER BY c DESC, ib) AS rn
                 FROM cos) WHERE rn = 1
-        )
+        )"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    category="dedup",
+    doc=(
+        "Embedding near-dup via LSH candidates + exact re-rank: banded "
+        f"sign-random-projection signatures ({EMB_LSH_PLANES} planes, "
+        f"{EMB_LSH_PLANES // EMB_LSH_BAND_BITS} bands x {EMB_LSH_BAND_BITS} bits) "
+        "generate candidates through a (band, val) equi-join; each vector's "
+        "best candidate by exact fixed-point cosine is flagged duplicate at "
+        f">= {COSINE_DUP_THRESHOLD}. No all-pairs block join anywhere — at "
+        "100 TB candidate volume is sum of bucket^2 over uniform hash "
+        "buckets, and band width is the knob that bounds bucket size."
+    ),
+    oracle=f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        {_ORACLE_COSINE_BEST_CTES}
         SELECT e.vec_id, b.ib AS nn_id, b.c AS cosine,
                CAST(CASE WHEN b.c >= {COSINE_DUP_THRESHOLD} THEN 1 ELSE 0 END AS BIGINT) AS is_dup
         FROM embeddings e LEFT JOIN best b ON e.vec_id = b.ia

@@ -1772,3 +1772,66 @@ def sq_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return sink.view(spark).orderBy("seq")
+
+
+def _neighbor_index_oracle() -> str:
+    """Full-rebuild oracle for sq_neighbor_index_stream: the batch
+    dedup_embedding_cosine CTE chain (shared constant, cannot drift)
+    evaluated with ``u`` = the POST-CDC live unnest — reversal remaps
+    subscript i -> DIM+1-i for vec_id % 7 = 0, deleted ids
+    (vec_id % 11 = 3) excluded — and the final left join anchored on the
+    live vectors instead of the base table."""
+    from cdc_platform_spark.operators.dedup import (
+        _ORACLE_COSINE_BEST_CTES,
+        COSINE_DUP_THRESHOLD,
+        EMB_DIM,
+        ORACLE_EMB_UNNEST,
+    )
+
+    return f"""
+        WITH u0 AS ({ORACLE_EMB_UNNEST}),
+        u AS (
+            SELECT vec_id, i, v FROM u0
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 <> 0
+            UNION ALL
+            SELECT vec_id, {EMB_DIM} + 1 - i AS i, v FROM u0
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 = 0
+        ),
+        {_ORACLE_COSINE_BEST_CTES}
+        SELECT e.vec_id, b.ib AS nn_id, b.c AS cosine,
+               CAST(CASE WHEN b.c >= {COSINE_DUP_THRESHOLD} THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        FROM (SELECT DISTINCT vec_id FROM u) e LEFT JOIN best b ON e.vec_id = b.ia
+        ORDER BY vec_id
+    """
+
+
+@register(
+    "sq_neighbor_index_stream",
+    category="streaming",
+    doc=(
+        "Incremental embedding near-dup detection as a driver-checkable "
+        "artifact: the same embedding CDC stream as sq_ann_index_stream - "
+        "full insert wave, then updates (reversed vectors, vec_id % 7 = 0) "
+        "and deletes (vec_id % 11 = 3) - driven availableNow through "
+        "CosineNeighborIndexSink, which maintains the per-vector "
+        "BEST-cosine-neighbor view (the answer table of the batch "
+        "dedup_embedding_cosine) incrementally: per batch it re-signs only "
+        "its own vectors, probes only the band buckets they hash into, and "
+        "heals the non-local invalidations - a vector becoming someone "
+        "else's new best (band probe) and a vector LOSING its stored best "
+        "to an update/delete (reverse pointers co-bucketed with the "
+        "neighbor) - then recomputes exactly that touched set. The view "
+        "must equal the from-scratch batch recipe over the post-CDC live "
+        "vectors, which is what the oracle computes (same CTE chain, "
+        "post-CDC unnest)."
+    ),
+    oracle=_neighbor_index_oracle(),
+)
+def sq_neighbor_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.streaming.neighbor_index import CosineNeighborIndexSink
+
+    work = _workdir("sq_nnidx_")
+    _e, stream = _stage_embedding_cdc(spark, sf_dir, work)
+    sink = CosineNeighborIndexSink(f"{work}/nn")
+    _run_index_stream(stream, sink, work)
+    return sink.view(spark).orderBy("vec_id")
