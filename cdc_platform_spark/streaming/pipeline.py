@@ -490,9 +490,23 @@ class BucketedUpsertSink:
         )
 
     def _merged(self, batch: DataFrame) -> DataFrame:
-        """The merge plan: (DPP-pruned live state ∪ batch) → latest row per
-        key, clustered by bucket in its single shuffle."""
-        allrows = self._pruned_state_union(self._updates(batch))
+        return self._merged_from_updates(self._updates(batch))
+
+    def _merged_from_updates(self, upd: DataFrame) -> DataFrame:
+        """The merge plan: (DPP-pruned live state ∪ shaped updates) →
+        latest row per key, clustered by bucket in its single shuffle.
+        Split from ``_merged`` so subclasses that need the shaped updates
+        for their own bookkeeping (the IVF-Flat sink journals touched
+        cells) can compute them once and reuse the merge tail."""
+        horizon = self.gc_horizon()
+        if horizon is not None:
+            # rows below the persisted GC horizon may reference tombstones
+            # already reclaimed by compact(): the replay contract says no
+            # NEW data carries offsets below the horizon, so such rows are
+            # by definition redeliveries — dropping them is what prevents
+            # a replayed old insert from resurrecting a GC'd key
+            upd = upd.filter(F.col("offset") >= F.lit(horizon))
+        allrows = self._pruned_state_union(upd)
         key = self._KEY
         w = Window.partitionBy("bucket").orderBy(key, F.col("offset").desc())
         return (
@@ -501,48 +515,53 @@ class BucketedUpsertSink:
             .drop("_prev")
         )
 
-    def state(self, spark: SparkSession) -> DataFrame:
-        """Live state: latest row per key, tombstones filtered out."""
+    # --- tombstone GC (retention horizon) --------------------------------
+    # Delete tombstones are retained so out-of-order/replayed batches
+    # cannot resurrect deleted keys — but on a high-churn stream the
+    # tombstone population grows without bound.  The GC contract is the
+    # Kafka compacted-topic one: once the pipeline's replay watermark has
+    # passed offset H (no batch with offsets < H can ever be redelivered),
+    # tombstones older than H are dead weight.  compact() persists H
+    # FIRST (crash between the two steps leaves extra tombstones — safe),
+    # then rewrites buckets without them; the merge path drops incoming
+    # rows below the persisted horizon, closing the resurrection window.
+
+    @property
+    def _gc_meta(self) -> str:
+        return f"{self.path}.gc.json"
+
+    def gc_horizon(self) -> int | None:
+        try:
+            with open(self._gc_meta) as fh:
+                return int(json.load(fh)["horizon"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _set_gc_horizon(self, horizon: int) -> None:
+        prev = self.gc_horizon()
+        if prev is not None:
+            horizon = max(horizon, prev)  # the watermark never regresses
+        tmp = f"{self._gc_meta}.new-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"horizon": horizon}, fh)
+        os.replace(tmp, self._gc_meta)
+
+    def compact(self, spark: SparkSession, tombstone_horizon: int | None = None) -> None:
+        """Maintenance rewrite (L3-compaction analogue for keyed state):
+        drop ``op='d'`` tombstones older than the replay watermark.  The
+        caller guarantees no future (re)delivery carries offsets below
+        ``tombstone_horizon``.  O(state) — schedule like compaction, not
+        per batch."""
         self._recover()
-        return (
-            spark.read.parquet(self.path).filter(F.col("op") != "d").drop("bucket")
+        if tombstone_horizon is not None:
+            self._set_gc_horizon(tombstone_horizon)
+        horizon = self.gc_horizon()
+        if horizon is None or not self.exists():
+            return
+        kept = spark.read.parquet(self.path).filter(
+            (F.col("op") != "d") | (F.col("offset") >= F.lit(horizon))
         )
-
-
-class _BucketStore(BucketedUpsertSink):
-    """The bucket-dir storage primitive ALONE — journaled all-or-nothing
-    multi-bucket commit, crash recovery, and DPP-pruned partial reads —
-    for derived views whose bucket contents are maintained by their own
-    algebra rather than a keyed latest-per-key merge (the band / pair /
-    join-view tables of streaming/dedup_index.py and join_view.py).
-    The inherited upsert merge methods (_updates/_merged/write/state) are
-    intentionally unused."""
-
-    def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            n.startswith("bucket=") for n in os.listdir(self.path)
-        )
-
-    def read_buckets(self, spark: SparkSession, buckets: DataFrame) -> DataFrame:
-        """DPP-pruned read of the buckets named by ``buckets.bucket``."""
-        return pruned_bucket_read(spark, self.path, buckets)
-
-    def write_buckets(self, content: DataFrame) -> None:
-        """Copy-on-write publish: overwrite exactly the buckets present in
-        ``content`` through the journaled atomic commit.  A bucket whose
-        new content would be EMPTY must be represented by marker rows (the
-        views write retracted rows back with ``dead=true``) — partitioned
-        parquet cannot emit an empty partition dir, and an absent dir
-        would silently keep the bucket's stale rows live."""
-        run_id = uuid.uuid4().hex
-        tmp = f"{self.path}.tmp-{run_id}"
-        content.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-        touched = sorted(
-            int(name.split("=", 1)[1])
-            for name in os.listdir(tmp)
-            if name.startswith("bucket=")
-        )
-        self._commit_buckets(tmp, run_id, touched)
+        self.rewrite_all(kept.repartition(self.n_buckets, "bucket"))
 
     def rewrite_all(self, content: DataFrame) -> None:
         """Full-view rewrite (the compaction path): every EXISTING bucket
@@ -566,6 +585,65 @@ class _BucketStore(BucketedUpsertSink):
             else set()
         )
         self._commit_buckets(tmp, run_id, sorted(written | existing))
+
+    def state(self, spark: SparkSession) -> DataFrame:
+        """Live state: latest row per key, tombstones filtered out."""
+        self._recover()
+        return (
+            spark.read.parquet(self.path).filter(F.col("op") != "d").drop("bucket")
+        )
+
+    def exists(self) -> bool:
+        """True iff any bucket has ever committed — the guard derived
+        views use before reading state (a stream that delivered only
+        empty batches leaves no bucket dirs, and a bare parquet read of
+        the empty dir would raise instead of returning an empty view)."""
+        return os.path.isdir(self.path) and any(
+            n.startswith("bucket=") for n in os.listdir(self.path)
+        )
+
+
+class _BucketStore(BucketedUpsertSink):
+    """The bucket-dir storage primitive ALONE — journaled all-or-nothing
+    multi-bucket commit, crash recovery, and DPP-pruned partial reads —
+    for derived views whose bucket contents are maintained by their own
+    algebra rather than a keyed latest-per-key merge (the band / pair /
+    join-view tables of streaming/dedup_index.py and join_view.py).
+    The inherited upsert merge methods (_updates/_merged/write/state) are
+    intentionally unused."""
+
+    def read_buckets(self, spark: SparkSession, buckets: DataFrame) -> DataFrame:
+        """DPP-pruned read of the buckets named by ``buckets.bucket``."""
+        return pruned_bucket_read(spark, self.path, buckets)
+
+    def write_buckets(self, content: DataFrame) -> None:
+        """Copy-on-write publish: overwrite exactly the buckets present in
+        ``content`` through the journaled atomic commit.  A bucket whose
+        new content would be EMPTY must be represented by marker rows (the
+        views write retracted rows back with ``dead=true``) — partitioned
+        parquet cannot emit an empty partition dir, and an absent dir
+        would silently keep the bucket's stale rows live."""
+        run_id = uuid.uuid4().hex
+        tmp = f"{self.path}.tmp-{run_id}"
+        content.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        touched = sorted(
+            int(name.split("=", 1)[1])
+            for name in os.listdir(tmp)
+            if name.startswith("bucket=")
+        )
+        self._commit_buckets(tmp, run_id, touched)
+
+    def overwrite_buckets(self, content: DataFrame, buckets: list[int]) -> None:
+        """Copy-on-write publish of EXACTLY ``buckets``: each named bucket
+        is replaced by its rows in ``content``, or REMOVED if ``content``
+        has none (the delta-refresh path needs emptied buckets to
+        disappear, which write_buckets' marker-row convention avoids
+        instead).  Buckets not named are untouched even if ``content``
+        accidentally carries their rows — the caller pre-filters."""
+        run_id = uuid.uuid4().hex
+        tmp = f"{self.path}.tmp-{run_id}"
+        content.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        self._commit_buckets(tmp, run_id, sorted(set(buckets)))
 
 
 class AggregatingSink:

@@ -474,6 +474,43 @@ def test_bucketed_upsert_crash_recovery(spark, workdir):
     assert sink.state(spark).count() == expected.count()
 
 
+def test_tombstone_gc_horizon_prevents_resurrection(spark, workdir):
+    """compact(tombstone_horizon=H) drops op='d' rows older than the
+    replay watermark H; a replayed batch whose offsets are BELOW H must
+    not resurrect the GC'd key (the merge path drops sub-horizon rows),
+    while data at/above H still applies."""
+    from cdc_platform_spark.streaming.pipeline import BucketedUpsertSink
+
+    schema = "pk long, offset long, op string, event_type string, value double"
+    sink = BucketedUpsertSink(f"{workdir}/state", n_buckets=4)
+    inserts = spark.createDataFrame(
+        [(1, 10, "c", "t", 1.0), (2, 11, "c", "t", 2.0)], schema
+    )
+    sink.write(inserts)
+    sink.write(spark.createDataFrame([(1, 20, "d", None, None)], schema))
+
+    raw = lambda: spark.read.parquet(sink.path)  # noqa: E731
+    assert raw().filter("op = 'd'").count() == 1, "tombstone must be retained"
+    assert sorted(r["pk"] for r in sink.state(spark).collect()) == [2]
+
+    sink.compact(spark, tombstone_horizon=50)
+    assert raw().filter("op = 'd'").count() == 0, "old tombstone must be GC'd"
+    assert sorted(r["pk"] for r in sink.state(spark).collect()) == [2]
+
+    # at-least-once redelivery of the ORIGINAL insert (offset 10 < 50):
+    # without the horizon fence this would resurrect pk=1
+    sink.write(inserts)
+    assert sorted(r["pk"] for r in sink.state(spark).collect()) == [2]
+
+    # genuinely new data at/above the horizon still applies
+    sink.write(spark.createDataFrame([(1, 60, "c", "t", 3.0)], schema))
+    assert sorted(r["pk"] for r in sink.state(spark).collect()) == [1, 2]
+
+    # the horizon never regresses: a lower re-request keeps the fence
+    sink.compact(spark, tombstone_horizon=5)
+    assert sink.gc_horizon() == 50
+
+
 def test_dlq_replay_converges(spark, workdir):
     """Failure -> quarantine -> replay: a sink that rejected delete events gets
     them replayed after the 'fix'; the exactly-once view then equals a run
