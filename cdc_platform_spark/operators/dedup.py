@@ -61,6 +61,11 @@ SIMHASH_BANDS = 4  # 4 bands x 8 bits
 SIMHASH_MAX_HAMMING = 6
 NGRAM_JACCARD_THRESHOLD = 0.9
 COSINE_DUP_THRESHOLD = 0.9
+# the unified curation funnel's embedding-suppression bar: deliberately
+# looser than the strict duplicate flag (the synthetic fixtures' embedding
+# near-dups sit below 0.9 best-cosine), so the funnel's embedding leg is
+# exercised — a production pipeline tunes this per corpus
+UNIFIED_EMB_DUP_THRESHOLD = 0.40
 
 
 def md5_60bit(col: Column) -> Column:

@@ -326,24 +326,27 @@ class BucketedMinHashIndexSink:
             # the partners' index rows, DPP-pruned to THEIR buckets — the
             # currency check and the Jaccard verification never scan index
             # buckets no candidate partner hashes into, so the whole batch
-            # touches only batch-adjacent state
-            def _partner_rows(*cols: str) -> DataFrame:
-                return (
-                    pruned_bucket_read(
-                        spark, self.index.path, cand0.select(F.col("ob").alias("bucket"))
-                    )
-                    .filter((F.col("op") != "d") & (F.size("shingles") > 0))
-                    .select(
-                        F.col("doc_id").alias("other_id"),
-                        F.col("bucket").alias("ob"),
-                        F.col("sig").alias("osig"),
-                        F.col("shingles").alias("osh"),
-                    )
-                    .select("other_id", "ob", *cols)
+            # touches only batch-adjacent state.  Computed ONCE with both
+            # columns and persisted: the frame is candidate-partner-sized
+            # and feeds two joins (currency check, verification), so a
+            # recompute would plan and run the pruned read twice per batch.
+            partner_rows = (
+                pruned_bucket_read(
+                    spark, self.index.path, cand0.select(F.col("ob").alias("bucket"))
                 )
+                .filter((F.col("op") != "d") & (F.size("shingles") > 0))
+                .select(
+                    F.col("doc_id").alias("other_id"),
+                    F.col("bucket").alias("ob"),
+                    F.col("sig").alias("osig"),
+                    F.col("shingles").alias("osh"),
+                )
+                .persist()
+            )
+            persisted.append(partner_rows)
 
             cand = (
-                cand0.join(_partner_rows("osig"), ["other_id", "ob"])
+                cand0.join(partner_rows.select("other_id", "ob", "osig"), ["other_id", "ob"])
                 .filter(F.element_at("osig", (F.col("i") + 1).cast("int")) == F.col("h"))
                 .select("doc_id", "other_id")
                 .distinct()
@@ -353,7 +356,7 @@ class BucketedMinHashIndexSink:
             ver = (
                 cand.join(batch_live.select("doc_id", F.col("shingles").alias("sh")), "doc_id")
                 .withColumn("ob", F.pmod(F.hash("other_id"), nb))
-                .join(_partner_rows("osh"), ["other_id", "ob"])
+                .join(partner_rows.select("other_id", "ob", "osh"), ["other_id", "ob"])
             )
             ni = F.size(F.array_intersect(F.col("sh"), F.col("osh")))
             jac = ni.cast("double") / (F.size("sh") + F.size("osh") - ni)
@@ -423,16 +426,20 @@ class BucketedMinHashIndexSink:
             for df in persisted:
                 df.unpersist()
 
-    def compact(self, spark: SparkSession) -> None:
+    def compact(self, spark: SparkSession, tombstone_horizon: int | None = None) -> None:
         """Maintenance pass (the L3-compaction analogue for this view):
         rewrite the band buckets keeping only CURRENT rows — each (doc, i,
         h) must match the live index's signature — and drop the pair
         stores' dead markers.  Correctness never requires this (the probe
         currency-check already ignores stale rows); it reclaims the dead
         weight the opportunistic per-batch cleaning leaves in
-        rarely-rewritten buckets.  O(index) — schedule like compaction,
-        not per batch."""
+        rarely-rewritten buckets.  With ``tombstone_horizon``, index
+        delete tombstones older than the replay watermark are GC'd too
+        (see BucketedUpsertSink.compact for the resurrection-safety
+        contract).  O(index) — schedule like compaction, not per batch."""
         self._recover()
+        if tombstone_horizon is not None:
+            self.index.compact(spark, tombstone_horizon)
         nb = F.lit(self.n_buckets)
         if self.bands.exists():
             live = spark.read.parquet(self.index.path).filter(
@@ -522,13 +529,60 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         from cdc_platform_spark.operators.text import curation_survivors
 
         self._recover()
+        if not self.index.exists():
+            # a stream of only-empty batches commits no bucket dirs; the
+            # curated corpus is simply empty, not an AnalysisException
+            return spark.createDataFrame(
+                [], "doc_id long, n_words long, distinct_ratio double"
+            )
         live = (
             spark.read.parquet(self.index.path)
             .filter(F.col("op") != "d")
             .select("doc_id", "text")
         )
         surv = curation_survivors(live)
-        suppressed = self.pairs(spark).select(F.col("doc_b").alias("doc_id")).distinct()
-        return surv.join(F.broadcast(suppressed), "doc_id", "leftanti").select(
+        if self.pair_store.exists():
+            # Suppression set = every doc_b of a verified pair.  The
+            # adjacency store keeps BOTH orientations, so the doc_b values
+            # are exactly the rows with k > o — and those rows already live
+            # in bucket pmod(hash(k), n) = pmod(hash(doc_id), n), the SAME
+            # bucketing as the index side of this anti-join: on a
+            # bucketed-catalog deployment the join is storage-aligned and
+            # shuffle-free.  No broadcast hint: the near-dup set of a web
+            # corpus is corpus-proportional (commonly 30-50% of documents),
+            # so forcing a broadcast would materialize billions of ids on
+            # the driver; the strategy is left to AQE, which broadcasts at
+            # test scale and shuffles at 100 TB.
+            suppressed = (
+                spark.read.parquet(self.pair_store.path)
+                .filter(~F.col("dead") & (F.col("k") > F.col("o")))
+                .select(F.col("k").alias("doc_id"))
+                .distinct()
+            )
+            surv = surv.join(suppressed, "doc_id", "leftanti")
+        return surv.select(
             "doc_id", F.col("n_words").cast("long").alias("n_words"), "distinct_ratio"
         )
+
+    def curated_unified(self, spark: SparkSession, neighbor_view: DataFrame) -> DataFrame:
+        """The curated corpus with BOTH dedup signals applied — the funnel
+        a real pretraining pipeline runs: text-level near-dup suppression
+        (this sink's maintained pair view) AND embedding-level near-dup
+        suppression from a :class:`~cdc_platform_spark.streaming.
+        neighbor_index.CosineNeighborIndexSink` view (vec_id ≡ doc_id).
+
+        The embedding rule mirrors the text one: a document whose best
+        embedding neighbor has cosine >= UNIFIED_EMB_DUP_THRESHOLD and a
+        LOWER id is dropped — the canonical lowest id survives.  Like the
+        text suppression set, the dup set is corpus-proportional at
+        100 TB, so no broadcast hint — AQE picks the strategy."""
+        from cdc_platform_spark.operators.dedup import UNIFIED_EMB_DUP_THRESHOLD
+
+        losers = (
+            neighbor_view.filter(
+                (F.col("cosine") >= UNIFIED_EMB_DUP_THRESHOLD)
+                & (F.col("nn_id") < F.col("vec_id"))
+            )
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        return self.curated(spark).join(losers, "doc_id", "leftanti")

@@ -341,10 +341,43 @@ class CosineNeighborIndexSink:
             content = existing.unionByName(fresh_rows)
         self.best.write_buckets(content.repartition(self.n_buckets, "bucket"))
 
+    def compact(self, spark: SparkSession, tombstone_horizon: int | None = None) -> None:
+        """Maintenance pass (same shape as BucketedMinHashIndexSink.compact):
+        rewrite the band buckets keeping only CURRENT rows — each (vec,
+        band, val) must match the live index's signature — and drop the
+        best store's dead markers and superseded reverse pointers.
+        Correctness never requires this (probes currency-check and the
+        view filters dead rows); it reclaims the dead weight superset
+        maintenance leaves in rarely-rewritten buckets.  With
+        ``tombstone_horizon``, index delete tombstones older than the
+        replay watermark are GC'd too (see BucketedUpsertSink.compact).
+        O(index) — schedule like compaction, not per batch."""
+        self._recover()
+        if tombstone_horizon is not None:
+            self.index.compact(spark, tombstone_horizon)
+        nb = F.lit(self.n_buckets)
+        if self.bands.exists():
+            live = spark.read.parquet(self.index.path).filter(
+                (F.col("op") != "d") & F.col("bvals").isNotNull()
+            )
+            current = self._band_rows(live).select("vec_id", "band", "val", "bucket")
+            self.bands.rewrite_all(current.repartition(self.n_buckets, "bucket"))
+        if self.best.exists():
+            kept = (
+                spark.read.parquet(self.best.path)
+                .filter(~F.col("dead"))
+                .select("k", "o", "cosine", "rev", "dead", "bucket")
+            )
+            self.best.rewrite_all(kept.repartition(self.n_buckets, "bucket"))
+
     def view(self, spark: SparkSession) -> DataFrame:
         """(vec_id, nn_id, cosine, is_dup) for every live vector — equals
         the batch dedup_embedding_cosine over the live corpus."""
         self._recover()
+        if not self.index.exists():
+            # only-empty batches commit no bucket dirs: serve an empty
+            # view instead of raising on the bare parquet read
+            return spark.createDataFrame([], _VIEW_SCHEMA)
         live = (
             spark.read.parquet(self.index.path)
             .filter(F.col("op") != "d")

@@ -300,6 +300,87 @@ def test_compact_drops_stale_band_rows_and_dead_markers(spark, tmp_path, cdc_row
     assert _pairs(sink, spark) == _pairs(ref, spark)
 
 
+def test_curated_unified_drops_embedding_dup_losers(spark, tmp_path, cdc_rows):
+    """curated_unified() must additionally drop documents whose best
+    embedding neighbor clears UNIFIED_EMB_DUP_THRESHOLD with a LOWER id,
+    and keep the canonical lower partner."""
+    from cdc_platform_spark.operators.dedup import UNIFIED_EMB_DUP_THRESHOLD
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    sink = CuratedCorpusSink(str(tmp_path / "c"), n_buckets=8)
+    sink.write(cdc_rows)
+    base = sorted(r["doc_id"] for r in sink.curated(spark).collect())
+    assert len(base) >= 3
+    a, b = base[0], base[1]  # a < b, both text-curated survivors
+    t = UNIFIED_EMB_DUP_THRESHOLD
+    nv = spark.createDataFrame(
+        [
+            (b, a, t + 0.01, 0),     # b dups a (lower id): b dropped
+            (a, b, t + 0.01, 0),     # a's best has a HIGHER id: a kept
+            (base[2], a, t - 0.01, 0),  # below threshold: kept
+        ],
+        "vec_id long, nn_id long, cosine double, is_dup long",
+    )
+    got = sorted(r["doc_id"] for r in sink.curated_unified(spark, nv).collect())
+    assert b not in got and a in got and base[2] in got
+    assert got == [x for x in base if x != b]
+
+
+def test_index_tombstone_gc_with_horizon(spark, tmp_path, cdc_rows):
+    """compact(tombstone_horizon=H) GCs the signature index's op='d' rows
+    older than the replay watermark without changing the pair view, and a
+    replayed batch older than H cannot resurrect a GC'd document."""
+    from cdc_platform_spark.streaming.dedup_index import BucketedMinHashIndexSink
+
+    sink = BucketedMinHashIndexSink(str(tmp_path / "idx"), n_buckets=8)
+    sink.write(cdc_rows)
+    pairs_before = _pairs(sink, spark)
+    deleted = {r["doc_id"] for r in cdc_rows.filter(F.col("op") == "d").collect()}
+    assert spark.read.parquet(sink.index.path).filter("op = 'd'").count() == len(deleted)
+
+    sink.compact(spark, tombstone_horizon=10**9)
+    assert spark.read.parquet(sink.index.path).filter("op = 'd'").count() == 0
+    assert _pairs(sink, spark) == pairs_before
+
+    # replay the whole CDC history (all offsets < 10**9): the sub-horizon
+    # fence must keep deleted docs dead and leave the pair view unchanged
+    sink.write(cdc_rows)
+    assert _pairs(sink, spark) == pairs_before
+    live_ids = {
+        r["doc_id"] for r in spark.read.parquet(sink.index.path).collect()
+    }
+    assert not (live_ids & deleted), "GC'd doc resurrected by a replayed batch"
+
+
+def test_curated_suppression_join_carries_no_broadcast_hint(spark, tmp_path, cdc_rows):
+    """The suppressed-id set is corpus-proportional at 100 TB (the near-dup
+    share of a web corpus is commonly 30-50% of documents): curated() must
+    not FORCE it broadcast — the strategy belongs to AQE, which can still
+    choose broadcast at test scale but shuffles when the set is large."""
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    sink = CuratedCorpusSink(str(tmp_path / "c"), n_buckets=8)
+    sink.write(cdc_rows)
+    analyzed = sink.curated(spark)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, (
+        "curated() forces a join-strategy hint; the suppressed side is "
+        "unbounded and a forced broadcast OOMs at the sink's design scale"
+    )
+
+
+def test_views_serve_empty_before_first_commit(spark, tmp_path):
+    """A stream that delivered only empty batches leaves no bucket dirs;
+    the derived reads must serve empty views, not raise AnalysisException."""
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+    from cdc_platform_spark.streaming.neighbor_index import CosineNeighborIndexSink
+
+    corpus = CuratedCorpusSink(str(tmp_path / "c"), n_buckets=8)
+    assert corpus.curated(spark).count() == 0
+    assert corpus.pairs(spark).count() == 0
+    nn = CosineNeighborIndexSink(str(tmp_path / "n"), n_buckets=8)
+    assert nn.view(spark).count() == 0
+
+
 def test_curated_corpus_reacts_to_quality_dedup_and_cdc(spark, tmp_path, cdc_rows):
     """CuratedCorpusSink.curated() must equal the batch funnel over the
     live docs, drop deleted docs, and re-admit a suppressed near-dup when

@@ -117,6 +117,62 @@ def test_view_converges_under_any_batching(spark, tmp_path, emb):
     assert _rows(sink.view(spark)) == expected
 
 
+def test_compact_reclaims_band_rows_dead_markers_and_tombstones(spark, tmp_path, emb):
+    """compact() must shrink the band view to exactly the live current
+    rows, drop the best store's dead markers, and (with a horizon) GC
+    index tombstones — all without changing the served view, and the
+    stream must continue correctly afterwards."""
+    from cdc_platform_spark.streaming.neighbor_index import CosineNeighborIndexSink
+
+    rows = _cdc_rows(emb).localCheckpoint(eager=True)
+    sink = CosineNeighborIndexSink(str(tmp_path / "nn"), n_buckets=8)
+    sink.write(rows.filter(F.col("op") == "c"))
+    sink.write(rows.filter(F.col("op") == "u"))
+    # a delete-only batch is the guaranteed stale-row generator: it emits
+    # no band rows, so it rewrites no band bucket and the deleted vectors'
+    # rows stay until compaction
+    sink.write(rows.filter(F.col("op") == "d"))
+    view_before = _rows(sink.view(spark))
+
+    def n_bands():
+        return spark.read.parquet(sink.bands.path).count()
+
+    def band_bytes():
+        import pathlib
+
+        return sum(
+            p.stat().st_size for p in pathlib.Path(sink.bands.path).rglob("*.parquet")
+        )
+
+    live = spark.read.parquet(sink.index.path).filter(
+        (F.col("op") != "d") & F.col("bvals").isNotNull()
+    )
+    n_current = live.select("vec_id", F.posexplode("bvals")).count()
+    assert n_bands() > n_current, "updates/deletes should leave stale band rows"
+    assert spark.read.parquet(sink.best.path).filter("dead").count() > 0
+    assert spark.read.parquet(sink.index.path).filter("op = 'd'").count() > 0
+    bytes_before = band_bytes()
+
+    sink.compact(spark, tombstone_horizon=10**9)
+    assert n_bands() == n_current
+    assert band_bytes() < bytes_before, "compaction must reclaim band storage"
+    assert spark.read.parquet(sink.best.path).filter("dead").count() == 0
+    assert spark.read.parquet(sink.index.path).filter("op = 'd'").count() == 0
+    assert _rows(sink.view(spark)) == view_before
+
+    # a replayed batch older than the horizon cannot resurrect GC'd keys
+    sink.write(rows)
+    assert _rows(sink.view(spark)) == view_before
+
+    # and genuinely new data above the horizon still flows
+    fresh = spark.createDataFrame(
+        [(10**6, 2 * 10**9, "d", None)],
+        "vec_id long, offset long, op string, a array<long>",
+    )
+    sink.write(fresh)  # unknown key delete: view unchanged, no crash
+    assert _rows(sink.view(spark)) == view_before
+
+
 def test_reverse_pointer_heals_best_on_partner_delete(spark, tmp_path, emb):
     """Deleting a vector that is someone's stored best must trigger that
     vector's recompute even though the delete emits no band rows."""
