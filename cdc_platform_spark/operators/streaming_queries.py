@@ -1205,6 +1205,143 @@ def sq_corpus_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.curated(spark).orderBy("doc_id")
 
 
+def _unified_curation_oracle() -> str:
+    """Oracle for sq_unified_curation_stream: the batch curation funnel
+    (quality -> exact dedup -> text near-dup suppression) FURTHER
+    suppressing embedding-level near-dups (the dedup_embedding_cosine
+    best-neighbor recipe over the post-CDC live vectors, drop every
+    vector whose duplicate-best partner has a lower id).  Both CTE chains
+    are the shared canonical constants; the cosine chain's ``cand`` CTE
+    is renamed to avoid colliding with the minhash chain's."""
+    from cdc_platform_spark.operators.dedup import (
+        _ORACLE_COSINE_BEST_CTES,
+        _ORACLE_MINHASH_PAIR_CTES,
+        EMB_DIM,
+        ORACLE_EMB_UNNEST,
+        UNIFIED_EMB_DUP_THRESHOLD,
+    )
+    from cdc_platform_spark.operators.text import (
+        CURATION_MIN_DISTINCT_RATIO,
+        CURATION_MIN_WORDS,
+    )
+
+    assert _ORACLE_MINHASH_PAIR_CTES.count("FROM documents") == 1
+    text_ctes = _ORACLE_MINHASH_PAIR_CTES.replace("FROM documents", "FROM docs_live")
+    # the two shared chains collide only on the CTE name `cand`
+    assert _ORACLE_COSINE_BEST_CTES.count("cand") == 2  # definition + one use
+    emb_ctes = _ORACLE_COSINE_BEST_CTES.replace("cand", "ecand")
+    return f"""
+        WITH docs_live AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' spark dedup stream spark dedup stream'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 3
+        ),
+        {text_ctes},
+        qdocs AS (
+            SELECT doc_id, str_split(text, ' ') AS words, md5(text) AS content_md5
+            FROM docs_live
+        ),
+        qual AS (
+            SELECT doc_id, content_md5,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio
+            FROM qdocs
+            WHERE len(words) >= {CURATION_MIN_WORDS}
+              AND CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                  >= {CURATION_MIN_DISTINCT_RATIO}
+        ),
+        qcanon AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+                FROM qual) WHERE rn = 1
+        ),
+        suppressed AS (SELECT DISTINCT db AS doc_id FROM scored),
+        u0 AS ({ORACLE_EMB_UNNEST}),
+        u AS (
+            SELECT vec_id, i, v FROM u0
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 <> 0
+            UNION ALL
+            SELECT vec_id, {EMB_DIM} + 1 - i AS i, v FROM u0
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 = 0
+        ),
+        {emb_ctes},
+        edup AS (
+            SELECT ia AS doc_id FROM best
+            WHERE c >= {UNIFIED_EMB_DUP_THRESHOLD} AND ib < ia
+        )
+        SELECT q.doc_id, q.n_words, q.distinct_ratio
+        FROM qcanon q
+        LEFT JOIN suppressed s ON q.doc_id = s.doc_id
+        LEFT JOIN edup e ON q.doc_id = e.doc_id
+        WHERE s.doc_id IS NULL AND e.doc_id IS NULL
+        ORDER BY q.doc_id
+    """
+
+
+@register(
+    "sq_unified_curation_stream",
+    category="streaming",
+    doc=(
+        "The COMBINED dedup-signal curation funnel a real pretraining "
+        "pipeline runs, maintained incrementally from two CDC streams: "
+        "the document stream drives CuratedCorpusSink (quality filter -> "
+        "exact dedup -> text-LSH near-dup suppression) and the embedding "
+        "stream drives CosineNeighborIndexSink (per-vector best-cosine "
+        "duplicate flags); curated_unified() then also drops every "
+        "document whose embedding is a duplicate of a lower-id partner "
+        "(vec_id = doc_id). Must equal the batch funnel composed with the "
+        "batch dedup_embedding_cosine suppression over the post-CDC live "
+        "corpus."
+    ),
+    oracle=_unified_curation_oracle(),
+)
+def sq_unified_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+    from cdc_platform_spark.streaming.neighbor_index import CosineNeighborIndexSink
+
+    work = _workdir("sq_unicur_")
+    # document CDC -> curated-corpus sink (same staging as the curation query)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    off = F.col("doc_id") + F.lit(100000000)
+    wave0 = d.select(
+        "doc_id", F.col("doc_id").alias("offset"), F.lit("c").alias("op"), "text"
+    )
+    upd = d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 3)).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("u").alias("op"),
+        F.concat(F.col("text"), F.lit(" spark dedup stream spark dedup stream")).alias("text"),
+    )
+    dels = d.filter(F.col("doc_id") % 11 == 3).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("d").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    dsrc = f"{work}/doc_source"
+    wave0.unionByName(upd).unionByName(dels).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(dsrc)
+    dstream = (
+        spark.readStream.schema("doc_id long, offset long, op string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dsrc)
+    )
+    corpus = CuratedCorpusSink(f"{work}/corpus")
+    _run_index_stream(dstream, corpus, f"{work}/dck")
+
+    # embedding CDC -> best-neighbor sink (same staging as the ANN queries)
+    _e, estream = _stage_embedding_cdc(spark, sf_dir, f"{work}/emb")
+    nn = CosineNeighborIndexSink(f"{work}/nn")
+    _run_index_stream(estream, nn, f"{work}/eck")
+
+    return corpus.curated_unified(spark, nn.view(spark)).orderBy("doc_id")
+
+
 def _ann_index_pq_oracle() -> str:
     """Full-rebuild oracle for sq_ann_index_pq_stream: IVF coarse
     quantizer AND per-subspace PQ codebooks trained on the ORIGINAL
@@ -1455,7 +1592,9 @@ def sq_ann_search_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     _run_index_stream(stream, sink, work)
     state = sink.state(spark)
     proj = IvfCellProjection(f"{work}/serving")
-    proj.refresh(state)
+    # journal-driven refresh: bootstrap here (first call), per-batch delta
+    # on a live deployment — only touched cells' partitions rewritten
+    proj.refresh_from_primary(spark, sink)
     pv = state.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("qid"), F.col("a").alias("qa")
     )

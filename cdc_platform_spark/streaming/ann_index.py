@@ -42,8 +42,10 @@ from pyspark.sql import functions as F
 from cdc_platform_spark.operators.dedup import dot_long
 from cdc_platform_spark.streaming.pipeline import (
     BucketedUpsertSink,
+    _BucketStore,
     _commit_swap,
     _recover_swapped_dir,
+    pruned_bucket_read,
 )
 
 
@@ -294,6 +296,97 @@ class BucketedIvfFlatIndexSink(BucketedIvfIndexSink):
         # a batch; delete tombstones keep a NULL vector
         return base.join(vecs, ["vec_id", "offset"], "left").select(*self._COLS)
 
+    # --- touched-cell journal (feeds the projection's delta refresh) ------
+    # Each write records every cell whose MEMBERSHIP this batch can change:
+    # the batch rows' new cells plus the touched vec_ids' pre-merge cells
+    # (an update moves a vector between cells; a delete empties its old
+    # cell).  The journal is written BEFORE the state commit, so a crash
+    # replay can only over-journal — and the projection refresh is
+    # idempotent per cell, so extra entries cost a redundant rewrite, never
+    # staleness.
+
+    @property
+    def _cells_dir(self) -> str:
+        return f"{self.path}.cells"
+
+    def _journal_touched_cells(self, upd: DataFrame) -> None:
+        spark = upd.sparkSession
+        cells_df = upd.select("cell")
+        if self.exists():
+            from cdc_platform_spark.streaming.pipeline import pruned_bucket_read
+
+            old = (
+                pruned_bucket_read(spark, self.path, upd)
+                .join(upd.select(self._KEY).distinct(), self._KEY, "leftsemi")
+                .select("cell")
+            )
+            cells_df = cells_df.unionByName(old)
+        # bounded collect: ≤ N_CELLS + batch-distinct cells — quantizer
+        # metadata, never data
+        cells = sorted(
+            r["cell"] for r in cells_df.distinct().collect() if r["cell"] is not None
+        )
+        if not cells:
+            return
+        os.makedirs(self._cells_dir, exist_ok=True)
+        import json
+
+        tmp = f"{self._cells_dir}/.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"cells": [int(c) for c in cells]}, fh)
+        os.replace(tmp, f"{self._cells_dir}/touch-{uuid.uuid4().hex}.json")
+
+    def drain_touched_cells(self) -> tuple[list[int], list[str]]:
+        """Accumulated touched cells since the last cleared refresh, plus
+        the journal files that carried them (pass to clear_touched_cells
+        AFTER the refresh commits; entries arriving mid-refresh survive)."""
+        import json
+
+        if not os.path.isdir(self._cells_dir):
+            return [], []
+        files = sorted(
+            f"{self._cells_dir}/{n}"
+            for n in os.listdir(self._cells_dir)
+            if n.startswith("touch-") and n.endswith(".json")
+        )
+        cells: set[int] = set()
+        for path in files:
+            try:
+                with open(path) as fh:
+                    cells.update(json.load(fh)["cells"])
+            except (OSError, ValueError, KeyError):
+                continue
+        return sorted(cells), files
+
+    def clear_touched_cells(self, files: list[str]) -> None:
+        for path in files:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+
+    def write(self, batch: DataFrame) -> None:
+        """Same single-job merge as the base class, with the shaped updates
+        computed once and reused for the touched-cell journal."""
+        if not batch.take(1):
+            return
+        self._recover()
+        upd = self._updates(batch).persist()
+        try:
+            self._journal_touched_cells(upd)
+            merged = self._merged_from_updates(upd)
+            run_id = uuid.uuid4().hex
+            tmp = f"{self.path}.tmp-{run_id}"
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+            touched = sorted(
+                int(name.split("=", 1)[1])
+                for name in os.listdir(tmp)
+                if name.startswith("bucket=")
+            )
+            self._commit_buckets(tmp, run_id, touched)
+        finally:
+            upd.unpersist()
+
     def state(self, spark: SparkSession) -> DataFrame:
         """The live IVF-Flat inverted file: (vec_id, cell, a)."""
         self._recover()
@@ -317,25 +410,65 @@ class IvfCellProjection:
     partition-pruned scan of ~``N_PROBE / N_CELLS`` of the corpus — no
     join against the primary, no shuffle of the inverted file.
 
-    ``refresh`` is a full rewrite on the compaction cadence (per N
-    batches / on cell-delta thresholds), NOT per micro-batch — the
-    primary serves point-in-time correct answers at all times
+    ``refresh`` runs on the compaction cadence (per N batches / on
+    cell-delta thresholds), NOT per micro-batch — the primary serves
+    point-in-time correct answers at all times
     (``ivf_search_from_index``); the projection trades refresh lag for
-    scan locality, exactly like any read replica."""
+    scan locality, exactly like any read replica.  A refresh is DELTA
+    by default when driven from the primary (``refresh_from_primary``):
+    the primary journals every cell whose membership a batch can change
+    (new cell + pre-merge cell of each touched vector), and only those
+    cells' partitions are rewritten — untouched cell partitions keep
+    their files byte-identical across a refresh (physically asserted by
+    the plan test).  Storage reuses the journaled per-bucket
+    copy-on-write primitive with the partition value = the CELL id (the
+    dirs are named ``bucket=<cell>``), so delta commits are
+    all-or-nothing and crash-recovered exactly like the index stores."""
 
     def __init__(self, path: str) -> None:
         self.path = path
+        self.store = _BucketStore(path)
 
-    def refresh(self, state: DataFrame) -> None:
-        """Re-cluster ``BucketedIvfFlatIndexSink.state()`` by cell
-        (two-rename swap; crash mid-swap heals on next refresh/search)."""
-        _recover_swapped_dir(self.path)
+    def refresh(self, state: DataFrame, cells: list[int] | None = None) -> None:
+        """Re-cluster ``BucketedIvfFlatIndexSink.state()`` by cell.
+        ``cells=None`` → full rewrite (bootstrap / quantizer reshape);
+        otherwise only the named cells' partitions are rewritten, and a
+        named cell whose membership became empty is removed.  The state
+        SCAN is O(state) either way (the primary is vec_id-bucketed, so
+        a cell filter cannot partition-prune it); the delta saves the
+        WRITE side — at 100 TB the rewrite, not the columnar scan of
+        (vec_id, cell), is the expensive half."""
+        self.store._recover()
         out = state.select(
-            "vec_id", "a", dot_long(F.col("a"), F.col("a")).alias("norm"), "cell"
-        ).repartition("cell")
-        tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
-        out.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-        _commit_swap(self.path, tmp)
+            "vec_id",
+            "a",
+            dot_long(F.col("a"), F.col("a")).alias("norm"),
+            F.col("cell").alias("bucket"),
+        )
+        if cells is None or not self.store.exists():
+            self.store.rewrite_all(out.repartition("bucket"))
+            return
+        cells = sorted({int(c) for c in cells})
+        if not cells:
+            return
+        delta = out.filter(F.col("bucket").isin(cells)).repartition("bucket")
+        self.store.overwrite_buckets(delta, cells)
+
+    def refresh_from_primary(
+        self, spark: SparkSession, primary: "BucketedIvfFlatIndexSink"
+    ) -> list[int]:
+        """Incremental refresh driven by the primary's touched-cell
+        journal: rewrite exactly the cells whose membership changed since
+        the last refresh, then clear the drained journal entries (a crash
+        between the two steps only re-refreshes — idempotent).  Returns
+        the refreshed cell ids."""
+        cells, files = primary.drain_touched_cells()
+        if not self.store.exists():
+            self.refresh(primary.state(spark))  # bootstrap: full build
+        elif cells:
+            self.refresh(primary.state(spark), cells)
+        primary.clear_touched_cells(files)
+        return cells
 
     def search(self, spark: SparkSession, centroids: DataFrame, probe_vectors: DataFrame) -> DataFrame:
         """Top-k cosine probes against the projection: probe cells via the
@@ -349,7 +482,7 @@ class IvfCellProjection:
 
         from cdc_platform_spark.operators.similarity import N_PROBE, TOP_K
 
-        _recover_swapped_dir(self.path)
+        self.store._recover()
         pv = probe_vectors.withColumn("qn", dot_long(F.col("qa"), F.col("qa")))
         pc = pv.crossJoin(F.broadcast(centroids)).select(
             "qid",
@@ -364,9 +497,9 @@ class IvfCellProjection:
             .filter(F.col("rn") <= N_PROBE)
             .select("qid", "qa", "qn", F.col("cent_id").alias("cell"))
         )
-        cells = probes.select("cell").distinct().filter(F.col("cell") >= 0)
-        members = spark.read.parquet(self.path).join(
-            F.broadcast(cells), "cell", "leftsemi"
+        cells = probes.select(F.col("cell").alias("bucket")).distinct()
+        members = pruned_bucket_read(spark, self.path, cells).withColumnRenamed(
+            "bucket", "cell"
         )
         w_rank = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nid"))
         return (

@@ -332,3 +332,67 @@ def test_cell_projection_search_matches_primary_and_prunes(spark, tmp_path, trai
         "projection member scan lost its DPP partition filter — a probe "
         "would scan every cell"
     )
+
+
+def test_cell_projection_delta_refresh_rewrites_only_touched_cells(
+    spark, tmp_path, trained
+):
+    """The incremental refresh contract: after a small CDC batch, a
+    journal-driven refresh rewrites ONLY the cells whose membership that
+    batch could change — every other cell partition keeps an identical
+    file listing — and the refreshed projection equals a from-scratch
+    full rebuild."""
+    import os
+
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        IvfCellProjection,
+    )
+
+    e, cents = trained
+    rows = _cdc_rows(e).localCheckpoint(eager=True)
+    inserts = rows.filter(F.col("op") == "c")
+    sink = BucketedIvfFlatIndexSink(str(tmp_path / "idx"), cents, n_buckets=8)
+    sink.write(inserts)
+
+    proj = IvfCellProjection(str(tmp_path / "serving"))
+    refreshed = proj.refresh_from_primary(spark, sink)  # bootstrap: full build
+    assert refreshed, "the insert wave must journal its cells"
+
+    def listing():
+        return {
+            b: sorted(os.listdir(f"{proj.path}/{b}"))
+            for b in os.listdir(proj.path)
+            if b.startswith("bucket=")
+        }
+
+    before = listing()
+    assert len(before) >= 4, "fixture should populate several cells"
+
+    # one update + one delete: touched cells = their old cells + the
+    # update's new cell — everything else must stay byte-identical
+    delta = rows.filter(F.col("op") != "c").limit(2).localCheckpoint(eager=True)
+    assert delta.count() > 0
+    sink.write(delta)
+    refreshed = proj.refresh_from_primary(spark, sink)
+    assert refreshed, "the batch must journal its touched cells"
+
+    after = listing()
+    touched_dirs = {f"bucket={c}" for c in refreshed}
+    for b in set(before) - touched_dirs:
+        assert after.get(b) == before[b], f"{b} rewritten by an unrelated batch"
+
+    # the delta-refreshed replica equals a from-scratch full rebuild
+    full = IvfCellProjection(str(tmp_path / "full"))
+    full.refresh(sink.state(spark))
+    got = sorted(
+        map(tuple, spark.read.parquet(proj.path).select("vec_id", "norm", "bucket").collect())
+    )
+    want = sorted(
+        map(tuple, spark.read.parquet(full.path).select("vec_id", "norm", "bucket").collect())
+    )
+    assert got == want
+
+    # the journal is drained: an immediate re-refresh rewrites nothing
+    assert proj.refresh_from_primary(spark, sink) == []
+    assert listing() == after
