@@ -169,7 +169,18 @@ class CosineNeighborIndexSink:
         and truncating their lineage keeps each of the three store writes
         a shallow plan instead of re-executing the whole probe chain
         inside every DPP subquery (measured 4-6x wall-clock on the
-        write path)."""
+        write path).
+
+        Durability trade-off: localCheckpoint blocks live on executors
+        only, so an executor loss mid-batch aborts the micro-batch and
+        forces a full batch retry — safe (every store merge is
+        replay-idempotent) but not free at scale.  On a multi-executor
+        deployment where mid-batch executor churn is routine, swap the
+        eager localCheckpoints for persist(MEMORY_AND_DISK_2) or a
+        reliable checkpoint dir: same lineage-truncation benefit for the
+        DPP subqueries, replicated blocks.  Single-JVM local mode (this
+        container) has no partial-executor-loss case, so the cheaper
+        form is used here."""
         if not batch.take(1):
             return  # empty/replayed-out micro-batch: all views unchanged
         self._recover()
