@@ -48,8 +48,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["q10_agg_pricing_summary"].builder(spark, SMOKE_SF_DIR)
 
 
-def _driver_verified_names() -> set[str]:
-    """Query names with at least one *green* row in any CORRECTNESS_r*.json.
+def _driver_verified_names(after: str | None = None) -> set[str]:
+    """Query names with at least one *green* row in any CORRECTNESS_r*.json
+    (restricted to files sorting strictly after ``after`` when given).
 
     The driver samples only the first 50 entries of ``queries()``, so we
     rotate: queries never independently verified by the driver are emitted
@@ -66,7 +67,10 @@ def _driver_verified_names() -> set[str]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     seen: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    paths = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    if after is not None:
+        paths = [p for p in paths if os.path.basename(p) > after]
+    for path in paths:
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -87,13 +91,28 @@ def _driver_verified_names() -> set[str]:
     return seen
 
 
+# Queries whose IMPLEMENTATION changed since their last green driver row:
+# re-fronted into the unseen block so the next driver run re-certifies the
+# new code path.  Self-clearing: once a correctness file NEWER than the
+# change (> _REVERIFY_ASOF) carries a green row, the entry stops consuming
+# a rotation slot.
+_REVERIFY = {
+    # round 7: delta refresh path + de-broadcast suppression join
+    "sq_ann_search_projection",
+    "sq_corpus_curation_stream",
+}
+_REVERIFY_ASOF = "CORRECTNESS_r06.json"  # last pre-change correctness file
+
+
 def _priority_order(registry) -> list[str]:
     """Never-driver-verified first (sorted), then the verified backlog.
 
     Within the verified tail, the CDC core (q26-q30) and the flagship q10
     lead so they re-appear as soon as slots free up.
     """
-    seen = _driver_verified_names()
+    seen = _driver_verified_names() - (
+        _REVERIFY - _driver_verified_names(after=_REVERIFY_ASOF)
+    )
     # Ordering within the unseen block: streaming-path queries first (the
     # only independent check on the streaming machinery — batch queries all
     # have pytest oracle coverage as a fallback), then new flagship

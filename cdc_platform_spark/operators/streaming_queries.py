@@ -1564,37 +1564,76 @@ def _ann_search_oracle() -> str:
     category="streaming",
     doc=(
         "ANN search from the cell-partitioned SERVING PROJECTION — the "
-        "CQRS read replica of the maintained IVF-Flat index: after the "
-        "embedding CDC stream is folded into BucketedIvfFlatIndexSink "
-        "(vec_id-bucketed maintenance primary), IvfCellProjection.refresh "
-        "re-clusters the live state into cell= partition dirs with norms "
-        "precomputed, and the probe then reads ONLY its probed cells' "
-        "partitions (broadcast-semi DPP prune — plan-test pinned) with no "
-        "join against the primary. Must equal the primary-path "
-        "sq_ann_search_from_index result, i.e. the batch sim_ann_ivf "
-        "recipe over the post-CDC corpus (same oracle)."
+        "CQRS read replica of the maintained IVF-Flat index, refreshed "
+        "INCREMENTALLY: the insert wave streams into "
+        "BucketedIvfFlatIndexSink (vec_id-bucketed maintenance primary) "
+        "and a journal-driven bootstrap builds the replica; then the "
+        "update/delete wave streams in and refresh_from_primary rewrites "
+        "ONLY the cells the primary's touched-cell journal names — "
+        "untouched cell partitions keep their files. The probe reads ONLY "
+        "its probed cells' partitions (broadcast-semi DPP prune — "
+        "plan-test pinned) with no join against the primary. Must equal "
+        "the primary-path sq_ann_search_from_index result, i.e. the batch "
+        "sim_ann_ivf recipe over the post-CDC corpus (same oracle) — so a "
+        "green row certifies the DELTA refresh path end-to-end."
     ),
     oracle=_ann_search_oracle(),
 )
 def sq_ann_search_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from cdc_platform_spark.operators.similarity import N_PROBES, train_ivf_centroids
+    from cdc_platform_spark.operators.similarity import (
+        N_PROBES,
+        _fixed_embeddings,
+        train_ivf_centroids,
+    )
     from cdc_platform_spark.streaming.ann_index import (
         BucketedIvfFlatIndexSink,
         IvfCellProjection,
     )
 
     work = _workdir("sq_annproj_")
-    e, stream = _stage_embedding_cdc(spark, sf_dir, work)
+    e = _fixed_embeddings(spark, sf_dir)
     cents = train_ivf_centroids(e)
     sink = BucketedIvfFlatIndexSink(f"{work}/index", cents)
-    _run_index_stream(stream, sink, work)
-    state = sink.state(spark)
     proj = IvfCellProjection(f"{work}/serving")
-    # journal-driven refresh: bootstrap here (first call), per-batch delta
-    # on a live deployment — only touched cells' partitions rewritten
+    src = f"{work}/source"
+    emb_schema = "vec_id long, offset long, op string, a array<long>"
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(emb_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        _run_index_stream(stream, sink, work)
+
+    # phase 1: insert wave -> bootstrap (full) replica build
+    wave0 = e.select(
+        "vec_id", F.col("vec_id").alias("offset"), F.lit("c").alias("op"), "a"
+    )
+    wave0.repartition(2).write.mode("overwrite").parquet(src)
+    run_stream()
     proj.refresh_from_primary(spark, sink)
+
+    # phase 2: update/delete wave appended to the same source; the
+    # checkpointed availableNow run processes only the new files, and the
+    # replica refresh is a DELTA — only journal-named cells rewritten
+    off = F.col("vec_id") + F.lit(100000000)
+    upd = e.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 11 != 3)).select(
+        "vec_id", off.alias("offset"), F.lit("u").alias("op"), F.reverse("a").alias("a")
+    )
+    dels = e.filter(F.col("vec_id") % 11 == 3).select(
+        "vec_id",
+        off.alias("offset"),
+        F.lit("d").alias("op"),
+        F.lit(None).cast("array<long>").alias("a"),
+    )
+    upd.unionByName(dels).repartition(2).write.mode("append").parquet(src)
+    run_stream()
+    proj.refresh_from_primary(spark, sink)
+
+    state = sink.state(spark)
     pv = state.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("qid"), F.col("a").alias("qa")
     )

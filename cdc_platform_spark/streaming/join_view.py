@@ -270,6 +270,22 @@ class BucketedJoinViewSink:
         finally:
             rows.unpersist()
 
+    def compact(self, spark: SparkSession, tombstone_horizon: int | None = None) -> None:
+        """Maintenance pass: drop the view store's dead markers and, with
+        ``tombstone_horizon``, GC the DIM store's delete tombstones older
+        than the replay watermark (see BucketedUpsertSink.compact for the
+        resurrection-safety contract).  The FACTS store is deliberately
+        not GC'd: there op='d' rows are real event records — delete
+        events are facts that join the live dim in the view — not
+        key-deletion tombstones.  O(state) — schedule like compaction,
+        not per batch."""
+        self._recover()
+        if tombstone_horizon is not None:
+            self.dim.compact(spark, tombstone_horizon)
+        if self.view_store.exists():
+            kept = spark.read.parquet(self.view_store.path).filter(~F.col("dead"))
+            self.view_store.rewrite_all(kept.repartition(self.n_buckets, "bucket"))
+
     def view(self, spark: SparkSession) -> DataFrame:
         """The live enriched view."""
         self._recover()

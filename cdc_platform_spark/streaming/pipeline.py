@@ -27,6 +27,7 @@ transactional commit.
 
 from __future__ import annotations
 
+import inspect
 import json
 import os
 import shutil
@@ -1077,6 +1078,20 @@ class CdcPipeline:
     # raises SchemaDriftError, failing the query — the reference's
     # stop_on_incompatible posture (ref streaming/schema_monitor.py:16-138).
     schema_monitor: object | None = None
+    # Scheduled state maintenance (the L3-compaction cadence applied to
+    # streaming state, ref lakehouse/maintenance.py:178-244): every N
+    # micro-batches, call compact() on every sink that supports it —
+    # reclaiming dead markers / stale band rows, and GC'ing delete
+    # tombstones when ``tombstone_horizon_fn`` supplies the source's
+    # replay low-watermark ("no event with offset < H will ever be
+    # (re)delivered").  That bound is a SOURCE property (Kafka retention,
+    # CDC slot LSN horizon) the deployment must assert — it is not
+    # derivable from inside the pipeline, so it arrives as a callable.
+    # The pipeline clamps it below any offset still quarantined in the
+    # DLQ: quarantined rows were never applied, and a GC fence must not
+    # swallow their eventual replay.
+    maintenance_every_n_batches: int | None = None
+    tombstone_horizon_fn: object | None = None  # Callable[[], int | None]
 
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if self.schema_monitor is not None:
@@ -1119,6 +1134,35 @@ class CdcPipeline:
             # rebinds `env` to a derived DataFrame whose unpersist would
             # not release the parent's blocks
             persisted.unpersist()
+        if (
+            self.maintenance_every_n_batches
+            and (batch_id + 1) % self.maintenance_every_n_batches == 0
+        ):
+            self.run_maintenance()
+
+    def run_maintenance(self) -> None:
+        """One maintenance sweep over every compactable sink (see the
+        dataclass fields for the cadence/horizon contract)."""
+        horizon = self.tombstone_horizon_fn() if self.tombstone_horizon_fn else None
+        if horizon is not None and self.dlq is not None and os.path.isdir(self.dlq.path):
+            pending = self.dlq.read(self.spark).agg(
+                F.min("dlq_source_offset").alias("m")
+            ).first()["m"]
+            if pending is not None:
+                # a GC fence at `horizon` would silently drop the replay of
+                # quarantined rows below it — clamp to their oldest offset
+                horizon = min(horizon, int(pending))
+        for sink in self.sinks.values():
+            fn = getattr(sink, "compact", None)
+            if not callable(fn):
+                continue
+            # the streaming-state maintenance contract is the
+            # tombstone_horizon keyword; lakehouse table compaction has
+            # its own signature/cadence (CLI + VersionedTable.compact)
+            # and is deliberately not swept here
+            if "tombstone_horizon" not in inspect.signature(fn).parameters:
+                continue
+            fn(self.spark, tombstone_horizon=horizon)
 
     def run_available_now(self) -> None:
         if self.stream_builder is not None:

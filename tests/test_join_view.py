@@ -191,6 +191,39 @@ def test_bucketed_view_rewrites_only_touched_buckets_and_prunes(spark, tmp_path,
     assert "dynamicpruning" in plan.lower()
 
 
+def test_bucketed_view_compact_reclaims_and_gc_fences_replay(spark, tmp_path, env):
+    """compact() drops the view store's dead markers and GCs facts/dim
+    tombstones past the horizon without changing the served view; a
+    replayed sub-horizon batch cannot resurrect anything."""
+    from cdc_platform_spark.streaming.join_view import BucketedJoinViewSink
+
+    sink = BucketedJoinViewSink(str(tmp_path / "jv"), n_buckets=8)
+    sink.write(env.filter("op != 'd'"))
+    # dim deletes retract their pk's view rows, leaving dead markers
+    sink.write(env.filter("op = 'd'"))
+    view_before = _rows(sink.view(spark))
+
+    assert spark.read.parquet(sink.view_store.path).filter("dead").count() > 0
+    assert spark.read.parquet(sink.dim.path).filter("op = 'd'").count() > 0
+
+    n_fact_deletes = spark.read.parquet(sink.facts.path).filter("op = 'd'").count()
+    horizon = env.agg(F.max("offset")).first()[0] + 1
+    sink.compact(spark, tombstone_horizon=horizon)
+    assert spark.read.parquet(sink.view_store.path).filter("dead").count() == 0
+    assert spark.read.parquet(sink.dim.path).filter("op = 'd'").count() == 0
+    # facts keep their op='d' rows: those are real delete EVENTS (facts
+    # that join the live dim in the view), not key tombstones
+    assert (
+        spark.read.parquet(sink.facts.path).filter("op = 'd'").count()
+        == n_fact_deletes
+    )
+    assert _rows(sink.view(spark)) == view_before
+
+    # sub-horizon replay of the whole history is fenced at the merges
+    sink.write(env)
+    assert _rows(sink.view(spark)) == view_before
+
+
 def test_bucketed_view_crash_window_heals(spark, tmp_path, env):
     """Crash after the keyed merges but before the view commit (mid-commit
     journal left behind) must roll back and converge on replay."""

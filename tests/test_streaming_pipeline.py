@@ -511,6 +511,83 @@ def test_tombstone_gc_horizon_prevents_resurrection(spark, workdir):
     assert sink.gc_horizon() == 50
 
 
+def test_scheduled_maintenance_sweeps_on_cadence_and_gc_post_stream(spark, workdir):
+    """maintenance_every_n_batches fires the sweep on its cadence inline
+    with the stream (reclaim-only while events below the horizon can
+    still arrive — the fn returns None, honoring the contract), and a
+    post-stream sweep with the source's retention horizon GCs the
+    tombstones without disturbing the served state."""
+    from cdc_platform_spark.streaming.pipeline import BucketedUpsertSink
+
+    calls = []
+
+    def horizon_fn():
+        calls.append(1)
+        return None  # mid-stream: low offsets can still arrive in-order
+
+    sink = BucketedUpsertSink(f"{workdir}/state", n_buckets=8)
+    pipe = _pipeline(
+        spark,
+        workdir,
+        {"upsert": sink},
+        max_files_per_trigger=1,
+        maintenance_every_n_batches=2,
+        tombstone_horizon_fn=horizon_fn,
+    )
+    pipe.run_available_now()
+    assert len(calls) == 2  # 4 single-file batches, cadence 2
+    assert spark.read.parquet(sink.path).filter("op = 'd'").count() > 0
+
+    expected = REGISTRY["q27_cdc_upsert_latest"].builder(spark, SF_SMOKE)
+    assert sink.state(spark).count() == expected.count()
+
+    # the source's retention watermark has passed: one more sweep GCs all
+    pipe.tombstone_horizon_fn = lambda: 10**12
+    pipe.run_maintenance()
+    assert spark.read.parquet(sink.path).filter("op = 'd'").count() == 0
+    assert sink.state(spark).count() == expected.count()
+    assert sink.gc_horizon() == 10**12
+
+
+def test_maintenance_horizon_clamped_by_pending_dlq(spark, workdir):
+    """A GC fence must never swallow the replay of quarantined rows: the
+    maintenance sweep clamps the supplied horizon to the oldest offset
+    still in the DLQ, so the eventual replay applies."""
+    from cdc_platform_spark.streaming.pipeline import BucketedUpsertSink
+
+    sink = BucketedUpsertSink(f"{workdir}/state", n_buckets=4)
+    dlq = DlqWriter(f"{workdir}/dlq")
+
+    env = to_envelope(spark.read.parquet(f"{SF_SMOKE}/events.parquet")).localCheckpoint(
+        eager=True
+    )
+    lo = env.filter("offset < 100")
+    sink.write(env.filter("offset >= 100"))
+    dlq.write(lo, "upsert", RuntimeError("sink was down"))
+
+    pipe = CdcPipeline(
+        spark=spark,
+        source_dir=f"{workdir}/unused_src",
+        checkpoint_dir=f"{workdir}/ck",
+        sinks={"upsert": sink},
+        dlq=dlq,
+        tombstone_horizon_fn=lambda: 10**12,
+    )
+    pipe.run_maintenance()
+    # clamped to the DLQ's oldest offset, not the fn's wide-open horizon
+    dlq_min = lo.agg(F.min("offset")).first()[0]
+    assert sink.gc_horizon() == dlq_min
+
+    # the quarantined rows replay and apply despite the fence
+    n = dlq.replay(spark, sink, purge=True)
+    assert n > 0
+    full = UpsertSink(f"{workdir}/ref")
+    full.write(env)
+    assert sorted(r["pk"] for r in sink.state(spark).collect()) == sorted(
+        r["pk"] for r in full.state(spark).collect()
+    )
+
+
 def test_dlq_replay_converges(spark, workdir):
     """Failure -> quarantine -> replay: a sink that rejected delete events gets
     them replayed after the 'fix'; the exactly-once view then equals a run
