@@ -100,6 +100,13 @@ class PipelineConfig(BaseModel, extra="forbid"):
     # 'halt' fails the query on an incompatible subject-version bump,
     # 'warn' records it, 'off' skips polling. Needs source.schema_registry_url.
     schema_monitor: Literal["off", "warn", "halt"] = "off"
+    # Scheduled streaming-state maintenance (the L3-compaction cadence for
+    # sink state): every N micro-batches, compact() every sink that
+    # supports it — reclaim-only from config (dead markers, stale band
+    # rows).  Tombstone GC additionally needs the source's replay
+    # low-watermark, a runtime property supplied programmatically via
+    # CdcPipeline.tombstone_horizon_fn, never guessed from config.
+    maintenance_every_n_batches: int = Field(default=0, ge=0)  # 0 = off
 
     @model_validator(mode="after")
     def _unique_sink_ids(self) -> PipelineConfig:

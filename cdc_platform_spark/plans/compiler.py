@@ -184,4 +184,5 @@ def compile_pipeline(
         stream_builder=stream_builder,
         envelope_fn=envelope_fn,
         schema_monitor=schema_monitor,
+        maintenance_every_n_batches=cfg.maintenance_every_n_batches or None,
     )

@@ -111,6 +111,43 @@ sinks:
     assert sink.state(spark).count() == expected.count()
 
 
+def test_config_maintenance_cadence_compiles_and_sweeps(spark, tmp_path, monkeypatch):
+    """maintenance_every_n_batches from YAML wires the scheduled sweep;
+    compact() runs on cadence (observable via the bucketed sink's
+    journal-free state surviving a reclaim-only sweep + the pipeline
+    field being set)."""
+    from cdc_platform_spark.streaming.pipeline import BucketedUpsertSink
+
+    monkeypatch.setenv("OUT", str(tmp_path))
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").repartition(4).write.parquet(
+        f"{tmp_path}/src"
+    )
+    cfg_file = tmp_path / "p.yaml"
+    cfg_file.write_text(
+        """
+pipeline_id: demo
+maintenance_every_n_batches: 2
+source:
+  path: ${OUT}/src
+  max_files_per_trigger: 1
+checkpoint_dir: ${OUT}/ck
+sinks:
+  - id: state
+    type: upsert
+    path: ${OUT}/state
+    state_buckets: 8
+"""
+    )
+    cfg = load_pipeline_config(str(cfg_file))
+    pipe = compile_pipeline(spark, cfg)
+    assert pipe.maintenance_every_n_batches == 2
+    pipe.run_available_now()
+    sink = pipe.sinks["state"]
+    assert isinstance(sink, BucketedUpsertSink)
+    expected = load_all()["q27_cdc_upsert_latest"].builder(spark, SF_SMOKE)
+    assert sink.state(spark).count() == expected.count()
+
+
 # --- config -> pipeline E2E -------------------------------------------------
 def test_compiled_pipeline_runs_lakehouse_sinks(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("OUT", str(tmp_path))

@@ -90,6 +90,54 @@ def test_merge_converges_under_any_batching(
     assert got == expected, f"merge diverged: got={got} expected={expected}"
 
 
+@given(
+    events=events_strategy,
+    split_seed=st.integers(0, 2**16),
+    n_batches=st.integers(2, 5),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_merge_with_tombstone_gc_converges(
+    spark, tmp_path_factory, mkdf, events, split_seed, n_batches
+):
+    """Interleaving compaction with a TRUTHFUL horizon (<= min offset of
+    any not-yet-delivered event) into any batching, with replays of
+    already-delivered batches before AND after GC, still converges to the
+    single-delivery oracle: replayed sub-horizon rows are fenced (their
+    effects are already in state), undelivered data always applies."""
+    import random
+
+    rng = random.Random(split_seed)
+    batches: list[list] = [[] for _ in range(n_batches)]
+    for ev in events:
+        batches[rng.randrange(n_batches)].append(ev)
+
+    sink = BucketedUpsertSink(str(tmp_path_factory.mktemp("gcprop") / "state"), n_buckets=4)
+    delivered: list[list] = []
+    for k, batch in enumerate(batches):
+        if batch:
+            sink.write(mkdf(batch))
+            delivered.append(batch)
+        if delivered and rng.random() < 0.4:  # at-least-once redelivery
+            sink.write(mkdf(rng.choice(delivered)))
+        if rng.random() < 0.5:
+            future = [off for b in batches[k + 1 :] for (off, _, _, _) in b]
+            horizon = min(future) if future else len(events)
+            sink.compact(spark, tombstone_horizon=horizon)
+            if delivered and rng.random() < 0.5:  # replay AFTER the GC
+                sink.write(mkdf(rng.choice(delivered)))
+
+    expected = oracle_state(events)
+    got = {
+        r["pk"]: (r["offset"], int(r["value"]))
+        for r in sink.state(spark).select("pk", "offset", "value").collect()
+    }
+    assert got == expected, f"gc merge diverged: got={got} expected={expected}"
+
+
 @given(events=events_strategy)
 @settings(
     max_examples=8,
