@@ -296,18 +296,26 @@ class BucketedIvfFlatIndexSink(BucketedIvfIndexSink):
         # a batch; delete tombstones keep a NULL vector
         return base.join(vecs, ["vec_id", "offset"], "left").select(*self._COLS)
 
-    # --- touched-cell journal (feeds the projection's delta refresh) ------
-    # Each write records every cell whose MEMBERSHIP this batch can change:
-    # the batch rows' new cells plus the touched vec_ids' pre-merge cells
-    # (an update moves a vector between cells; a delete empties its old
-    # cell).  The journal is written BEFORE the state commit, so a crash
-    # replay can only over-journal — and the projection refresh is
-    # idempotent per cell, so extra entries cost a redundant rewrite, never
-    # staleness.
+    # --- touched-cell/vec journal (feeds the projection's delta refresh) --
+    # Each write records (a) every cell whose MEMBERSHIP this batch can
+    # change — the batch rows' new cells plus the touched vec_ids'
+    # pre-merge cells (an update moves a vector between cells; a delete
+    # empties its old cell) — and (b) the touched vec_ids themselves (a
+    # parquet append, batch-sized).  Together they make the delta refresh
+    # O(touched): old touched-cell partitions minus touched vecs, plus the
+    # touched vecs' current rows — never a scan of the full inverted file.
+    # The journal lands BEFORE the state commit (vecs parquet first, cells
+    # json second), so a crash replay can only over-journal — and the
+    # refresh is idempotent per cell, so extra entries cost a redundant
+    # rewrite, never staleness.
 
     @property
     def _cells_dir(self) -> str:
         return f"{self.path}.cells"
+
+    @property
+    def _vecs_dir(self) -> str:
+        return f"{self.path}.touched_vecs"
 
     def _journal_touched_cells(self, upd: DataFrame) -> None:
         spark = upd.sparkSession
@@ -328,6 +336,7 @@ class BucketedIvfFlatIndexSink(BucketedIvfIndexSink):
         )
         if not cells:
             return
+        upd.select(self._KEY).distinct().write.mode("append").parquet(self._vecs_dir)
         os.makedirs(self._cells_dir, exist_ok=True)
         import json
 
@@ -336,27 +345,44 @@ class BucketedIvfFlatIndexSink(BucketedIvfIndexSink):
             json.dump({"cells": [int(c) for c in cells]}, fh)
         os.replace(tmp, f"{self._cells_dir}/touch-{uuid.uuid4().hex}.json")
 
-    def drain_touched_cells(self) -> tuple[list[int], list[str]]:
-        """Accumulated touched cells since the last cleared refresh, plus
-        the journal files that carried them (pass to clear_touched_cells
-        AFTER the refresh commits; entries arriving mid-refresh survive)."""
+    def drain_touched(self) -> tuple[list[int], list[str], list[str]]:
+        """(touched cells, touched-vec parquet part files, ALL journal
+        files to clear) accumulated since the last cleared refresh.  Pass
+        the third element to clear_touched_cells AFTER the refresh
+        commits; entries arriving mid-refresh survive the clear."""
         import json
 
-        if not os.path.isdir(self._cells_dir):
-            return [], []
-        files = sorted(
-            f"{self._cells_dir}/{n}"
-            for n in os.listdir(self._cells_dir)
-            if n.startswith("touch-") and n.endswith(".json")
+        cell_files = (
+            sorted(
+                f"{self._cells_dir}/{n}"
+                for n in os.listdir(self._cells_dir)
+                if n.startswith("touch-") and n.endswith(".json")
+            )
+            if os.path.isdir(self._cells_dir)
+            else []
+        )
+        vec_files = (
+            sorted(
+                f"{self._vecs_dir}/{n}"
+                for n in os.listdir(self._vecs_dir)
+                if n.endswith(".parquet")
+            )
+            if os.path.isdir(self._vecs_dir)
+            else []
         )
         cells: set[int] = set()
-        for path in files:
+        for path in cell_files:
             try:
                 with open(path) as fh:
                     cells.update(json.load(fh)["cells"])
             except (OSError, ValueError, KeyError):
                 continue
-        return sorted(cells), files
+        return sorted(cells), vec_files, cell_files + vec_files
+
+    def drain_touched_cells(self) -> tuple[list[int], list[str]]:
+        """Back-compat form of :meth:`drain_touched`: (cells, clear list)."""
+        cells, _vec_files, files = self.drain_touched()
+        return cells, files
 
     def clear_touched_cells(self, files: list[str]) -> None:
         for path in files:
@@ -433,11 +459,10 @@ class IvfCellProjection:
         """Re-cluster ``BucketedIvfFlatIndexSink.state()`` by cell.
         ``cells=None`` → full rewrite (bootstrap / quantizer reshape);
         otherwise only the named cells' partitions are rewritten, and a
-        named cell whose membership became empty is removed.  The state
-        SCAN is O(state) either way (the primary is vec_id-bucketed, so
-        a cell filter cannot partition-prune it); the delta saves the
-        WRITE side — at 100 TB the rewrite, not the columnar scan of
-        (vec_id, cell), is the expensive half."""
+        named cell whose membership became empty is removed.  This form
+        scans the full ``state`` frame (the manual recovery path);
+        :meth:`refresh_from_primary` is the production delta — O(touched)
+        reads on both sides via the primary's journal."""
         self.store._recover()
         out = state.select(
             "vec_id",
@@ -457,16 +482,61 @@ class IvfCellProjection:
     def refresh_from_primary(
         self, spark: SparkSession, primary: "BucketedIvfFlatIndexSink"
     ) -> list[int]:
-        """Incremental refresh driven by the primary's touched-cell
-        journal: rewrite exactly the cells whose membership changed since
-        the last refresh, then clear the drained journal entries (a crash
-        between the two steps only re-refreshes — idempotent).  Returns
-        the refreshed cell ids."""
-        cells, files = primary.drain_touched_cells()
+        """Incremental refresh driven by the primary's journal: rewrite
+        exactly the cells whose membership changed since the last refresh,
+        then clear the drained journal entries (a crash between the two
+        steps only re-refreshes — idempotent).  Returns the refreshed cell
+        ids.
+
+        The delta is O(touched), not O(state): new content for a touched
+        cell = its CURRENT projection partition minus the touched vecs'
+        rows, plus the touched vecs' current primary rows — the projection
+        read is partition-pruned to the touched cells and the primary read
+        is DPP-pruned to the touched vecs' hash buckets, so the full
+        inverted file is never scanned.  (Membership of a cell can only
+        change through a journaled vec, and every touched vec's current
+        cell is journaled by its latest update, so the composition is
+        exact.)"""
+        from cdc_platform_spark.streaming.pipeline import pruned_bucket_read
+
+        cells, vec_files, files = primary.drain_touched()
         if not self.store.exists():
             self.refresh(primary.state(spark))  # bootstrap: full build
-        elif cells:
-            self.refresh(primary.state(spark), cells)
+            primary.clear_touched_cells(files)
+            return cells
+        if cells:
+            self.store._recover()
+            tv = (
+                spark.read.parquet(*vec_files).distinct()
+                if vec_files
+                else spark.createDataFrame([], "vec_id long")
+            )
+            cells_df = spark.createDataFrame([(int(c),) for c in cells], "bucket int")
+            old = pruned_bucket_read(spark, self.path, cells_df).join(
+                tv, "vec_id", "leftanti"
+            )
+            tb = tv.select(
+                F.pmod(F.hash("vec_id"), F.lit(primary.n_buckets)).alias("bucket")
+            )
+            cur = (
+                pruned_bucket_read(spark, primary.path, tb)
+                .join(tv, "vec_id", "leftsemi")
+                .filter((F.col("op") != "d") & F.col("cell").isNotNull())
+                .select(
+                    "vec_id",
+                    "a",
+                    dot_long(F.col("a"), F.col("a")).alias("norm"),
+                    F.col("cell").alias("bucket"),
+                )
+                # defense: overwrite_buckets commits only the named cells,
+                # so a row outside them would be silently dropped — the
+                # journal argument above says this filter never removes
+                # anything, and the guard keeps that assumption checked
+                .filter(F.col("bucket").isin([int(c) for c in cells]))
+            )
+            self.store.overwrite_buckets(
+                old.unionByName(cur).repartition("bucket"), [int(c) for c in cells]
+            )
         primary.clear_touched_cells(files)
         return cells
 
