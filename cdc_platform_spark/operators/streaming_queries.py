@@ -1205,6 +1205,112 @@ def sq_corpus_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.curated(spark).orderBy("doc_id")
 
 
+def _curated_shards_oracle() -> str:
+    """Oracle for sq_curated_shards_stream: the batch curation funnel over
+    the post-CDC live documents, grouped into stable md5-hash shards with
+    doc and token totals — the same assignment expression as the sink's
+    shard_manifest (shared ORACLE_MD5_60BIT primitive)."""
+    from cdc_platform_spark.operators.dedup import (
+        _ORACLE_MINHASH_PAIR_CTES,
+        ORACLE_MD5_60BIT,
+    )
+    from cdc_platform_spark.operators.text import (
+        CURATION_MIN_DISTINCT_RATIO,
+        CURATION_MIN_WORDS,
+    )
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    ctes = _ORACLE_MINHASH_PAIR_CTES.replace("FROM documents", "FROM docs_live")
+    shard = ORACLE_MD5_60BIT.format(x="CAST(q.doc_id AS VARCHAR)")
+    return f"""
+        WITH docs_live AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' spark dedup stream spark dedup stream'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 3
+        ),
+        {ctes},
+        qdocs AS (
+            SELECT doc_id, str_split(text, ' ') AS words, md5(text) AS content_md5
+            FROM docs_live
+        ),
+        qual AS (
+            SELECT doc_id, content_md5,
+                   CAST(len(words) AS BIGINT) AS n_words
+            FROM qdocs
+            WHERE len(words) >= {CURATION_MIN_WORDS}
+              AND CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                  >= {CURATION_MIN_DISTINCT_RATIO}
+        ),
+        qcanon AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+                FROM qual) WHERE rn = 1
+        ),
+        suppressed AS (SELECT DISTINCT db AS doc_id FROM scored)
+        SELECT {shard} % {CuratedCorpusSink.N_SHARDS} AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(q.n_words) AS BIGINT) AS n_tokens
+        FROM qcanon q LEFT JOIN suppressed s ON q.doc_id = s.doc_id
+        WHERE s.doc_id IS NULL
+        GROUP BY 1
+        ORDER BY shard_id
+    """
+
+
+@register(
+    "sq_curated_shards_stream",
+    category="streaming",
+    doc=(
+        "Training-export shard manifest served FROM the maintained curated "
+        "corpus: the document CDC stream drives CuratedCorpusSink, and "
+        "shard_manifest() groups the curated survivors into STABLE "
+        "md5-hash shards (a doc add/update/delete perturbs exactly one "
+        "shard — the incremental export layout, vs the batch prefix-sum "
+        "packing where one insert shifts every later boundary) with doc "
+        "and token totals per shard. Must equal the batch funnel over the "
+        "post-CDC live documents grouped by the same hash."
+    ),
+    oracle=_curated_shards_oracle(),
+)
+def sq_curated_shards_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    work = _workdir("sq_shards_")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    off = F.col("doc_id") + F.lit(100000000)
+    wave0 = d.select(
+        "doc_id", F.col("doc_id").alias("offset"), F.lit("c").alias("op"), "text"
+    )
+    upd = d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 3)).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("u").alias("op"),
+        F.concat(F.col("text"), F.lit(" spark dedup stream spark dedup stream")).alias("text"),
+    )
+    dels = d.filter(F.col("doc_id") % 11 == 3).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("d").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    src = f"{work}/source"
+    wave0.unionByName(upd).unionByName(dels).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, offset long, op string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = CuratedCorpusSink(f"{work}/corpus")
+    _run_index_stream(stream, sink, work)
+    return sink.shard_manifest(spark).orderBy("shard_id")
+
+
 def _unified_curation_oracle() -> str:
     """Oracle for sq_unified_curation_stream: the batch curation funnel
     (quality -> exact dedup -> text near-dup suppression) FURTHER

@@ -564,6 +564,30 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
             "doc_id", F.col("n_words").cast("long").alias("n_words"), "distinct_ratio"
         )
 
+    N_SHARDS = 16
+
+    def shard_manifest(self, spark: SparkSession) -> DataFrame:
+        """Training-export shard manifest served FROM the maintained
+        curated corpus: (shard_id, n_docs, n_tokens).
+
+        Sharding is STABLE hashing — ``md5_60bit(doc_id) % N_SHARDS`` (the
+        engine's cross-engine hash primitive, so the oracle reproduces the
+        assignment) — which is what an incrementally maintained export
+        wants at 100 TB: a document add/update/delete perturbs exactly one
+        shard, unlike the batch ``text_export_shards`` prefix-sum packing
+        where one insert shifts every later shard boundary.  The manifest
+        is a derived read over ``curated()``: one map-side-combinable
+        aggregate, no extra maintained state."""
+        surv = self.curated(spark)
+        shard = F.pmod(md5_60bit(F.col("doc_id").cast("string")), F.lit(self.N_SHARDS))
+        return (
+            surv.groupBy(shard.alias("shard_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_words").alias("n_tokens"),
+            )
+        )
+
     def curated_unified(self, spark: SparkSession, neighbor_view: DataFrame) -> DataFrame:
         """The curated corpus with BOTH dedup signals applied — the funnel
         a real pretraining pipeline runs: text-level near-dup suppression
