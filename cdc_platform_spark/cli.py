@@ -88,6 +88,24 @@ def main(argv: list[str] | None = None) -> int:
     p_z.add_argument("--columns", required=True, help="comma-separated column list")
     p_z.add_argument("--n-groups", type=int, default=16)
 
+    p_maint = sub.add_parser(
+        "maintain",
+        help="sweep streaming-state maintenance over a pipeline's sinks "
+        "(compact stale rows/dead markers; with --tombstone-horizon, GC "
+        "delete tombstones below the source's replay low-watermark)",
+    )
+    p_maint.add_argument("config")
+    p_maint.add_argument("--platform-config", default=None)
+    p_maint.add_argument(
+        "--tombstone-horizon",
+        type=int,
+        default=None,
+        help="the source's replay low-watermark: no event with offset below "
+        "this will ever be (re)delivered — an operator assertion about the "
+        "source (Kafka retention / CDC slot LSN), clamped below any offset "
+        "still quarantined in the DLQ",
+    )
+
     args = ap.parse_args(argv)
 
     if args.cmd == "validate":
@@ -132,6 +150,24 @@ def main(argv: list[str] | None = None) -> int:
         pipe = compile_pipeline(spark, cfg, platform)
         pipe.run_available_now()
         print(json.dumps({"pipeline_id": cfg.pipeline_id, "status": "completed"}))
+        return 0
+
+    if args.cmd == "maintain":
+        from cdc_platform_spark.config import load_pipeline_config, load_platform_config
+        from cdc_platform_spark.plans.compiler import compile_pipeline
+
+        cfg = load_pipeline_config(args.config)
+        platform = load_platform_config(args.platform_config)
+        pipe = compile_pipeline(spark, cfg, platform)
+        if args.tombstone_horizon is not None:
+            pipe.tombstone_horizon_fn = lambda: args.tombstone_horizon
+        pipe.run_maintenance()
+        stats = {
+            sink_id: sink.state_stats(spark)
+            for sink_id, sink in pipe.sinks.items()
+            if hasattr(sink, "state_stats")
+        }
+        print(json.dumps({"pipeline_id": cfg.pipeline_id, "stats": stats}))
         return 0
 
     if args.cmd == "health":

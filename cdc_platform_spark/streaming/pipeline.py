@@ -603,6 +603,47 @@ class BucketedUpsertSink:
             n.startswith("bucket=") for n in os.listdir(self.path)
         )
 
+    def state_stats(self, spark: SparkSession) -> dict:
+        """Bounded maintenance metrics — what a compaction scheduler
+        consults (tombstone fraction, storage footprint) to decide WHEN
+        to run compact(); one aggregate job + a directory walk, never a
+        data-sized collect."""
+        self._recover()
+        if not self.exists():
+            return {"buckets": 0, "rows": 0, "tombstones": 0, "bytes": 0,
+                    "gc_horizon": self.gc_horizon()}
+        df = spark.read.parquet(self.path)
+        # derived stores (_BucketStore bands/pairs/views) carry no op
+        # column; their reclaimable weight is dead markers if present
+        dead = (
+            F.sum((F.col("op") == "d").cast("long"))
+            if "op" in df.columns
+            else (
+                F.sum(F.col("dead").cast("long"))
+                if "dead" in df.columns
+                else F.lit(0).cast("long")
+            )
+        )
+        agg = df.agg(F.count(F.lit(1)).alias("rows"), dead.alias("tombstones")).first()
+        n_bytes = 0
+        buckets = 0
+        for name in os.listdir(self.path):
+            if not name.startswith("bucket="):
+                continue
+            buckets += 1
+            d = f"{self.path}/{name}"
+            n_bytes += sum(
+                os.path.getsize(f"{d}/{f}") for f in os.listdir(d)
+                if os.path.isfile(f"{d}/{f}")
+            )
+        return {
+            "buckets": buckets,
+            "rows": int(agg["rows"]),
+            "tombstones": int(agg["tombstones"] or 0),
+            "bytes": n_bytes,
+            "gc_horizon": self.gc_horizon(),
+        }
+
 
 class _BucketStore(BucketedUpsertSink):
     """The bucket-dir storage primitive ALONE — journaled all-or-nothing

@@ -452,6 +452,47 @@ sinks:
     assert {"topic", "partition", "offset", "op", "pk"} <= set(first)
 
 
+def test_cli_maintain_sweeps_state_and_reports_stats(spark, tmp_path, capsys, monkeypatch):
+    """cdc-spark maintain: runs the pipeline's maintenance sweep (with an
+    operator-supplied tombstone horizon) and prints per-sink state stats —
+    tombstones gone, rows intact, horizon recorded."""
+    import json as _json
+
+    from cdc_platform_spark.cli import main
+
+    monkeypatch.setenv("OUT", str(tmp_path))
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").write.parquet(f"{tmp_path}/src")
+    cfg = tmp_path / "p.yaml"
+    cfg.write_text(
+        """
+pipeline_id: demo
+source:
+  path: ${OUT}/src
+checkpoint_dir: ${OUT}/ck
+sinks:
+  - id: state
+    type: upsert
+    path: ${OUT}/state
+    state_buckets: 8
+"""
+    )
+    assert main(["run", str(cfg)]) == 0
+    capsys.readouterr()
+    from cdc_platform_spark.streaming.pipeline import BucketedUpsertSink
+
+    raw = BucketedUpsertSink(f"{tmp_path}/state", n_buckets=8)
+    before = raw.state_stats(spark)
+    # the fixture's key set need not hit every bucket; several is enough
+    assert before["tombstones"] > 0 and before["buckets"] >= 4
+
+    assert main(["maintain", str(cfg), "--tombstone-horizon", str(10**12)]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    stats = out["stats"]["state"]
+    assert stats["tombstones"] == 0
+    assert stats["rows"] == before["rows"] - before["tombstones"]
+    assert stats["gc_horizon"] == 10**12
+
+
 def test_per_source_topic_naming():
     """Reference topic shapes (streaming/topics.py:31-60): 3-part for
     postgres/mysql/mongodb, 4-part for sqlserver, DLQ suffixing."""
