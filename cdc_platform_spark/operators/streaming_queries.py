@@ -1205,6 +1205,92 @@ def sq_corpus_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.curated(spark).orderBy("doc_id")
 
 
+def _dedup_clusters_stream_oracle() -> str:
+    """Oracle for sq_dedup_clusters_stream: the batch dedup_clusters
+    recursive-reachability closure evaluated over the POST-CDC live
+    documents (same CTE swap as the other curation-family oracles)."""
+    from cdc_platform_spark.operators.dedup import _ORACLE_MINHASH_PAIR_CTES
+
+    ctes = _ORACLE_MINHASH_PAIR_CTES.replace("FROM documents", "FROM docs_live")
+    return f"""
+        WITH RECURSIVE docs_live AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' spark dedup stream spark dedup stream'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 3
+        ),
+        {ctes},
+        sym AS (
+            SELECT da AS s, db AS d FROM scored
+            UNION
+            SELECT db, da FROM scored
+        ),
+        reach(s, d) AS (
+            SELECT s, d FROM sym
+            UNION
+            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+        )
+        SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+        FROM reach
+        GROUP BY s
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "sq_dedup_clusters_stream",
+    category="streaming",
+    doc=(
+        "Near-dup CLUSTERS served from the incrementally maintained pair "
+        "view: the document CDC stream drives BucketedMinHashIndexSink "
+        "(per-batch signature + DPP-pruned band probe + per-bucket pair "
+        "retraction), then clusters() runs pointer-jumping connected "
+        "components over the maintained pairs at read time — O(pairs), "
+        "never a corpus rescan; retraction-induced component SPLITS fall "
+        "out naturally because connectivity is re-derived from the live "
+        "pair set. Must equal the batch dedup_clusters closure over the "
+        "post-CDC live documents."
+    ),
+    oracle=_dedup_clusters_stream_oracle(),
+)
+def sq_dedup_clusters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.streaming.dedup_index import BucketedMinHashIndexSink
+
+    work = _workdir("sq_clusters_")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    off = F.col("doc_id") + F.lit(100000000)
+    wave0 = d.select(
+        "doc_id", F.col("doc_id").alias("offset"), F.lit("c").alias("op"), "text"
+    )
+    upd = d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 3)).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("u").alias("op"),
+        F.concat(F.col("text"), F.lit(" spark dedup stream spark dedup stream")).alias("text"),
+    )
+    dels = d.filter(F.col("doc_id") % 11 == 3).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("d").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    src = f"{work}/source"
+    wave0.unionByName(upd).unionByName(dels).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, offset long, op string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = BucketedMinHashIndexSink(f"{work}/dedup")
+    _run_index_stream(stream, sink, work)
+    return sink.clusters(spark).orderBy("doc_id")
+
+
 def _curated_shards_oracle() -> str:
     """Oracle for sq_curated_shards_stream: the batch curation funnel over
     the post-CDC live documents, grouped into stable md5-hash shards with

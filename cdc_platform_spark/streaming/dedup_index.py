@@ -469,6 +469,26 @@ class BucketedMinHashIndexSink:
             )
         )
 
+    def clusters(self, spark: SparkSession) -> DataFrame:
+        """Near-dup CLUSTERS over the maintained pair view: connected
+        components (pointer-jumping label propagation, the batch
+        ``dedup_clusters`` algorithm) computed at read time from the
+        incrementally maintained pairs.
+
+        Components are recomputed per read rather than maintained as
+        state because pair RETRACTIONS can split a component — detecting
+        a split incrementally requires re-deriving the affected
+        component's connectivity anyway, and the input here is the PAIR
+        set (near-dup-proportional), not the corpus: O(pairs · log
+        diameter), with the maintenance cost already paid by the pair
+        view."""
+        from cdc_platform_spark.operators.dedup import connected_components
+
+        return (
+            connected_components(self.pairs(spark).select("doc_a", "doc_b"))
+            .select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        )
+
 
 class _CuratedSigIndexSink(_SigIndexSink):
     """Signature index that also retains the document text — the curated
