@@ -596,6 +596,68 @@ class IvfCellProjection:
         )
 
 
+class IndexGenerationPointer:
+    """Atomic blue/green pointer for index GENERATIONS — the production
+    answer to "the coarse quantizer is frozen": retraining does not mutate
+    the live index, it builds generation N+1 alongside (its own state dir,
+    its own quantizer) and flips this pointer when the build converges.
+    Readers resolve the pointer per query; a flip is one atomic rename, so
+    a reader sees either generation in full, never a mix.  (FAISS/SCaNN
+    deployments version their quantizers exactly this way; reference
+    analogue: the lakehouse snapshot pointer, L5/L6.)"""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _ptr(self) -> str:
+        return f"{self.root}/CURRENT"
+
+    def current(self) -> str | None:
+        try:
+            with open(self._ptr) as fh:
+                return fh.read().strip() or None
+        except OSError:
+            return None
+
+    def flip(self, gen_path: str) -> None:
+        tmp = f"{self._ptr}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(gen_path)
+        os.replace(tmp, self._ptr)
+
+
+def rotate_ivf_generation(
+    spark: SparkSession,
+    old: BucketedIvfFlatIndexSink,
+    new_path: str,
+    centroids: DataFrame,
+    n_buckets: int | None = None,
+) -> BucketedIvfFlatIndexSink:
+    """Build index generation N+1 under a RETRAINED coarse quantizer from
+    generation N's state: one distributed pass re-assigns every live
+    vector with the new broadcast centroid table (the same per-batch
+    assignment stage, fed the whole state as one bulk batch), tombstones
+    and their offsets carry over so the CDC stream resumes into the new
+    generation with replay idempotence intact, and the GC horizon is
+    inherited.  The caller keeps writing micro-batches to the OLD
+    generation until the flip — then switches sink + pointer; rows that
+    landed in the old generation during the build are replayed into the
+    new one by the checkpoint rewind (idempotent keyed merge).
+
+    O(state) once per retraining — the rotation cadence, not per batch."""
+    new = BucketedIvfFlatIndexSink(new_path, centroids, n_buckets or old.n_buckets)
+    old._recover()
+    if old.exists():
+        rows = spark.read.parquet(old.path).select("vec_id", "offset", "op", "a")
+        new.write(rows)
+    horizon = old.gc_horizon()
+    if horizon is not None:
+        new._set_gc_horizon(horizon)
+    return new
+
+
 def ivf_pq_search_from_index(
     pq_state: DataFrame,
     vec_state: DataFrame,

@@ -396,3 +396,52 @@ def test_cell_projection_delta_refresh_rewrites_only_touched_cells(
     # the journal is drained: an immediate re-refresh rewrites nothing
     assert proj.refresh_from_primary(spark, sink) == []
     assert listing() == after
+
+
+def test_generation_rotation_retrains_quantizer_blue_green(spark, tmp_path, trained):
+    """rotate_ivf_generation builds generation N+1 under a retrained
+    quantizer from generation N's state: the rotated index equals a
+    from-scratch sink fed the same CDC under the new quantizer, the CDC
+    stream continues into it (tombstones + offsets carried, replay
+    fenced), and the pointer flip is atomic."""
+    from cdc_platform_spark.operators.similarity import train_ivf_centroids
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        IndexGenerationPointer,
+        rotate_ivf_generation,
+    )
+
+    e, cents = trained
+    rows = _cdc_rows(e).localCheckpoint(eager=True)
+    first = rows.filter(F.pmod(F.col("offset"), F.lit(2)) == 0)
+    second = rows.filter(F.pmod(F.col("offset"), F.lit(2)) == 1)
+
+    gen0 = BucketedIvfFlatIndexSink(str(tmp_path / "gen0"), cents, n_buckets=8)
+    gen0.write(first)
+
+    # retrain on the CURRENT live corpus (the rotation trigger in prod)
+    live = gen0.state(spark).select("vec_id", "a").withColumn(
+        "norm", F.aggregate(
+            F.zip_with("a", "a", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+    )
+    cents2 = train_ivf_centroids(live.localCheckpoint(eager=True))
+
+    gen1 = rotate_ivf_generation(spark, gen0, str(tmp_path / "gen1"), cents2)
+    ptr = IndexGenerationPointer(str(tmp_path / "ptr"))
+    ptr.flip(gen1.path)
+    assert ptr.current() == gen1.path
+
+    # the stream continues into the new generation; a replayed old batch
+    # is a no-op (keyed merge idempotence carried across the rotation)
+    gen1.write(second)
+    gen1.write(first)
+
+    ref = BucketedIvfFlatIndexSink(str(tmp_path / "ref"), cents2, n_buckets=8)
+    ref.write(first)
+    ref.write(second)
+    got = sorted(map(tuple, gen1.state(spark).collect()))
+    want = sorted(map(tuple, ref.state(spark).collect()))
+    assert got == want and got, "rotated generation diverged from from-scratch"
