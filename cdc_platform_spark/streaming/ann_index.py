@@ -213,6 +213,7 @@ class BucketedIvfIndexSink(BucketedUpsertSink):
 
     _KEY = "vec_id"
     _COLS = ["vec_id", "offset", "op", "cell"]
+    _STATE_SCHEMA = "vec_id long, offset long, op string, cell long"
 
     def __init__(self, path: str, centroids: DataFrame, n_buckets: int = 16) -> None:
         BucketedUpsertSink.__init__(self, path, n_buckets)
@@ -227,9 +228,8 @@ class BucketedIvfIndexSink(BucketedUpsertSink):
 
     def state(self, spark: SparkSession) -> DataFrame:
         """The live inverted file: (vec_id, cell), tombstones dropped."""
-        self._recover()
         return (
-            spark.read.parquet(self.path)
+            self.raw_state(spark)
             .filter(F.col("op") != "d")
             .select("vec_id", "cell")
         )
@@ -247,6 +247,7 @@ class BucketedIvfPqIndexSink(BucketedIvfIndexSink):
     asserted by the flat-vs-bucketed equivalence test."""
 
     _COLS = ["vec_id", "offset", "op", "cell", "codes"]
+    _STATE_SCHEMA = "vec_id long, offset long, op string, cell long, codes string"
 
     def __init__(
         self,
@@ -264,9 +265,8 @@ class BucketedIvfPqIndexSink(BucketedIvfIndexSink):
 
     def state(self, spark: SparkSession) -> DataFrame:
         """The live composite index: (vec_id, cell, codes)."""
-        self._recover()
         return (
-            spark.read.parquet(self.path)
+            self.raw_state(spark)
             .filter(F.col("op") != "d")
             .select("vec_id", "cell", "codes")
         )
@@ -288,6 +288,7 @@ class BucketedIvfFlatIndexSink(BucketedIvfIndexSink):
     which a cell-partitioned primary could not merge bucket-locally."""
 
     _COLS = ["vec_id", "offset", "op", "cell", "a"]
+    _STATE_SCHEMA = "vec_id long, offset long, op string, cell long, a array<long>"
 
     def _assign(self, batch: DataFrame) -> DataFrame:
         base = IvfIndexSink._assign(self, batch)  # (vec_id, offset, op, cell)
@@ -415,9 +416,8 @@ class BucketedIvfFlatIndexSink(BucketedIvfIndexSink):
 
     def state(self, spark: SparkSession) -> DataFrame:
         """The live IVF-Flat inverted file: (vec_id, cell, a)."""
-        self._recover()
         return (
-            spark.read.parquet(self.path)
+            self.raw_state(spark)
             .filter(F.col("op") != "d")
             .select("vec_id", "cell", "a")
         )
@@ -519,7 +519,7 @@ class IvfCellProjection:
                 F.pmod(F.hash("vec_id"), F.lit(primary.n_buckets)).alias("bucket")
             )
             cur = (
-                pruned_bucket_read(spark, primary.path, tb)
+                primary.pruned_read(spark, tb)
                 .join(tv, "vec_id", "leftsemi")
                 .filter((F.col("op") != "d") & F.col("cell").isNotNull())
                 .select(
@@ -650,7 +650,7 @@ def rotate_ivf_generation(
     new = BucketedIvfFlatIndexSink(new_path, centroids, n_buckets or old.n_buckets)
     old._recover()
     if old.exists():
-        rows = spark.read.parquet(old.path).select("vec_id", "offset", "op", "a")
+        rows = old.raw_state(spark).select("vec_id", "offset", "op", "a")
         new.write(rows)
     horizon = old.gc_horizon()
     if horizon is not None:

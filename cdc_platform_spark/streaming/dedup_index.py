@@ -59,7 +59,6 @@ from cdc_platform_spark.streaming.pipeline import (
     _BucketStore,
     _commit_swap,
     _recover_swapped_dir,
-    pruned_bucket_read,
 )
 
 _PAIR_SCHEMA = "doc_a long, doc_b long, n_common long, jaccard double"
@@ -181,6 +180,10 @@ class _SigIndexSink(BucketedUpsertSink):
 
     _KEY = "doc_id"
     _COLS = ["doc_id", "offset", "op", "shingles", "sig"]
+    _STATE_SCHEMA = (
+        "doc_id long, offset long, op string, "
+        "shingles array<string>, sig array<long>"
+    )
 
 
 class BucketedMinHashIndexSink:
@@ -275,7 +278,7 @@ class BucketedMinHashIndexSink:
             # to the touched docs' index buckets
             tb = touched.select(F.pmod(F.hash("doc_id"), nb).alias("bucket"))
             batch_live = (
-                pruned_bucket_read(spark, self.index.path, tb)
+                self.index.pruned_read(spark, tb)
                 .join(F.broadcast(touched), "doc_id", "leftsemi")
                 .filter((F.col("op") != "d") & (F.size("shingles") > 0))
                 .persist()
@@ -331,8 +334,8 @@ class BucketedMinHashIndexSink:
             # and feeds two joins (currency check, verification), so a
             # recompute would plan and run the pruned read twice per batch.
             partner_rows = (
-                pruned_bucket_read(
-                    spark, self.index.path, cand0.select(F.col("ob").alias("bucket"))
+                self.index.pruned_read(
+                    spark, cand0.select(F.col("ob").alias("bucket"))
                 )
                 .filter((F.col("op") != "d") & (F.size("shingles") > 0))
                 .select(
@@ -442,7 +445,7 @@ class BucketedMinHashIndexSink:
             self.index.compact(spark, tombstone_horizon)
         nb = F.lit(self.n_buckets)
         if self.bands.exists():
-            live = spark.read.parquet(self.index.path).filter(
+            live = self.index.raw_state(spark).filter(
                 (F.col("op") != "d") & (F.size("shingles") > 0)
             )
             current = (
@@ -495,6 +498,10 @@ class _CuratedSigIndexSink(_SigIndexSink):
     corpus is served straight from the index, no side lookup."""
 
     _COLS = ["doc_id", "offset", "op", "text", "shingles", "sig"]
+    _STATE_SCHEMA = (
+        "doc_id long, offset long, op string, text string, "
+        "shingles array<string>, sig array<long>"
+    )
 
 
 class CuratedCorpusSink(BucketedMinHashIndexSink):

@@ -164,6 +164,7 @@ class _FactsSink(BucketedUpsertSink):
 
     _KEY = "seq"
     _COLS = ["seq", "offset", "pk", "op", "event_type", "value"]
+    _STATE_SCHEMA = "seq long, offset long, pk long, op string, event_type string, value double"
 
     def _updates(self, batch: DataFrame) -> DataFrame:
         # every envelope row is a fact (op is the dimension's concern, and
@@ -180,6 +181,7 @@ class _DimSink(BucketedUpsertSink):
 
     _KEY = "pk"
     _COLS = ["pk", "offset", "op", "value"]
+    _STATE_SCHEMA = "pk long, offset long, op string, value double"
 
 
 class BucketedJoinViewSink:

@@ -55,7 +55,6 @@ from cdc_platform_spark.operators.dedup import (
 from cdc_platform_spark.streaming.pipeline import (
     BucketedUpsertSink,
     _BucketStore,
-    pruned_bucket_read,
 )
 
 _VIEW_SCHEMA = "vec_id long, nn_id long, cosine double, is_dup long"
@@ -68,6 +67,10 @@ class _VecIndexSink(BucketedUpsertSink):
 
     _KEY = "vec_id"
     _COLS = ["vec_id", "offset", "op", "a", "norm", "bvals"]
+    _STATE_SCHEMA = (
+        "vec_id long, offset long, op string, "
+        "a array<long>, norm long, bvals array<long>"
+    )
 
 
 class CosineNeighborIndexSink:
@@ -142,8 +145,8 @@ class CosineNeighborIndexSink:
             .localCheckpoint(eager=True)
         )
         partners = (
-            pruned_bucket_read(
-                spark, self.index.path, cand0.select(F.col("ob").alias("bucket"))
+            self.index.pruned_read(
+                spark, cand0.select(F.col("ob").alias("bucket"))
             )
             .filter((F.col("op") != "d") & F.col("bvals").isNotNull())
             .select(
@@ -196,7 +199,7 @@ class CosineNeighborIndexSink:
         # 2. batch vecs' POST-MERGE rows (out-of-order safe)
         tb = touched.select(F.pmod(F.hash("vec_id"), nb).alias("bucket"))
         batch_live = (
-            pruned_bucket_read(spark, self.index.path, tb)
+            self.index.pruned_read(spark, tb)
             .join(F.broadcast(touched), "vec_id", "leftsemi")
             .filter((F.col("op") != "d") & F.col("bvals").isNotNull())
             .localCheckpoint(eager=True)
@@ -231,7 +234,7 @@ class CosineNeighborIndexSink:
         # 5. recompute best for the live T2 vectors: candidates from
         # their current band rows, exact cosine, window best
         t2_live = (
-            pruned_bucket_read(spark, self.index.path, t2b)
+            self.index.pruned_read(spark, t2b)
             .join(F.broadcast(t2), "vec_id", "leftsemi")
             .filter((F.col("op") != "d") & F.col("bvals").isNotNull())
             .localCheckpoint(eager=True)
@@ -249,8 +252,8 @@ class CosineNeighborIndexSink:
                 .localCheckpoint(eager=True)
             )
             partners = (
-                pruned_bucket_read(
-                    spark, self.index.path, cand0.select(F.col("ob").alias("bucket"))
+                self.index.pruned_read(
+                    spark, cand0.select(F.col("ob").alias("bucket"))
                 )
                 .filter((F.col("op") != "d") & F.col("bvals").isNotNull())
                 .select(
@@ -368,7 +371,7 @@ class CosineNeighborIndexSink:
             self.index.compact(spark, tombstone_horizon)
         nb = F.lit(self.n_buckets)
         if self.bands.exists():
-            live = spark.read.parquet(self.index.path).filter(
+            live = self.index.raw_state(spark).filter(
                 (F.col("op") != "d") & F.col("bvals").isNotNull()
             )
             current = self._band_rows(live).select("vec_id", "band", "val", "bucket")

@@ -288,6 +288,11 @@ class BucketedUpsertSink:
     is_idempotent = True  # keyed merge: replaying a batch cannot double-apply
     _COLS = ["pk", "offset", "op", "event_type", "value"]
     _KEY = "pk"  # merge key; subclasses may re-key (e.g. vec_id indexes)
+    # typed shape of the state rows — the empty-state fallback for readers
+    # (a full-GC compact can legitimately leave ZERO bucket dirs, and a
+    # bare parquet read of that dir raises UNABLE_TO_INFER_SCHEMA; found
+    # by the hypothesis GC property on a delete-only event log)
+    _STATE_SCHEMA = "pk long, offset long, op string, event_type string, value double"
 
     def __init__(self, path: str, n_buckets: int = 16) -> None:
         self.path = path
@@ -587,12 +592,25 @@ class BucketedUpsertSink:
         )
         self._commit_buckets(tmp, run_id, sorted(written | existing))
 
+    def raw_state(self, spark: SparkSession) -> DataFrame:
+        """Full state read (bucket column included) tolerating a
+        zero-bucket dir — empty typed frame instead of an
+        AnalysisException after a full-GC compact."""
+        self._recover()
+        if not self.exists():
+            return spark.createDataFrame([], f"{self._STATE_SCHEMA}, bucket int")
+        return spark.read.parquet(self.path)
+
+    def pruned_read(self, spark: SparkSession, buckets: DataFrame) -> DataFrame:
+        """DPP-pruned state read with the same empty-state tolerance."""
+        self._recover()
+        if not self.exists():
+            return spark.createDataFrame([], f"{self._STATE_SCHEMA}, bucket int")
+        return pruned_bucket_read(spark, self.path, buckets)
+
     def state(self, spark: SparkSession) -> DataFrame:
         """Live state: latest row per key, tombstones filtered out."""
-        self._recover()
-        return (
-            spark.read.parquet(self.path).filter(F.col("op") != "d").drop("bucket")
-        )
+        return self.raw_state(spark).filter(F.col("op") != "d").drop("bucket")
 
     def exists(self) -> bool:
         """True iff any bucket has ever committed — the guard derived
