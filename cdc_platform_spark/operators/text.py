@@ -569,6 +569,37 @@ CURATION_MIN_WORDS = 20
 CURATION_MIN_DISTINCT_RATIO = 0.15
 
 
+def curation_metric_cols() -> tuple[F.Column, F.Column, F.Column]:
+    """THE quality-metric expressions of the curation funnel —
+    (content_md5, n_words, distinct_ratio) over a ``text`` column.  One
+    definition shared by the batch funnel (curation_survivors) and the
+    streaming CuratedCorpusSink's write-time metric computation, so the
+    incrementally stored metrics can never drift from the batch's."""
+    words = F.split(F.col("text"), " ")
+    return (
+        F.md5("text").alias("content_md5"),
+        F.size(words).alias("n_words"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+def curation_survivors_from_metrics(scored: DataFrame) -> DataFrame:
+    """The funnel's filter + exact-dedup stage over PRE-COMPUTED metric
+    columns (content_md5, n_words, distinct_ratio) — the serving half of
+    the funnel, shared by the batch path and the streaming curated()
+    read (which stores the metrics incrementally at write time)."""
+    from pyspark.sql import Window
+
+    quality = scored.filter(
+        (F.col("n_words") >= CURATION_MIN_WORDS)
+        & (F.col("distinct_ratio") >= CURATION_MIN_DISTINCT_RATIO)
+    )
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    return quality.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+
+
 def curation_survivors(d: DataFrame, *extra_cols: F.Column) -> DataFrame:
     """The canonical curation funnel — quality filter (>= CURATION_MIN_WORDS
     words, >= CURATION_MIN_DISTINCT_RATIO distinct-word ratio) then exact
@@ -578,22 +609,8 @@ def curation_survivors(d: DataFrame, *extra_cols: F.Column) -> DataFrame:
     documents survived.  ``extra_cols`` are computed alongside (e.g. lang,
     token counts); output always has doc_id, content_md5, n_words,
     distinct_ratio plus the extras."""
-    from pyspark.sql import Window
-
-    words = F.split(F.col("text"), " ")
-    scored = d.select(
-        "doc_id",
-        F.md5("text").alias("content_md5"),
-        F.size(words).alias("n_words"),
-        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("distinct_ratio"),
-        *extra_cols,
-    )
-    quality = scored.filter(
-        (F.col("n_words") >= CURATION_MIN_WORDS)
-        & (F.col("distinct_ratio") >= CURATION_MIN_DISTINCT_RATIO)
-    )
-    w = Window.partitionBy("content_md5").orderBy("doc_id")
-    return quality.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    scored = d.select("doc_id", *curation_metric_cols(), *extra_cols)
+    return curation_survivors_from_metrics(scored)
 
 
 

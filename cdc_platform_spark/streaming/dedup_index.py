@@ -494,12 +494,21 @@ class BucketedMinHashIndexSink:
 
 
 class _CuratedSigIndexSink(_SigIndexSink):
-    """Signature index that also retains the document text — the curated
-    corpus is served straight from the index, no side lookup."""
+    """Signature index that also retains the document text AND its
+    write-time curation metrics — the curated corpus is served straight
+    from the index (no side lookup), and the quality metrics are computed
+    ONCE per document version at write time instead of re-derived from
+    text on every curated() read (at 100 TB the serving read then scans
+    three narrow columns, not the text)."""
 
-    _COLS = ["doc_id", "offset", "op", "text", "shingles", "sig"]
+    _COLS = [
+        "doc_id", "offset", "op", "text",
+        "content_md5", "n_words", "distinct_ratio",
+        "shingles", "sig",
+    ]
     _STATE_SCHEMA = (
         "doc_id long, offset long, op string, text string, "
+        "content_md5 string, n_words int, distinct_ratio double, "
         "shingles array<string>, sig array<long>"
     )
 
@@ -532,6 +541,8 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         self.index = _CuratedSigIndexSink(f"{path}/index", n_buckets)
 
     def _batch_rows(self, batch: DataFrame) -> DataFrame:
+        from cdc_platform_spark.operators.text import curation_metric_cols
+
         latest = (
             batch.filter(F.col("op").isNotNull())
             .groupBy("doc_id")
@@ -541,8 +552,20 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         sh = F.when(
             F.col("op") != "d", shingles_col(F.split(F.col("text"), " "))
         ).otherwise(F.array().cast("array<string>"))
+        # write-time quality metrics: THE batch funnel expressions
+        # (curation_metric_cols), computed once per document version so
+        # the serving read never re-derives them from text
+        md5c, nwc, drc = curation_metric_cols()
+        metric = lambda c: F.when(F.col("op") != "d", c)  # noqa: E731
         return latest.select(
-            "doc_id", "offset", "op", "text", sh.alias("shingles")
+            "doc_id",
+            "offset",
+            "op",
+            "text",
+            metric(md5c).alias("content_md5"),
+            metric(nwc).alias("n_words"),
+            metric(drc).alias("distinct_ratio"),
+            sh.alias("shingles"),
         ).withColumn(
             "sig",
             F.when(
@@ -553,7 +576,7 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
 
     def curated(self, spark: SparkSession) -> DataFrame:
         """The curated corpus view: (doc_id, n_words, distinct_ratio)."""
-        from cdc_platform_spark.operators.text import curation_survivors
+        from cdc_platform_spark.operators.text import curation_survivors_from_metrics
 
         self._recover()
         if not self.index.exists():
@@ -562,12 +585,14 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
             return spark.createDataFrame(
                 [], "doc_id long, n_words long, distinct_ratio double"
             )
-        live = (
+        # serve from the write-time metric columns: the scan reads three
+        # narrow columns, never the text (column pruning does the rest)
+        scored = (
             spark.read.parquet(self.index.path)
             .filter(F.col("op") != "d")
-            .select("doc_id", "text")
+            .select("doc_id", "content_md5", "n_words", "distinct_ratio")
         )
-        surv = curation_survivors(live)
+        surv = curation_survivors_from_metrics(scored)
         if self.pair_store.exists():
             # Suppression set = every doc_b of a verified pair.  The
             # adjacency store keeps BOTH orientations, so the doc_b values

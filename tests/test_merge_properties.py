@@ -312,3 +312,71 @@ def test_aggregating_sink_converges_under_any_batching(
         for r in sink.state(spark).collect()
     }
     assert got == expected, f"aggregate diverged: got={got} expected={expected}"
+
+
+@given(
+    n_docs=st.integers(3, 10),
+    word_picks=st.lists(st.integers(0, 4), min_size=30, max_size=60),
+    change_ops=st.lists(st.sampled_from(["u", "d", "n"]), min_size=3, max_size=10),
+    split_seed=st.integers(0, 2**16),
+    n_batches=st.integers(1, 4),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_bucketed_minhash_index_converges_on_random_cdc(
+    spark, tmp_path_factory, n_docs, word_picks, change_ops, split_seed, n_batches
+):
+    """The bucketed near-dup index must equal the flat sink's pair view
+    for ARBITRARY small corpora (tiny vocab forces genuine near-dup
+    collisions), arbitrary update/delete patterns, and any batching —
+    the property form of the fixture-based equivalence tests."""
+    import random
+
+    from cdc_platform_spark.streaming.dedup_index import (
+        BucketedMinHashIndexSink,
+        MinHashIndexSink,
+    )
+
+    rng = random.Random(split_seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+
+    def text(seed):
+        r = random.Random(seed)
+        n = r.randrange(3, 9)
+        return " ".join(vocab[r.choice(word_picks) % len(vocab)] for _ in range(n))
+
+    events = [(d, d, "c", text(d)) for d in range(n_docs)]
+    off = n_docs
+    for i, op in enumerate(change_ops):
+        d = i % n_docs
+        if op == "u":
+            events.append((d, off, "u", text(1000 + off)))
+        elif op == "d":
+            events.append((d, off, "d", None))
+        off += 1
+
+    rows = spark.createDataFrame(
+        events, "doc_id long, offset long, op string, text string"
+    ).localCheckpoint(eager=True)
+
+    flat = MinHashIndexSink(str(tmp_path_factory.mktemp("mh") / "flat"))
+    flat.write(rows)
+    expected = sorted(map(tuple, flat.pairs(spark).collect()))
+
+    bkt = BucketedMinHashIndexSink(
+        str(tmp_path_factory.mktemp("mh") / "bkt"), n_buckets=4
+    )
+    batches = [[] for _ in range(n_batches)]
+    for ev in events:
+        batches[rng.randrange(n_batches)].append(ev)
+    schema = "doc_id long, offset long, op string, text string"
+    for b in batches:
+        if b:
+            bkt.write(spark.createDataFrame(b, schema))
+    if rng.random() < 0.5 and batches[0]:
+        bkt.write(spark.createDataFrame(batches[0], schema))  # redelivery
+    got = sorted(map(tuple, bkt.pairs(spark).collect()))
+    assert got == expected, f"bucketed pairs diverged: {got} vs {expected}"
