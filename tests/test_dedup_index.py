@@ -381,6 +381,23 @@ def test_views_serve_empty_before_first_commit(spark, tmp_path):
     assert nn.view(spark).count() == 0
 
 
+def test_curated_read_never_scans_text(spark, tmp_path, cdc_rows):
+    """The serving contract of the write-time metrics: curated() must
+    read only the narrow metric columns — the text column stays out of
+    the scan's ReadSchema (at 100 TB the text IS the corpus; re-deriving
+    metrics from it per read would dwarf the funnel itself)."""
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    sink = CuratedCorpusSink(str(tmp_path / "c"), n_buckets=8)
+    sink.write(cdc_rows)
+    plan = sink.curated(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    assert "text:string" not in plan, (
+        "curated() scans the text column — the write-time metric columns "
+        "should serve the funnel without touching the corpus text"
+    )
+
+
 def test_curated_corpus_reacts_to_quality_dedup_and_cdc(spark, tmp_path, cdc_rows):
     """CuratedCorpusSink.curated() must equal the batch funnel over the
     live docs, drop deleted docs, and re-admit a suppressed near-dup when
