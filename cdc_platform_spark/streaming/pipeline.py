@@ -134,6 +134,30 @@ def pruned_bucket_read(spark: SparkSession, path: str, buckets: DataFrame) -> Da
     return spark.read.parquet(path).join(F.broadcast(pruned), "bucket", "leftsemi")
 
 
+def suggest_tombstone_horizon(
+    applied: DataFrame, n_partitions: int | None = None
+) -> int | None:
+    """The A1/A2 min-watermark math applied to tombstone GC: for an
+    ORDERED source (per-partition monotonic offsets — Kafka, Kinesis, a
+    CDC slot), once partition p has durably applied everything up to
+    ``max_p``, its future deliveries are all ``> max_p`` — so
+    ``min over partitions of max applied offset + 1`` is a replay
+    low-watermark valid across the whole stream, derived from applied
+    state instead of asserted by an operator.
+
+    ``applied`` is any durably-applied frame carrying (partition, offset)
+    — the append sink's table is the natural source.  NULL-safety mirrors
+    q28's commit math: a partition that has applied NOTHING has no
+    watermark, so pass ``n_partitions`` (the source's partition count)
+    and the suggestion abstains (None) until every partition has flushed
+    — otherwise an idle partition's pending backlog could sit below the
+    fence.  The aggregate is one row per partition — bounded metadata."""
+    rows = applied.groupBy("partition").agg(F.max("offset").alias("mx")).collect()
+    if not rows or (n_partitions is not None and len(rows) < n_partitions):
+        return None
+    return int(min(r["mx"] for r in rows)) + 1
+
+
 def latest_per_key_merge(updates, current=None):
     """THE latest-per-key upsert algebra — one definition shared by
     UpsertSink and the lakehouse upsert sink (plans/compiler.py), so the

@@ -549,6 +549,35 @@ def test_scheduled_maintenance_sweeps_on_cadence_and_gc_post_stream(spark, workd
     assert sink.gc_horizon() == 10**12
 
 
+def test_suggest_tombstone_horizon_is_min_watermark(spark, workdir):
+    """The derived GC horizon equals min-over-partitions(max applied
+    offset)+1 (the A1 commit math), and abstains while any partition has
+    flushed nothing."""
+    from cdc_platform_spark.streaming.pipeline import suggest_tombstone_horizon
+
+    env = to_envelope(spark.read.parquet(f"{SF_SMOKE}/events.parquet")).localCheckpoint(
+        eager=True
+    )
+    maxima = {
+        r["partition"]: r["mx"]
+        for r in env.groupBy("partition").agg(F.max("offset").alias("mx")).collect()
+    }
+    assert len(maxima) >= 2
+    expected = min(maxima.values()) + 1
+    assert suggest_tombstone_horizon(env) == expected
+    assert suggest_tombstone_horizon(env, n_partitions=len(maxima)) == expected
+    # a partition that has applied nothing blocks the suggestion
+    assert suggest_tombstone_horizon(env, n_partitions=len(maxima) + 1) is None
+    # the suggested horizon is safe to feed straight into the GC sweep
+    from cdc_platform_spark.streaming.pipeline import BucketedUpsertSink
+
+    sink = BucketedUpsertSink(f"{workdir}/state", n_buckets=4)
+    sink.write(env)
+    n_live = sink.state(spark).count()
+    sink.compact(spark, tombstone_horizon=suggest_tombstone_horizon(env))
+    assert sink.state(spark).count() == n_live
+
+
 def test_maintenance_horizon_clamped_by_pending_dlq(spark, workdir):
     """A GC fence must never swallow the replay of quarantined rows: the
     maintenance sweep clamps the supplied horizon to the oldest offset
