@@ -195,3 +195,83 @@ def test_reverse_pointer_heals_best_on_partner_delete(spark, tmp_path, emb):
     live = inserts.filter(F.col("vec_id") != int(victim)).select("vec_id", "a")
     assert got == _rows(_batch_expected(spark, live))
     assert all(r[1] != victim for r in got), "deleted vector still referenced as best"
+
+
+def test_view_converges_on_random_cdc_property(spark, tmp_path):
+    """Property form: random small vector corpora (with planted copies so
+    exact-dup cosine pairs exist), random update/delete/copy patterns,
+    random batching and a redelivery — the maintained view must equal the
+    batch recipe over the final live vectors every time."""
+    import random
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cdc_platform_spark.operators.dedup import EMB_DIM
+    from cdc_platform_spark.streaming.neighbor_index import CosineNeighborIndexSink
+
+    counter = [0]
+
+    @given(
+        n_vecs=st.integers(4, 8),
+        ops=st.lists(
+            st.tuples(st.sampled_from(["u", "d", "c"]), st.integers(0, 7)),
+            min_size=2,
+            max_size=8,
+        ),
+        seed=st.integers(0, 2**16),
+        n_batches=st.integers(1, 3),
+    )
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    def run(n_vecs, ops, seed, n_batches):
+        rng = random.Random(seed)
+
+        def vec(s):
+            r = random.Random(s)
+            return [r.randrange(-3, 4) * 1000000 for _ in range(EMB_DIM)]
+
+        base = {i: vec(1000 + i) for i in range(n_vecs)}
+        base[1] = list(base[0])  # planted exact dup: cosine-1 pair exists
+        events = [(i, i, "c", base[i]) for i in range(n_vecs)]
+        off = n_vecs
+        for op, pick in ops:
+            d = pick % n_vecs
+            if op == "u":
+                events.append((d, off, "u", vec(5000 + off)))
+            elif op == "c":  # copy another vector: creates/moves a dup pair
+                events.append((d, off, "u", list(base[(pick + 1) % n_vecs])))
+            else:
+                events.append((d, off, "d", None))
+            off += 1
+
+        schema = "vec_id long, offset long, op string, a array<long>"
+        rows = spark.createDataFrame(events, schema).localCheckpoint(eager=True)
+        live = (
+            rows.groupBy("vec_id")
+            .agg(F.max_by(F.struct("offset", "op", "a"), F.col("offset")).alias("m"))
+            .select("vec_id", "m.op", "m.a")
+            .filter("op != 'd'")
+            .select("vec_id", "a")
+        )
+        expected = _rows(_batch_expected(spark, live))
+
+        counter[0] += 1
+        sink = CosineNeighborIndexSink(
+            str(tmp_path / f"nn{counter[0]}"), n_buckets=4
+        )
+        batches = [[] for _ in range(n_batches)]
+        for ev in events:
+            batches[rng.randrange(n_batches)].append(ev)
+        for b in batches:
+            if b:
+                sink.write(spark.createDataFrame(b, schema))
+        if rng.random() < 0.5 and batches[0]:
+            sink.write(spark.createDataFrame(batches[0], schema))  # redelivery
+        got = _rows(sink.view(spark))
+        assert got == expected, f"view diverged: {got} vs {expected}"
+
+    run()
