@@ -445,3 +445,48 @@ def test_generation_rotation_retrains_quantizer_blue_green(spark, tmp_path, trai
     got = sorted(map(tuple, gen1.state(spark).collect()))
     want = sorted(map(tuple, ref.state(spark).collect()))
     assert got == want and got, "rotated generation diverged from from-scratch"
+
+
+def test_projection_refresh_crash_before_journal_clear_is_idempotent(
+    spark, tmp_path, trained
+):
+    """Crash window between the delta-refresh commit and the journal
+    clear: the next refresh re-drains the same cells and re-rewrites them
+    to identical content (idempotent per cell), then clears — a third
+    call rewrites nothing and the replica equals a full rebuild."""
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        IvfCellProjection,
+    )
+
+    e, cents = trained
+    rows = _cdc_rows(e).localCheckpoint(eager=True)
+    sink = BucketedIvfFlatIndexSink(str(tmp_path / "idx"), cents, n_buckets=8)
+    sink.write(rows.filter(F.col("op") == "c"))
+    proj = IvfCellProjection(str(tmp_path / "serving"))
+    proj.refresh_from_primary(spark, sink)  # bootstrap
+
+    sink.write(rows.filter(F.col("op") != "c"))
+
+    # crash before the clear: the commit lands, the journal survives
+    orig = sink.clear_touched_cells
+    sink.clear_touched_cells = lambda files: None
+    first = proj.refresh_from_primary(spark, sink)
+    assert first
+    sink.clear_touched_cells = orig
+
+    second = proj.refresh_from_primary(spark, sink)  # replays the journal
+    assert set(second) == set(first)
+
+    # journal drained now; nothing left to rewrite
+    assert proj.refresh_from_primary(spark, sink) == []
+
+    full = IvfCellProjection(str(tmp_path / "full"))
+    full.refresh(sink.state(spark))
+    got = sorted(
+        map(tuple, spark.read.parquet(proj.path).select("vec_id", "norm", "bucket").collect())
+    )
+    want = sorted(
+        map(tuple, spark.read.parquet(full.path).select("vec_id", "norm", "bucket").collect())
+    )
+    assert got == want
