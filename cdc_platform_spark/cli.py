@@ -105,6 +105,22 @@ def main(argv: list[str] | None = None) -> int:
         "source (Kafka retention / CDC slot LSN), clamped below any offset "
         "still quarantined in the DLQ",
     )
+    p_maint.add_argument(
+        "--suggest-horizon-from",
+        default=None,
+        metavar="SINK_ID",
+        help="derive the horizon from an append sink's applied table via "
+        "the A1 min-watermark math (min over partitions of max applied "
+        "offset + 1; valid for per-partition-ordered sources); mutually "
+        "exclusive with --tombstone-horizon",
+    )
+    p_maint.add_argument(
+        "--n-partitions",
+        type=int,
+        default=None,
+        help="with --suggest-horizon-from: the source's partition count — "
+        "the suggestion abstains until every partition has flushed",
+    )
 
     args = ap.parse_args(argv)
 
@@ -153,21 +169,40 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "maintain":
+        from pyspark.sql import functions as F
+
         from cdc_platform_spark.config import load_pipeline_config, load_platform_config
         from cdc_platform_spark.plans.compiler import compile_pipeline
+        from cdc_platform_spark.streaming.pipeline import suggest_tombstone_horizon
 
         cfg = load_pipeline_config(args.config)
         platform = load_platform_config(args.platform_config)
         pipe = compile_pipeline(spark, cfg, platform)
-        if args.tombstone_horizon is not None:
-            pipe.tombstone_horizon_fn = lambda: args.tombstone_horizon
+        horizon = args.tombstone_horizon
+        if args.suggest_horizon_from is not None:
+            if horizon is not None:
+                raise SystemExit(
+                    "--tombstone-horizon and --suggest-horizon-from are mutually exclusive"
+                )
+            src_sink = pipe.sinks[args.suggest_horizon_from]
+            applied = spark.read.parquet(src_sink.path).select(
+                F.col("_cdc_partition").alias("partition"),
+                F.col("_cdc_offset").alias("offset"),
+            )
+            horizon = suggest_tombstone_horizon(applied, n_partitions=args.n_partitions)
+        if horizon is not None:
+            pipe.tombstone_horizon_fn = lambda: horizon
         pipe.run_maintenance()
         stats = {
             sink_id: sink.state_stats(spark)
             for sink_id, sink in pipe.sinks.items()
             if hasattr(sink, "state_stats")
         }
-        print(json.dumps({"pipeline_id": cfg.pipeline_id, "stats": stats}))
+        print(
+            json.dumps(
+                {"pipeline_id": cfg.pipeline_id, "horizon": horizon, "stats": stats}
+            )
+        )
         return 0
 
     if args.cmd == "health":

@@ -493,6 +493,58 @@ sinks:
     assert stats["gc_horizon"] == 10**12
 
 
+def test_cli_maintain_suggests_horizon_from_append_sink(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """--suggest-horizon-from derives the GC horizon from the append
+    sink's applied table (A1 min-watermark math) and GCs exactly the
+    tombstones below it."""
+    import json as _json
+
+    from cdc_platform_spark.cli import main
+    from cdc_platform_spark.streaming.pipeline import BucketedUpsertSink
+
+    monkeypatch.setenv("OUT", str(tmp_path))
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    events.write.parquet(f"{tmp_path}/src")
+    cfg = tmp_path / "p.yaml"
+    cfg.write_text(
+        """
+pipeline_id: demo
+source:
+  path: ${OUT}/src
+checkpoint_dir: ${OUT}/ck
+sinks:
+  - id: log
+    type: append
+    path: ${OUT}/log
+  - id: state
+    type: upsert
+    path: ${OUT}/state
+    state_buckets: 8
+"""
+    )
+    assert main(["run", str(cfg)]) == 0
+    capsys.readouterr()
+
+    expected_h = (
+        spark.read.parquet(f"{tmp_path}/log")
+        .groupBy("_cdc_partition")
+        .agg(F.max("_cdc_offset").alias("mx"))
+        .agg(F.min("mx"))
+        .first()[0]
+        + 1
+    )
+    assert main(["maintain", str(cfg), "--suggest-horizon-from", "log"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["horizon"] == expected_h
+
+    raw = BucketedUpsertSink(f"{tmp_path}/state", n_buckets=8)
+    left = spark.read.parquet(raw.path).filter("op = 'd'")
+    assert left.filter(f"offset < {expected_h}").count() == 0
+    assert raw.gc_horizon() == expected_h
+
+
 def test_per_source_topic_naming():
     """Reference topic shapes (streaming/topics.py:31-60): 3-part for
     postgres/mysql/mongodb, 4-part for sqlserver, DLQ suffixing."""
