@@ -1205,6 +1205,85 @@ def sq_corpus_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.curated(spark).orderBy("doc_id")
 
 
+_MM_FEATURE_ORACLE = """
+        WITH docs_live AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' spark dedup stream spark dedup stream'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 3
+        )
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CASE CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 3
+                    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+               CAST(16 * (1 + CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 120) AS BIGINT) AS width,
+               CAST(16 * (1 + (CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) // 120) % 68) AS BIGINT) AS height
+        FROM docs_live
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "sq_mm_feature_store_stream",
+    category="streaming",
+    doc=(
+        "Maintained multimodal FEATURE STORE under asset CDC: binary "
+        "payload events (insert wave, updated payloads for doc_id % 7 = 0, "
+        "deletes for doc_id % 11 = 3) fold through "
+        "MultimodalFeatureStoreSink — each batch's DISTINCT payloads run "
+        "the Arrow-batched decode ONCE (content-addressed), metadata joins "
+        "back per (doc_id, offset), and the bucketed keyed merge keeps the "
+        "latest version per asset with delete tombstones. The served "
+        "feature view must equal the batch mm_decode_metadata md5 "
+        "arithmetic over the post-CDC live payloads — decode-on-write "
+        "replacing decode-on-every-query."
+    ),
+    oracle=_MM_FEATURE_ORACLE,
+)
+def sq_mm_feature_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.streaming.feature_store import MultimodalFeatureStoreSink
+
+    work = _workdir("sq_mmfs_")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    off = F.col("doc_id") + F.lit(100000000)
+    enc = lambda c: F.encode(c, "utf-8")  # noqa: E731
+    wave0 = d.select(
+        "doc_id",
+        F.col("doc_id").alias("offset"),
+        F.lit("c").alias("op"),
+        enc(F.col("text")).alias("payload"),
+    )
+    upd = d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 3)).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("u").alias("op"),
+        enc(
+            F.concat(F.col("text"), F.lit(" spark dedup stream spark dedup stream"))
+        ).alias("payload"),
+    )
+    dels = d.filter(F.col("doc_id") % 11 == 3).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("d").alias("op"),
+        F.lit(None).cast("binary").alias("payload"),
+    )
+    src = f"{work}/source"
+    wave0.unionByName(upd).unionByName(dels).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, offset long, op string, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = MultimodalFeatureStoreSink(f"{work}/features", use_real=False)
+    _run_index_stream(stream, sink, work)
+    return sink.features(spark).orderBy("doc_id")
+
+
 def _dedup_clusters_stream_oracle() -> str:
     """Oracle for sq_dedup_clusters_stream: the batch dedup_clusters
     recursive-reachability closure evaluated over the POST-CDC live

@@ -1,0 +1,94 @@
+"""Maintained multimodal FEATURE STORE under asset CDC.
+
+The batch ``mm_*`` family decodes binary payloads on every query; at
+100 TB the decode (a per-row Python codec behind Arrow batches) is the
+expensive stage, so a production pipeline decodes each asset VERSION
+once — when its CDC event arrives — and serves the typed metadata from
+maintained state.  This sink is exactly that: the keyed-upsert
+machinery (``BucketedUpsertSink``: DPP-pruned merge, journaled
+per-bucket commit, tombstones + GC) with the Arrow-batched decode of
+``operators/multimodal.py`` run in ``_updates`` over ONLY the batch's
+payloads.
+
+Two scale choices in the decode stage:
+- **content-addressed decode**: the batch's payloads are deduplicated
+  by their 60-bit md5 BEFORE the Python stage, so a batch carrying the
+  same asset many times (re-sends, multi-doc reuse) decodes it once;
+  the metadata joins back to (doc_id, offset) on the hash.
+- **per-version keying**: a batch may carry several versions of one
+  doc_id (insert + update in one chunk); decode keys by content hash,
+  so each VERSION gets its own metadata and the offset merge picks the
+  winner — versions are never mixed.
+
+Reference semantics: J1/W2 keyed materialization (``/root/reference/
+src/cdc_platform/sinks/iceberg.py:187-197``) applied to a decoded
+feature artifact; the decode itself is the import-gated stub/PIL pair
+of the batch family (one definition, oracles cannot drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_platform_spark.operators.multimodal import (
+    decode_binary_column,
+    md5_h60,
+)
+from cdc_platform_spark.streaming.pipeline import BucketedUpsertSink
+
+
+class MultimodalFeatureStoreSink(BucketedUpsertSink):
+    """Keyed feature store over a binary-asset CDC stream of
+    (doc_id, offset, op, payload)."""
+
+    _KEY = "doc_id"
+    _COLS = ["doc_id", "offset", "op", "n_bytes", "format", "width", "height"]
+    _STATE_SCHEMA = (
+        "doc_id long, offset long, op string, "
+        "n_bytes long, format string, width long, height long"
+    )
+
+    def __init__(self, path: str, n_buckets: int = 16, use_real: bool | None = None) -> None:
+        super().__init__(path, n_buckets)
+        self.use_real = use_real  # None -> PIL when importable, stub otherwise
+
+    def _updates(self, batch: DataFrame) -> DataFrame:
+        ups = batch.filter(F.col("op").isNotNull() & (F.col("op") != "d")).select(
+            "doc_id", "offset", "op", "payload"
+        )
+        # content-addressed decode: one Python-stage row per DISTINCT
+        # payload in the batch, joined back on the hash
+        distinct_payloads = ups.select(
+            md5_h60(F.col("payload")).alias("h60"), F.col("payload")
+        ).dropDuplicates(["h60"])
+        meta = decode_binary_column(
+            distinct_payloads, payload_col="payload", id_col="h60", use_real=self.use_real
+        ).select(
+            F.col("doc_id").alias("h60"),  # decode keys by the id col it was given
+            "n_bytes",
+            "format",
+            "width",
+            "height",
+        )
+        decoded = (
+            ups.withColumn("h60", md5_h60(F.col("payload")))
+            .join(meta, "h60")
+            .select("doc_id", "offset", "op", "n_bytes", "format", "width", "height")
+        )
+        dels = batch.filter(F.col("op") == "d").select(
+            "doc_id",
+            "offset",
+            "op",
+            F.lit(None).cast("long").alias("n_bytes"),
+            F.lit(None).cast("string").alias("format"),
+            F.lit(None).cast("long").alias("width"),
+            F.lit(None).cast("long").alias("height"),
+        )
+        return decoded.unionByName(dels).withColumn(
+            "bucket", F.pmod(F.hash(self._KEY), F.lit(self.n_buckets))
+        )
+
+    def features(self, spark: SparkSession) -> DataFrame:
+        """The live feature view: (doc_id, n_bytes, format, width, height)."""
+        return self.state(spark).select("doc_id", "n_bytes", "format", "width", "height")

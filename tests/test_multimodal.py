@@ -81,3 +81,78 @@ def test_default_decoder_selection_matches_gate():
     # and the two decoders share the output schema contract
     assert "format" in DECODE_SCHEMA and "width" in DECODE_SCHEMA
     assert callable(fake_decode_batch) and callable(real_decode_batch)
+
+
+def test_feature_store_sink_converges_and_versions_dont_mix(spark, tmp_path):
+    """MultimodalFeatureStoreSink: decode-on-write state must equal the
+    batch decode over the post-CDC payloads under any batching; a batch
+    carrying insert+update of one asset must keep the update's metadata
+    (content-addressed decode cannot mix versions); deletes tombstone."""
+    import pyspark.sql.functions as F
+
+    from cdc_platform_spark.operators.multimodal import decode_binary_column
+    from cdc_platform_spark.streaming.feature_store import MultimodalFeatureStoreSink
+
+    from .conftest import SF_SMOKE
+
+    d = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 60")
+    )
+    enc = lambda c: F.encode(c, "utf-8")  # noqa: E731
+    wave0 = d.select(
+        "doc_id", F.col("doc_id").alias("offset"), F.lit("c").alias("op"),
+        enc(F.col("text")).alias("payload"),
+    )
+    upd = d.filter("doc_id % 7 = 0 AND doc_id % 11 <> 3").select(
+        "doc_id", (F.col("doc_id") + 10**6).alias("offset"), F.lit("u").alias("op"),
+        enc(F.concat(F.col("text"), F.lit(" v2"))).alias("payload"),
+    )
+    dels = d.filter("doc_id % 11 = 3").select(
+        "doc_id", (F.col("doc_id") + 10**6).alias("offset"), F.lit("d").alias("op"),
+        F.lit(None).cast("binary").alias("payload"),
+    )
+    rows = wave0.unionByName(upd).unionByName(dels).localCheckpoint(eager=True)
+
+    live = (
+        rows.groupBy("doc_id")
+        .agg(F.max_by(F.struct("offset", "op", "payload"), F.col("offset")).alias("m"))
+        .select("doc_id", "m.op", "m.payload")
+        .filter("op != 'd'")
+        .select("doc_id", "payload")
+    )
+    expected = sorted(
+        map(tuple, decode_binary_column(live, use_real=False).collect())
+    )
+
+    # any batching converges — including insert+update sharing a batch
+    # (offset % 2 interleaves the waves) and a redelivery
+    sink = MultimodalFeatureStoreSink(str(tmp_path / "fs"), n_buckets=8, use_real=False)
+    batches = [rows.filter(F.pmod(F.col("offset"), F.lit(2)) == k) for k in range(2)]
+    for b in batches:
+        sink.write(b)
+    sink.write(batches[0])  # at-least-once redelivery is a no-op
+    got = sorted(
+        map(
+            tuple,
+            sink.features(spark)
+            .select("doc_id", "n_bytes", "format", "width", "height")
+            .collect(),
+        )
+    )
+    assert got == expected and got
+
+    # tombstone GC inherited from the shared base class
+    assert spark.read.parquet(sink.path).filter("op = 'd'").count() > 0
+    sink.compact(spark, tombstone_horizon=10**9)
+    assert spark.read.parquet(sink.path).filter("op = 'd'").count() == 0
+    got2 = sorted(
+        map(
+            tuple,
+            sink.features(spark)
+            .select("doc_id", "n_bytes", "format", "width", "height")
+            .collect(),
+        )
+    )
+    assert got2 == expected
