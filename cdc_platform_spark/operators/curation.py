@@ -218,3 +218,83 @@ def q70_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(toks, "spark").cast("long").alias("has_spark"),
         F.array_join(F.slice(F.array_sort(toks), 1, 3), "-").alias("first3_sorted"),
     ).orderBy("doc_id")
+
+
+TEMP_SAMPLE_MULT = 4  # K in target = min(n, max(1, floor(K * sqrt(n))))
+
+
+@register(
+    "text_temperature_resample",
+    category="text",
+    doc=(
+        "Temperature-smoothed domain resampling: per-(lang, source) doc counts "
+        "flattened with a sqrt law — target = min(n, max(1, floor("
+        f"{TEMP_SAMPLE_MULT}*sqrt(n)))) — then exactly target docs selected per "
+        "domain by md5(doc_id) order. This is the alpha=0.5 temperature "
+        "sampling a multilingual pretraining mix runs to up-weight tail "
+        "domains (text_domain_mix computes the weights table; this operator "
+        "materializes the sampled corpus). sqrt is the one smoothing exponent "
+        "that is IEEE-correctly-rounded in every engine, so targets are "
+        "cross-engine bit-identical with NO global normalization term (a "
+        "sum-normalized softmax would make every target depend on a "
+        "float reduction order). Scale shape: domain counts are one tiny "
+        "map-side-combinable aggregate, broadcast back; selection is ONE "
+        "window shuffle keyed on the domain (md5 priorities are uniform, so "
+        "AQE's skew split handles a dominant domain)."
+    ),
+    oracle=f"""
+        WITH dom AS (
+            SELECT lang, source, COUNT(*) AS n_docs
+            FROM documents GROUP BY lang, source
+        ),
+        tgt AS (
+            SELECT lang, source, CAST(n_docs AS BIGINT) AS domain_docs,
+                   CAST(LEAST(n_docs, GREATEST(1, CAST(FLOOR(
+                        {TEMP_SAMPLE_MULT} * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)))
+                        AS BIGINT) AS target_docs
+            FROM dom
+        ),
+        ranked AS (
+            SELECT lang, source, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        )
+        SELECT r.lang, r.source, r.doc_id, CAST(r.rn AS BIGINT) AS sample_rank,
+               t.domain_docs, t.target_docs
+        FROM ranked r JOIN tgt t ON r.lang = t.lang AND r.source = t.source
+        WHERE r.rn <= t.target_docs
+        ORDER BY r.lang, r.source, sample_rank
+    """,
+)
+def text_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    dom = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tgt = dom.select(
+        "lang",
+        "source",
+        F.col("n_docs").cast("long").alias("domain_docs"),
+        F.least(
+            F.col("n_docs"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.lit(TEMP_SAMPLE_MULT) * F.sqrt(F.col("n_docs").cast("double"))),
+            ),
+        )
+        .cast("long")
+        .alias("target_docs"),
+    )
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select("lang", "source", "doc_id").withColumn(
+        "sample_rank", F.row_number().over(w).cast("long")
+    )
+    # tgt is domain-cardinality (tiny by construction) -> broadcast is bounded
+    return (
+        ranked.join(F.broadcast(tgt), ["lang", "source"])
+        .filter(F.col("sample_rank") <= F.col("target_docs"))
+        .select("lang", "source", "doc_id", "sample_rank", "domain_docs", "target_docs")
+        .orderBy("lang", "source", "sample_rank")
+    )

@@ -908,3 +908,100 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("qid").alias("query_id"), "rank", F.col("nid").alias("neighbor_id"), F.col("c").alias("cosine"))
         .orderBy("query_id", "rank")
     )
+
+
+# --- cluster-balanced diversity sampling --------------------------------------
+
+SAMPLE_PER_CELL = 8
+
+# The IVF assignment scaffold shared with sim_ann_ivf's oracle: seed cells from
+# the md5-ordered sample, run the unrolled Lloyd chain, assign every vector to
+# its max-cosine trained cell.  One string so the sampling oracle can never
+# drift from the quantizer the ANN operators certify.
+_ASSIGN_CTES = f"""u AS ({ORACLE_EMB_UNNEST}),
+        norms AS (SELECT vec_id, SUM(v * v) AS n FROM u GROUP BY vec_id),
+        cents AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {N_CELLS}
+        ),
+        cu AS (SELECT u.* FROM u JOIN cents ON u.vec_id = cents.cent_id),
+        {_TRAIN_CTES},
+        ncf AS (SELECT cent_id, SUM(cv * cv) AS n FROM {_CENT_FINAL} GROUP BY cent_id),
+        vc_dots AS (
+            SELECT x.vec_id, c.cent_id, SUM(x.v * c.cv) AS d
+            FROM u x JOIN {_CENT_FINAL} c ON x.i = c.i
+            GROUP BY x.vec_id, c.cent_id
+        ),
+        vc_cos AS (
+            SELECT v.vec_id, v.cent_id, v.d / (sqrt(nx.n) * sqrt(nc.n)) AS c
+            FROM vc_dots v JOIN norms nx ON v.vec_id = nx.vec_id
+                           JOIN ncf nc ON v.cent_id = nc.cent_id
+        ),
+        assign AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT vec_id, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM vc_cos) WHERE rn = 1
+        )"""
+
+
+@register(
+    "sim_cluster_sample",
+    category="similarity",
+    doc=(
+        f"Cluster-balanced diversity sample: every embedding assigned to its "
+        f"Lloyd-trained IVF cell (same quantizer as sim_ann_ivf), then "
+        f"{SAMPLE_PER_CELL} vectors per cell selected by md5(vec_id) order — "
+        "the semantic-coverage sampling step a pretraining pipeline runs to "
+        "cap over-represented embedding regions (cluster-then-sample, the "
+        "SemDeDup/D4-style recipe) with a seedless, engine-portable pick. "
+        "Scale shape: broadcast centroids + map-side argmax for assignment "
+        "(no shuffle of the vector side), then ONE window shuffle keyed on "
+        "cell_id for both the pick rank and the cell population — cells are "
+        "quantizer-bounded so the per-partition state is capped; no global "
+        "sort, nothing driver-side."
+    ),
+    oracle=f"""
+        WITH {_ASSIGN_CTES},
+        sz AS (SELECT cent_id, COUNT(*) AS n FROM assign GROUP BY cent_id),
+        picks AS (
+            SELECT cent_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cent_id
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM assign
+        )
+        SELECT p.cent_id AS cell_id, CAST(p.rn AS BIGINT) AS pick_rank,
+               p.vec_id AS vec_id, e.label AS label, CAST(s.n AS BIGINT) AS cell_docs
+        FROM picks p JOIN sz s ON p.cent_id = s.cent_id
+                     JOIN embeddings e ON e.vec_id = p.vec_id
+        WHERE p.rn <= {SAMPLE_PER_CELL}
+        ORDER BY cell_id, pick_rank
+    """,
+)
+def sim_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _fixed_embeddings(spark, sf_dir).localCheckpoint(eager=False)
+    cents = train_ivf_centroids(e)
+    vc = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "cent_id",
+        (dot_long(F.col("a"), F.col("ca")) / (F.sqrt("norm") * F.sqrt("cn"))).alias("c"),
+    )
+    # label is functionally dependent on vec_id: grouping by both keeps the
+    # argmax a single map-side-combinable exchange and avoids a corpus-sized
+    # re-join just to recover the label column.
+    assign = vc.groupBy("vec_id", "label").agg(
+        F.max_by("cent_id", F.struct(F.col("c"), (-F.col("cent_id")).alias("t"))).alias("cell_id")
+    )
+    w_pick = Window.partitionBy("cell_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    w_cell = Window.partitionBy("cell_id")
+    return (
+        assign.withColumn("pick_rank", F.row_number().over(w_pick).cast("long"))
+        .withColumn("cell_docs", F.count(F.lit(1)).over(w_cell).cast("long"))
+        .filter(F.col("pick_rank") <= SAMPLE_PER_CELL)
+        .select("cell_id", "pick_rank", "vec_id", "label", "cell_docs")
+        .orderBy("cell_id", "pick_rank")
+    )
