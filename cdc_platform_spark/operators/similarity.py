@@ -73,8 +73,16 @@ def _fixed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _fixed_embeddings(spark, sf_dir)
-    probes = e.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("qid"), F.col("a").alias("qa"), F.col("norm").alias("qn")
+    probes = (
+        e.filter(F.col("vec_id") < N_PROBES)
+        .select(
+            F.col("vec_id").alias("qid"), F.col("a").alias("qa"), F.col("norm").alias("qn")
+        )
+        # the filter already yields exactly N_PROBES rows at every SF; the
+        # limit is a no-op that makes the bound structural, so the
+        # package-wide hint sweep (tests/test_plan_hints.py) can prove the
+        # broadcast side is fixed-size without a per-query whitelist.
+        .limit(N_PROBES)
     )
     pairs = (
         e.join(F.broadcast(probes), F.col("qid") != F.col("vec_id"))

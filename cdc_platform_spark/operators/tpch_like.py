@@ -539,7 +539,7 @@ def q76_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#3").select("p_partkey")
     return (
         l.join(stats, "l_partkey")
-        .join(F.broadcast(p), l.l_partkey == F.col("p_partkey"))
+        .join(p, l.l_partkey == F.col("p_partkey"))
         .filter(F.lit(5) * F.col("q100") * F.col("cnt") < F.col("sum_q"))
         .agg(
             (F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
@@ -625,8 +625,9 @@ def q77_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "2*total is scale-free and stays selective at any corpus size). "
         "The global (total, count) is a 1-row broadcast; the comparison is "
         "exact cross-multiplied decimals. At scale: one shuffle on "
-        "l_partkey for the per-part aggregate; supplier/nation arms "
-        "broadcast."
+        "l_partkey for the per-part aggregate; nation is hinted broadcast "
+        "(fixed 25 rows) but the supplier arm is left to AQE — it grows "
+        "linearly with SF, so a forced hint would abort at the 100 TB point."
     ),
     oracle=f"""
         WITH rev AS (
@@ -650,7 +651,7 @@ def q78_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, "supplier", sf_dir)
     n = _t(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_3")
     rev = (
-        l.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+        l.join(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey),
                l.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(revenue()).alias("value"))
@@ -672,8 +673,11 @@ def q78_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "TPC-H Q16-shaped: distinct supplier counts per (brand, size) for "
         "non-excluded parts, with the complaint-supplier NOT IN subquery "
-        "expressed as a broadcast left-anti join (fixtures carry no comment "
-        "strings; low account balance plays the complaint role). "
+        "expressed as a left-anti join (fixtures carry no comment "
+        "strings; low account balance plays the complaint role). The "
+        "complaint set is a constant fraction of supplier — linear in SF — "
+        "so the anti-join is un-hinted: AQE broadcasts it while it fits and "
+        "falls back to shuffle at scale. "
         "COUNT(DISTINCT) partially aggregates map-side on (brand, size, "
         "suppkey) before the final exchange."
     ),
@@ -698,7 +702,7 @@ def q79_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = _t(spark, "supplier", sf_dir).filter(F.col("s_acctbal") < 2000).select("s_suppkey")
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
         .join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
@@ -746,7 +750,7 @@ def q80_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, "supplier", sf_dir)
     n = _t(spark, "nation", sf_dir)
     sp = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(money("l_quantity")).alias("qty"))
     )
@@ -756,7 +760,7 @@ def q80_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sp.join(pa, sp.l_partkey == pa.pa_partkey)
         .filter(F.col("qty") * F.col("n_sup") * 2 > F.col("total_qty") * 3)
-        .join(F.broadcast(s), sp.l_suppkey == s.s_suppkey)
+        .join(s, sp.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_suppkey", "s_name", "n_name")
         .distinct()
