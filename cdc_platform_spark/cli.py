@@ -189,7 +189,15 @@ def main(argv: list[str] | None = None) -> int:
                 F.col("_cdc_partition").alias("partition"),
                 F.col("_cdc_offset").alias("offset"),
             )
-            horizon = suggest_tombstone_horizon(applied, n_partitions=args.n_partitions)
+            # checkpoint_dir fences the crash-mid-batch window: the append
+            # table can be ahead of the stream checkpoint, and a horizon
+            # counting the pending batch as applied would make every keyed
+            # sink drop its replay (suggest_tombstone_horizon docstring)
+            horizon = suggest_tombstone_horizon(
+                applied,
+                n_partitions=args.n_partitions,
+                checkpoint_dir=pipe.checkpoint_dir,
+            )
         if horizon is not None:
             pipe.tombstone_horizon_fn = lambda: horizon
         pipe.run_maintenance()

@@ -58,10 +58,14 @@ class MultimodalFeatureStoreSink(BucketedUpsertSink):
             "doc_id", "offset", "op", "payload"
         )
         # content-addressed decode: one Python-stage row per DISTINCT
-        # payload in the batch, joined back on the hash
-        distinct_payloads = ups.select(
-            md5_h60(F.col("payload")).alias("h60"), F.col("payload")
-        ).dropDuplicates(["h60"])
+        # payload in the batch, joined back on the hash.  NULL payloads
+        # never reach the Python stage (md5(NULL) is NULL, and the decoder
+        # has nothing to decode) — they re-enter via the LEFT join below.
+        distinct_payloads = (
+            ups.filter(F.col("payload").isNotNull())
+            .select(md5_h60(F.col("payload")).alias("h60"), F.col("payload"))
+            .dropDuplicates(["h60"])
+        )
         meta = decode_binary_column(
             distinct_payloads, payload_col="payload", id_col="h60", use_real=self.use_real
         ).select(
@@ -71,9 +75,14 @@ class MultimodalFeatureStoreSink(BucketedUpsertSink):
             "width",
             "height",
         )
+        # LEFT join: an upsert with a NULL payload has a NULL hash and no
+        # decoded row, but it is still the key's latest event — dropping it
+        # (the inner-join behavior) silently left the PRIOR version live,
+        # diverging from the batch family which surfaces every event.  It
+        # stays in the merge with NULL metadata so the offset order decides.
         decoded = (
             ups.withColumn("h60", md5_h60(F.col("payload")))
-            .join(meta, "h60")
+            .join(meta, "h60", "left")
             .select("doc_id", "offset", "op", "n_bytes", "format", "width", "height")
         )
         dels = batch.filter(F.col("op") == "d").select(

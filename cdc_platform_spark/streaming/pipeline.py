@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import inspect
 import json
+import logging
 import os
 import shutil
 import time
@@ -44,6 +45,8 @@ EVENTS_SCHEMA = (
 )
 
 from cdc_platform_spark.streaming.topics import cdc_topic
+
+log = logging.getLogger(__name__)
 
 CDC_TOPIC = cdc_topic("cdc", "public.users", source_type="postgres")
 
@@ -134,8 +137,28 @@ def pruned_bucket_read(spark: SparkSession, path: str, buckets: DataFrame) -> Da
     return spark.read.parquet(path).join(F.broadcast(pruned), "bucket", "leftsemi")
 
 
+def checkpoint_has_pending_batch(checkpoint_dir: str) -> bool:
+    """True when a stream checkpoint shows an in-flight micro-batch that
+    will be REPLAYED on restart: Structured Streaming writes
+    ``offsets/<id>`` before running batch <id> and ``commits/<id>`` only
+    after every foreachBatch side effect returned, so
+    ``max(offsets) > max(commits)`` is exactly the crash-mid-batch window
+    in which some sinks hold the batch and others do not."""
+
+    def _max_batch(sub: str) -> int:
+        d = os.path.join(checkpoint_dir, sub)
+        if not os.path.isdir(d):
+            return -1
+        ids = [int(name) for name in os.listdir(d) if name.isdigit()]
+        return max(ids, default=-1)
+
+    return _max_batch("offsets") > _max_batch("commits")
+
+
 def suggest_tombstone_horizon(
-    applied: DataFrame, n_partitions: int | None = None
+    applied: DataFrame,
+    n_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> int | None:
     """The A1/A2 min-watermark math applied to tombstone GC: for an
     ORDERED source (per-partition monotonic offsets — Kafka, Kinesis, a
@@ -151,9 +174,33 @@ def suggest_tombstone_horizon(
     watermark, so pass ``n_partitions`` (the source's partition count)
     and the suggestion abstains (None) until every partition has flushed
     — otherwise an idle partition's pending backlog could sit below the
-    fence.  The aggregate is one row per partition — bounded metadata."""
+    fence.  A partition whose max applied offset is NULL (e.g. a
+    decode-poisoned row that reached the applied table with no offset)
+    likewise makes the suggestion abstain rather than raise.  The
+    aggregate is one row per partition — bounded metadata.
+
+    ``checkpoint_dir`` closes the crash-mid-batch window: the append
+    sink's table can run AHEAD of the stream checkpoint (AppendSink.write
+    committed, checkpoint commit not yet written), and a horizon derived
+    from it would count the pending batch's offsets as applied — on
+    restart the batch replays and every keyed sink's ``offset >= horizon``
+    fence would silently drop it.  When the checkpoint shows an in-flight
+    batch (``checkpoint_has_pending_batch``), abstain; restart the stream
+    and drain it first.  When no checkpoint dir is supplied the caller
+    asserts the pipeline is drained (do NOT run this on a crashed,
+    un-replayed pipeline)."""
+    if checkpoint_dir is not None and checkpoint_has_pending_batch(checkpoint_dir):
+        log.warning(
+            "suggest_tombstone_horizon: checkpoint %s has an in-flight "
+            "micro-batch (offsets ahead of commits); abstaining — restart "
+            "the stream and drain before deriving a GC horizon",
+            checkpoint_dir,
+        )
+        return None
     rows = applied.groupBy("partition").agg(F.max("offset").alias("mx")).collect()
     if not rows or (n_partitions is not None and len(rows) < n_partitions):
+        return None
+    if any(r["mx"] is None for r in rows):
         return None
     return int(min(r["mx"] for r in rows)) + 1
 
@@ -994,6 +1041,10 @@ class DlqWriter:
 
     def __init__(self, path: str) -> None:
         self.path = path
+        # replayed-row marker table: rows replayed WITHOUT purge stay in
+        # the quarantine table (auditable), but must stop pinning the
+        # tombstone-GC horizon — see unreplayed()
+        self.replayed_path = f"{path}_replayed"
 
     def _recover(self) -> None:
         # replay(purge=True) commits via the same two-rename swap as the
@@ -1033,6 +1084,22 @@ class DlqWriter:
     def read(self, spark: SparkSession) -> DataFrame:
         self._recover()
         return spark.read.parquet(self.path)
+
+    def unreplayed(self, spark: SparkSession) -> DataFrame:
+        """Quarantined rows whose replay is still OUTSTANDING — the set
+        the tombstone-GC horizon must stay below.  Rows replayed with
+        ``purge=True`` left the table; rows replayed without purge are
+        anti-joined out via the marker table, so one old quarantined
+        (and since-replayed) offset cannot pin the horizon forever."""
+        q = self.read(spark)
+        if not os.path.isdir(self.replayed_path):
+            return q
+        done = spark.read.parquet(self.replayed_path)
+        return q.join(
+            done,
+            ["dlq_source_topic", "dlq_source_partition", "dlq_source_offset", "dlq_sink_id"],
+            "left_anti",
+        )
 
     def replay(
         self, spark: SparkSession, sink, sink_id: str | None = None, purge: bool = False
@@ -1087,9 +1154,20 @@ class DlqWriter:
             n = env.count()
             if n:
                 sink.write(env)
+            if n and not purge:
+                # the rows stay quarantined (auditable) but are now
+                # applied: record them so unreplayed() stops counting
+                # them toward the GC-horizon clamp
+                q.select(
+                    "dlq_source_topic",
+                    "dlq_source_partition",
+                    "dlq_source_offset",
+                    "dlq_sink_id",
+                ).dropDuplicates().write.mode("append").parquet(self.replayed_path)
             if purge and n:
                 if sink_id is None:
                     shutil.rmtree(self.path, ignore_errors=True)
+                    shutil.rmtree(self.replayed_path, ignore_errors=True)
                 else:
                     remaining = self.read(spark).filter(
                         F.col("dlq_sink_id") != sink_id
@@ -1228,13 +1306,24 @@ class CdcPipeline:
         dataclass fields for the cadence/horizon contract)."""
         horizon = self.tombstone_horizon_fn() if self.tombstone_horizon_fn else None
         if horizon is not None and self.dlq is not None and os.path.isdir(self.dlq.path):
-            pending = self.dlq.read(self.spark).agg(
+            pending = self.dlq.unreplayed(self.spark).agg(
                 F.min("dlq_source_offset").alias("m")
             ).first()["m"]
-            if pending is not None:
+            if pending is not None and int(pending) < horizon:
                 # a GC fence at `horizon` would silently drop the replay of
-                # quarantined rows below it — clamp to their oldest offset
-                horizon = min(horizon, int(pending))
+                # quarantined rows below it — clamp to their oldest
+                # UN-replayed offset (replayed-without-purge rows are
+                # excluded, so an old serviced quarantine row cannot stall
+                # GC forever), and say so: a stalled horizon is an operator
+                # signal to replay or purge the DLQ
+                log.warning(
+                    "tombstone GC horizon clamped %d -> %d by un-replayed "
+                    "DLQ rows; replay (or replay with purge=True) to let "
+                    "GC progress",
+                    horizon,
+                    int(pending),
+                )
+                horizon = int(pending)
         for sink in self.sinks.values():
             fn = getattr(sink, "compact", None)
             if not callable(fn):

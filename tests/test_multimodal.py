@@ -83,6 +83,36 @@ def test_default_decoder_selection_matches_gate():
     assert callable(fake_decode_batch) and callable(real_decode_batch)
 
 
+def test_feature_store_null_payload_upsert_is_not_silently_dropped(spark, tmp_path):
+    """A non-delete event with a NULL payload has a NULL content hash; the
+    content-addressed decode join must not drop it (that would leave the
+    key's PRIOR version live with no error signal).  It merges with NULL
+    metadata so the latest-offset row wins, like every other event."""
+    import pyspark.sql.functions as F
+
+    from cdc_platform_spark.streaming.feature_store import MultimodalFeatureStoreSink
+
+    rows = spark.createDataFrame(
+        [
+            (1, 10, "c", b"payload-one"),
+            (1, 20, "u", None),  # null-payload update MUST win
+            (2, 10, "c", b"payload-two"),
+            (3, 10, "c", None),  # insert born with no payload still appears
+        ],
+        "doc_id long, offset long, op string, payload binary",
+    )
+    sink = MultimodalFeatureStoreSink(str(tmp_path / "fs"), n_buckets=4, use_real=False)
+    sink.write(rows)
+    feats = {r["doc_id"]: r for r in sink.features(spark).collect()}
+    assert set(feats) == {1, 2, 3}
+    assert feats[1]["n_bytes"] is None and feats[1]["format"] is None
+    assert feats[2]["n_bytes"] == len(b"payload-two")
+    assert feats[3]["n_bytes"] is None
+    # the winning row is the null-payload update, not the old version
+    state = {r["doc_id"]: r for r in sink.state(spark).collect()}
+    assert state[1]["offset"] == 20
+
+
 def test_feature_store_sink_converges_and_versions_dont_mix(spark, tmp_path):
     """MultimodalFeatureStoreSink: decode-on-write state must equal the
     batch decode over the post-CDC payloads under any batching; a batch

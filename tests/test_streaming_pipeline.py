@@ -617,6 +617,87 @@ def test_maintenance_horizon_clamped_by_pending_dlq(spark, workdir):
     )
 
 
+def test_suggest_horizon_abstains_on_null_offsets(spark):
+    """A partition whose max applied offset is NULL (decode-poisoned rows
+    that reached the applied table with no offset) makes the suggestion
+    abstain — never raise — mirroring the documented null-safety posture."""
+    from cdc_platform_spark.streaming.pipeline import suggest_tombstone_horizon
+
+    applied = spark.createDataFrame(
+        [(0, 10), (0, None), (1, None)], "partition int, offset long"
+    )
+    assert suggest_tombstone_horizon(applied) is None
+    # a partition with SOME null offsets still contributes its max
+    ok = spark.createDataFrame(
+        [(0, 10), (0, None), (1, 7)], "partition int, offset long"
+    )
+    assert suggest_tombstone_horizon(ok) == 8
+
+
+def test_suggest_horizon_abstains_while_checkpoint_has_inflight_batch(spark, workdir):
+    """The crash-mid-batch window: the append table can be AHEAD of the
+    stream checkpoint (sink write committed, checkpoint commit not).  A
+    horizon derived then would count the pending batch as applied, and the
+    keyed sinks' offset>=horizon fence would drop its replay.  offsets/N
+    without commits/N is exactly that state — the suggestion must abstain
+    until the stream restarts and drains."""
+    from cdc_platform_spark.streaming.pipeline import (
+        checkpoint_has_pending_batch,
+        suggest_tombstone_horizon,
+    )
+
+    applied = spark.createDataFrame([(0, 10), (1, 7)], "partition int, offset long")
+    ck = f"{workdir}/ck"
+    os.makedirs(f"{ck}/offsets")
+    os.makedirs(f"{ck}/commits")
+    for b in (0, 1):
+        open(f"{ck}/offsets/{b}", "w").close()
+    open(f"{ck}/commits/0", "w").close()
+    assert checkpoint_has_pending_batch(ck)
+    assert suggest_tombstone_horizon(applied, checkpoint_dir=ck) is None
+    # the batch commits -> the window closes -> the suggestion resumes
+    open(f"{ck}/commits/1", "w").close()
+    assert not checkpoint_has_pending_batch(ck)
+    assert suggest_tombstone_horizon(applied, checkpoint_dir=ck) == 8
+    # a checkpoint that does not exist yet is not an in-flight batch
+    assert suggest_tombstone_horizon(applied, checkpoint_dir=f"{workdir}/absent") == 8
+
+
+def test_maintenance_clamp_skips_replayed_rows(spark, workdir):
+    """GC liveness: a quarantined row replayed WITHOUT purge stays in the
+    DLQ table for audit, but must stop pinning the tombstone horizon —
+    otherwise one serviced quarantine row stalls GC forever."""
+    from cdc_platform_spark.streaming.pipeline import BucketedUpsertSink
+
+    sink = BucketedUpsertSink(f"{workdir}/state", n_buckets=4)
+    dlq = DlqWriter(f"{workdir}/dlq")
+    env = to_envelope(spark.read.parquet(f"{SF_SMOKE}/events.parquet")).localCheckpoint(
+        eager=True
+    )
+    lo = env.filter("offset < 100")
+    sink.write(env.filter("offset >= 100"))
+    dlq.write(lo, "upsert", RuntimeError("sink was down"))
+
+    pipe = CdcPipeline(
+        spark=spark,
+        source_dir=f"{workdir}/unused_src",
+        checkpoint_dir=f"{workdir}/ck",
+        sinks={"upsert": sink},
+        dlq=dlq,
+        tombstone_horizon_fn=lambda: 10**12,
+    )
+    pipe.run_maintenance()
+    dlq_min = lo.agg(F.min("offset")).first()[0]
+    assert sink.gc_horizon() == dlq_min  # un-replayed rows clamp
+
+    # replay WITHOUT purge: rows stay quarantined but are applied now
+    assert dlq.replay(spark, sink) > 0
+    assert dlq.read(spark).count() > 0  # audit trail intact
+    assert dlq.unreplayed(spark).count() == 0
+    pipe.run_maintenance()
+    assert sink.gc_horizon() == 10**12  # clamp released, GC progresses
+
+
 def test_dlq_replay_converges(spark, workdir):
     """Failure -> quarantine -> replay: a sink that rejected delete events gets
     them replayed after the 'fix'; the exactly-once view then equals a run
