@@ -223,6 +223,47 @@ def q70_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEMP_SAMPLE_MULT = 4  # K in target = min(n, max(1, floor(K * sqrt(n))))
 
 
+def temperature_resample(d: DataFrame) -> DataFrame:
+    """THE temperature-resampling body over a (lang, source, doc_id)
+    frame — sqrt-law targets per domain, exactly ``target_docs`` picks in
+    md5(doc_id) order.  One definition shared by the batch
+    ``text_temperature_resample`` operator and the streaming
+    ``CuratedCorpusSink.mix_sample()`` (which feeds it the LIVE curated
+    corpus), so the mix a training scheduler consumes can never drift
+    from the batch operator's semantics.  Scale shape: domain counts are
+    one tiny map-side-combinable aggregate broadcast back; selection is
+    one window shuffle keyed on the domain (md5 priorities are uniform;
+    AQE's skew split covers a dominant domain)."""
+    dom = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tgt = dom.select(
+        "lang",
+        "source",
+        F.col("n_docs").cast("long").alias("domain_docs"),
+        F.least(
+            F.col("n_docs"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.lit(TEMP_SAMPLE_MULT) * F.sqrt(F.col("n_docs").cast("double"))),
+            ),
+        )
+        .cast("long")
+        .alias("target_docs"),
+    )
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select("lang", "source", "doc_id").withColumn(
+        "sample_rank", F.row_number().over(w).cast("long")
+    )
+    # tgt is domain-cardinality (tiny by construction) -> broadcast is bounded
+    return (
+        ranked.join(F.broadcast(tgt), ["lang", "source"])
+        .filter(F.col("sample_rank") <= F.col("target_docs"))
+        .select("lang", "source", "doc_id", "sample_rank", "domain_docs", "target_docs")
+        .orderBy("lang", "source", "sample_rank")
+    )
+
+
 @register(
     "text_temperature_resample",
     category="text",
@@ -270,31 +311,4 @@ TEMP_SAMPLE_MULT = 4  # K in target = min(n, max(1, floor(K * sqrt(n))))
 )
 def text_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
-    dom = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
-    tgt = dom.select(
-        "lang",
-        "source",
-        F.col("n_docs").cast("long").alias("domain_docs"),
-        F.least(
-            F.col("n_docs"),
-            F.greatest(
-                F.lit(1).cast("long"),
-                F.floor(F.lit(TEMP_SAMPLE_MULT) * F.sqrt(F.col("n_docs").cast("double"))),
-            ),
-        )
-        .cast("long")
-        .alias("target_docs"),
-    )
-    w = Window.partitionBy("lang", "source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    ranked = d.select("lang", "source", "doc_id").withColumn(
-        "sample_rank", F.row_number().over(w).cast("long")
-    )
-    # tgt is domain-cardinality (tiny by construction) -> broadcast is bounded
-    return (
-        ranked.join(F.broadcast(tgt), ["lang", "source"])
-        .filter(F.col("sample_rank") <= F.col("target_docs"))
-        .select("lang", "source", "doc_id", "sample_rank", "domain_docs", "target_docs")
-        .orderBy("lang", "source", "sample_rank")
-    )
+    return temperature_resample(d.select("lang", "source", "doc_id"))

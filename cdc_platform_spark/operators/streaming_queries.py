@@ -1205,6 +1205,258 @@ def sq_corpus_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.curated(spark).orderBy("doc_id")
 
 
+def _decontaminated_curation_oracle() -> str:
+    """Oracle for sq_decontaminated_curation_stream: the batch curation
+    funnel (quality -> exact dedup -> near-dup suppression) COMPOSED with
+    the text_decontaminate overlap rule, all over the POST-CDC live
+    documents — benchmark docs (doc_id % DECON_BENCH_MOD == 0) are
+    dropped outright, and any other document sharing a word
+    DECON_NGRAM-gram with a live benchmark document is dropped too."""
+    from cdc_platform_spark.operators.dedup import (
+        ORACLE_MD5_60BIT,
+        _ORACLE_MINHASH_PAIR_CTES,
+    )
+    from cdc_platform_spark.operators.text import (
+        _DECON_GRAMS_DUCK,
+        CURATION_MIN_DISTINCT_RATIO,
+        CURATION_MIN_WORDS,
+        DECON_BENCH_MOD,
+    )
+
+    assert _ORACLE_MINHASH_PAIR_CTES.count("FROM documents") == 1
+    ctes = _ORACLE_MINHASH_PAIR_CTES.replace("FROM documents", "FROM docs_live")
+    return f"""
+        WITH docs_live AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' spark dedup stream spark dedup stream'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 3
+        ),
+        {ctes},
+        qdocs AS (
+            SELECT doc_id, str_split(text, ' ') AS words, md5(text) AS content_md5
+            FROM docs_live
+        ),
+        qual AS (
+            SELECT doc_id, content_md5,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio
+            FROM qdocs
+            WHERE len(words) >= {CURATION_MIN_WORDS}
+              AND CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                  >= {CURATION_MIN_DISTINCT_RATIO}
+        ),
+        qcanon AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+                FROM qual) WHERE rn = 1
+        ),
+        suppressed AS (SELECT DISTINCT db AS doc_id FROM scored),
+        dg AS (
+            SELECT doc_id, {ORACLE_MD5_60BIT.format(x="gram")} AS gh
+            FROM (SELECT doc_id, unnest({_DECON_GRAMS_DUCK}) AS gram FROM qdocs)
+        ),
+        bench AS (SELECT DISTINCT gh FROM dg WHERE doc_id % {DECON_BENCH_MOD} = 0),
+        hits AS (
+            SELECT DISTINCT c.doc_id FROM dg c JOIN bench b USING (gh)
+            WHERE c.doc_id % {DECON_BENCH_MOD} <> 0
+        )
+        SELECT q.doc_id, q.n_words, q.distinct_ratio
+        FROM qcanon q
+        LEFT JOIN suppressed s ON q.doc_id = s.doc_id
+        LEFT JOIN hits h ON q.doc_id = h.doc_id
+        WHERE s.doc_id IS NULL AND h.doc_id IS NULL
+          AND q.doc_id % {DECON_BENCH_MOD} <> 0
+        ORDER BY q.doc_id
+    """
+
+
+@register(
+    "sq_decontaminated_curation_stream",
+    category="streaming",
+    doc=(
+        "The curation funnel with benchmark DECONTAMINATION composed in — "
+        "the same document CDC stream as sq_corpus_curation_stream drives "
+        "CuratedCorpusSink, whose write path now also stores each version's "
+        "word 8-gram hashes (the exact batch text_decontaminate "
+        "expression); decontaminated() then serves curated() minus the "
+        "benchmark partition minus every document sharing a gram with a "
+        "LIVE benchmark document. Incremental on both sides: corpus "
+        "updates re-gram only touched docs, bench updates/deletes retract "
+        "contamination on the next read. Must equal the batch funnel "
+        "composed with the text_decontaminate overlap rule post-CDC."
+    ),
+    oracle=_decontaminated_curation_oracle(),
+)
+def sq_decontaminated_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    work = _workdir("sq_decon_curation_")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    off = F.col("doc_id") + F.lit(100000000)
+    wave0 = d.select(
+        "doc_id", F.col("doc_id").alias("offset"), F.lit("c").alias("op"), "text"
+    )
+    upd = d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 3)).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("u").alias("op"),
+        F.concat(F.col("text"), F.lit(" spark dedup stream spark dedup stream")).alias("text"),
+    )
+    dels = d.filter(F.col("doc_id") % 11 == 3).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("d").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    src = f"{work}/source"
+    wave0.unionByName(upd).unionByName(dels).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, offset long, op string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = CuratedCorpusSink(f"{work}/corpus")
+    _run_index_stream(stream, sink, work)
+    return sink.decontaminated(spark).orderBy("doc_id")
+
+
+def _mix_sample_oracle() -> str:
+    """Oracle for sq_mix_sample_stream: the batch temperature-resample
+    rule (sqrt-law targets, md5-ordered picks) applied to the POST-CDC
+    curated corpus (quality -> exact dedup -> near-dup suppression) with
+    each live document's (lang, source) domain."""
+    from cdc_platform_spark.operators.curation import TEMP_SAMPLE_MULT
+    from cdc_platform_spark.operators.dedup import _ORACLE_MINHASH_PAIR_CTES
+    from cdc_platform_spark.operators.text import (
+        CURATION_MIN_DISTINCT_RATIO,
+        CURATION_MIN_WORDS,
+    )
+
+    assert _ORACLE_MINHASH_PAIR_CTES.count("FROM documents") == 1
+    ctes = _ORACLE_MINHASH_PAIR_CTES.replace("FROM documents", "FROM docs_live")
+    return f"""
+        WITH docs_live AS (
+            SELECT doc_id, lang, source,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' spark dedup stream spark dedup stream'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 3
+        ),
+        {ctes},
+        qdocs AS (
+            SELECT doc_id, str_split(text, ' ') AS words, md5(text) AS content_md5
+            FROM docs_live
+        ),
+        qual AS (
+            SELECT doc_id, content_md5,
+                   CAST(len(words) AS BIGINT) AS n_words
+            FROM qdocs
+            WHERE len(words) >= {CURATION_MIN_WORDS}
+              AND CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                  >= {CURATION_MIN_DISTINCT_RATIO}
+        ),
+        qcanon AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+                FROM qual) WHERE rn = 1
+        ),
+        suppressed AS (SELECT DISTINCT db AS doc_id FROM scored),
+        cur AS (
+            SELECT q.doc_id, d.lang, d.source
+            FROM qcanon q
+            JOIN docs_live d ON d.doc_id = q.doc_id
+            LEFT JOIN suppressed s ON q.doc_id = s.doc_id
+            WHERE s.doc_id IS NULL
+        ),
+        dom AS (SELECT lang, source, COUNT(*) AS n_docs FROM cur GROUP BY lang, source),
+        tgt AS (
+            SELECT lang, source, CAST(n_docs AS BIGINT) AS domain_docs,
+                   CAST(LEAST(n_docs, GREATEST(1, CAST(FLOOR(
+                        {TEMP_SAMPLE_MULT} * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)))
+                        AS BIGINT) AS target_docs
+            FROM dom
+        ),
+        ranked AS (
+            SELECT lang, source, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM cur
+        )
+        SELECT r.lang, r.source, r.doc_id, CAST(r.rn AS BIGINT) AS sample_rank,
+               t.domain_docs, t.target_docs
+        FROM ranked r JOIN tgt t ON r.lang = t.lang AND r.source = t.source
+        WHERE r.rn <= t.target_docs
+        ORDER BY r.lang, r.source, sample_rank
+    """
+
+
+@register(
+    "sq_mix_sample_stream",
+    category="streaming",
+    doc=(
+        "The training MIX served from maintained state: the document CDC "
+        "stream (now carrying each doc's (lang, source) domain) drives "
+        "CuratedCorpusSink, and mix_sample() applies the batch "
+        "temperature_resample body — sqrt-law per-domain targets, "
+        "md5-ordered picks, ONE shared definition — to the LIVE curated "
+        "corpus. Must equal the batch operator applied to the post-CDC "
+        "curation funnel output."
+    ),
+    oracle=_mix_sample_oracle(),
+)
+def sq_mix_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    work = _workdir("sq_mix_sample_")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "text"
+    )
+    off = F.col("doc_id") + F.lit(100000000)
+    wave0 = d.select(
+        "doc_id", F.col("doc_id").alias("offset"), F.lit("c").alias("op"),
+        "text", "lang", "source",
+    )
+    upd = d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 3)).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("u").alias("op"),
+        F.concat(F.col("text"), F.lit(" spark dedup stream spark dedup stream")).alias("text"),
+        "lang",
+        "source",
+    )
+    dels = d.filter(F.col("doc_id") % 11 == 3).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("d").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+    )
+    src = f"{work}/source"
+    wave0.unionByName(upd).unionByName(dels).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, offset long, op string, text string, lang string, source string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = CuratedCorpusSink(f"{work}/corpus")
+    _run_index_stream(stream, sink, work)
+    return sink.mix_sample(spark).orderBy("lang", "source", "sample_rank")
+
+
 _MM_FEATURE_ORACLE = """
         WITH docs_live AS (
             SELECT doc_id,

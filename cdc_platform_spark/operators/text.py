@@ -345,6 +345,27 @@ _DECON_GRAMS_DUCK = (
 )
 
 
+def decon_gram_hashes_col(text_col: F.Column) -> F.Column:
+    """THE decontamination gram expression — distinct word
+    ``DECON_NGRAM``-grams of a text column as 60-bit md5 hashes
+    (``array<long>``).  One definition shared by the batch
+    ``text_decontaminate`` and the streaming ``CuratedCorpusSink``'s
+    write-time gram computation, so the incrementally stored grams can
+    never drift from the batch's.  Pure JVM higher-order functions —
+    no Python in the gram path."""
+    words = F.split(text_col, " ")
+    grams = F.when(
+        F.size(words) >= DECON_NGRAM,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - _decon_gram_spark_width),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(DECON_NGRAM)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(F.transform(grams, lambda g: md5_60bit(g)))
+
+
 @register(
     "text_decontaminate",
     category="text",
@@ -385,25 +406,13 @@ _DECON_GRAMS_DUCK = (
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, "documents", sf_dir))
-    words = F.split(F.col("text"), " ")
-    grams = F.when(
-        F.size(words) >= DECON_NGRAM,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - _decon_gram_spark_width),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + j) for j in range(DECON_NGRAM)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # distinct grams per doc, materialized once (feeds bench set, hit join,
-    # and the per-doc gram counts)
+    # distinct gram hashes per doc, materialized once (feeds bench set,
+    # hit join, and the per-doc gram counts)
     g = (
-        d.select("doc_id", F.array_distinct(grams).alias("grams"))
+        d.select("doc_id", decon_gram_hashes_col(F.col("text")).alias("grams"))
         .persist()  # branch reuse with lineage kept (see text_repetition note)
     )
-    exploded = g.select("doc_id", F.explode("grams").alias("gram")).select(
-        "doc_id", md5_60bit(F.col("gram")).alias("gh")
-    )
+    exploded = g.select("doc_id", F.explode("grams").alias("gh"))
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
     # No broadcast HINT: a real eval set is fixed-size and auto-broadcasts
     # under the threshold, but this fixture stand-in (a mod-97 slice) grows

@@ -658,6 +658,48 @@ def rotate_ivf_generation(
     return new
 
 
+def rotate_ivf_pq_generation(
+    spark: SparkSession,
+    old: BucketedIvfPqIndexSink,
+    vec_sink: BucketedIvfFlatIndexSink,
+    new_path: str,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    ranks: DataFrame,
+    n_buckets: int | None = None,
+) -> BucketedIvfPqIndexSink:
+    """:func:`rotate_ivf_generation` for the PQ composite index — the
+    recovery path for codebook drift: a PQ sink's codebooks are frozen at
+    train time, so after the corpus distribution moves, ADC quality
+    decays with no per-batch fix.  Rotation rebuilds generation N+1 under
+    a RETRAINED (centroids, codebooks, ranks) triple — rotated TOGETHER,
+    since codes are meaningless under mismatched codebooks.
+
+    The PQ index stores only 8-byte codes, so the rebuild's vector source
+    is the co-maintained :class:`BucketedIvfFlatIndexSink`: its stored
+    vectors ARE the retraining corpus (train on ``vec_sink.state()``)
+    and its raw state carries exactly the (vec_id, offset, op, a) rows —
+    tombstones included — the new generation's bulk encode needs.
+    Offsets carry over, so the CDC stream resumes into the new
+    generation with replay idempotence intact; the GC horizon is the max
+    of both sinks' (the vectors are post-GC state: a lower fence would
+    let a sub-horizon replay resurrect keys the flat sink already GC'd).
+    The caller keeps writing micro-batches to the OLD generation until
+    the :class:`IndexGenerationPointer` flip, exactly as for the Flat
+    rotation.  O(state) once per retraining."""
+    new = BucketedIvfPqIndexSink(
+        new_path, centroids, codebooks, ranks, n_buckets or old.n_buckets
+    )
+    vec_sink._recover()
+    if vec_sink.exists():
+        rows = vec_sink.raw_state(spark).select("vec_id", "offset", "op", "a")
+        new.write(rows)
+    horizons = [h for h in (old.gc_horizon(), vec_sink.gc_horizon()) if h is not None]
+    if horizons:
+        new._set_gc_horizon(max(horizons))
+    return new
+
+
 def ivf_pq_search_from_index(
     pq_state: DataFrame,
     vec_state: DataFrame,

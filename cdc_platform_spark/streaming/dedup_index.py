@@ -502,14 +502,15 @@ class _CuratedSigIndexSink(_SigIndexSink):
     three narrow columns, not the text)."""
 
     _COLS = [
-        "doc_id", "offset", "op", "text",
+        "doc_id", "offset", "op", "text", "lang", "source",
         "content_md5", "n_words", "distinct_ratio",
-        "shingles", "sig",
+        "decon_grams", "shingles", "sig",
     ]
     _STATE_SCHEMA = (
         "doc_id long, offset long, op string, text string, "
+        "lang string, source string, "
         "content_md5 string, n_words int, distinct_ratio double, "
-        "shingles array<string>, sig array<long>"
+        "decon_grams array<long>, shingles array<string>, sig array<long>"
     )
 
 
@@ -541,30 +542,47 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         self.index = _CuratedSigIndexSink(f"{path}/index", n_buckets)
 
     def _batch_rows(self, batch: DataFrame) -> DataFrame:
-        from cdc_platform_spark.operators.text import curation_metric_cols
+        from cdc_platform_spark.operators.text import (
+            curation_metric_cols,
+            decon_gram_hashes_col,
+        )
 
+        # domain columns are OPTIONAL in the CDC stream: a corpus feed
+        # that carries (lang, source) enables mix_sample(); one that does
+        # not stores NULLs and every other view is unaffected
+        has_domains = {"lang", "source"} <= set(batch.columns)
+        struct_cols = ["offset", "op", "text"] + (
+            ["lang", "source"] if has_domains else []
+        )
         latest = (
             batch.filter(F.col("op").isNotNull())
             .groupBy("doc_id")
-            .agg(F.max_by(F.struct("offset", "op", "text"), F.col("offset")).alias("m"))
-            .select("doc_id", "m.offset", "m.op", "m.text")
+            .agg(F.max_by(F.struct(*struct_cols), F.col("offset")).alias("m"))
+            .select("doc_id", "m.*")
         )
         sh = F.when(
             F.col("op") != "d", shingles_col(F.split(F.col("text"), " "))
         ).otherwise(F.array().cast("array<string>"))
         # write-time quality metrics: THE batch funnel expressions
         # (curation_metric_cols), computed once per document version so
-        # the serving read never re-derives them from text
+        # the serving read never re-derives them from text; the
+        # decontamination gram hashes (decon_gram_hashes_col — the exact
+        # batch text_decontaminate expression) likewise, so the
+        # decontaminated() read never re-tokenizes the corpus
         md5c, nwc, drc = curation_metric_cols()
         metric = lambda c: F.when(F.col("op") != "d", c)  # noqa: E731
+        null_str = F.lit(None).cast("string")
         return latest.select(
             "doc_id",
             "offset",
             "op",
             "text",
+            (F.col("lang") if has_domains else null_str).alias("lang"),
+            (F.col("source") if has_domains else null_str).alias("source"),
             metric(md5c).alias("content_md5"),
             metric(nwc).alias("n_words"),
             metric(drc).alias("distinct_ratio"),
+            metric(decon_gram_hashes_col(F.col("text"))).alias("decon_grams"),
             sh.alias("shingles"),
         ).withColumn(
             "sig",
@@ -615,6 +633,83 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         return surv.select(
             "doc_id", F.col("n_words").cast("long").alias("n_words"), "distinct_ratio"
         )
+
+    def decontaminated(self, spark: SparkSession) -> DataFrame:
+        """``curated()`` with benchmark decontamination composed in — the
+        point a real pretraining funnel drops contaminated documents:
+
+          curated corpus
+            → drop the benchmark partition itself (an eval set is never
+              trained on; fixture stand-in: doc_id % DECON_BENCH_MOD == 0)
+            → drop every document sharing ANY word DECON_NGRAM-gram with
+              a live benchmark document (the exact ``text_decontaminate``
+              overlap rule — gram hashes are stored at write time by
+              ``_batch_rows``, so this read never re-tokenizes text).
+
+        Incremental under CDC on BOTH sides: corpus updates re-gram only
+        the touched documents at write time; a benchmark doc's update or
+        delete changes the bench gram set served here, so contamination
+        retracts automatically (the hit set is derived per read, like
+        ``clusters()``, from maintained per-doc grams).
+
+        Scale shape: the bench gram set is one DISTINCT projection of the
+        benchmark partition — genuinely fixed-size at deployment (eval
+        suites are human-curated, not corpus-proportional), hence the
+        explicit broadcast hint; the fixture's mod-97 slice merely stands
+        in for it.  The corpus side is a pruned two-column scan
+        (doc_id, decon_grams) exploded map-side into a broadcast-hash
+        LEFT SEMI join — shuffle volume is hit doc_ids only, never grams."""
+        from cdc_platform_spark.operators.text import DECON_BENCH_MOD
+
+        surv = self.curated(spark)
+        is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+        if not self.index.exists():
+            return surv.filter(~is_bench)
+        g = (
+            spark.read.parquet(self.index.path)
+            .filter(F.col("op") != "d")
+            .select("doc_id", "decon_grams")
+        )
+        bench_grams = (
+            g.filter(is_bench)
+            .select(F.explode("decon_grams").alias("gh"))
+            .distinct()
+        )
+        hits = (
+            g.filter(~is_bench)
+            .select("doc_id", F.explode("decon_grams").alias("gh"))
+            .join(F.broadcast(bench_grams), "gh", "leftsemi")
+            .select("doc_id")
+            .distinct()
+        )
+        return surv.filter(~is_bench).join(hits, "doc_id", "leftanti")
+
+    def mix_sample(self, spark: SparkSession) -> DataFrame:
+        """The training MIX served from maintained state: temperature
+        resampling (the exact batch ``temperature_resample`` body — one
+        definition) over the LIVE curated corpus's (lang, source)
+        domains.  This is the artifact a mix scheduler actually consumes:
+        the batch ``text_temperature_resample`` runs over a fixture
+        table, this runs over ``curated()`` — quality-filtered,
+        exact-deduped, near-dup-suppressed — with domains read from the
+        same maintained index (stored at write time when the CDC stream
+        carries them).  A derived read like ``clusters()``: a document
+        add/update/delete changes its domain's count and the md5 order,
+        so the sample is recomputed per read from O(curated) narrow
+        columns — never from text."""
+        from cdc_platform_spark.operators.curation import temperature_resample
+
+        surv = self.curated(spark).select("doc_id")
+        if not self.index.exists():
+            return temperature_resample(
+                spark.createDataFrame([], "lang string, source string, doc_id long")
+            )
+        doms = (
+            spark.read.parquet(self.index.path)
+            .filter(F.col("op") != "d")
+            .select("doc_id", "lang", "source")
+        )
+        return temperature_resample(doms.join(surv, "doc_id", "leftsemi"))
 
     N_SHARDS = 16
 

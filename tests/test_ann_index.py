@@ -490,3 +490,126 @@ def test_projection_refresh_crash_before_journal_clear_is_idempotent(
         map(tuple, spark.read.parquet(full.path).select("vec_id", "norm", "bucket").collect())
     )
     assert got == want
+
+
+def test_pq_generation_rotation_retrains_codebooks_blue_green(
+    spark, tmp_path, trained, pq_trained
+):
+    """rotate_ivf_pq_generation rebuilds the PQ composite index under a
+    retrained (centroids, codebooks, ranks) triple from the co-maintained
+    Flat sink's stored vectors: the rotated index equals a from-scratch
+    sink fed the same CDC under the new quantizers, the CDC stream
+    continues into it (offsets carried, replay idempotent), serving reads
+    work under the new codebooks, and the GC horizon is inherited."""
+    from pyspark.sql import Window
+
+    from cdc_platform_spark.operators.similarity import (
+        TOP_K,
+        pq_seeds,
+        pq_subvectors,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        BucketedIvfPqIndexSink,
+        IndexGenerationPointer,
+        ivf_pq_search_from_index,
+        rotate_ivf_pq_generation,
+    )
+
+    e, cents = trained
+    cents0, codebooks0, ranks0 = pq_trained
+    rows = _cdc_rows(e).localCheckpoint(eager=True)
+    first = rows.filter(F.pmod(F.col("offset"), F.lit(2)) == 0)
+    second = rows.filter(F.pmod(F.col("offset"), F.lit(2)) == 1)
+    # post-rotation traffic: fresh updates at offsets above every prior one
+    third = (
+        e.filter(F.col("vec_id") % 3 == 0)
+        .select(
+            "vec_id",
+            (F.col("vec_id") + 10**7).alias("offset"),
+            F.lit("u").alias("op"),
+            F.reverse("a").alias("a"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    vec = BucketedIvfFlatIndexSink(str(tmp_path / "vec"), cents, n_buckets=8)
+    pq0 = BucketedIvfPqIndexSink(
+        str(tmp_path / "pq0"), cents0, codebooks0, ranks0, n_buckets=8
+    )
+    vec.write(first)
+    vec.write(second)
+    pq0.write(first)
+    pq0.write(second)
+    # horizons are valid only once everything below them has been applied
+    pq0.compact(spark, tombstone_horizon=3)  # persists a horizon to inherit
+    vec.compact(spark, tombstone_horizon=5)
+
+    # retrain the FULL triple on the Flat sink's live vectors — they ARE
+    # the training corpus (the PQ sink itself stores only codes)
+    live = (
+        vec.state(spark)
+        .select("vec_id", "a")
+        .withColumn(
+            "norm",
+            F.aggregate(
+                F.zip_with("a", "a", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cents2 = train_ivf_centroids(live)
+    seeds2 = pq_seeds(live)
+    codebooks2 = train_pq_codebooks(pq_subvectors(live.select("vec_id", "a")), seeds2)
+    ranks2 = seeds2.withColumn(
+        "code", (F.row_number().over(Window.orderBy("cent_id")) - 1).cast("long")
+    )
+
+    pq1 = rotate_ivf_pq_generation(
+        spark, pq0, vec, str(tmp_path / "pq1"), cents2, codebooks2, ranks2
+    )
+    assert pq1.gc_horizon() == 5  # max of both sinks' horizons
+    ptr = IndexGenerationPointer(str(tmp_path / "ptr"))
+    ptr.flip(pq1.path)
+    assert ptr.current() == pq1.path
+
+    # the stream continues into the new generation; a replayed old batch
+    # is a no-op (keyed merge idempotence carried across the rotation)
+    pq1.write(third)
+    pq1.write(first)
+    vec.write(third)
+
+    ref = BucketedIvfPqIndexSink(
+        str(tmp_path / "ref"), cents2, codebooks2, ranks2, n_buckets=8
+    )
+    ref.write(first)
+    ref.write(second)
+    ref.write(third)
+    got = sorted(map(tuple, pq1.state(spark).collect()))
+    want = sorted(map(tuple, ref.state(spark).collect()))
+    assert got == want and got, "rotated PQ generation diverged from from-scratch"
+    # codes actually re-encoded under the NEW codebooks, not carried over
+    gen0_codes = {r["vec_id"]: r["codes"] for r in pq0.state(spark).collect()}
+    gen1_codes = {r["vec_id"]: r["codes"] for r in pq1.state(spark).collect()}
+    assert any(
+        gen1_codes[v] != gen0_codes[v] for v in gen0_codes if v in gen1_codes
+    )
+
+    # serving read under the new codebooks: search from the rotated state
+    # equals search from the from-scratch state and fills TOP_K per probe
+    search = ivf_pq_search_from_index(
+        pq1.state(spark), vec.state(spark), cents2, codebooks2, ranks2
+    )
+    search_ref = ivf_pq_search_from_index(
+        ref.state(spark), vec.state(spark), cents2, codebooks2, ranks2
+    )
+    got_s = sorted(map(tuple, search.collect()))
+    assert got_s == sorted(map(tuple, search_ref.collect()))
+    per_q = {}
+    for q, *_ in got_s:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert per_q and all(n == TOP_K for n in per_q.values())

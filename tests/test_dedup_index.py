@@ -448,3 +448,101 @@ def test_curated_corpus_reacts_to_quality_dedup_and_cdc(spark, tmp_path, cdc_row
         ).collect()
     }
     assert (b in after) == (b in surv_ids and b not in still_suppressed)
+
+
+def test_decontaminated_drops_bench_and_overlaps_and_retracts_on_bench_delete(
+    spark, tmp_path
+):
+    """decontaminated() = curated() minus the benchmark partition minus
+    every doc sharing a word 8-gram with a LIVE benchmark doc; a bench
+    doc's CDC delete must retract the contamination it caused."""
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    # 25-word texts (pass the >=20-word quality floor, distinct_ratio 1.0);
+    # doc 1 shares bench doc 97's first 8 words (one shared 8-gram), the
+    # others share nothing (shingle overlap low -> no near-dup pairs)
+    bench_words = [f"bench{i}" for i in range(25)]
+    contaminated = bench_words[:8] + [f"alpha{i}" for i in range(17)]
+    clean = [f"beta{i}" for i in range(25)]
+    rows = spark.createDataFrame(
+        [
+            (97, 10, "c", " ".join(bench_words)),   # 97 % 97 == 0 -> bench
+            (1, 10, "c", " ".join(contaminated)),
+            (2, 10, "c", " ".join(clean)),
+        ],
+        "doc_id long, offset long, op string, text string",
+    )
+    sink = CuratedCorpusSink(str(tmp_path / "c"), n_buckets=8)
+    sink.write(rows)
+    assert sorted(r["doc_id"] for r in sink.curated(spark).collect()) == [1, 2, 97]
+    # bench doc dropped outright; doc 1 dropped for the shared gram
+    assert sorted(r["doc_id"] for r in sink.decontaminated(spark).collect()) == [2]
+
+    # the bench doc leaves the corpus -> its grams stop contaminating
+    sink.write(
+        spark.createDataFrame(
+            [(97, 20, "d", None)], "doc_id long, offset long, op string, text string"
+        )
+    )
+    assert sorted(r["doc_id"] for r in sink.decontaminated(spark).collect()) == [1, 2]
+
+
+def test_decontaminated_converges_under_any_batching(spark, tmp_path, cdc_rows):
+    """Streamed decontaminated() is batching-invariant and equals the
+    whole-stream result (the driver oracle pins the absolute values vs
+    DuckDB; this pins micro-batch convergence)."""
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    whole = CuratedCorpusSink(str(tmp_path / "one"), n_buckets=8)
+    whole.write(cdc_rows)
+    expected = sorted(map(tuple, whole.decontaminated(spark).collect()))
+    assert expected
+
+    split = CuratedCorpusSink(str(tmp_path / "many"), n_buckets=8)
+    for k in range(3):
+        split.write(cdc_rows.filter(F.pmod(F.col("offset"), F.lit(3)) == k))
+    assert sorted(map(tuple, split.decontaminated(spark).collect())) == expected
+
+
+def test_mix_sample_equals_batch_resample_over_curated(spark, tmp_path):
+    """mix_sample() == temperature_resample (ONE shared definition)
+    applied to the live curated corpus with its stored domains."""
+    from cdc_platform_spark.operators.curation import temperature_resample
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang", "source", "text"
+    )
+    rows = (
+        d.select(
+            "doc_id", F.col("doc_id").alias("offset"), F.lit("c").alias("op"),
+            "text", "lang", "source",
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 3).select(
+                "doc_id",
+                (F.col("doc_id") + 10**6).alias("offset"),
+                F.lit("d").alias("op"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("string").alias("source"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    sink = CuratedCorpusSink(str(tmp_path / "c"), n_buckets=8)
+    for k in range(2):
+        sink.write(rows.filter(F.pmod(F.col("offset"), F.lit(2)) == k))
+
+    got = sorted(map(tuple, sink.mix_sample(spark).collect()))
+    doms = d.select("doc_id", "lang", "source")
+    expected = sorted(
+        map(
+            tuple,
+            temperature_resample(
+                sink.curated(spark).select("doc_id").join(doms, "doc_id")
+                .select("lang", "source", "doc_id")
+            ).collect(),
+        )
+    )
+    assert got == expected and got

@@ -380,3 +380,157 @@ def test_bucketed_minhash_index_converges_on_random_cdc(
         bkt.write(spark.createDataFrame(batches[0], schema))  # redelivery
     got = sorted(map(tuple, bkt.pairs(spark).collect()))
     assert got == expected, f"bucketed pairs diverged: {got} vs {expected}"
+
+
+@given(
+    events=events_strategy,
+    split_seed=st.integers(0, 2**16),
+    n_batches=st.integers(2, 5),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_feature_store_gc_fence_converges_on_random_cdc(
+    spark, tmp_path_factory, events, split_seed, n_batches
+):
+    """MultimodalFeatureStoreSink inherits tombstone GC via
+    BucketedUpsertSink, but the inheritance needs its own proof: for
+    ARBITRARY CDC histories with compaction at truthful horizons
+    interleaved and delivered batches replayed before AND after GC, a
+    sub-horizon replay must never resurrect a deleted asset, and the
+    decoded state must converge to the single-delivery oracle."""
+    import random
+
+    from cdc_platform_spark.streaming.feature_store import MultimodalFeatureStoreSink
+
+    def mk(batch):
+        return spark.createDataFrame(
+            [
+                (pk, off, op, None if op == "d" else f"asset-{pk}-{val}".encode())
+                for off, pk, op, val in batch
+            ],
+            "doc_id long, offset long, op string, payload binary",
+        )
+
+    rng = random.Random(split_seed)
+    batches: list[list] = [[] for _ in range(n_batches)]
+    for ev in events:
+        batches[rng.randrange(n_batches)].append(ev)
+
+    sink = MultimodalFeatureStoreSink(
+        str(tmp_path_factory.mktemp("fsprop") / "fs"), n_buckets=4, use_real=False
+    )
+    delivered: list[list] = []
+    for k, batch in enumerate(batches):
+        if batch:
+            sink.write(mk(batch))
+            delivered.append(batch)
+        if delivered and rng.random() < 0.4:  # at-least-once redelivery
+            sink.write(mk(rng.choice(delivered)))
+        if rng.random() < 0.5:
+            future = [off for b in batches[k + 1 :] for (off, _, _, _) in b]
+            horizon = min(future) if future else len(events)
+            sink.compact(spark, tombstone_horizon=horizon)
+            if delivered and rng.random() < 0.5:  # replay AFTER the GC
+                sink.write(mk(rng.choice(delivered)))
+
+    latest: dict[int, tuple[int, str, int]] = {}
+    for off, pk, op, val in events:
+        if pk not in latest or off > latest[pk][0]:
+            latest[pk] = (off, op, val)
+    expected = {
+        pk: (off, len(f"asset-{pk}-{val}".encode()))
+        for pk, (off, op, val) in latest.items()
+        if op != "d"
+    }
+    got = {
+        r["doc_id"]: (r["offset"], r["n_bytes"])
+        for r in sink.state(spark).select("doc_id", "offset", "n_bytes").collect()
+    }
+    assert got == expected, f"feature store diverged: got={got} expected={expected}"
+
+
+@given(
+    n_docs=st.integers(3, 8),
+    word_picks=st.lists(st.integers(0, 4), min_size=30, max_size=50),
+    change_ops=st.lists(st.sampled_from(["u", "d", "n"]), min_size=3, max_size=8),
+    split_seed=st.integers(0, 2**16),
+    n_batches=st.integers(2, 4),
+)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_pair_view_gc_fence_on_random_cdc(
+    spark, tmp_path_factory, n_docs, word_picks, change_ops, split_seed, n_batches
+):
+    """The pair view's dead markers + the index's GC fence under random
+    CDC: with compaction at truthful horizons interleaved and delivered
+    batches replayed after GC, the pair view still equals the flat
+    single-delivery result and no deleted doc resurfaces in the live
+    index (the replay-watermark fence must hold for the PAIR store's
+    derived content too, not just the keyed upsert)."""
+    import random
+
+    from cdc_platform_spark.streaming.dedup_index import (
+        BucketedMinHashIndexSink,
+        MinHashIndexSink,
+    )
+
+    rng = random.Random(split_seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+
+    def text(seed):
+        r = random.Random(seed)
+        n = r.randrange(3, 9)
+        return " ".join(vocab[r.choice(word_picks) % len(vocab)] for _ in range(n))
+
+    events = [(d, d, "c", text(d)) for d in range(n_docs)]
+    off = n_docs
+    for i, op in enumerate(change_ops):
+        d = i % n_docs
+        if op == "u":
+            events.append((d, off, "u", text(1000 + off)))
+        elif op == "d":
+            events.append((d, off, "d", None))
+        off += 1
+    schema = "doc_id long, offset long, op string, text string"
+
+    flat = MinHashIndexSink(str(tmp_path_factory.mktemp("mhgc") / "flat"))
+    flat.write(spark.createDataFrame(events, schema))
+    expected = sorted(map(tuple, flat.pairs(spark).collect()))
+
+    bkt = BucketedMinHashIndexSink(
+        str(tmp_path_factory.mktemp("mhgc") / "bkt"), n_buckets=4
+    )
+    batches: list[list] = [[] for _ in range(n_batches)]
+    for ev in events:
+        batches[rng.randrange(n_batches)].append(ev)
+    delivered: list[list] = []
+    for k, batch in enumerate(batches):
+        if batch:
+            bkt.write(spark.createDataFrame(batch, schema))
+            delivered.append(batch)
+        if rng.random() < 0.5:
+            future = [o for b in batches[k + 1 :] for (_, o, _, _) in b]
+            horizon = min(future) if future else off
+            bkt.compact(spark, tombstone_horizon=horizon)
+            if delivered and rng.random() < 0.5:  # replay AFTER the GC
+                bkt.write(spark.createDataFrame(rng.choice(delivered), schema))
+
+    got = sorted(map(tuple, bkt.pairs(spark).collect()))
+    assert got == expected, f"pairs diverged under GC: {got} vs {expected}"
+
+    latest: dict[int, tuple[int, str]] = {}
+    for d, o, op, _ in events:
+        if d not in latest or o > latest[d][0]:
+            latest[d] = (o, op)
+    deleted = {d for d, (_, op) in latest.items() if op == "d"}
+    live = {
+        r["doc_id"]
+        for r in bkt.index.raw_state(spark).filter("op != 'd'").collect()
+    }
+    assert not (live & deleted), "GC'd doc resurrected by a replayed batch"
