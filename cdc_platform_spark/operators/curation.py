@@ -223,7 +223,10 @@ def q70_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEMP_SAMPLE_MULT = 4  # K in target = min(n, max(1, floor(K * sqrt(n))))
 
 
-def temperature_resample(d: DataFrame) -> DataFrame:
+PREFILTER_OVERSHOOT = 4  # safety factor on the per-domain md5 threshold
+
+
+def temperature_resample(d: DataFrame, prefilter: bool = False) -> DataFrame:
     """THE temperature-resampling body over a (lang, source, doc_id)
     frame — sqrt-law targets per domain, exactly ``target_docs`` picks in
     md5(doc_id) order.  One definition shared by the batch
@@ -233,7 +236,22 @@ def temperature_resample(d: DataFrame) -> DataFrame:
     from the batch operator's semantics.  Scale shape: domain counts are
     one tiny map-side-combinable aggregate broadcast back; selection is
     one window shuffle keyed on the domain (md5 priorities are uniform;
-    AQE's skew split covers a dominant domain)."""
+    AQE's skew split covers a dominant domain).
+
+    ``prefilter=True`` is the extreme-scale form, bit-identical output:
+    since targets are ~sqrt(n), ranking every row wastes the shuffle on
+    rows that can never be picked.  The prefilter keeps, per domain, the
+    rows whose md5 falls in the first ``PREFILTER_OVERSHOOT * target/n``
+    of the hash space — a CLEAN PREFIX of the md5 order (the 32-bit md5
+    prefix compares exactly like the full string, so every kept row
+    ranks before every dropped one; ranks computed on survivors equal
+    ranks in the full corpus).  Domains where the binomial tail left
+    fewer survivors than the target fall back to ranking the whole
+    domain — the overshoot makes that astronomically rare at scale, and
+    the fallback makes the result EXACT regardless, so the threshold
+    compare may safely use doubles.  Cost: one extra tiny aggregate
+    (survivor counts); the window input shrinks from O(n) to
+    O(OVERSHOOT * K * sqrt(n)) per domain."""
     dom = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
     tgt = dom.select(
         "lang",
@@ -249,12 +267,41 @@ def temperature_resample(d: DataFrame) -> DataFrame:
         .cast("long")
         .alias("target_docs"),
     )
+    pool = d.select("lang", "source", "doc_id")
+    if prefilter:
+        # 32-bit numeric md5 prefix: orders exactly like the full md5
+        # string (hex chars sort lexicographically = numerically), so
+        # "u below threshold" keeps a clean prefix of the ranking order
+        u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        # tgt is domain-cardinality (tiny) -> broadcast is bounded
+        cand = pool.join(F.broadcast(tgt.select("lang", "source", "domain_docs", "target_docs")), ["lang", "source"]).filter(
+            u.cast("double") / F.lit(float(2**32))
+            < F.lit(float(PREFILTER_OVERSHOOT))
+            * F.col("target_docs").cast("double")
+            / F.col("domain_docs").cast("double")
+        )
+        # exactness fallback: a domain whose survivor count undershot its
+        # target is ranked in full (rare by construction, never wrong)
+        short = (
+            cand.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_kept"))
+            .join(F.broadcast(tgt.select("lang", "source", "target_docs")), ["lang", "source"])
+            .filter(F.col("n_kept") < F.col("target_docs"))
+            .select("lang", "source")
+        )
+        pool = cand.select("lang", "source", "doc_id").join(
+            F.broadcast(short), ["lang", "source"], "leftanti"
+        ).unionByName(
+            d.select("lang", "source", "doc_id").join(
+                F.broadcast(short), ["lang", "source"], "leftsemi"
+            )
+        )
     w = Window.partitionBy("lang", "source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
-    ranked = d.select("lang", "source", "doc_id").withColumn(
-        "sample_rank", F.row_number().over(w).cast("long")
-    )
+    ranked = pool.withColumn("sample_rank", F.row_number().over(w).cast("long"))
     # tgt is domain-cardinality (tiny by construction) -> broadcast is bounded
     return (
         ranked.join(F.broadcast(tgt), ["lang", "source"])

@@ -534,3 +534,32 @@ def test_pair_view_gc_fence_on_random_cdc(
         for r in bkt.index.raw_state(spark).filter("op != 'd'").collect()
     }
     assert not (live & deleted), "GC'd doc resurrected by a replayed batch"
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_temperature_resample_prefilter_is_exact(spark, rows):
+    """The extreme-scale prefilter form (per-domain md5-prefix threshold
+    + undershoot fallback) must be bit-identical to the exact full-rank
+    form for arbitrary domain shapes — including tiny domains where the
+    fallback path fires."""
+    from cdc_platform_spark.operators.curation import temperature_resample
+
+    data = [
+        (f"l{lang}", f"s{src}", doc_id)
+        for lang, src, doc_id in {(a, b, c) for a, b, c in rows}
+    ]
+    d = spark.createDataFrame(data, "lang string, source string, doc_id long")
+    exact = sorted(map(tuple, temperature_resample(d).collect()))
+    fast = sorted(map(tuple, temperature_resample(d, prefilter=True).collect()))
+    assert fast == exact
