@@ -443,6 +443,85 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_contamination_report",
+    category="text",
+    doc=(
+        "Contamination ATTRIBUTION — the operational counterpart of "
+        "text_decontaminate: per BENCHMARK document, how many corpus "
+        "documents leak it (share >= 1 word 8-gram) and how many of its "
+        "grams are leaked at all.  This is the report an eval owner reads "
+        "to decide which benchmark tasks are compromised; the overlap join "
+        "is the same gram-hash equi-join as the drop rule, with the "
+        "attribution kept on the bench side (one shuffle on the gram key, "
+        "distinct-doc counting map-side partial)."
+    ),
+    oracle=f"""
+        WITH w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+        g AS (
+            SELECT doc_id, {ORACLE_MD5_60BIT.format(x="gram")} AS gh
+            FROM (SELECT doc_id, unnest({_DECON_GRAMS_DUCK}) AS gram FROM w)
+        ),
+        bench AS (SELECT doc_id AS bench_id, gh FROM g WHERE doc_id % {DECON_BENCH_MOD} = 0),
+        corpus AS (SELECT doc_id, gh FROM g WHERE doc_id % {DECON_BENCH_MOD} <> 0),
+        leaks AS (
+            SELECT b.bench_id,
+                   COUNT(DISTINCT c.doc_id) AS n_leaking_docs,
+                   COUNT(DISTINCT b.gh) AS n_leaked_grams
+            FROM bench b JOIN corpus c USING (gh)
+            GROUP BY b.bench_id
+        ),
+        base AS (
+            SELECT doc_id AS bench_id, len({_DECON_GRAMS_DUCK}) AS n_grams
+            FROM w WHERE doc_id % {DECON_BENCH_MOD} = 0
+        )
+        SELECT base.bench_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(COALESCE(n_leaked_grams, 0) AS BIGINT) AS n_leaked_grams,
+               CAST(COALESCE(n_leaking_docs, 0) AS BIGINT) AS n_leaking_docs,
+               CASE WHEN n_grams > 0
+                    THEN CAST(COALESCE(n_leaked_grams, 0) AS DOUBLE) / n_grams END AS leak_ratio
+        FROM base LEFT JOIN leaks USING (bench_id)
+        ORDER BY bench_id
+    """,
+)
+def text_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, "documents", sf_dir))
+    g = d.select("doc_id", decon_gram_hashes_col(F.col("text")).alias("grams")).persist()
+    exploded = g.select("doc_id", F.explode("grams").alias("gh"))
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bench = exploded.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "gh")
+    corpus = exploded.filter(~is_bench)
+    # same no-hint posture as text_decontaminate: the fixture bench slice
+    # grows with the corpus, AQE picks the strategy from actual sizes
+    leaks = (
+        bench.join(corpus, "gh")
+        .groupBy("bench_id")
+        .agg(
+            F.count_distinct("doc_id").alias("n_leaking_docs"),
+            F.count_distinct("gh").alias("n_leaked_grams"),
+        )
+    )
+    base = g.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), F.size("grams").alias("n_grams")
+    )
+    n_grams_lk = F.coalesce(F.col("n_leaked_grams"), F.lit(0)).cast("long")
+    n_docs_lk = F.coalesce(F.col("n_leaking_docs"), F.lit(0)).cast("long")
+    return (
+        base.join(leaks, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            n_grams_lk.alias("n_leaked_grams"),
+            n_docs_lk.alias("n_leaking_docs"),
+            F.when(
+                F.col("n_grams") > 0, n_grams_lk.cast("double") / F.col("n_grams")
+            ).alias("leak_ratio"),
+        )
+        .orderBy("bench_id")
+    )
+
+
 # PII patterns: explicit [0-9]/[a-z] classes only, so the Java (Spark) and
 # RE2 (DuckDB) dialects match byte-for-byte.
 PII_EMAIL_RE = r"[a-z0-9]+@[a-z0-9.]+"
