@@ -684,7 +684,7 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         )
         return surv.filter(~is_bench).join(hits, "doc_id", "leftanti")
 
-    def mix_sample(self, spark: SparkSession) -> DataFrame:
+    def mix_sample(self, spark: SparkSession, decontaminated: bool = False) -> DataFrame:
         """The training MIX served from maintained state: temperature
         resampling (the exact batch ``temperature_resample`` body — one
         definition) over the LIVE curated corpus's (lang, source)
@@ -696,10 +696,14 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         carries them).  A derived read like ``clusters()``: a document
         add/update/delete changes its domain's count and the md5 order,
         so the sample is recomputed per read from O(curated) narrow
-        columns — never from text."""
+        columns — never from text.  ``decontaminated=True`` draws the mix
+        from the decontaminated corpus instead — the composition a
+        pretraining scheduler actually wants (never mix in eval docs or
+        their leaks)."""
         from cdc_platform_spark.operators.curation import temperature_resample
 
-        surv = self.curated(spark).select("doc_id")
+        base = self.decontaminated(spark) if decontaminated else self.curated(spark)
+        surv = base.select("doc_id")
         if not self.index.exists():
             return temperature_resample(
                 spark.createDataFrame([], "lang string, source string, doc_id long")

@@ -546,3 +546,16 @@ def test_mix_sample_equals_batch_resample_over_curated(spark, tmp_path):
         )
     )
     assert got == expected and got
+
+    # the decontaminated composition: same body over the decontaminated set
+    got_d = sorted(map(tuple, sink.mix_sample(spark, decontaminated=True).collect()))
+    expected_d = sorted(
+        map(
+            tuple,
+            temperature_resample(
+                sink.decontaminated(spark).select("doc_id").join(doms, "doc_id")
+                .select("lang", "source", "doc_id")
+            ).collect(),
+        )
+    )
+    assert got_d == expected_d and got_d
