@@ -559,3 +559,20 @@ def test_mix_sample_equals_batch_resample_over_curated(spark, tmp_path):
         )
     )
     assert got_d == expected_d and got_d
+
+
+def test_decontaminated_read_never_scans_text(spark, tmp_path, cdc_rows):
+    """Like curated(): the decontamination stage must serve from the
+    write-time columns (curation metrics + decon gram hashes) — the text
+    column stays out of every scan in the plan (at 100 TB the text IS
+    the corpus; re-tokenizing it per read would dwarf the funnel)."""
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    sink = CuratedCorpusSink(str(tmp_path / "c"), n_buckets=8)
+    sink.write(cdc_rows)
+    plan = sink.decontaminated(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    assert "text:string" not in plan, (
+        "decontaminated() scans the text column — the stored gram hashes "
+        "should serve the overlap rule without touching the corpus text"
+    )
