@@ -18,6 +18,12 @@ class SourceConfig(BaseModel, extra="forbid"):
     type: Literal["parquet_stream", "parquet_batch", "kafka"] = "parquet_stream"
     path: str | None = None  # parquet sources
     schema_ddl: str | None = None  # None -> engine default events schema
+    # Row shape handed to sinks: "events" applies the CDC event envelope
+    # (to_envelope / the Kafka decoders); "passthrough" hands source rows
+    # to the sinks as-is — the deployment shape for the keyed-artifact
+    # sinks whose input is already (key, offset, op, payload...) rows
+    # (curated_corpus on document CDC, feature_store on asset CDC).
+    envelope: Literal["events", "passthrough"] = "events"
     max_files_per_trigger: int | None = Field(default=None, ge=1)  # backpressure (ref F3)
     # kafka source (reference S1; transport config ≙ streaming/consumer.py:56-74)
     bootstrap_servers: str | None = None
@@ -58,12 +64,31 @@ class SourceConfig(BaseModel, extra="forbid"):
             raise ValueError(f"{self.type} source requires path")
         if self.source_type == "sqlserver" and self.capture and not self.database:
             raise ValueError("sqlserver capture requires database for 4-part topic names")
+        if self.envelope == "passthrough":
+            if self.type == "kafka":
+                raise ValueError(
+                    "envelope=passthrough requires a parquet source (kafka "
+                    "frames need the decode envelope)"
+                )
+            if not self.schema_ddl:
+                raise ValueError(
+                    "envelope=passthrough requires schema_ddl (the engine "
+                    "default is the CDC events schema)"
+                )
         return self
 
 
 class SinkConfig(BaseModel, extra="forbid"):
     id: str
-    type: Literal["append", "relational_append", "upsert", "lakehouse_append", "lakehouse_upsert"]
+    type: Literal[
+        "append",
+        "relational_append",
+        "upsert",
+        "lakehouse_append",
+        "lakehouse_upsert",
+        "curated_corpus",
+        "feature_store",
+    ]
     path: str
     enabled: bool = True
     # test/chaos hook mirroring the reference's per-sink failure isolation tests
@@ -84,8 +109,15 @@ class SinkConfig(BaseModel, extra="forbid"):
             raise ValueError("fail_predicate is only supported on append sinks")
         if self.compact_every_n_batches and self.type != "lakehouse_append":
             raise ValueError("compact_every_n_batches is only supported on lakehouse_append sinks")
-        if self.state_buckets and self.type != "upsert":
-            raise ValueError("state_buckets is only supported on upsert sinks")
+        if self.state_buckets and self.type not in (
+            "upsert",
+            "curated_corpus",
+            "feature_store",
+        ):
+            raise ValueError(
+                "state_buckets is only supported on upsert/curated_corpus/"
+                "feature_store sinks"
+            )
         return self
 
 
@@ -115,6 +147,21 @@ class PipelineConfig(BaseModel, extra="forbid"):
             raise ValueError(f"duplicate sink ids: {ids}")
         if self.schema_monitor != "off" and not self.source.schema_registry_url:
             raise ValueError("schema_monitor requires source.schema_registry_url")
+        # the envelope decides the row shape every sink receives: keyed
+        # artifact sinks need raw (key, offset, op, ...) rows; the CDC
+        # event sinks need envelope columns — a mixed pipeline would hand
+        # one family the wrong shape and fail at runtime, so refuse here
+        artifact = {s.id for s in self.sinks if s.type in ("curated_corpus", "feature_store")}
+        if self.source.envelope == "passthrough" and len(artifact) != len(self.sinks):
+            raise ValueError(
+                "envelope=passthrough pipelines support only "
+                "curated_corpus/feature_store sinks"
+            )
+        if self.source.envelope == "events" and artifact:
+            raise ValueError(
+                f"sinks {sorted(artifact)} need source.envelope=passthrough "
+                "(they consume raw keyed rows, not the CDC event envelope)"
+            )
         return self
 
     def provisioned_topics(self, dlq_suffix: str = "dlq") -> list[str]:

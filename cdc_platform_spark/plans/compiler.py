@@ -112,10 +112,27 @@ def compile_pipeline(
             )
         elif s.type == "lakehouse_upsert":
             sinks[s.id] = LakehouseUpsertSink(spark, s.path)
+        elif s.type == "curated_corpus":
+            from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+            sinks[s.id] = CuratedCorpusSink(s.path, n_buckets=s.state_buckets or 16)
+        elif s.type == "feature_store":
+            from cdc_platform_spark.streaming.feature_store import (
+                MultimodalFeatureStoreSink,
+            )
+
+            sinks[s.id] = MultimodalFeatureStoreSink(
+                s.path, n_buckets=s.state_buckets or 16
+            )
         else:  # pragma: no cover - pydantic Literal already forbids
             raise ValueError(f"unknown sink type {s.type!r}")
     stream_builder = None
     envelope_fn = None
+    if cfg.source.envelope == "passthrough":
+        # keyed-artifact pipelines: sinks consume the source rows as-is
+        # (the config validator already pinned the sink set to the
+        # artifact family)
+        envelope_fn = lambda df: df  # noqa: E731
     if cfg.source.type == "kafka":
         from cdc_platform_spark.sources.kafka import (
             kafka_envelope_avro,

@@ -814,3 +814,73 @@ def test_lakehouse_upsert_sink_skips_empty_batches(spark, tmp_path):
     n_snaps = len(sink.table.snapshots())
     sink.write(to_envelope(events).filter("pk < 0"))  # empty batch
     assert len(sink.table.snapshots()) == n_snaps
+
+
+def test_curated_corpus_pipeline_deploys_from_yaml(spark, tmp_path):
+    """The curation funnel is YAML-deployable: a passthrough-envelope
+    pipeline with a curated_corpus sink, driven availableNow, must leave
+    the same curated()/decontaminated() views as a direct sink write —
+    and the validators must refuse the two wrong-envelope mixes."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.config import load_pipeline_config
+    from cdc_platform_spark.config.models import PipelineConfig, SinkConfig, SourceConfig
+    from cdc_platform_spark.plans.compiler import compile_pipeline
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    from .conftest import SF_SMOKE
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang", "source", "text"
+    )
+    rows = d.select(
+        "doc_id", F.col("doc_id").alias("offset"), F.lit("c").alias("op"),
+        "text", "lang", "source",
+    ).localCheckpoint(eager=True)
+    rows.repartition(2).write.parquet(f"{tmp_path}/src")
+
+    cfg_file = tmp_path / "p.yaml"
+    cfg_file.write_text(
+        f"""
+pipeline_id: corpus-demo
+source:
+  path: {tmp_path}/src
+  envelope: passthrough
+  schema_ddl: "doc_id long, offset long, op string, text string, lang string, source string"
+checkpoint_dir: {tmp_path}/ck
+sinks:
+  - id: corpus
+    type: curated_corpus
+    path: {tmp_path}/corpus
+    state_buckets: 8
+"""
+    )
+    cfg = load_pipeline_config(str(cfg_file))
+    pipe = compile_pipeline(spark, cfg)
+    pipe.run_available_now()
+
+    direct = CuratedCorpusSink(str(tmp_path / "direct"), n_buckets=8)
+    direct.write(rows)
+    got = sorted(map(tuple, pipe.sinks["corpus"].decontaminated(spark).collect()))
+    want = sorted(map(tuple, direct.decontaminated(spark).collect()))
+    assert got == want and got
+    mix = sorted(map(tuple, pipe.sinks["corpus"].mix_sample(spark).collect()))
+    assert mix == sorted(map(tuple, direct.mix_sample(spark).collect())) and mix
+
+    # wrong-envelope mixes are refused at validation time
+    src_pass = SourceConfig(
+        path="/s", envelope="passthrough", schema_ddl="doc_id long, offset long, op string, text string"
+    )
+    with _pytest.raises(ValueError, match="passthrough pipelines support only"):
+        PipelineConfig(
+            pipeline_id="p", source=src_pass,
+            sinks=[SinkConfig(id="a", type="append", path="/t")],
+        )
+    with _pytest.raises(ValueError, match="need source.envelope=passthrough"):
+        PipelineConfig(
+            pipeline_id="p", source=SourceConfig(path="/s"),
+            sinks=[SinkConfig(id="c", type="curated_corpus", path="/t")],
+        )
+    with _pytest.raises(ValueError, match="requires schema_ddl"):
+        SourceConfig(path="/s", envelope="passthrough")
