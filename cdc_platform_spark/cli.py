@@ -111,8 +111,11 @@ def main(argv: list[str] | None = None) -> int:
         metavar="SINK_ID",
         help="derive the horizon from an append sink's applied table via "
         "the A1 min-watermark math (min over partitions of max applied "
-        "offset + 1; valid for per-partition-ordered sources); mutually "
-        "exclusive with --tombstone-horizon",
+        "offset + 1; valid for per-partition-ordered sources); abstains "
+        "while the stream checkpoint shows an in-flight micro-batch (the "
+        "applied table can be ahead of the checkpoint after a crash — "
+        "restart and drain first) or when any partition's applied offsets "
+        "are NULL; mutually exclusive with --tombstone-horizon",
     )
     p_maint.add_argument(
         "--n-partitions",

@@ -1015,6 +1015,104 @@ def sq_ann_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.state(spark).orderBy("vec_id")
 
 
+def _cluster_sample_from_index_oracle() -> str:
+    """Oracle for sq_cluster_sample_from_index: the batch
+    sim_cluster_sample pick rule applied to the POST-CDC assignments
+    under the frozen quantizer (the _ann_index_oracle CTE chain with the
+    per-cell md5-ordered pick on top)."""
+    from cdc_platform_spark.operators.dedup import ORACLE_EMB_UNNEST
+    from cdc_platform_spark.operators.similarity import (
+        _CENT_FINAL,
+        _TRAIN_CTES,
+        _cent_hash,
+        DIM,
+        N_CELLS,
+        SAMPLE_PER_CELL,
+    )
+
+    return f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        norms AS (SELECT vec_id, SUM(v * v) AS n FROM u GROUP BY vec_id),
+        cents AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {N_CELLS}
+        ),
+        cu AS (SELECT u.* FROM u JOIN cents ON u.vec_id = cents.cent_id),
+        {_TRAIN_CTES},
+        ncf AS (SELECT cent_id, SUM(cv * cv) AS n FROM {_CENT_FINAL} GROUP BY cent_id),
+        final AS (
+            SELECT vec_id, i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 <> 0
+            UNION ALL
+            SELECT vec_id, {DIM} + 1 - i AS i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 = 0
+        ),
+        fnorms AS (SELECT vec_id, SUM(v * v) AS n FROM final GROUP BY vec_id),
+        fdots AS (
+            SELECT x.vec_id, c.cent_id, SUM(x.v * c.cv) AS d
+            FROM final x JOIN {_CENT_FINAL} c ON x.i = c.i
+            GROUP BY x.vec_id, c.cent_id
+        ),
+        fcos AS (
+            SELECT v.vec_id, v.cent_id, v.d / (sqrt(nx.n) * sqrt(nc.n)) AS c
+            FROM fdots v JOIN fnorms nx ON v.vec_id = nx.vec_id
+                         JOIN ncf nc ON v.cent_id = nc.cent_id
+        ),
+        asg AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT vec_id, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM fcos) WHERE rn = 1
+        ),
+        sz AS (SELECT cent_id, COUNT(*) AS n FROM asg GROUP BY cent_id),
+        picks AS (
+            SELECT cent_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cent_id
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM asg
+        )
+        SELECT p.cent_id AS cell_id, CAST(p.rn AS BIGINT) AS pick_rank,
+               p.vec_id AS vec_id, CAST(s.n AS BIGINT) AS cell_docs
+        FROM picks p JOIN sz s ON p.cent_id = s.cent_id
+        WHERE p.rn <= {SAMPLE_PER_CELL}
+        ORDER BY cell_id, pick_rank
+    """
+
+
+@register(
+    "sq_cluster_sample_from_index",
+    category="streaming",
+    doc=(
+        "Cluster-balanced diversity sampling served FROM the maintained "
+        "IVF index — the embedding counterpart of the curated corpus's "
+        "mix_sample: the same embedding CDC stream as sq_ann_index_stream "
+        "drives IvfIndexSink (frozen Lloyd-trained quantizer, per-batch "
+        "assignment), then ivf_cluster_sample_from_index applies the batch "
+        "sim_cluster_sample pick rule (SAMPLE_PER_CELL per cell in "
+        "md5(vec_id) order, cell population attached) to the live inverted "
+        "file — no re-cluster pass, the sink already maintains the "
+        "assignments. Must equal the batch rule over the post-CDC "
+        "assignments under the frozen quantizer."
+    ),
+    oracle=_cluster_sample_from_index_oracle(),
+)
+def sq_cluster_sample_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.operators.similarity import train_ivf_centroids
+    from cdc_platform_spark.streaming.ann_index import (
+        IvfIndexSink,
+        ivf_cluster_sample_from_index,
+    )
+
+    work = _workdir("sq_clustersample_")
+    e, stream = _stage_embedding_cdc(spark, sf_dir, work)
+    sink = IvfIndexSink(f"{work}/index", train_ivf_centroids(e))
+    _run_index_stream(stream, sink, work)
+    return ivf_cluster_sample_from_index(sink.state(spark)).orderBy(
+        "cell_id", "pick_rank"
+    )
+
+
 def _dedup_index_oracle() -> str:
     """Full-rebuild oracle for sq_dedup_index_stream: the batch
     dedup_minhash_lsh pair CTE chain evaluated over the POST-CDC live
@@ -1395,6 +1493,100 @@ def _mix_sample_oracle() -> str:
         WHERE r.rn <= t.target_docs
         ORDER BY r.lang, r.source, sample_rank
     """
+
+
+def _contamination_report_oracle() -> str:
+    """Oracle for sq_contamination_report_stream: the batch
+    text_contamination_report attribution over the POST-CDC live docs."""
+    from cdc_platform_spark.operators.dedup import ORACLE_MD5_60BIT
+    from cdc_platform_spark.operators.text import _DECON_GRAMS_DUCK, DECON_BENCH_MOD
+
+    return f"""
+        WITH docs_live AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' spark dedup stream spark dedup stream'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 3
+        ),
+        w AS (SELECT doc_id, str_split(text, ' ') AS words FROM docs_live),
+        g AS (
+            SELECT doc_id, {ORACLE_MD5_60BIT.format(x="gram")} AS gh
+            FROM (SELECT doc_id, unnest({_DECON_GRAMS_DUCK}) AS gram FROM w)
+        ),
+        bench AS (SELECT doc_id AS bench_id, gh FROM g WHERE doc_id % {DECON_BENCH_MOD} = 0),
+        corpus AS (SELECT doc_id, gh FROM g WHERE doc_id % {DECON_BENCH_MOD} <> 0),
+        leaks AS (
+            SELECT b.bench_id,
+                   COUNT(DISTINCT c.doc_id) AS n_leaking_docs,
+                   COUNT(DISTINCT b.gh) AS n_leaked_grams
+            FROM bench b JOIN corpus c USING (gh)
+            GROUP BY b.bench_id
+        ),
+        base AS (
+            SELECT doc_id AS bench_id, len({_DECON_GRAMS_DUCK}) AS n_grams
+            FROM w WHERE doc_id % {DECON_BENCH_MOD} = 0
+        )
+        SELECT base.bench_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(COALESCE(n_leaked_grams, 0) AS BIGINT) AS n_leaked_grams,
+               CAST(COALESCE(n_leaking_docs, 0) AS BIGINT) AS n_leaking_docs,
+               CASE WHEN n_grams > 0
+                    THEN CAST(COALESCE(n_leaked_grams, 0) AS DOUBLE) / n_grams END AS leak_ratio
+        FROM base LEFT JOIN leaks USING (bench_id)
+        ORDER BY bench_id
+    """
+
+
+@register(
+    "sq_contamination_report_stream",
+    category="streaming",
+    doc=(
+        "Contamination attribution served from maintained state: the "
+        "document CDC stream drives CuratedCorpusSink, and "
+        "contamination_report() answers per live BENCHMARK doc how many "
+        "live corpus docs leak it (share a word 8-gram) and how many of "
+        "its grams are leaked — from the write-time gram hashes, never "
+        "re-tokenizing. Must equal the batch text_contamination_report "
+        "semantics over the post-CDC live documents."
+    ),
+    oracle=_contamination_report_oracle(),
+)
+def sq_contamination_report_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    work = _workdir("sq_contam_report_")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    off = F.col("doc_id") + F.lit(100000000)
+    wave0 = d.select(
+        "doc_id", F.col("doc_id").alias("offset"), F.lit("c").alias("op"), "text"
+    )
+    upd = d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 3)).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("u").alias("op"),
+        F.concat(F.col("text"), F.lit(" spark dedup stream spark dedup stream")).alias("text"),
+    )
+    dels = d.filter(F.col("doc_id") % 11 == 3).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("d").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    src = f"{work}/source"
+    wave0.unionByName(upd).unionByName(dels).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, offset long, op string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = CuratedCorpusSink(f"{work}/corpus")
+    _run_index_stream(stream, sink, work)
+    return sink.contamination_report(spark).orderBy("bench_id")
 
 
 @register(

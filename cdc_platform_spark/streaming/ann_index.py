@@ -819,6 +819,32 @@ def ivf_pq_search_from_index(
     )
 
 
+def ivf_cluster_sample_from_index(state: DataFrame) -> DataFrame:
+    """Cluster-balanced diversity sampling served FROM the maintained IVF
+    index — the embedding counterpart of ``CuratedCorpusSink.mix_sample``:
+    the batch ``sim_cluster_sample`` pick rule (``SAMPLE_PER_CELL`` per
+    cell in md5(vec_id) order, cell population attached) applied to the
+    LIVE inverted file's (vec_id, cell) rows, so the SemDeDup/D4-style
+    coverage sample stays current under embedding CDC with no re-cluster
+    pass: the index sink already maintains the assignments.  One window
+    shuffle on the quantizer-bounded cell key; vectors never touched."""
+    from pyspark.sql import Window
+
+    from cdc_platform_spark.operators.similarity import SAMPLE_PER_CELL
+
+    w_pick = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    w_cell = Window.partitionBy("cell")
+    return (
+        state.select("vec_id", "cell")
+        .withColumn("pick_rank", F.row_number().over(w_pick).cast("long"))
+        .withColumn("cell_docs", F.count(F.lit(1)).over(w_cell).cast("long"))
+        .filter(F.col("pick_rank") <= SAMPLE_PER_CELL)
+        .select(F.col("cell").alias("cell_id"), "pick_rank", "vec_id", "cell_docs")
+    )
+
+
 def ivf_search_from_index(state: DataFrame, centroids: DataFrame) -> DataFrame:
     """Serve ANN top-k FROM the maintained IVF-Flat index — the production
     query path that index maintenance exists for (closing the loop of

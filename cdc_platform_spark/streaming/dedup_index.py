@@ -684,6 +684,59 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         )
         return surv.filter(~is_bench).join(hits, "doc_id", "leftanti")
 
+    def contamination_report(self, spark: SparkSession) -> DataFrame:
+        """Contamination ATTRIBUTION from maintained state — the batch
+        ``text_contamination_report`` semantics over the LIVE corpus: per
+        live benchmark document, how many live corpus documents share a
+        word 8-gram with it, how many of its grams are leaked, and the
+        leak ratio.  Served entirely from the write-time gram hashes
+        (never re-tokenizes text); the report an eval owner reads to
+        decide which benchmark tasks are compromised, kept current under
+        CDC on both sides for free (derived read, like clusters())."""
+        from cdc_platform_spark.operators.text import DECON_BENCH_MOD
+
+        if not self.index.exists():
+            return spark.createDataFrame(
+                [],
+                "bench_id long, n_grams long, n_leaked_grams long, "
+                "n_leaking_docs long, leak_ratio double",
+            )
+        g = (
+            spark.read.parquet(self.index.path)
+            .filter(F.col("op") != "d")
+            .select("doc_id", "decon_grams")
+        )
+        is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+        bench = g.filter(is_bench).select(
+            F.col("doc_id").alias("bench_id"), F.explode("decon_grams").alias("gh")
+        )
+        corpus = g.filter(~is_bench).select("doc_id", F.explode("decon_grams").alias("gh"))
+        leaks = (
+            bench.join(corpus, "gh")
+            .groupBy("bench_id")
+            .agg(
+                F.count_distinct("doc_id").alias("n_leaking_docs"),
+                F.count_distinct("gh").alias("n_leaked_grams"),
+            )
+        )
+        base = g.filter(is_bench).select(
+            F.col("doc_id").alias("bench_id"), F.size("decon_grams").alias("n_grams")
+        )
+        n_grams_lk = F.coalesce(F.col("n_leaked_grams"), F.lit(0)).cast("long")
+        n_docs_lk = F.coalesce(F.col("n_leaking_docs"), F.lit(0)).cast("long")
+        return (
+            base.join(leaks, "bench_id", "left")
+            .select(
+                "bench_id",
+                F.col("n_grams").cast("long").alias("n_grams"),
+                n_grams_lk.alias("n_leaked_grams"),
+                n_docs_lk.alias("n_leaking_docs"),
+                F.when(
+                    F.col("n_grams") > 0, n_grams_lk.cast("double") / F.col("n_grams")
+                ).alias("leak_ratio"),
+            )
+        )
+
     def mix_sample(self, spark: SparkSession, decontaminated: bool = False) -> DataFrame:
         """The training MIX served from maintained state: temperature
         resampling (the exact batch ``temperature_resample`` body — one
