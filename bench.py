@@ -181,6 +181,7 @@ def main() -> None:
     from cdc_platform_spark.streaming.ann_index import (
         BucketedIvfFlatIndexSink,
         BucketedIvfPqIndexSink,
+        ivf_cluster_sample_from_index,
         ivf_pq_search_from_index,
     )
     from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
@@ -224,6 +225,9 @@ def main() -> None:
             "serve_mix_sample": lambda: corpus.mix_sample(spark),
             "serve_ivf_pq_search": lambda: ivf_pq_search_from_index(
                 pq.state(spark), flat.state(spark), cents, codebooks, ranks
+            ),
+            "serve_cluster_sample": lambda: ivf_cluster_sample_from_index(
+                flat.state(spark)
             ),
         }
 

@@ -770,7 +770,7 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
 
     N_SHARDS = 16
 
-    def shard_manifest(self, spark: SparkSession) -> DataFrame:
+    def shard_manifest(self, spark: SparkSession, decontaminated: bool = False) -> DataFrame:
         """Training-export shard manifest served FROM the maintained
         curated corpus: (shard_id, n_docs, n_tokens).
 
@@ -780,9 +780,11 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         wants at 100 TB: a document add/update/delete perturbs exactly one
         shard, unlike the batch ``text_export_shards`` prefix-sum packing
         where one insert shifts every later shard boundary.  The manifest
-        is a derived read over ``curated()``: one map-side-combinable
-        aggregate, no extra maintained state."""
-        surv = self.curated(spark)
+        is a derived read over ``curated()`` (or ``decontaminated()``
+        with ``decontaminated=True`` — the export a pretraining run
+        actually ships): one map-side-combinable aggregate, no extra
+        maintained state."""
+        surv = self.decontaminated(spark) if decontaminated else self.curated(spark)
         shard = F.pmod(md5_60bit(F.col("doc_id").cast("string")), F.lit(self.N_SHARDS))
         return (
             surv.groupBy(shard.alias("shard_id"))

@@ -576,3 +576,28 @@ def test_decontaminated_read_never_scans_text(spark, tmp_path, cdc_rows):
         "decontaminated() scans the text column — the stored gram hashes "
         "should serve the overlap rule without touching the corpus text"
     )
+
+
+def test_shard_manifest_decontaminated_composition(spark, tmp_path, cdc_rows):
+    """shard_manifest(decontaminated=True) == the stable-hash manifest
+    aggregate over the decontaminated survivor set."""
+    from cdc_platform_spark.operators.dedup import md5_60bit
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    sink = CuratedCorpusSink(str(tmp_path / "c"), n_buckets=8)
+    sink.write(cdc_rows)
+    got = sorted(map(tuple, sink.shard_manifest(spark, decontaminated=True).collect()))
+    surv = sink.decontaminated(spark)
+    shard = F.pmod(md5_60bit(F.col("doc_id").cast("string")), F.lit(sink.N_SHARDS))
+    expected = sorted(
+        map(
+            tuple,
+            surv.groupBy(shard.alias("shard_id"))
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_words").alias("n_tokens"))
+            .collect(),
+        )
+    )
+    assert got == expected and got
+    # the default manifest covers MORE docs (bench + contaminated kept)
+    n_default = sum(r[1] for r in sink.shard_manifest(spark).collect())
+    assert n_default > sum(r[1] for r in got)
