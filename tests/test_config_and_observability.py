@@ -884,3 +884,51 @@ sinks:
         )
     with _pytest.raises(ValueError, match="requires schema_ddl"):
         SourceConfig(path="/s", envelope="passthrough")
+
+
+def test_feature_store_pipeline_deploys_from_yaml(spark, tmp_path):
+    """feature_store sinks deploy from YAML too: a passthrough pipeline
+    over binary-asset CDC rows must leave the same decoded feature state
+    as a direct sink write."""
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.config import load_pipeline_config
+    from cdc_platform_spark.plans.compiler import compile_pipeline
+    from cdc_platform_spark.streaming.feature_store import MultimodalFeatureStoreSink
+
+    from .conftest import SF_SMOKE
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    rows = d.select(
+        "doc_id",
+        F.col("doc_id").alias("offset"),
+        F.lit("c").alias("op"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    ).localCheckpoint(eager=True)
+    rows.repartition(2).write.parquet(f"{tmp_path}/src")
+
+    cfg_file = tmp_path / "p.yaml"
+    cfg_file.write_text(
+        f"""
+pipeline_id: features-demo
+source:
+  path: {tmp_path}/src
+  envelope: passthrough
+  schema_ddl: "doc_id long, offset long, op string, payload binary"
+checkpoint_dir: {tmp_path}/ck
+sinks:
+  - id: features
+    type: feature_store
+    path: {tmp_path}/features
+    state_buckets: 8
+"""
+    )
+    cfg = load_pipeline_config(str(cfg_file))
+    pipe = compile_pipeline(spark, cfg)
+    pipe.run_available_now()
+
+    direct = MultimodalFeatureStoreSink(str(tmp_path / "direct"), n_buckets=8)
+    direct.write(rows)
+    got = sorted(map(tuple, pipe.sinks["features"].features(spark).collect()))
+    want = sorted(map(tuple, direct.features(spark).collect()))
+    assert got == want and got
