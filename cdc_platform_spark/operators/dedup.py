@@ -210,6 +210,76 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
+@register(
+    "dedup_rate_by_domain",
+    category="dedup",
+    doc=(
+        "Per-(lang, source) dedup DASHBOARD — the report a corpus owner "
+        "reads to see where duplication concentrates: per domain the doc "
+        "count, exact-duplicate count (non-canonical docs per content "
+        "md5), near-dup-suppressed count (doc_b of every verified minhash "
+        "pair), unique survivors, and the resulting dup rate.  Composes "
+        "the exact-dedup rule and the shared minhash pair chain (one "
+        "definition each); the rollup itself is one map-side-combinable "
+        "aggregate on the bounded domain key."
+    ),
+    oracle=f"""
+        WITH {_ORACLE_MINHASH_PAIR_CTES},
+        supp AS (SELECT DISTINCT db AS doc_id FROM scored),
+        flags AS (
+            SELECT d.doc_id, d.lang, d.source,
+                   CASE WHEN d.doc_id > MIN(d2.doc_id) THEN 1 ELSE 0 END AS is_exact_dup,
+                   CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_near_dup
+            FROM documents d
+            JOIN documents d2 ON md5(d2.text) = md5(d.text)
+            LEFT JOIN supp s ON s.doc_id = d.doc_id
+            GROUP BY d.doc_id, d.lang, d.source, s.doc_id
+        )
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(is_exact_dup) AS BIGINT) AS n_exact_dups,
+               CAST(SUM(is_near_dup) AS BIGINT) AS n_near_dup_suppressed,
+               CAST(SUM(CASE WHEN is_exact_dup = 0 AND is_near_dup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+               1.0 - CAST(SUM(CASE WHEN is_exact_dup = 0 AND is_near_dup = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate
+        FROM flags
+        GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+)
+def dedup_rate_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "source", "text")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    flagged = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("doc_id") > F.min("doc_id").over(w)).cast("int").alias("is_exact_dup"),
+    )
+    supp = (
+        _minhash_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near_dup", F.lit(1))
+    )
+    unique = (F.col("is_exact_dup") == 0) & (F.col("is_near_dup") == 0)
+    return (
+        flagged.join(supp, "doc_id", "left")
+        .withColumn("is_near_dup", F.coalesce(F.col("is_near_dup"), F.lit(0)))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_exact_dup").cast("long").alias("n_exact_dups"),
+            F.sum("is_near_dup").cast("long").alias("n_near_dup_suppressed"),
+            F.sum(unique.cast("int")).cast("long").alias("n_unique"),
+            (
+                F.lit(1.0)
+                - F.sum(unique.cast("int")).cast("double") / F.count(F.lit(1))
+            ).alias("dup_rate"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsorted near-dup pair set — the global sort exists only for the
     driver's hash-compare, so composites (dedup_clusters) consume this
