@@ -458,6 +458,17 @@ class BucketedMinHashIndexSink:
             kept = spark.read.parquet(self.pair_store.path).filter(~F.col("dead"))
             self.pair_store.rewrite_all(kept.repartition(self.n_buckets, "bucket"))
 
+    def state_stats(self, spark: SparkSession) -> dict:
+        """Per-store maintenance metrics for the coordinated views — what
+        the compaction scheduler (and ``cdc-spark maintain``) consults:
+        index tombstones, band-store stale weight, pair-store dead
+        markers.  Each part reuses the shared bounded-stats read."""
+        return {
+            "index": self.index.state_stats(spark),
+            "bands": self.bands.state_stats(spark),
+            "pairs": self.pair_store.state_stats(spark),
+        }
+
     def pairs(self, spark: SparkSession) -> DataFrame:
         """The live near-dup pair view (canonical doc_a < doc_b rows)."""
         self._recover()
