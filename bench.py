@@ -245,6 +245,53 @@ def main() -> None:
     finally:
         shutil.rmtree(serving_dir, ignore_errors=True)
 
+    # Backpressure scenario (BASELINE.md: slow sink 1 ms/msg over 5k msgs,
+    # bounded queue -> 796 msg/s with max depth <= limit+1).  Spark's
+    # equivalent bound is maxFilesPerTrigger: the source is staged into
+    # fixed-size files and each micro-batch carries exactly one file's
+    # rows, so in-flight work is bounded by construction; the sink charges
+    # the reference's 1 ms per event.  Reported: throughput + the largest
+    # observed per-batch row count (the queue-depth analogue).
+    class _SlowSink:
+        def __init__(self, cost_per_event: float = 0.001) -> None:
+            self.cost = cost_per_event
+            self.max_batch_rows = 0
+            self.total = 0
+
+        def write(self, batch) -> None:
+            n = batch.count()
+            self.max_batch_rows = max(self.max_batch_rows, n)
+            self.total += n
+            time.sleep(self.cost * n)
+
+    bp_workdir = tempfile.mkdtemp(prefix="cdc-bench-bp-")
+    try:
+        # 4 files of 1250 rows: the micro-batch bound is real (in-flight
+        # rows capped at one file's worth) while per-batch scheduling
+        # overhead stays amortized — tiny 100-row batches would measure
+        # Spark's fixed per-trigger cost, not the sink's throughput
+        n_bp = 5000
+        n_bp_files = 4
+        events_bp = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet").limit(n_bp)
+        )
+        events_bp.repartition(n_bp_files).write.parquet(f"{bp_workdir}/source")
+        slow = _SlowSink()
+        pipe_bp = CdcPipeline(
+            spark=spark,
+            source_dir=f"{bp_workdir}/source",
+            checkpoint_dir=f"{bp_workdir}/ckpt",
+            sinks={"slow": slow},
+            max_files_per_trigger=1,
+        )
+        t0 = time.perf_counter()
+        pipe_bp.run_available_now()
+        bp_sec = time.perf_counter() - t0
+        bp_eps = round(slow.total / bp_sec, 1)
+        bp_max_batch = slow.max_batch_rows
+    finally:
+        shutil.rmtree(bp_workdir, ignore_errors=True)
+
     pipeline_runs = [round(run_pipeline(flat_sinks), 3) for _ in range(3)]
     pipeline_sec = min(pipeline_runs)
     pipeline_eps = round(n_events / pipeline_sec, 1)
@@ -277,6 +324,8 @@ def main() -> None:
                 "pipeline_bucketed_aggview_runs": bagg_runs,
                 "serving_reads": serving,
                 "serving_read_runs": serving_runs,
+                "backpressure_events_per_sec": bp_eps,
+                "backpressure_max_batch_rows": bp_max_batch,
             }
         )
     )
