@@ -245,6 +245,34 @@ def main() -> None:
     finally:
         shutil.rmtree(serving_dir, ignore_errors=True)
 
+    # Two more BASELINE.md rows mirrored:
+    # - "WAL decoder: pure INSERT decode > 50,000 msg/s": our decode stage
+    #   is the envelope projection (JVM expressions, whole-stage codegen);
+    #   time it over the full fixture and report events/s.
+    # - "Iceberg sink active write time (20k msgs): 0.78 s": our lakehouse
+    #   append path (VersionedTable snapshot append) over 20k events.
+    from cdc_platform_spark.streaming.pipeline import to_envelope
+
+    events_df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    to_envelope(events_df).write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    to_envelope(events_df).write.format("noop").mode("overwrite").save()
+    decode_eps = round(n_events / (time.perf_counter() - t0), 1)
+
+    from cdc_platform_spark.lakehouse.table import VersionedTable
+
+    lk_workdir = tempfile.mkdtemp(prefix="cdc-bench-lk-")
+    try:
+        chunk = to_envelope(events_df.limit(20000)).localCheckpoint(eager=True)
+        n_chunk = chunk.count()
+        table = VersionedTable(spark, f"{lk_workdir}/t")
+        t0 = time.perf_counter()
+        table.append(chunk)
+        lakehouse_append_sec = round(time.perf_counter() - t0, 3)
+        lakehouse_append_eps = round(n_chunk / lakehouse_append_sec, 1)
+    finally:
+        shutil.rmtree(lk_workdir, ignore_errors=True)
+
     # Backpressure scenario (BASELINE.md: slow sink 1 ms/msg over 5k msgs,
     # bounded queue -> 796 msg/s with max depth <= limit+1).  Spark's
     # equivalent bound is maxFilesPerTrigger: the source is staged into
@@ -326,6 +354,9 @@ def main() -> None:
                 "serving_read_runs": serving_runs,
                 "backpressure_events_per_sec": bp_eps,
                 "backpressure_max_batch_rows": bp_max_batch,
+                "envelope_decode_events_per_sec": decode_eps,
+                "lakehouse_append_20k_sec": lakehouse_append_sec,
+                "lakehouse_append_events_per_sec": lakehouse_append_eps,
             }
         )
     )
