@@ -1538,6 +1538,104 @@ def _contamination_report_oracle() -> str:
     """
 
 
+def _dedup_rate_stream_oracle() -> str:
+    """Oracle for sq_dedup_rate_stream: the batch dedup_rate_by_domain
+    rollup evaluated over the POST-CDC live documents."""
+    from cdc_platform_spark.operators.dedup import _ORACLE_MINHASH_PAIR_CTES
+
+    assert _ORACLE_MINHASH_PAIR_CTES.count("FROM documents") == 1
+    ctes = _ORACLE_MINHASH_PAIR_CTES.replace("FROM documents", "FROM docs_live")
+    return f"""
+        WITH docs_live AS (
+            SELECT doc_id, lang, source,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' spark dedup stream spark dedup stream'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 3
+        ),
+        {ctes},
+        supp AS (SELECT DISTINCT db AS doc_id FROM scored),
+        flags AS (
+            SELECT d.doc_id, d.lang, d.source,
+                   CASE WHEN d.doc_id > MIN(d2.doc_id) THEN 1 ELSE 0 END AS is_exact_dup,
+                   CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_near_dup
+            FROM docs_live d
+            JOIN docs_live d2 ON md5(d2.text) = md5(d.text)
+            LEFT JOIN supp s ON s.doc_id = d.doc_id
+            GROUP BY d.doc_id, d.lang, d.source, s.doc_id
+        )
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(is_exact_dup) AS BIGINT) AS n_exact_dups,
+               CAST(SUM(is_near_dup) AS BIGINT) AS n_near_dup_suppressed,
+               CAST(SUM(CASE WHEN is_exact_dup = 0 AND is_near_dup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+               1.0 - CAST(SUM(CASE WHEN is_exact_dup = 0 AND is_near_dup = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate
+        FROM flags
+        GROUP BY lang, source
+        ORDER BY lang, source
+    """
+
+
+@register(
+    "sq_dedup_rate_stream",
+    category="streaming",
+    doc=(
+        "The per-domain dedup dashboard served from maintained state: the "
+        "document CDC stream (carrying (lang, source)) drives "
+        "CuratedCorpusSink, and dedup_rate_by_domain() rolls up exact-dup "
+        "counts (write-time content_md5), near-dup-suppressed counts (the "
+        "maintained pair view) and dup rate per domain — no re-hash, no "
+        "re-shingle. Must equal the batch dedup_rate_by_domain rollup "
+        "over the post-CDC live documents."
+    ),
+    oracle=_dedup_rate_stream_oracle(),
+)
+def sq_dedup_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    work = _workdir("sq_dedup_rate_")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "text"
+    )
+    off = F.col("doc_id") + F.lit(100000000)
+    wave0 = d.select(
+        "doc_id", F.col("doc_id").alias("offset"), F.lit("c").alias("op"),
+        "text", "lang", "source",
+    )
+    upd = d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 3)).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("u").alias("op"),
+        F.concat(F.col("text"), F.lit(" spark dedup stream spark dedup stream")).alias("text"),
+        "lang",
+        "source",
+    )
+    dels = d.filter(F.col("doc_id") % 11 == 3).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("d").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+    )
+    src = f"{work}/source"
+    wave0.unionByName(upd).unionByName(dels).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, offset long, op string, text string, lang string, source string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = CuratedCorpusSink(f"{work}/corpus")
+    _run_index_stream(stream, sink, work)
+    return sink.dedup_rate_by_domain(spark).orderBy("lang", "source")
+
+
 @register(
     "sq_contamination_report_stream",
     category="streaming",

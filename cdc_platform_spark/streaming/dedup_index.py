@@ -748,6 +748,63 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
             )
         )
 
+    def dedup_rate_by_domain(self, spark: SparkSession) -> DataFrame:
+        """The per-(lang, source) dedup DASHBOARD from maintained state —
+        the batch ``dedup_rate_by_domain`` semantics over the LIVE corpus:
+        per domain the doc count, exact-duplicate count (non-canonical
+        per stored content_md5), near-dup-suppressed count (doc_b of the
+        maintained pair view), unique survivors, and dup rate.  Entirely
+        derived: metrics come from write-time columns, pairs from the
+        maintained view — no re-hash, no re-shingle, one bounded-domain
+        rollup."""
+        if not self.index.exists():
+            return spark.createDataFrame(
+                [],
+                "lang string, source string, n_docs long, n_exact_dups long, "
+                "n_near_dup_suppressed long, n_unique long, dup_rate double",
+            )
+        from pyspark.sql import Window
+
+        live = (
+            spark.read.parquet(self.index.path)
+            .filter(F.col("op") != "d")
+            .select("doc_id", "lang", "source", "content_md5")
+        )
+        w = Window.partitionBy("content_md5")
+        flagged = live.select(
+            "doc_id",
+            "lang",
+            "source",
+            (F.col("doc_id") > F.min("doc_id").over(w)).cast("int").alias("is_exact_dup"),
+        )
+        supp = (
+            (
+                spark.read.parquet(self.pair_store.path)
+                .filter(~F.col("dead") & (F.col("k") > F.col("o")))
+                .select(F.col("k").alias("doc_id"))
+                .distinct()
+                .withColumn("is_near_dup", F.lit(1))
+            )
+            if self.pair_store.exists()
+            else spark.createDataFrame([], "doc_id long, is_near_dup int")
+        )
+        unique = (F.col("is_exact_dup") == 0) & (F.col("is_near_dup") == 0)
+        return (
+            flagged.join(supp, "doc_id", "left")
+            .withColumn("is_near_dup", F.coalesce(F.col("is_near_dup"), F.lit(0)))
+            .groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("is_exact_dup").cast("long").alias("n_exact_dups"),
+                F.sum("is_near_dup").cast("long").alias("n_near_dup_suppressed"),
+                F.sum(unique.cast("int")).cast("long").alias("n_unique"),
+                (
+                    F.lit(1.0)
+                    - F.sum(unique.cast("int")).cast("double") / F.count(F.lit(1))
+                ).alias("dup_rate"),
+            )
+        )
+
     def mix_sample(self, spark: SparkSession, decontaminated: bool = False) -> DataFrame:
         """The training MIX served from maintained state: temperature
         resampling (the exact batch ``temperature_resample`` body — one
