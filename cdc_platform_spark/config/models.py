@@ -150,9 +150,11 @@ class PipelineConfig(BaseModel, extra="forbid"):
         # the envelope decides the row shape every sink receives: keyed
         # artifact sinks need raw (key, offset, op, ...) rows; the CDC
         # event sinks need envelope columns — a mixed pipeline would hand
-        # one family the wrong shape and fail at runtime, so refuse here
-        artifact = {s.id for s in self.sinks if s.type in ("curated_corpus", "feature_store")}
-        if self.source.envelope == "passthrough" and len(artifact) != len(self.sinks):
+        # one family the wrong shape and fail at runtime, so refuse here.
+        # Disabled sinks never compile, so only enabled ones count.
+        enabled = [s for s in self.sinks if s.enabled]
+        artifact = {s.id for s in enabled if s.type in ("curated_corpus", "feature_store")}
+        if self.source.envelope == "passthrough" and len(artifact) != len(enabled):
             raise ValueError(
                 "envelope=passthrough pipelines support only "
                 "curated_corpus/feature_store sinks"
@@ -161,6 +163,15 @@ class PipelineConfig(BaseModel, extra="forbid"):
             raise ValueError(
                 f"sinks {sorted(artifact)} need source.envelope=passthrough "
                 "(they consume raw keyed rows, not the CDC event envelope)"
+            )
+        if self.source.envelope == "passthrough" and self.dlq_path:
+            # DlqWriter's quarantine schema is the CDC event envelope
+            # (topic/partition/seq/pk/...); a passthrough row has none of
+            # those columns, so the quarantine write would itself raise
+            # FROM the error handler and mask the sink failure
+            raise ValueError(
+                "dlq_path is not supported with envelope=passthrough "
+                "(the DLQ quarantine schema is the CDC event envelope)"
             )
         return self
 

@@ -283,12 +283,16 @@ def temperature_resample(d: DataFrame, prefilter: bool = False) -> DataFrame:
             / F.col("domain_docs").cast("double")
         )
         # exactness fallback: a domain whose survivor count undershot its
-        # target is ranked in full (rare by construction, never wrong)
+        # target is ranked in full (rare by construction, never wrong).
+        # Derived from tgt (every domain) LEFT-joined with the survivor
+        # counts: a domain whose prefilter kept ZERO rows has no group in
+        # cand at all, and deriving `short` from cand alone would silently
+        # drop it instead of falling back.
+        kept = cand.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_kept"))
         short = (
-            cand.groupBy("lang", "source")
-            .agg(F.count(F.lit(1)).alias("n_kept"))
-            .join(F.broadcast(tgt.select("lang", "source", "target_docs")), ["lang", "source"])
-            .filter(F.col("n_kept") < F.col("target_docs"))
+            tgt.select("lang", "source", "target_docs")
+            .join(kept, ["lang", "source"], "left")
+            .filter(F.coalesce(F.col("n_kept"), F.lit(0)) < F.col("target_docs"))
             .select("lang", "source")
         )
         pool = cand.select("lang", "source", "doc_id").join(

@@ -255,12 +255,19 @@ def dedup_rate_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.col("doc_id") > F.min("doc_id").over(w)).cast("int").alias("is_exact_dup"),
     )
-    supp = (
-        _minhash_pairs(spark, sf_dir)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-        .withColumn("is_near_dup", F.lit(1))
-    )
+    supp = _minhash_pairs(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+    return dedup_rate_rollup(flagged, supp).orderBy("lang", "source")
+
+
+def dedup_rate_rollup(flagged: DataFrame, suppressed: DataFrame) -> DataFrame:
+    """THE per-domain dedup-rate rollup — one definition shared by the
+    batch ``dedup_rate_by_domain`` and the streaming
+    ``CuratedCorpusSink.dedup_rate_by_domain()`` (which feeds it flags
+    from write-time metrics and the maintained pair view), so the served
+    dashboard can never drift from the batch semantics.  ``flagged`` is
+    (doc_id, lang, source, is_exact_dup int); ``suppressed`` is the
+    distinct near-dup-suppressed doc_id set."""
+    supp = suppressed.withColumn("is_near_dup", F.lit(1))
     unique = (F.col("is_exact_dup") == 0) & (F.col("is_near_dup") == 0)
     return (
         flagged.join(supp, "doc_id", "left")
@@ -276,7 +283,6 @@ def dedup_rate_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.sum(unique.cast("int")).cast("double") / F.count(F.lit(1))
             ).alias("dup_rate"),
         )
-        .orderBy("lang", "source")
     )
 
 

@@ -488,12 +488,22 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, "documents", sf_dir))
     g = d.select("doc_id", decon_gram_hashes_col(F.col("text")).alias("grams")).persist()
+    return contamination_report_from_grams(g).orderBy("bench_id")
+
+
+def contamination_report_from_grams(g: DataFrame) -> DataFrame:
+    """THE contamination-attribution rollup over a (doc_id, grams
+    array<long>) frame — one definition shared by the batch
+    ``text_contamination_report`` and the streaming
+    ``CuratedCorpusSink.contamination_report()`` (which feeds it the
+    write-time gram hashes), so the served report can never drift from
+    the batch semantics.  No broadcast hint on the leak join: the
+    fixture bench slice grows with the corpus, AQE picks the strategy
+    from actual sizes."""
     exploded = g.select("doc_id", F.explode("grams").alias("gh"))
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
     bench = exploded.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "gh")
     corpus = exploded.filter(~is_bench)
-    # same no-hint posture as text_decontaminate: the fixture bench slice
-    # grows with the corpus, AQE picks the strategy from actual sizes
     leaks = (
         bench.join(corpus, "gh")
         .groupBy("bench_id")
@@ -507,18 +517,14 @@ def text_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_grams_lk = F.coalesce(F.col("n_leaked_grams"), F.lit(0)).cast("long")
     n_docs_lk = F.coalesce(F.col("n_leaking_docs"), F.lit(0)).cast("long")
-    return (
-        base.join(leaks, "bench_id", "left")
-        .select(
-            "bench_id",
-            F.col("n_grams").cast("long").alias("n_grams"),
-            n_grams_lk.alias("n_leaked_grams"),
-            n_docs_lk.alias("n_leaking_docs"),
-            F.when(
-                F.col("n_grams") > 0, n_grams_lk.cast("double") / F.col("n_grams")
-            ).alias("leak_ratio"),
-        )
-        .orderBy("bench_id")
+    return base.join(leaks, "bench_id", "left").select(
+        "bench_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        n_grams_lk.alias("n_leaked_grams"),
+        n_docs_lk.alias("n_leaking_docs"),
+        F.when(
+            F.col("n_grams") > 0, n_grams_lk.cast("double") / F.col("n_grams")
+        ).alias("leak_ratio"),
     )
 
 

@@ -703,9 +703,12 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         leak ratio.  Served entirely from the write-time gram hashes
         (never re-tokenizes text); the report an eval owner reads to
         decide which benchmark tasks are compromised, kept current under
-        CDC on both sides for free (derived read, like clusters())."""
-        from cdc_platform_spark.operators.text import DECON_BENCH_MOD
+        CDC on both sides for free (derived read, like clusters()).
+        The rollup body is the batch operator's
+        ``contamination_report_from_grams`` — one shared definition."""
+        from cdc_platform_spark.operators.text import contamination_report_from_grams
 
+        self._recover()
         if not self.index.exists():
             return spark.createDataFrame(
                 [],
@@ -715,38 +718,9 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         g = (
             spark.read.parquet(self.index.path)
             .filter(F.col("op") != "d")
-            .select("doc_id", "decon_grams")
+            .select("doc_id", F.col("decon_grams").alias("grams"))
         )
-        is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
-        bench = g.filter(is_bench).select(
-            F.col("doc_id").alias("bench_id"), F.explode("decon_grams").alias("gh")
-        )
-        corpus = g.filter(~is_bench).select("doc_id", F.explode("decon_grams").alias("gh"))
-        leaks = (
-            bench.join(corpus, "gh")
-            .groupBy("bench_id")
-            .agg(
-                F.count_distinct("doc_id").alias("n_leaking_docs"),
-                F.count_distinct("gh").alias("n_leaked_grams"),
-            )
-        )
-        base = g.filter(is_bench).select(
-            F.col("doc_id").alias("bench_id"), F.size("decon_grams").alias("n_grams")
-        )
-        n_grams_lk = F.coalesce(F.col("n_leaked_grams"), F.lit(0)).cast("long")
-        n_docs_lk = F.coalesce(F.col("n_leaking_docs"), F.lit(0)).cast("long")
-        return (
-            base.join(leaks, "bench_id", "left")
-            .select(
-                "bench_id",
-                F.col("n_grams").cast("long").alias("n_grams"),
-                n_grams_lk.alias("n_leaked_grams"),
-                n_docs_lk.alias("n_leaking_docs"),
-                F.when(
-                    F.col("n_grams") > 0, n_grams_lk.cast("double") / F.col("n_grams")
-                ).alias("leak_ratio"),
-            )
-        )
+        return contamination_report_from_grams(g)
 
     def dedup_rate_by_domain(self, spark: SparkSession) -> DataFrame:
         """The per-(lang, source) dedup DASHBOARD from maintained state —
@@ -756,7 +730,11 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         maintained pair view), unique survivors, and dup rate.  Entirely
         derived: metrics come from write-time columns, pairs from the
         maintained view — no re-hash, no re-shingle, one bounded-domain
-        rollup."""
+        rollup (the batch operator's ``dedup_rate_rollup`` — one shared
+        definition)."""
+        from cdc_platform_spark.operators.dedup import dedup_rate_rollup
+
+        self._recover()
         if not self.index.exists():
             return spark.createDataFrame(
                 [],
@@ -783,27 +761,11 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
                 .filter(~F.col("dead") & (F.col("k") > F.col("o")))
                 .select(F.col("k").alias("doc_id"))
                 .distinct()
-                .withColumn("is_near_dup", F.lit(1))
             )
             if self.pair_store.exists()
-            else spark.createDataFrame([], "doc_id long, is_near_dup int")
+            else spark.createDataFrame([], "doc_id long")
         )
-        unique = (F.col("is_exact_dup") == 0) & (F.col("is_near_dup") == 0)
-        return (
-            flagged.join(supp, "doc_id", "left")
-            .withColumn("is_near_dup", F.coalesce(F.col("is_near_dup"), F.lit(0)))
-            .groupBy("lang", "source")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_docs"),
-                F.sum("is_exact_dup").cast("long").alias("n_exact_dups"),
-                F.sum("is_near_dup").cast("long").alias("n_near_dup_suppressed"),
-                F.sum(unique.cast("int")).cast("long").alias("n_unique"),
-                (
-                    F.lit(1.0)
-                    - F.sum(unique.cast("int")).cast("double") / F.count(F.lit(1))
-                ).alias("dup_rate"),
-            )
-        )
+        return dedup_rate_rollup(flagged, supp)
 
     def mix_sample(self, spark: SparkSession, decontaminated: bool = False) -> DataFrame:
         """The training MIX served from maintained state: temperature

@@ -1157,13 +1157,30 @@ class DlqWriter:
             if n and not purge:
                 # the rows stay quarantined (auditable) but are now
                 # applied: record them so unreplayed() stops counting
-                # them toward the GC-horizon clamp
-                q.select(
-                    "dlq_source_topic",
-                    "dlq_source_partition",
-                    "dlq_source_offset",
-                    "dlq_sink_id",
-                ).dropDuplicates().write.mode("append").parquet(self.replayed_path)
+                # them toward the GC-horizon clamp.  Guard: with
+                # sink_id=None on a MULTI-sink quarantine, this call
+                # replayed every family's rows into ONE sink — the other
+                # families' rows are still un-applied at their own sinks,
+                # so marking them would release the clamp early and let
+                # GC fence out their eventual replay.  Mark only when the
+                # rows demonstrably belong to a single sink family;
+                # otherwise keep the clamp (GC stalls safe-side) and say so.
+                fams = [r[0] for r in q.select("dlq_sink_id").distinct().collect()]
+                if sink_id is not None or len(fams) <= 1:
+                    q.select(
+                        "dlq_source_topic",
+                        "dlq_source_partition",
+                        "dlq_source_offset",
+                        "dlq_sink_id",
+                    ).dropDuplicates().write.mode("append").parquet(self.replayed_path)
+                else:
+                    log.warning(
+                        "replay(sink_id=None) over a multi-sink quarantine "
+                        "(%s): rows NOT marked replayed — the GC-horizon "
+                        "clamp stays until each family is replayed with "
+                        "its sink_id (or purged)",
+                        sorted(fams),
+                    )
             if purge and n:
                 if sink_id is None:
                     shutil.rmtree(self.path, ignore_errors=True)

@@ -932,3 +932,44 @@ sinks:
     got = sorted(map(tuple, pipe.sinks["features"].features(spark).collect()))
     want = sorted(map(tuple, direct.features(spark).collect()))
     assert got == want and got
+
+
+def test_passthrough_rejects_dlq_and_tolerates_disabled_event_sinks():
+    """The passthrough validator counts only ENABLED sinks (a disabled
+    append sink is legal ballast), and refuses dlq_path outright — the
+    DLQ quarantine schema is the CDC event envelope, so a passthrough
+    quarantine write would raise FROM the error handler and mask the
+    sink failure."""
+    import pytest as _pytest
+
+    from cdc_platform_spark.config.models import PipelineConfig, SinkConfig, SourceConfig
+
+    src = SourceConfig(
+        path="/s", envelope="passthrough",
+        schema_ddl="doc_id long, offset long, op string, text string",
+    )
+    # disabled event sink alongside the artifact sink: legal
+    PipelineConfig(
+        pipeline_id="p",
+        source=src,
+        sinks=[
+            SinkConfig(id="c", type="curated_corpus", path="/t"),
+            SinkConfig(id="old", type="append", path="/a", enabled=False),
+        ],
+    )
+    # disabled artifact sink in an events pipeline: legal too
+    PipelineConfig(
+        pipeline_id="p",
+        source=SourceConfig(path="/s"),
+        sinks=[
+            SinkConfig(id="a", type="append", path="/a"),
+            SinkConfig(id="c", type="curated_corpus", path="/t", enabled=False),
+        ],
+    )
+    with _pytest.raises(ValueError, match="dlq_path is not supported"):
+        PipelineConfig(
+            pipeline_id="p",
+            source=src,
+            dlq_path="/dlq",
+            sinks=[SinkConfig(id="c", type="curated_corpus", path="/t")],
+        )

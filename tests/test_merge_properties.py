@@ -563,3 +563,20 @@ def test_temperature_resample_prefilter_is_exact(spark, rows):
     exact = sorted(map(tuple, temperature_resample(d).collect()))
     fast = sorted(map(tuple, temperature_resample(d, prefilter=True).collect()))
     assert fast == exact
+
+
+def test_temperature_resample_prefilter_zero_survivor_fallback(spark, monkeypatch):
+    """With the overshoot forced to 0 the prefilter keeps NOTHING — every
+    domain must take the full-rank fallback (including domains absent
+    from the survivor counts entirely) and the output must still equal
+    the exact form."""
+    import cdc_platform_spark.operators.curation as cur
+
+    d = spark.createDataFrame(
+        [("l0", "s0", i) for i in range(40)] + [("l1", "s1", i) for i in range(3)],
+        "lang string, source string, doc_id long",
+    )
+    exact = sorted(map(tuple, cur.temperature_resample(d).collect()))
+    monkeypatch.setattr(cur, "PREFILTER_OVERSHOOT", 0)
+    fast = sorted(map(tuple, cur.temperature_resample(d, prefilter=True).collect()))
+    assert fast == exact and fast
