@@ -106,6 +106,63 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_mips_topk",
+    category="similarity",
+    doc=(
+        f"Exact top-{TOP_K} MAX-INNER-PRODUCT neighbors for the probe set "
+        f"(vec_id < {N_PROBES}) — the retrieval scoring un-normalized "
+        "embedding models serve (dot product, not cosine): broadcast "
+        "probes x one corpus pass, exact INTEGER dot products in the "
+        "fixed-point projection (the score column is a BIGINT — no float "
+        "anywhere), window top-k per probe. Same scale shape as the "
+        "cosine baseline: no shuffle of the vector side, map-side "
+        "per-probe candidates, tiny global merge."
+    ),
+    oracle=f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        p AS (SELECT * FROM u WHERE vec_id < {N_PROBES}),
+        dots AS (
+            SELECT p.vec_id AS qid, x.vec_id AS nid, SUM(p.v * x.v) AS d
+            FROM p JOIN u x ON p.i = x.i AND p.vec_id <> x.vec_id
+            GROUP BY qid, nid
+        )
+        SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank,
+               nid AS neighbor_id, CAST(d AS BIGINT) AS dot
+        FROM (SELECT qid, nid, d,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rnk
+              FROM dots)
+        WHERE rnk <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _fixed_embeddings(spark, sf_dir)
+    probes = (
+        e.filter(F.col("vec_id") < N_PROBES)
+        .select(F.col("vec_id").alias("qid"), F.col("a").alias("qa"))
+        # structural bound for the hint sweep, as in sim_topk_bruteforce
+        .limit(N_PROBES)
+    )
+    pairs = e.join(F.broadcast(probes), F.col("qid") != F.col("vec_id")).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        dot_long(F.col("qa"), F.col("a")).alias("dot"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("nid").alias("neighbor_id"),
+            F.col("dot").cast("long").alias("dot"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 _plane_hash = ORACLE_MD5_60BIT.format(x="p.range || ',' || d.range")
 
 @register(
