@@ -97,24 +97,11 @@ def _driver_verified_names(after: str | None = None) -> set[str]:
 # change (> _REVERIFY_ASOF) carries a green row, the entry stops consuming
 # a rotation slot.
 _REVERIFY = {
-    # round 8: forced-broadcast hints removed from scale-proportional sides
-    "q76_small_quantity_revenue",
-    "q78_important_parts",
-    "q79_supplier_part_counts",
-    "q80_excess_shippers",
-    # round 8: probe set structurally bounded (limit) for the hint sweep
-    "sim_topk_bruteforce",
-    # round 8: shared decon-gram / temperature-resample definitions factored
-    "text_decontaminate",
+    # round 9: md5-prefix prefilter enabled (bit-identical, new plan shape)
     "text_temperature_resample",
-    # round 8: null-payload left join in the feature store merge
-    "sq_mm_feature_store_stream",
-    # round 8: curated index schema gained (lang, source, decon_grams)
-    "sq_corpus_curation_stream",
-    "sq_unified_curation_stream",
-    "sq_curated_shards_stream",
+    "sq_mix_sample_stream",
 }
-_REVERIFY_ASOF = "CORRECTNESS_r07.json"  # last pre-change correctness file
+_REVERIFY_ASOF = "CORRECTNESS_r08.json"  # last pre-change correctness file
 
 
 def _priority_order(registry) -> list[str]:

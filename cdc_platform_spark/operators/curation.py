@@ -362,4 +362,6 @@ def temperature_resample(d: DataFrame, prefilter: bool = False) -> DataFrame:
 )
 def text_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
-    return temperature_resample(d.select("lang", "source", "doc_id"))
+    # prefilter=True: md5-prefix candidate filter, bit-identical output
+    # (property-tested), window input shrinks O(n) -> O(K*sqrt(n))/domain
+    return temperature_resample(d.select("lang", "source", "doc_id"), prefilter=True)

@@ -796,7 +796,14 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
             .filter(F.col("op") != "d")
             .select("doc_id", "lang", "source")
         )
-        return temperature_resample(doms.join(surv, "doc_id", "leftsemi"))
+        # prefilter=True: the md5-prefix candidate filter (bit-identical
+        # output, property-tested) keeps the window input at
+        # ~OVERSHOOT*K*sqrt(n) per domain instead of the whole curated
+        # corpus — THE serving read a mix scheduler hits must not shuffle
+        # O(corpus) rows per call
+        return temperature_resample(
+            doms.join(surv, "doc_id", "leftsemi"), prefilter=True
+        )
 
     N_SHARDS = 16
 
