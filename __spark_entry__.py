@@ -100,6 +100,14 @@ _REVERIFY = {
     # round 9: md5-prefix prefilter enabled (bit-identical, new plan shape)
     "text_temperature_resample",
     "sq_mix_sample_stream",
+    # round 9: decontamination hit set now MAINTAINED at write time —
+    # every CuratedCorpusSink-backed stream's write path changed
+    "sq_corpus_curation_stream",
+    "sq_decontaminated_curation_stream",
+    "sq_dedup_rate_stream",
+    "sq_contamination_report_stream",
+    "sq_curated_shards_stream",
+    "sq_unified_curation_stream",
 }
 _REVERIFY_ASOF = "CORRECTNESS_r08.json"  # last pre-change correctness file
 

@@ -551,6 +551,145 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
     def __init__(self, path: str, n_buckets: int = 16) -> None:
         super().__init__(path, n_buckets)
         self.index = _CuratedSigIndexSink(f"{path}/index", n_buckets)
+        # decontamination as MAINTAINED state (not a per-read derive):
+        # - bench_grams/: latest (doc_id, offset, op, decon_grams) per
+        #   BENCHMARK document — a keyed-upsert mirror of the index's
+        #   bench partition, kept so the gram set is an O(bench) read
+        #   (bench partitions are human-curated and fixed-size at
+        #   deployment; a single swapped dir suffices at any scale),
+        # - decon_hits/: the contaminated-id view — every live non-bench
+        #   doc sharing a word n-gram with a live bench doc — maintained
+        #   per batch from the POST-MERGE index rows of the touched docs
+        #   only (O(touched)); a batch that changes the bench side
+        #   triggers the one full recompute the semantics require.
+        self.bench_path = f"{path}/bench_grams"
+        self.hit_store = _BucketStore(f"{path}/decon_hits", n_buckets)
+
+    def _recover(self) -> None:
+        super()._recover()
+        _recover_swapped_dir(self.bench_path)
+        self.hit_store._recover()
+
+    def write(self, batch: DataFrame) -> None:
+        if not batch.take(1):
+            return
+        super().write(batch)
+        self._maintain_decon_hits(batch)
+
+    def _maintain_decon_hits(self, batch: DataFrame) -> None:
+        """Maintain the contaminated-id view after the index merge.
+
+        Incremental by default: the touched docs' POST-MERGE rows (a
+        DPP-pruned read of their index buckets — replay-idempotent, the
+        hit status is a deterministic function of the merged state) are
+        gram-joined against the maintained bench gram set, and only the
+        touched buckets are rewritten (retracted rows become dead markers,
+        exactly the pair-view convention).  A batch touching any BENCH
+        document changes the gram set itself, so it first upserts the
+        bench mirror and then runs the one full recompute that a
+        bench-side change genuinely requires — rare by contract (eval
+        suites change on human cadence, not corpus cadence)."""
+        from cdc_platform_spark.operators.text import DECON_BENCH_MOD
+
+        spark = batch.sparkSession
+        nb = F.lit(self.n_buckets)
+        is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+        touched = (
+            batch.filter(F.col("op").isNotNull()).select("doc_id").distinct().persist()
+        )
+        try:
+            bench_touched = touched.filter(is_bench)
+            if bench_touched.take(1):
+                # bench side changed: upsert the tiny mirror, then rebuild
+                tbb = bench_touched.select(F.pmod(F.hash("doc_id"), nb).alias("bucket"))
+                post_bench = (
+                    self.index.pruned_read(spark, tbb)
+                    .join(F.broadcast(bench_touched), "doc_id", "leftsemi")
+                    .select("doc_id", "offset", "op", "decon_grams")
+                )
+                content = post_bench
+                if os.path.isdir(self.bench_path):
+                    content = (
+                        spark.read.parquet(self.bench_path)
+                        .join(F.broadcast(bench_touched), "doc_id", "leftanti")
+                        .unionByName(post_bench)
+                    )
+                tmp = f"{self.bench_path}.tmp-{uuid.uuid4().hex}"
+                content.coalesce(1).write.mode("overwrite").parquet(tmp)
+                _commit_swap(self.bench_path, tmp)
+                bench_set = (
+                    spark.read.parquet(self.bench_path)
+                    .filter(F.col("op") != "d")
+                    .select(F.explode("decon_grams").alias("gh"))
+                    .distinct()
+                )
+                live = (
+                    self.index.raw_state(spark)
+                    .filter((F.col("op") != "d") & ~is_bench)
+                    .select("doc_id", "decon_grams")
+                )
+                hits = (
+                    live.select("doc_id", F.explode("decon_grams").alias("gh"))
+                    .join(F.broadcast(bench_set), "gh", "leftsemi")
+                    .select("doc_id")
+                    .distinct()
+                )
+                self.hit_store.rewrite_all(
+                    hits.withColumn("bucket", F.pmod(F.hash("doc_id"), nb))
+                    .withColumn("dead", F.lit(False))
+                    .repartition(self.n_buckets, "bucket")
+                )
+                return
+            # incremental path: bench set unchanged, touched docs re-scored
+            # from their post-merge rows only
+            if os.path.isdir(self.bench_path):
+                bench_set = (
+                    spark.read.parquet(self.bench_path)
+                    .filter(F.col("op") != "d")
+                    .select(F.explode("decon_grams").alias("gh"))
+                    .distinct()
+                )
+            else:
+                bench_set = spark.createDataFrame([], "gh long")
+            tb = touched.select(F.pmod(F.hash("doc_id"), nb).alias("bucket"))
+            post = (
+                self.index.pruned_read(spark, tb)
+                .join(F.broadcast(touched), "doc_id", "leftsemi")
+                .filter(F.col("op") != "d")
+                .select("doc_id", "decon_grams")
+            )
+            fresh = (
+                post.select("doc_id", F.explode("decon_grams").alias("gh"))
+                .join(F.broadcast(bench_set), "gh", "leftsemi")
+                .select("doc_id")
+                .distinct()
+                .withColumn("bucket", F.pmod(F.hash("doc_id"), nb))
+                .withColumn("dead", F.lit(False))
+            )
+            content = fresh
+            if self.hit_store.exists():
+                tk = F.broadcast(
+                    touched.select("doc_id", F.lit(True).alias("_t"))
+                )
+                existing = (
+                    self.hit_store.read_buckets(spark, tb)
+                    .filter(~F.col("dead"))
+                    .join(tk, "doc_id", "left")
+                    # a touched doc's stale hit row becomes a dead marker so
+                    # a bucket emptied by retraction still commits
+                    .withColumn("dead", F.col("_t").isNotNull())
+                    .select("doc_id", "bucket", "dead")
+                )
+                content = existing.unionByName(fresh)
+            self.hit_store.write_buckets(content.repartition(self.n_buckets, "bucket"))
+        finally:
+            touched.unpersist()
+
+    def compact(self, spark: SparkSession, tombstone_horizon: int | None = None) -> None:
+        super().compact(spark, tombstone_horizon)
+        if self.hit_store.exists():
+            kept = spark.read.parquet(self.hit_store.path).filter(~F.col("dead"))
+            self.hit_store.rewrite_all(kept.repartition(self.n_buckets, "bucket"))
 
     def _batch_rows(self, batch: DataFrame) -> DataFrame:
         from cdc_platform_spark.operators.text import (
@@ -657,43 +796,35 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
               overlap rule — gram hashes are stored at write time by
               ``_batch_rows``, so this read never re-tokenizes text).
 
-        Incremental under CDC on BOTH sides: corpus updates re-gram only
-        the touched documents at write time; a benchmark doc's update or
-        delete changes the bench gram set served here, so contamination
-        retracts automatically (the hit set is derived per read, like
-        ``clusters()``, from maintained per-doc grams).
+        Incremental under CDC on BOTH sides, and — unlike the round-8
+        form, which re-derived the hit set per read by exploding EVERY
+        live document's grams — served from the MAINTAINED
+        contaminated-id view (``_maintain_decon_hits``): corpus updates
+        re-score only the touched documents at write time; a benchmark
+        doc's update or delete rebuilds the view (the one case a
+        bench-side change genuinely requires), so contamination retracts
+        automatically.
 
-        Scale shape: the bench gram set is one DISTINCT projection of the
-        benchmark partition — genuinely fixed-size at deployment (eval
-        suites are human-curated, not corpus-proportional), hence the
-        explicit broadcast hint; the fixture's mod-97 slice merely stands
-        in for it.  The corpus side is a pruned two-column scan
-        (doc_id, decon_grams) exploded map-side into a broadcast-hash
-        LEFT SEMI join — shuffle volume is hit doc_ids only, never grams."""
+        Scale shape: the read is ``curated()`` minus one anti-join
+        against the hit view — O(hits), no gram explode, no corpus scan.
+        The write path pays O(touched docs' grams) per batch against the
+        broadcast bench gram set (fixed-size at deployment: eval suites
+        are human-curated, not corpus-proportional; the fixture's mod-97
+        slice merely stands in for it)."""
         from cdc_platform_spark.operators.text import DECON_BENCH_MOD
 
+        self._recover()
         surv = self.curated(spark)
         is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
-        if not self.index.exists():
-            return surv.filter(~is_bench)
-        g = (
-            spark.read.parquet(self.index.path)
-            .filter(F.col("op") != "d")
-            .select("doc_id", "decon_grams")
-        )
-        bench_grams = (
-            g.filter(is_bench)
-            .select(F.explode("decon_grams").alias("gh"))
-            .distinct()
-        )
+        out = surv.filter(~is_bench)
+        if not self.hit_store.exists():
+            return out
         hits = (
-            g.filter(~is_bench)
-            .select("doc_id", F.explode("decon_grams").alias("gh"))
-            .join(F.broadcast(bench_grams), "gh", "leftsemi")
+            spark.read.parquet(self.hit_store.path)
+            .filter(~F.col("dead"))
             .select("doc_id")
-            .distinct()
         )
-        return surv.filter(~is_bench).join(hits, "doc_id", "leftanti")
+        return out.join(hits, "doc_id", "leftanti")
 
     def contamination_report(self, spark: SparkSession) -> DataFrame:
         """Contamination ATTRIBUTION from maintained state — the batch

@@ -578,6 +578,71 @@ def test_decontaminated_read_never_scans_text(spark, tmp_path, cdc_rows):
     )
 
 
+def test_decontaminated_read_serves_maintained_hits_without_explode(
+    spark, tmp_path, cdc_rows
+):
+    """The round-9 scale fix: the contaminated-id set is MAINTAINED at
+    write time (_maintain_decon_hits), so the serving read is curated()
+    minus one anti-join against the hit view — no gram explode, no
+    O(corpus-tokens) scan per read.  Pinned on the plan: the round-8
+    per-read derive exploded decon_grams; the maintained read must not."""
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    sink = CuratedCorpusSink(str(tmp_path / "c"), n_buckets=8)
+    sink.write(cdc_rows)
+    df = sink.decontaminated(spark)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "explode" not in plan, (
+        "decontaminated() re-derives the hit set per read — it must serve "
+        "the maintained decon_hits view instead"
+    )
+    # the anti-join build side is the hit view: a pruned two-column scan
+    # (doc_id, dead) with the dead filter pushed down (the path string is
+    # elided from some plan renderings, so pin the scan shape instead)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<doc_id:bigint,dead:boolean>" in executed
+
+
+def test_decon_hits_maintained_incrementally_on_both_sides(spark, tmp_path):
+    """The incremental paths of the maintained hit view:
+    - a non-bench doc arriving AFTER the bench set is established is
+      scored on its own batch (no bench change -> O(touched) path),
+    - an update removing the contaminating gram retracts the hit,
+    - a NEW bench doc re-contaminates previously-clean docs (bench
+      change -> full recompute path)."""
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    schema = "doc_id long, offset long, op string, text string"
+    bench_words = [f"bench{i}" for i in range(25)]
+    dirty = bench_words[:8] + [f"alpha{i}" for i in range(17)]
+    clean = [f"beta{i}" for i in range(25)]
+    sink = CuratedCorpusSink(str(tmp_path / "c"), n_buckets=8)
+    # batch 1: bench doc only
+    sink.write(spark.createDataFrame([(97, 10, "c", " ".join(bench_words))], schema))
+    # batch 2: two corpus docs, one contaminated — incremental path
+    sink.write(
+        spark.createDataFrame(
+            [(1, 11, "c", " ".join(dirty)), (2, 11, "c", " ".join(clean))], schema
+        )
+    )
+    assert sorted(r["doc_id"] for r in sink.decontaminated(spark).collect()) == [2]
+    # batch 3: doc 1 updated to drop the shared gram — hit retracts
+    sink.write(
+        spark.createDataFrame(
+            [(1, 12, "u", " ".join([f"gamma{i}" for i in range(25)]))], schema
+        )
+    )
+    assert sorted(r["doc_id"] for r in sink.decontaminated(spark).collect()) == [1, 2]
+    # batch 4: a new bench doc shares doc 2's first 8 words — full recompute
+    sink.write(
+        spark.createDataFrame(
+            [(194, 13, "c", " ".join(clean[:8] + [f"delta{i}" for i in range(17)]))],
+            schema,
+        )
+    )
+    assert sorted(r["doc_id"] for r in sink.decontaminated(spark).collect()) == [1]
+
+
 def test_shard_manifest_decontaminated_composition(spark, tmp_path, cdc_rows):
     """shard_manifest(decontaminated=True) == the stable-hash manifest
     aggregate over the decontaminated survivor set."""
