@@ -335,6 +335,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECON_NGRAM = 8  # benchmark-overlap n-gram width (GPT-3/PaLM style decontamination)
 DECON_BENCH_MOD = 97  # synthetic "eval set": doc_id % 97 == 0
+STOP_GRAM_DOC_FREQ_CAP = 2  # opt-in boilerplate cap for the capped report
 
 _decon_gram_spark_width = DECON_NGRAM - 1
 _decon_gram_duck = " || ' ' || ".join(f"words[i+{j}]" for j in range(DECON_NGRAM)).replace(
@@ -491,7 +492,64 @@ def text_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report_from_grams(g).orderBy("bench_id")
 
 
-def contamination_report_from_grams(g: DataFrame) -> DataFrame:
+@register(
+    "text_contamination_report_capped",
+    category="text",
+    doc=(
+        "Contamination attribution with the OPT-IN stop-gram cap: grams "
+        "appearing in more corpus documents than the cap are excluded from "
+        "the leak join as boilerplate (license headers, footers) — the skew "
+        "valve for web-scale corpora where one universal 8-gram makes a hot "
+        "join key AND is semantically worthless as contamination evidence. "
+        "Changes semantics vs text_contamination_report, hence a separate "
+        "registered operator; the doc-frequency pass is a map-side-partial "
+        "count_distinct, so the hot key itself aggregates skew-safely."
+    ),
+    oracle=f"""
+        WITH w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+        g AS (
+            SELECT doc_id, {ORACLE_MD5_60BIT.format(x="gram")} AS gh
+            FROM (SELECT doc_id, unnest({_DECON_GRAMS_DUCK}) AS gram FROM w)
+        ),
+        bench AS (SELECT doc_id AS bench_id, gh FROM g WHERE doc_id % {DECON_BENCH_MOD} = 0),
+        corpus0 AS (SELECT doc_id, gh FROM g WHERE doc_id % {DECON_BENCH_MOD} <> 0),
+        stop AS (
+            SELECT gh FROM corpus0 GROUP BY gh
+            HAVING COUNT(DISTINCT doc_id) > {STOP_GRAM_DOC_FREQ_CAP}
+        ),
+        corpus AS (SELECT * FROM corpus0 WHERE gh NOT IN (SELECT gh FROM stop)),
+        leaks AS (
+            SELECT b.bench_id,
+                   COUNT(DISTINCT c.doc_id) AS n_leaking_docs,
+                   COUNT(DISTINCT b.gh) AS n_leaked_grams
+            FROM bench b JOIN corpus c USING (gh)
+            GROUP BY b.bench_id
+        ),
+        base AS (
+            SELECT doc_id AS bench_id, len({_DECON_GRAMS_DUCK}) AS n_grams
+            FROM w WHERE doc_id % {DECON_BENCH_MOD} = 0
+        )
+        SELECT base.bench_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(COALESCE(n_leaked_grams, 0) AS BIGINT) AS n_leaked_grams,
+               CAST(COALESCE(n_leaking_docs, 0) AS BIGINT) AS n_leaking_docs,
+               CASE WHEN n_grams > 0
+                    THEN CAST(COALESCE(n_leaked_grams, 0) AS DOUBLE) / n_grams END AS leak_ratio
+        FROM base LEFT JOIN leaks USING (bench_id)
+        ORDER BY bench_id
+    """,
+)
+def text_contamination_report_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, "documents", sf_dir))
+    g = d.select("doc_id", decon_gram_hashes_col(F.col("text")).alias("grams")).persist()
+    return contamination_report_from_grams(
+        g, stop_gram_cap=STOP_GRAM_DOC_FREQ_CAP
+    ).orderBy("bench_id")
+
+
+def contamination_report_from_grams(
+    g: DataFrame, stop_gram_cap: int | None = None
+) -> DataFrame:
     """THE contamination-attribution rollup over a (doc_id, grams
     array<long>) frame — one definition shared by the batch
     ``text_contamination_report`` and the streaming
@@ -499,11 +557,31 @@ def contamination_report_from_grams(g: DataFrame) -> DataFrame:
     write-time gram hashes), so the served report can never drift from
     the batch semantics.  No broadcast hint on the leak join: the
     fixture bench slice grows with the corpus, AQE picks the strategy
-    from actual sizes."""
+    from actual sizes.
+
+    ``stop_gram_cap`` (OPT-IN — it changes semantics) excludes grams
+    appearing in more than ``cap`` distinct corpus documents before the
+    leak join.  This is the skew valve for web-scale corpora: one
+    universal 8-gram (a license header, a boilerplate footer) joins
+    against every document carrying it and makes a hot key the equi-join
+    shuffles entirely to one reducer family; AQE's skew split covers the
+    join mechanically, but a boilerplate gram is also semantically
+    worthless as contamination evidence — every decontamination system
+    at scale drops it.  The doc-frequency pass itself is skew-safe:
+    count_distinct partials combine map-side, so the hot key arrives at
+    its reducer pre-collapsed rather than row-per-document."""
     exploded = g.select("doc_id", F.explode("grams").alias("gh"))
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
     bench = exploded.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "gh")
     corpus = exploded.filter(~is_bench)
+    if stop_gram_cap is not None:
+        stop = (
+            corpus.groupBy("gh")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .filter(F.col("df") > stop_gram_cap)
+            .select("gh")
+        )
+        corpus = corpus.join(stop, "gh", "leftanti")
     leaks = (
         bench.join(corpus, "gh")
         .groupBy("bench_id")
