@@ -329,6 +329,90 @@ def main() -> None:
     to_envelope(events_df).write.format("noop").mode("overwrite").save()
     decode_eps = round(n_events / (time.perf_counter() - t0), 1)
 
+    # WAL decoder VARIANT rows mirrored (BASELINE.md: wide tables 10/50/100
+    # cols > 5,000 msg/s; large text values 10 KB > 500 msg/s).  The
+    # reference's decode stage is pure-Python pgoutput tuple decode; ours
+    # is the JVM from_json envelope parse — the same pipeline position
+    # (wire bytes -> typed envelope), measured over synthetic frames
+    # matching each scenario.  Frames are materialized untimed
+    # (localCheckpoint) so only the parse is measured.
+    from pyspark.sql import types as T
+
+    def parse_eps(frames_df, schema, n: int) -> float:
+        parsed = frames_df.select(
+            F.from_json("value_json", schema).alias("v")
+        ).select("v.*")
+        parsed.write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        parsed.write.format("noop").mode("overwrite").save()
+        return round(n / (time.perf_counter() - t0), 1)
+
+    n_wide = 20000
+    wide_frames = (
+        spark.range(n_wide)
+        .repartition(32)
+        .select(
+            F.to_json(
+                F.struct(
+                    F.lit("c").alias("op"),
+                    F.col("id").alias("ts_ms"),
+                    F.struct(
+                        *[(F.col("id") + i).alias(f"c{i}") for i in range(100)]
+                    ).alias("after"),
+                )
+            ).alias("value_json")
+        )
+        .localCheckpoint(eager=True)
+    )
+    wide_schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField(
+                "after",
+                T.StructType([T.StructField(f"c{i}", T.LongType()) for i in range(100)]),
+            ),
+        ]
+    )
+    decode_wide100_eps = parse_eps(wide_frames, wide_schema, n_wide)
+
+    n_big = 5000
+    big_frames = (
+        spark.range(n_big)
+        .repartition(32)
+        .select(
+            F.to_json(
+                F.struct(
+                    F.lit("c").alias("op"),
+                    F.col("id").alias("ts_ms"),
+                    F.struct(
+                        F.col("id").alias("id"),
+                        # 10 KB value: md5(id) (32 chars) repeated 320x, so
+                        # the payload is non-constant but deterministic
+                        F.expr("repeat(md5(cast(id as string)), 320)").alias("text"),
+                    ).alias("after"),
+                )
+            ).alias("value_json")
+        )
+        .localCheckpoint(eager=True)
+    )
+    big_schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField(
+                "after",
+                T.StructType(
+                    [
+                        T.StructField("id", T.LongType()),
+                        T.StructField("text", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    decode_text10kb_eps = parse_eps(big_frames, big_schema, n_big)
+
     from cdc_platform_spark.lakehouse.table import VersionedTable
 
     lk_workdir = tempfile.mkdtemp(prefix="cdc-bench-lk-")
@@ -390,6 +474,36 @@ def main() -> None:
     finally:
         shutil.rmtree(bp_workdir, ignore_errors=True)
 
+    # Partition-scaling row mirrored (BASELINE.md: single consumer flat at
+    # ~25.3-26.0k msg/s across 1/4/8/16 partitions).  Spark's analogue:
+    # the SAME availableNow pipeline with the source staged at 1/4/8/16
+    # parquet splits — scan parallelism tracks splits; throughput should
+    # hold (Spark additionally gains from >1 split where the single
+    # asyncio consumer cannot).  Min-of-2 per width, fresh dirs per run.
+    def run_pipeline_staged(n_splits: int) -> float:
+        workdir = tempfile.mkdtemp(prefix="cdc-bench-ps-")
+        try:
+            events_df.repartition(n_splits).write.parquet(f"{workdir}/source")
+            pipe = CdcPipeline(
+                spark=spark,
+                source_dir=f"{workdir}/source",
+                checkpoint_dir=f"{workdir}/ckpt",
+                sinks=flat_sinks(workdir),
+            )
+            t0 = time.perf_counter()
+            pipe.run_available_now()
+            return time.perf_counter() - t0
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+    partition_scaling_runs: dict[str, list[float]] = {}
+    partition_scaling: dict[str, float] = {}
+    for n_splits in (1, 4, 8, 16):
+        run_pipeline_staged(n_splits)  # warm-up, untimed
+        samples = [round(run_pipeline_staged(n_splits), 3) for _ in range(2)]
+        partition_scaling_runs[str(n_splits)] = samples
+        partition_scaling[str(n_splits)] = round(n_events / min(samples), 1)
+
     pipeline_runs = [round(run_pipeline(flat_sinks), 3) for _ in range(3)]
     pipeline_sec = min(pipeline_runs)
     pipeline_eps = round(n_events / pipeline_sec, 1)
@@ -427,6 +541,10 @@ def main() -> None:
                 "backpressure_events_per_sec": bp_eps,
                 "backpressure_max_batch_rows": bp_max_batch,
                 "envelope_decode_events_per_sec": decode_eps,
+                "decode_wide100_events_per_sec": decode_wide100_eps,
+                "decode_text10kb_events_per_sec": decode_text10kb_eps,
+                "partition_scaling_events_per_sec": partition_scaling,
+                "partition_scaling_runs": partition_scaling_runs,
                 "lakehouse_append_20k_sec": lakehouse_append_sec,
                 "lakehouse_append_events_per_sec": lakehouse_append_eps,
             }

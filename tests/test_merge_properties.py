@@ -580,3 +580,76 @@ def test_temperature_resample_prefilter_zero_survivor_fallback(spark, monkeypatc
     monkeypatch.setattr(cur, "PREFILTER_OVERSHOOT", 0)
     fast = sorted(map(tuple, cur.temperature_resample(d, prefilter=True).collect()))
     assert fast == exact and fast
+
+
+@given(
+    prefix_picks=st.lists(st.integers(0, 1), min_size=4, max_size=7),
+    change_ops=st.lists(st.sampled_from(["u", "d", "b"]), min_size=2, max_size=6),
+    split_seed=st.integers(0, 2**16),
+    n_batches=st.integers(2, 4),
+)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_decon_hit_view_gc_fence_on_random_cdc(
+    spark, tmp_path_factory, prefix_picks, change_ops, split_seed, n_batches
+):
+    """The maintained contaminated-id view under random CDC on BOTH
+    sides (corpus docs updated/deleted, the BENCH doc itself updated and
+    deleted), with compaction at truthful horizons interleaved and
+    delivered batches replayed after GC: decontaminated() must equal the
+    single-delivery result — the hit view's derived content must honor
+    the replay-watermark fence exactly like the pair view's."""
+    import random
+
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    rng = random.Random(split_seed)
+
+    def text(prefix_variant, seed):
+        # 25 words: an 8-word shared-or-not prefix + 17 unique fillers —
+        # passes the quality floor, overlaps iff prefixes match
+        prefix = [f"p{prefix_variant}w{j}" for j in range(8)]
+        return " ".join(prefix + [f"f{seed}x{i}" for i in range(17)])
+
+    n_docs = len(prefix_picks)
+    # doc 0 is the bench doc (0 % 97 == 0); its prefix is variant 0, so
+    # corpus docs with prefix 0 are contaminated, prefix 1 are clean
+    events = [(d, d, "c", text(prefix_picks[d] if d else 0, d)) for d in range(n_docs)]
+    off = n_docs
+    for i, op in enumerate(change_ops):
+        if op == "b":  # mutate the BENCH side: delete then re-create
+            events.append((0, off, "d" if i % 2 else "u", None if i % 2 else text(0, 900 + off)))
+        else:
+            d = 1 + (i % max(1, n_docs - 1))
+            if op == "u":
+                events.append((d, off, "u", text(rng.randrange(2), 1000 + off)))
+            else:
+                events.append((d, off, "d", None))
+        off += 1
+    schema = "doc_id long, offset long, op string, text string"
+
+    whole = CuratedCorpusSink(str(tmp_path_factory.mktemp("dhgc") / "one"), n_buckets=4)
+    whole.write(spark.createDataFrame(events, schema))
+    expected = sorted(map(tuple, whole.decontaminated(spark).collect()))
+
+    bkt = CuratedCorpusSink(str(tmp_path_factory.mktemp("dhgc") / "bkt"), n_buckets=4)
+    batches: list[list] = [[] for _ in range(n_batches)]
+    for ev in events:
+        batches[rng.randrange(n_batches)].append(ev)
+    delivered: list[list] = []
+    for k, batch in enumerate(batches):
+        if batch:
+            bkt.write(spark.createDataFrame(batch, schema))
+            delivered.append(batch)
+        if rng.random() < 0.5:
+            future = [o for b in batches[k + 1 :] for (_, o, _, _) in b]
+            horizon = min(future) if future else off
+            bkt.compact(spark, tombstone_horizon=horizon)
+            if delivered and rng.random() < 0.5:  # replay AFTER the GC
+                bkt.write(spark.createDataFrame(rng.choice(delivered), schema))
+
+    got = sorted(map(tuple, bkt.decontaminated(spark).collect()))
+    assert got == expected, f"decontaminated diverged under GC: {got} vs {expected}"
