@@ -582,16 +582,24 @@ def contamination_report_from_grams(
             .select("gh")
         )
         corpus = corpus.join(stop, "gh", "leftanti")
-    leaks = (
-        bench.join(corpus, "gh")
-        .groupBy("bench_id")
-        .agg(
-            F.count_distinct("doc_id").alias("n_leaking_docs"),
-            F.count_distinct("gh").alias("n_leaked_grams"),
-        )
-    )
     base = g.filter(is_bench).select(
         F.col("doc_id").alias("bench_id"), F.size("grams").alias("n_grams")
+    )
+    return contamination_rollup(base, bench.join(corpus, "gh"))
+
+
+def contamination_rollup(base: DataFrame, leak_triples: DataFrame) -> DataFrame:
+    """THE attribution rollup over the leak evidence — one definition
+    shared by the batch ``contamination_report_from_grams`` (which
+    derives the triples from grams per run) and the streaming
+    ``CuratedCorpusSink.contamination_report()`` (which reads them from
+    the MAINTAINED leak view), so the served report can never drift from
+    the batch semantics.  ``base`` = (bench_id, n_grams) for every live
+    benchmark doc; ``leak_triples`` = (bench_id, doc_id, gh) leak
+    evidence rows (duplicates tolerated — both counts are DISTINCT)."""
+    leaks = leak_triples.groupBy("bench_id").agg(
+        F.count_distinct("doc_id").alias("n_leaking_docs"),
+        F.count_distinct("gh").alias("n_leaked_grams"),
     )
     n_grams_lk = F.coalesce(F.col("n_leaked_grams"), F.lit(0)).cast("long")
     n_docs_lk = F.coalesce(F.col("n_leaking_docs"), F.lit(0)).cast("long")

@@ -557,13 +557,22 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         #   bench partition, kept so the gram set is an O(bench) read
         #   (bench partitions are human-curated and fixed-size at
         #   deployment; a single swapped dir suffices at any scale),
-        # - decon_hits/: the contaminated-id view — every live non-bench
-        #   doc sharing a word n-gram with a live bench doc — maintained
-        #   per batch from the POST-MERGE index rows of the touched docs
-        #   only (O(touched)); a batch that changes the bench side
-        #   triggers the one full recompute the semantics require.
+        # - decon_leaks/: the leak-evidence view — one (doc_id, bench_id,
+        #   gh) row per live (corpus doc, bench doc, shared gram) —
+        #   maintained per batch from the POST-MERGE index rows of the
+        #   touched docs only (O(touched)); a batch that changes the
+        #   bench side triggers the one full recompute the semantics
+        #   require.  decontaminated()'s hit set = DISTINCT doc_id;
+        #   contamination_report() = the shared rollup over the triples.
+        #   Gram-level provenance (not bare hit ids) is what makes BOTH
+        #   retractions exact under doc CDC — a doc's delete may un-leak
+        #   a gram only if no other live doc shares it, which distinct
+        #   counts over triples answer and counters cannot (replay-safe:
+        #   everything is recomputed from post-merge state, never
+        #   incremented).  Worst-case size is boilerplate-gram × corpus —
+        #   exactly the case the stop-gram cap exists for (SCALING.md).
         self.bench_path = f"{path}/bench_grams"
-        self.hit_store = _BucketStore(f"{path}/decon_hits", n_buckets)
+        self.hit_store = _BucketStore(f"{path}/decon_leaks", n_buckets)
 
     def _recover(self) -> None:
         super()._recover()
@@ -576,13 +585,25 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         super().write(batch)
         self._maintain_decon_hits(batch)
 
+    def _bench_gram_rows(self, spark: SparkSession) -> DataFrame:
+        """(bench_id, gh) rows of the LIVE benchmark mirror — O(bench)."""
+        if not os.path.isdir(self.bench_path):
+            return spark.createDataFrame([], "bench_id long, gh long")
+        return (
+            spark.read.parquet(self.bench_path)
+            .filter(F.col("op") != "d")
+            .select(
+                F.col("doc_id").alias("bench_id"), F.explode("decon_grams").alias("gh")
+            )
+        )
+
     def _maintain_decon_hits(self, batch: DataFrame) -> None:
-        """Maintain the contaminated-id view after the index merge.
+        """Maintain the leak-evidence view after the index merge.
 
         Incremental by default: the touched docs' POST-MERGE rows (a
         DPP-pruned read of their index buckets — replay-idempotent, the
-        hit status is a deterministic function of the merged state) are
-        gram-joined against the maintained bench gram set, and only the
+        leak evidence is a deterministic function of the merged state)
+        are gram-joined against the broadcast bench mirror, and only the
         touched buckets are rewritten (retracted rows become dead markers,
         exactly the pair-view convention).  A batch touching any BENCH
         document changes the gram set itself, so it first upserts the
@@ -597,6 +618,16 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         touched = (
             batch.filter(F.col("op").isNotNull()).select("doc_id").distinct().persist()
         )
+
+        def triples(live_rows: DataFrame) -> DataFrame:
+            return (
+                live_rows.select("doc_id", F.explode("decon_grams").alias("gh"))
+                .join(F.broadcast(self._bench_gram_rows(spark)), "gh")
+                .select("doc_id", "bench_id", "gh")
+                .withColumn("bucket", F.pmod(F.hash("doc_id"), nb))
+                .withColumn("dead", F.lit(False))
+            )
+
         try:
             bench_touched = touched.filter(is_bench)
             if bench_touched.take(1):
@@ -617,55 +648,22 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
                 tmp = f"{self.bench_path}.tmp-{uuid.uuid4().hex}"
                 content.coalesce(1).write.mode("overwrite").parquet(tmp)
                 _commit_swap(self.bench_path, tmp)
-                bench_set = (
-                    spark.read.parquet(self.bench_path)
-                    .filter(F.col("op") != "d")
-                    .select(F.explode("decon_grams").alias("gh"))
-                    .distinct()
-                )
-                live = (
-                    self.index.raw_state(spark)
-                    .filter((F.col("op") != "d") & ~is_bench)
-                    .select("doc_id", "decon_grams")
-                )
-                hits = (
-                    live.select("doc_id", F.explode("decon_grams").alias("gh"))
-                    .join(F.broadcast(bench_set), "gh", "leftsemi")
-                    .select("doc_id")
-                    .distinct()
+                live = self.index.raw_state(spark).filter(
+                    (F.col("op") != "d") & ~is_bench
                 )
                 self.hit_store.rewrite_all(
-                    hits.withColumn("bucket", F.pmod(F.hash("doc_id"), nb))
-                    .withColumn("dead", F.lit(False))
-                    .repartition(self.n_buckets, "bucket")
+                    triples(live).repartition(self.n_buckets, "bucket")
                 )
                 return
             # incremental path: bench set unchanged, touched docs re-scored
             # from their post-merge rows only
-            if os.path.isdir(self.bench_path):
-                bench_set = (
-                    spark.read.parquet(self.bench_path)
-                    .filter(F.col("op") != "d")
-                    .select(F.explode("decon_grams").alias("gh"))
-                    .distinct()
-                )
-            else:
-                bench_set = spark.createDataFrame([], "gh long")
             tb = touched.select(F.pmod(F.hash("doc_id"), nb).alias("bucket"))
             post = (
                 self.index.pruned_read(spark, tb)
                 .join(F.broadcast(touched), "doc_id", "leftsemi")
                 .filter(F.col("op") != "d")
-                .select("doc_id", "decon_grams")
             )
-            fresh = (
-                post.select("doc_id", F.explode("decon_grams").alias("gh"))
-                .join(F.broadcast(bench_set), "gh", "leftsemi")
-                .select("doc_id")
-                .distinct()
-                .withColumn("bucket", F.pmod(F.hash("doc_id"), nb))
-                .withColumn("dead", F.lit(False))
-            )
+            fresh = triples(post)
             content = fresh
             if self.hit_store.exists():
                 tk = F.broadcast(
@@ -675,10 +673,10 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
                     self.hit_store.read_buckets(spark, tb)
                     .filter(~F.col("dead"))
                     .join(tk, "doc_id", "left")
-                    # a touched doc's stale hit row becomes a dead marker so
-                    # a bucket emptied by retraction still commits
+                    # a touched doc's stale rows become dead markers so a
+                    # bucket emptied by retraction still commits
                     .withColumn("dead", F.col("_t").isNotNull())
-                    .select("doc_id", "bucket", "dead")
+                    .select("doc_id", "bench_id", "gh", "bucket", "dead")
                 )
                 content = existing.unionByName(fresh)
             self.hit_store.write_buckets(content.repartition(self.n_buckets, "bucket"))
@@ -823,6 +821,7 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
             spark.read.parquet(self.hit_store.path)
             .filter(~F.col("dead"))
             .select("doc_id")
+            .distinct()
         )
         return out.join(hits, "doc_id", "leftanti")
 
@@ -831,27 +830,42 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         ``text_contamination_report`` semantics over the LIVE corpus: per
         live benchmark document, how many live corpus documents share a
         word 8-gram with it, how many of its grams are leaked, and the
-        leak ratio.  Served entirely from the write-time gram hashes
-        (never re-tokenizes text); the report an eval owner reads to
-        decide which benchmark tasks are compromised, kept current under
-        CDC on both sides for free (derived read, like clusters()).
-        The rollup body is the batch operator's
-        ``contamination_report_from_grams`` — one shared definition."""
-        from cdc_platform_spark.operators.text import contamination_report_from_grams
+        leak ratio.  The report an eval owner reads to decide which
+        benchmark tasks are compromised, kept current under CDC on both
+        sides.
+
+        Round 9: served from the MAINTAINED leak-evidence view — base
+        rows from the O(bench) mirror, distinct counts from the triples
+        the write path keeps current — instead of re-exploding every live
+        document's grams per read; the rollup body is the batch
+        operator's ``contamination_rollup`` (one shared definition), so
+        the served report cannot drift from the batch semantics.  Read
+        cost is O(bench + leak evidence), never O(corpus tokens)."""
+        from cdc_platform_spark.operators.text import contamination_rollup
 
         self._recover()
-        if not self.index.exists():
+        if not os.path.isdir(self.bench_path):
             return spark.createDataFrame(
                 [],
                 "bench_id long, n_grams long, n_leaked_grams long, "
                 "n_leaking_docs long, leak_ratio double",
             )
-        g = (
-            spark.read.parquet(self.index.path)
+        base = (
+            spark.read.parquet(self.bench_path)
             .filter(F.col("op") != "d")
-            .select("doc_id", F.col("decon_grams").alias("grams"))
+            .select(
+                F.col("doc_id").alias("bench_id"),
+                F.size("decon_grams").alias("n_grams"),
+            )
         )
-        return contamination_report_from_grams(g)
+        leaks = (
+            spark.read.parquet(self.hit_store.path)
+            .filter(~F.col("dead"))
+            .select("bench_id", "doc_id", "gh")
+            if self.hit_store.exists()
+            else spark.createDataFrame([], "bench_id long, doc_id long, gh long")
+        )
+        return contamination_rollup(base, leaks)
 
     def dedup_rate_by_domain(self, spark: SparkSession) -> DataFrame:
         """The per-(lang, source) dedup DASHBOARD from maintained state —

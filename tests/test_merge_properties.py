@@ -634,6 +634,7 @@ def test_decon_hit_view_gc_fence_on_random_cdc(
     whole = CuratedCorpusSink(str(tmp_path_factory.mktemp("dhgc") / "one"), n_buckets=4)
     whole.write(spark.createDataFrame(events, schema))
     expected = sorted(map(tuple, whole.decontaminated(spark).collect()))
+    expected_report = sorted(map(tuple, whole.contamination_report(spark).collect()))
 
     bkt = CuratedCorpusSink(str(tmp_path_factory.mktemp("dhgc") / "bkt"), n_buckets=4)
     batches: list[list] = [[] for _ in range(n_batches)]
@@ -653,3 +654,7 @@ def test_decon_hit_view_gc_fence_on_random_cdc(
 
     got = sorted(map(tuple, bkt.decontaminated(spark).collect()))
     assert got == expected, f"decontaminated diverged under GC: {got} vs {expected}"
+    got_report = sorted(map(tuple, bkt.contamination_report(spark).collect()))
+    assert got_report == expected_report, (
+        f"attribution diverged under GC: {got_report} vs {expected_report}"
+    )
