@@ -220,6 +220,7 @@ def main() -> None:
         reads = {
             "serve_curated": lambda: corpus.curated(spark),
             "serve_decontaminated": lambda: corpus.decontaminated(spark),
+            "serve_contamination_report": lambda: corpus.contamination_report(spark),
             "serve_clusters": lambda: corpus.clusters(spark),
             "serve_shard_manifest": lambda: corpus.shard_manifest(spark),
             "serve_mix_sample": lambda: corpus.mix_sample(spark),

@@ -275,13 +275,17 @@ def temperature_resample(d: DataFrame, prefilter: bool = False) -> DataFrame:
         u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
             "long"
         )
-        # tgt is domain-cardinality (tiny) -> broadcast is bounded
-        cand = pool.join(F.broadcast(tgt.select("lang", "source", "domain_docs", "target_docs")), ["lang", "source"]).filter(
+        cand_pred = (
             u.cast("double") / F.lit(float(2**32))
             < F.lit(float(PREFILTER_OVERSHOOT))
             * F.col("target_docs").cast("double")
             / F.col("domain_docs").cast("double")
         )
+        # tgt is domain-cardinality (tiny) -> broadcast is bounded
+        cand = pool.join(
+            F.broadcast(tgt.select("lang", "source", "domain_docs", "target_docs")),
+            ["lang", "source"],
+        ).filter(cand_pred)
         # exactness fallback: a domain whose survivor count undershot its
         # target is ranked in full (rare by construction, never wrong).
         # Derived from tgt (every domain) LEFT-joined with the survivor
@@ -293,14 +297,21 @@ def temperature_resample(d: DataFrame, prefilter: bool = False) -> DataFrame:
             tgt.select("lang", "source", "target_docs")
             .join(kept, ["lang", "source"], "left")
             .filter(F.coalesce(F.col("n_kept"), F.lit(0)) < F.col("target_docs"))
-            .select("lang", "source")
+            .select("lang", "source", F.lit(True).alias("_short"))
         )
-        pool = cand.select("lang", "source", "doc_id").join(
-            F.broadcast(short), ["lang", "source"], "leftanti"
-        ).unionByName(
-            d.select("lang", "source", "doc_id").join(
-                F.broadcast(short), ["lang", "source"], "leftsemi"
+        # ONE pass over d for the final pool: keep a row if it passes the
+        # candidate threshold OR its domain fell back — a union of
+        # (cand anti short) with (d semi short) would evaluate d's whole
+        # upstream lineage twice, which for the serving reads means
+        # re-deriving the curated corpus per branch
+        pool = (
+            pool.join(
+                F.broadcast(tgt.select("lang", "source", "domain_docs", "target_docs")),
+                ["lang", "source"],
             )
+            .join(F.broadcast(short), ["lang", "source"], "left")
+            .filter(cand_pred | F.col("_short").isNotNull())
+            .select("lang", "source", "doc_id")
         )
     w = Window.partitionBy("lang", "source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
