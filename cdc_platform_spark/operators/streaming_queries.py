@@ -1495,6 +1495,157 @@ def _mix_sample_oracle() -> str:
     """
 
 
+def _mix_sample_decon_oracle() -> str:
+    """Oracle for sq_mix_sample_decon_stream: the batch
+    temperature-resample rule over the POST-CDC curated corpus with
+    benchmark DECONTAMINATION composed in — the pool a pretraining
+    scheduler actually draws from (never eval docs or their leaks)."""
+    from cdc_platform_spark.operators.curation import TEMP_SAMPLE_MULT
+    from cdc_platform_spark.operators.dedup import (
+        ORACLE_MD5_60BIT,
+        _ORACLE_MINHASH_PAIR_CTES,
+    )
+    from cdc_platform_spark.operators.text import (
+        _DECON_GRAMS_DUCK,
+        CURATION_MIN_DISTINCT_RATIO,
+        CURATION_MIN_WORDS,
+        DECON_BENCH_MOD,
+    )
+
+    assert _ORACLE_MINHASH_PAIR_CTES.count("FROM documents") == 1
+    ctes = _ORACLE_MINHASH_PAIR_CTES.replace("FROM documents", "FROM docs_live")
+    return f"""
+        WITH docs_live AS (
+            SELECT doc_id, lang, source,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' spark dedup stream spark dedup stream'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 3
+        ),
+        {ctes},
+        qdocs AS (
+            SELECT doc_id, str_split(text, ' ') AS words, md5(text) AS content_md5
+            FROM docs_live
+        ),
+        qual AS (
+            SELECT doc_id, content_md5,
+                   CAST(len(words) AS BIGINT) AS n_words
+            FROM qdocs
+            WHERE len(words) >= {CURATION_MIN_WORDS}
+              AND CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                  >= {CURATION_MIN_DISTINCT_RATIO}
+        ),
+        qcanon AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+                FROM qual) WHERE rn = 1
+        ),
+        suppressed AS (SELECT DISTINCT db AS doc_id FROM scored),
+        dg AS (
+            SELECT doc_id, {ORACLE_MD5_60BIT.format(x="gram")} AS gh
+            FROM (SELECT doc_id, unnest({_DECON_GRAMS_DUCK}) AS gram FROM qdocs)
+        ),
+        bench AS (SELECT DISTINCT gh FROM dg WHERE doc_id % {DECON_BENCH_MOD} = 0),
+        hits AS (
+            SELECT DISTINCT c.doc_id FROM dg c JOIN bench b USING (gh)
+            WHERE c.doc_id % {DECON_BENCH_MOD} <> 0
+        ),
+        cur AS (
+            SELECT q.doc_id, d.lang, d.source
+            FROM qcanon q
+            JOIN docs_live d ON d.doc_id = q.doc_id
+            LEFT JOIN suppressed s ON q.doc_id = s.doc_id
+            LEFT JOIN hits h ON q.doc_id = h.doc_id
+            WHERE s.doc_id IS NULL AND h.doc_id IS NULL
+              AND q.doc_id % {DECON_BENCH_MOD} <> 0
+        ),
+        dom AS (SELECT lang, source, COUNT(*) AS n_docs FROM cur GROUP BY lang, source),
+        tgt AS (
+            SELECT lang, source, CAST(n_docs AS BIGINT) AS domain_docs,
+                   CAST(LEAST(n_docs, GREATEST(1, CAST(FLOOR(
+                        {TEMP_SAMPLE_MULT} * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)))
+                        AS BIGINT) AS target_docs
+            FROM dom
+        ),
+        ranked AS (
+            SELECT lang, source, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM cur
+        )
+        SELECT r.lang, r.source, r.doc_id, CAST(r.rn AS BIGINT) AS sample_rank,
+               t.domain_docs, t.target_docs
+        FROM ranked r JOIN tgt t ON r.lang = t.lang AND r.source = t.source
+        WHERE r.rn <= t.target_docs
+        ORDER BY r.lang, r.source, sample_rank
+    """
+
+
+@register(
+    "sq_mix_sample_decon_stream",
+    category="streaming",
+    doc=(
+        "The training mix drawn from the DECONTAMINATED corpus — "
+        "mix_sample(decontaminated=True): the same document CDC stream as "
+        "sq_mix_sample_stream, with the resample pool additionally "
+        "excluding the benchmark partition and every document sharing a "
+        "word 8-gram with a live benchmark document (the maintained "
+        "leak-evidence view). This is the composition a pretraining "
+        "scheduler actually consumes: never mix in eval docs or their "
+        "leaks. Must equal the batch temperature_resample applied to the "
+        "post-CDC decontaminated funnel output."
+    ),
+    oracle=_mix_sample_decon_oracle(),
+)
+def sq_mix_sample_decon_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    work = _workdir("sq_mix_sample_decon_")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "text"
+    )
+    off = F.col("doc_id") + F.lit(100000000)
+    wave0 = d.select(
+        "doc_id", F.col("doc_id").alias("offset"), F.lit("c").alias("op"),
+        "text", "lang", "source",
+    )
+    upd = d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 3)).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("u").alias("op"),
+        F.concat(F.col("text"), F.lit(" spark dedup stream spark dedup stream")).alias("text"),
+        "lang",
+        "source",
+    )
+    dels = d.filter(F.col("doc_id") % 11 == 3).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("d").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+    )
+    src = f"{work}/source"
+    wave0.unionByName(upd).unionByName(dels).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, offset long, op string, text string, lang string, source string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = CuratedCorpusSink(f"{work}/corpus")
+    _run_index_stream(stream, sink, work)
+    return sink.mix_sample(spark, decontaminated=True).orderBy(
+        "lang", "source", "sample_rank"
+    )
+
+
 def _contamination_report_oracle() -> str:
     """Oracle for sq_contamination_report_stream: the batch
     text_contamination_report attribution over the POST-CDC live docs."""
