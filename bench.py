@@ -182,6 +182,7 @@ def main() -> None:
         BucketedIvfFlatIndexSink,
         BucketedIvfPqIndexSink,
         ivf_cluster_sample_from_index,
+        ivf_drift_from_index,
         ivf_pq_search_from_index,
     )
     from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
@@ -230,6 +231,7 @@ def main() -> None:
             "serve_cluster_sample": lambda: ivf_cluster_sample_from_index(
                 flat.state(spark)
             ),
+            "serve_ivf_drift": lambda: ivf_drift_from_index(flat.state(spark), cents),
         }
 
         def run_read(make_df) -> float:

@@ -523,6 +523,111 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_MICRO = 1_000_000  # micro-cosine fixed point for the drift report
+
+
+def ivf_drift_rollup(assigned: DataFrame) -> DataFrame:
+    """THE quantizer-drift rollup over ``(cell, c)`` assignment rows —
+    one definition shared by the batch ``sim_ivf_drift_report`` and the
+    streaming ``ivf_drift_from_index`` serving read, so the monitor a
+    deployment alerts on can never drift from the batch semantics.
+
+    Per-row cosine is fixed-pointed as ``floor(1e6*c + 0.5)`` (the int8
+    quantizer's dialect-safe rounding) so the per-cell aggregation is
+    exact BIGINT arithmetic; the mean is one deterministic double
+    division of two exact integers.  Low mean / low min cosine per cell =
+    the corpus has moved away from the frozen centroid — the signal that
+    schedules ``rotate_ivf_pq_generation``."""
+    micro = F.floor(F.lit(float(DRIFT_MICRO)) * F.col("c") + F.lit(0.5)).cast("long")
+    return (
+        assigned.select("cell", micro.alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("m").alias("_sm"),
+            F.min("m").alias("min_cos_micro"),
+        )
+        .select(
+            "cell",
+            "n_vecs",
+            (F.col("_sm").cast("double") / F.col("n_vecs")).alias("mean_cos_micro"),
+            "min_cos_micro",
+        )
+        .orderBy("cell")
+    )
+
+
+@register(
+    "sim_ivf_drift_report",
+    category="similarity",
+    doc=(
+        "Quantizer DRIFT monitor: per IVF cell, how well the (frozen) "
+        "trained centroid still represents its members — member count, "
+        "mean and min assignment cosine in exact micro-units "
+        "(floor(1e6*c + 0.5): per-row fixed-pointing makes the rollup "
+        "BIGINT-exact and cross-engine bit-identical; the mean is one "
+        "deterministic division of exact integers). This is the metric "
+        "that schedules codebook/centroid retraining "
+        "(rotate_ivf_pq_generation): ADC quality decays silently as the "
+        "corpus distribution moves, and the per-cell report shows which "
+        "cells drifted. Scale shape: broadcast fixed-size centroids, "
+        "map-side argmax + map-side-combinable aggregate — one shuffle of "
+        "|cells| rows."
+    ),
+    oracle=f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        norms AS (SELECT vec_id, SUM(v * v) AS n FROM u GROUP BY vec_id),
+        cents AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {N_CELLS}
+        ),
+        cu AS (SELECT u.* FROM u JOIN cents ON u.vec_id = cents.cent_id),
+        {_TRAIN_CTES},
+        ncf AS (SELECT cent_id, SUM(cv * cv) AS n FROM {_CENT_FINAL} GROUP BY cent_id),
+        vc_dots AS (
+            SELECT x.vec_id, c.cent_id, SUM(x.v * c.cv) AS d
+            FROM u x JOIN {_CENT_FINAL} c ON x.i = c.i
+            GROUP BY x.vec_id, c.cent_id
+        ),
+        vc_cos AS (
+            SELECT v.vec_id, v.cent_id, v.d / (sqrt(nx.n) * sqrt(nc.n)) AS c
+            FROM vc_dots v JOIN norms nx ON v.vec_id = nx.vec_id
+                           JOIN ncf nc ON v.cent_id = nc.cent_id
+        ),
+        best AS (
+            SELECT vec_id, cent_id AS cell,
+                   CAST(floor({DRIFT_MICRO} * c + 0.5) AS BIGINT) AS m
+            FROM (
+                SELECT vec_id, cent_id, c,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM vc_cos) WHERE rn = 1
+        )
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(m) AS DOUBLE) / COUNT(*) AS mean_cos_micro,
+               MIN(m) AS min_cos_micro
+        FROM best GROUP BY cell ORDER BY cell
+    """,
+)
+def sim_ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _fixed_embeddings(spark, sf_dir).localCheckpoint(eager=False)
+    cents = train_ivf_centroids(e)
+    vc = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        (dot_long(F.col("a"), F.col("ca")) / (F.sqrt("norm") * F.sqrt("cn"))).alias("c"),
+    )
+    best = (
+        vc.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("cent_id")).alias("nt"), F.col("cent_id"))
+            ).alias("b")
+        )
+        .select(F.col("b.cent_id").alias("cell"), F.col("b.c").alias("c"))
+    )
+    return ivf_drift_rollup(best)
+
+
 # --- int8 scalar quantization -------------------------------------------------
 
 _SQ_MN = ", ".join(f"MIN(CAST(embedding[{i + 1}] AS DOUBLE)) AS mn{i}" for i in range(DIM))

@@ -1113,6 +1113,96 @@ def sq_cluster_sample_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_drift_stream_oracle() -> str:
+    """Oracle for sq_ivf_drift_stream: per-cell drift of the POST-CDC
+    vectors to their FROZEN trained centroids — the _ann_index_oracle
+    assignment chain with the micro-cosine rollup of
+    sim_ivf_drift_report on top."""
+    from cdc_platform_spark.operators.dedup import ORACLE_EMB_UNNEST
+    from cdc_platform_spark.operators.similarity import (
+        _CENT_FINAL,
+        _TRAIN_CTES,
+        _cent_hash,
+        DIM,
+        DRIFT_MICRO,
+        N_CELLS,
+    )
+
+    return f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        norms AS (SELECT vec_id, SUM(v * v) AS n FROM u GROUP BY vec_id),
+        cents AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {N_CELLS}
+        ),
+        cu AS (SELECT u.* FROM u JOIN cents ON u.vec_id = cents.cent_id),
+        {_TRAIN_CTES},
+        ncf AS (SELECT cent_id, SUM(cv * cv) AS n FROM {_CENT_FINAL} GROUP BY cent_id),
+        final AS (
+            SELECT vec_id, i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 <> 0
+            UNION ALL
+            SELECT vec_id, {DIM} + 1 - i AS i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 = 0
+        ),
+        fnorms AS (SELECT vec_id, SUM(v * v) AS n FROM final GROUP BY vec_id),
+        fdots AS (
+            SELECT x.vec_id, c.cent_id, SUM(x.v * c.cv) AS d
+            FROM final x JOIN {_CENT_FINAL} c ON x.i = c.i
+            GROUP BY x.vec_id, c.cent_id
+        ),
+        fcos AS (
+            SELECT v.vec_id, v.cent_id, v.d / (sqrt(nx.n) * sqrt(nc.n)) AS c
+            FROM fdots v JOIN fnorms nx ON v.vec_id = nx.vec_id
+                         JOIN ncf nc ON v.cent_id = nc.cent_id
+        ),
+        best AS (
+            SELECT vec_id, cent_id AS cell,
+                   CAST(floor({DRIFT_MICRO} * c + 0.5) AS BIGINT) AS m
+            FROM (
+                SELECT vec_id, cent_id, c,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM fcos) WHERE rn = 1
+        )
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(m) AS DOUBLE) / COUNT(*) AS mean_cos_micro,
+               MIN(m) AS min_cos_micro
+        FROM best GROUP BY cell ORDER BY cell
+    """
+
+
+@register(
+    "sq_ivf_drift_stream",
+    category="streaming",
+    doc=(
+        "Quantizer DRIFT served from the maintained IVF-Flat index — the "
+        "monitor that schedules rotate_ivf_pq_generation: the same "
+        "embedding CDC stream as sq_ann_index_stream (frozen Lloyd-trained "
+        "quantizer; the reversal updates genuinely move vectors away from "
+        "their trained cells) drives BucketedIvfFlatIndexSink, then "
+        "ivf_drift_from_index reports per cell the member count and "
+        "mean/min cosine to the frozen centroid in exact micro-units — "
+        "the batch sim_ivf_drift_report rollup (one shared definition) "
+        "over the stored assignments. Must equal the batch rollup over "
+        "the post-CDC vectors under the frozen quantizer."
+    ),
+    oracle=_ivf_drift_stream_oracle(),
+)
+def sq_ivf_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.operators.similarity import train_ivf_centroids
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        ivf_drift_from_index,
+    )
+
+    work = _workdir("sq_ivfdrift_")
+    e, stream = _stage_embedding_cdc(spark, sf_dir, work)
+    cents = train_ivf_centroids(e)
+    sink = BucketedIvfFlatIndexSink(f"{work}/index", cents, n_buckets=8)
+    _run_index_stream(stream, sink, work)
+    return ivf_drift_from_index(sink.state(spark), cents)
+
+
 def _dedup_index_oracle() -> str:
     """Full-rebuild oracle for sq_dedup_index_stream: the batch
     dedup_minhash_lsh pair CTE chain evaluated over the POST-CDC live

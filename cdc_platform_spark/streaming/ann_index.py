@@ -907,3 +907,32 @@ def ivf_search_from_index(state: DataFrame, centroids: DataFrame) -> DataFrame:
             F.col("c").alias("cosine"),
         )
     )
+
+
+def ivf_drift_from_index(state: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Quantizer DRIFT served FROM the maintained IVF-Flat index — the
+    monitor that schedules :func:`rotate_ivf_pq_generation`: per cell,
+    member count plus mean/min cosine of the live vectors to their FROZEN
+    centroid, in exact micro-units (the batch ``sim_ivf_drift_report``
+    rollup — one shared ``ivf_drift_rollup`` definition, so the alerting
+    metric can never drift from the batch semantics).
+
+    ``state`` = :meth:`BucketedIvfFlatIndexSink.state` (vec_id, cell, a).
+    Scale shape: the STORED assignment is the cell key, so there is no
+    |cells|× candidate blowup — one broadcast-join of the fixed-size
+    centroid table on the cell id, a map-side fixed-pointing, and one
+    map-side-combinable aggregate shuffling |cells| rows.  As the corpus
+    moves under CDC while the quantizer stays frozen, mean/min cosine
+    sink per cell — the operational trigger for blue/green retraining."""
+    from cdc_platform_spark.operators.similarity import ivf_drift_rollup
+
+    assigned = state.join(
+        F.broadcast(centroids.withColumnRenamed("cent_id", "cell")), "cell"
+    ).select(
+        "cell",
+        (
+            dot_long(F.col("a"), F.col("ca"))
+            / (F.sqrt(dot_long(F.col("a"), F.col("a"))) * F.sqrt("cn"))
+        ).alias("c"),
+    )
+    return ivf_drift_rollup(assigned)

@@ -613,3 +613,60 @@ def test_pq_generation_rotation_retrains_codebooks_blue_green(
     for q, *_ in got_s:
         per_q[q] = per_q.get(q, 0) + 1
     assert per_q and all(n == TOP_K for n in per_q.values())
+
+
+def test_drift_report_degrades_under_cdc_and_recovers_after_rotation(spark, tmp_path):
+    """The drift monitor's operational story: a frozen quantizer serves a
+    moving corpus, the per-cell cosine report degrades as updates land,
+    and a generation rotation under RETRAINED centroids restores it —
+    the exact trigger/response loop rotate_ivf_generation exists for."""
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.operators.similarity import (
+        _fixed_embeddings,
+        train_ivf_centroids,
+    )
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        ivf_drift_from_index,
+        rotate_ivf_generation,
+    )
+
+    e = _fixed_embeddings(spark, SF_SMOKE).localCheckpoint(eager=True)
+    cents = train_ivf_centroids(e)
+    sink = BucketedIvfFlatIndexSink(str(tmp_path / "g0"), cents, n_buckets=8)
+    sink.write(
+        e.select("vec_id", F.col("vec_id").alias("offset"), F.lit("c").alias("op"), "a")
+    )
+
+    def weighted_mean(df) -> float:
+        rows = df.collect()
+        return sum(r["mean_cos_micro"] * r["n_vecs"] for r in rows) / sum(
+            r["n_vecs"] for r in rows
+        )
+
+    healthy = weighted_mean(ivf_drift_from_index(sink.state(spark), cents))
+
+    # corpus moves: half the vectors get reversed (max misalignment with
+    # the trained cells) while the quantizer stays frozen
+    sink.write(
+        e.filter(F.col("vec_id") % 2 == 0).select(
+            "vec_id",
+            (F.col("vec_id") + 10**6).alias("offset"),
+            F.lit("u").alias("op"),
+            F.reverse("a").alias("a"),
+        )
+    )
+    drifted = weighted_mean(ivf_drift_from_index(sink.state(spark), cents))
+    assert drifted < healthy, f"drift did not register: {drifted} vs {healthy}"
+
+    # blue/green rotation under retrained centroids restores alignment
+    from cdc_platform_spark.operators.dedup import dot_long
+
+    post_vecs = sink.state(spark).select(
+        "vec_id", "a", dot_long(F.col("a"), F.col("a")).alias("norm")
+    ).localCheckpoint(eager=True)
+    cents2 = train_ivf_centroids(post_vecs)
+    gen1 = rotate_ivf_generation(spark, sink, str(tmp_path / "g1"), cents2)
+    recovered = weighted_mean(ivf_drift_from_index(gen1.state(spark), cents2))
+    assert recovered > drifted, f"rotation did not recover: {recovered} vs {drifted}"
