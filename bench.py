@@ -184,6 +184,7 @@ def main() -> None:
         ivf_cluster_sample_from_index,
         ivf_drift_from_index,
         ivf_pq_search_from_index,
+        pq_recon_from_index,
     )
     from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
 
@@ -232,6 +233,7 @@ def main() -> None:
                 flat.state(spark)
             ),
             "serve_ivf_drift": lambda: ivf_drift_from_index(flat.state(spark), cents),
+            "serve_pq_recon": lambda: pq_recon_from_index(flat.state(spark), codebooks),
         }
 
         def run_read(make_df) -> float:

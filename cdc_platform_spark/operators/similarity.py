@@ -706,6 +706,33 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_recon_rollup(best: DataFrame) -> DataFrame:
+    """THE PQ reconstruction-error rollup over ``(sub, err)`` rows —
+    one definition shared by the batch ``sim_pq_recon_report`` and the
+    streaming ``pq_recon_from_index`` serving read.  ``err`` is the exact
+    integer squared L2 distance between a live subvector and its nearest
+    codeword, so the per-subspace aggregation is pure BIGINT arithmetic;
+    the mean is one deterministic double division of exact integers.
+    Rising error in a subspace = that codebook no longer fits the corpus
+    — the codebook-side trigger for ``rotate_ivf_pq_generation``
+    (complementing the coarse-quantizer drift of sim_ivf_drift_report)."""
+    return (
+        best.groupBy("sub")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("err").alias("_se"),
+            F.max("err").alias("max_err"),
+        )
+        .select(
+            "sub",
+            "n_vecs",
+            (F.col("_se").cast("double") / F.col("n_vecs")).alias("mean_err"),
+            "max_err",
+        )
+        .orderBy("sub")
+    )
+
+
 # --- product quantization --------------------------------------------------
 PQ_SUBS = 8  # subspaces (64-dim vector -> 8 x 8-dim subvectors)
 PQ_SUBDIM = DIM // PQ_SUBS
@@ -838,6 +865,55 @@ def train_pq_codebooks(subvecs: DataFrame, seeds: DataFrame) -> DataFrame:
         missing = cents.join(newc.select("sub", "cent_id"), ["sub", "cent_id"], "left_anti")
         cents = newc.unionByName(missing).localCheckpoint(eager=True)
     return cents
+
+
+@register(
+    "sim_pq_recon_report",
+    category="similarity",
+    doc=(
+        "PQ codebook FIT monitor: per subspace, the reconstruction error "
+        "of every vector against its nearest codeword — exact integer "
+        "squared L2 (sum of squared fixed-point diffs), so counts/max are "
+        "BIGINT-exact and the mean is one deterministic division. The "
+        "codebook-side retraining trigger: PQ codebooks are frozen at "
+        "train time, ADC quality decays silently as the corpus moves, and "
+        "a rising per-subspace error says WHICH codebook no longer fits. "
+        "Scale shape: broadcast subs*K codewords, map-side argmin, one "
+        "aggregate shuffling |subs| rows."
+    ),
+    oracle=f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        su AS (SELECT vec_id, CAST((i - 1) // {PQ_SUBDIM} AS BIGINT) AS sub,
+                      CAST((i - 1) % {PQ_SUBDIM} AS BIGINT) AS j, v
+               FROM u),
+        cents AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {PQ_K}
+        ),
+        {_PQ_TRAIN_CTES},
+        fd AS (
+            SELECT s.vec_id, s.sub, c.cent_id, SUM((s.v - c.cv) * (s.v - c.cv)) AS d
+            FROM su s JOIN {_PQ_FINAL} c ON s.sub = c.sub AND s.j = c.j
+            GROUP BY s.vec_id, s.sub, c.cent_id
+        ),
+        best AS (SELECT vec_id, sub, MIN(d) AS err FROM fd GROUP BY vec_id, sub)
+        SELECT sub, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(err) AS DOUBLE) / COUNT(*) AS mean_err,
+               CAST(MAX(err) AS BIGINT) AS max_err
+        FROM best GROUP BY sub ORDER BY sub
+    """,
+)
+def sim_pq_recon_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _fixed_embeddings(spark, sf_dir).localCheckpoint(eager=False)
+    sv = pq_subvectors(e.select("vec_id", "a"))
+    cb = train_pq_codebooks(sv, pq_seeds(e))
+    best = (
+        sv.join(F.broadcast(cb), "sub")
+        .select("vec_id", "sub", _l2_long(F.col("sa"), F.col("ca")).alias("d"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min("d").alias("err"))
+    )
+    return pq_recon_rollup(best)
 
 
 @register(

@@ -1203,6 +1203,93 @@ def sq_ivf_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_drift_from_index(sink.state(spark), cents)
 
 
+def _pq_recon_stream_oracle() -> str:
+    """Oracle for sq_pq_recon_stream: per-subspace reconstruction error
+    of the POST-CDC vectors against codebooks trained FROZEN on the
+    ORIGINAL table (the sim_pq_recon_report rollup over the post-CDC
+    subvectors)."""
+    from cdc_platform_spark.operators.dedup import ORACLE_EMB_UNNEST
+    from cdc_platform_spark.operators.similarity import (
+        _PQ_FINAL,
+        _PQ_TRAIN_CTES,
+        _cent_hash,
+        DIM,
+        PQ_K,
+        PQ_SUBDIM,
+    )
+
+    return f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        su AS (SELECT vec_id, CAST((i - 1) // {PQ_SUBDIM} AS BIGINT) AS sub,
+                      CAST((i - 1) % {PQ_SUBDIM} AS BIGINT) AS j, v
+               FROM u),
+        cents AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {PQ_K}
+        ),
+        {_PQ_TRAIN_CTES},
+        final AS (
+            SELECT vec_id, i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 <> 0
+            UNION ALL
+            SELECT vec_id, {DIM} + 1 - i AS i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 = 0
+        ),
+        fsu AS (SELECT vec_id, CAST((i - 1) // {PQ_SUBDIM} AS BIGINT) AS sub,
+                       CAST((i - 1) % {PQ_SUBDIM} AS BIGINT) AS j, v
+                FROM final),
+        fd AS (
+            SELECT s.vec_id, s.sub, c.cent_id, SUM((s.v - c.cv) * (s.v - c.cv)) AS d
+            FROM fsu s JOIN {_PQ_FINAL} c ON s.sub = c.sub AND s.j = c.j
+            GROUP BY s.vec_id, s.sub, c.cent_id
+        ),
+        best AS (SELECT vec_id, sub, MIN(d) AS err FROM fd GROUP BY vec_id, sub)
+        SELECT sub, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(err) AS DOUBLE) / COUNT(*) AS mean_err,
+               CAST(MAX(err) AS BIGINT) AS max_err
+        FROM best GROUP BY sub ORDER BY sub
+    """
+
+
+@register(
+    "sq_pq_recon_stream",
+    category="streaming",
+    doc=(
+        "PQ codebook FIT served from the maintained IVF-Flat index — the "
+        "codebook-side retraining trigger complementing "
+        "sq_ivf_drift_stream: the same embedding CDC stream drives "
+        "BucketedIvfFlatIndexSink while the per-subspace codebooks stay "
+        "FROZEN (trained on the original table), then pq_recon_from_index "
+        "reports per subspace the exact integer squared-L2 reconstruction "
+        "error of the live vectors against their nearest codeword — the "
+        "batch sim_pq_recon_report rollup (one shared definition). Must "
+        "equal the batch rollup over the post-CDC vectors under the "
+        "frozen codebooks."
+    ),
+    oracle=_pq_recon_stream_oracle(),
+)
+def sq_pq_recon_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.operators.similarity import (
+        pq_seeds,
+        pq_subvectors,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        pq_recon_from_index,
+    )
+
+    work = _workdir("sq_pqrecon_")
+    e, stream = _stage_embedding_cdc(spark, sf_dir, work)
+    cb = train_pq_codebooks(pq_subvectors(e.select("vec_id", "a")), pq_seeds(e))
+    sink = BucketedIvfFlatIndexSink(
+        f"{work}/index", train_ivf_centroids(e), n_buckets=8
+    )
+    _run_index_stream(stream, sink, work)
+    return pq_recon_from_index(sink.state(spark), cb)
+
+
 def _dedup_index_oracle() -> str:
     """Full-rebuild oracle for sq_dedup_index_stream: the batch
     dedup_minhash_lsh pair CTE chain evaluated over the POST-CDC live

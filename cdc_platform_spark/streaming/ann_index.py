@@ -936,3 +936,32 @@ def ivf_drift_from_index(state: DataFrame, centroids: DataFrame) -> DataFrame:
         ).alias("c"),
     )
     return ivf_drift_rollup(assigned)
+
+
+def pq_recon_from_index(vec_state: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """PQ codebook FIT served FROM the maintained IVF-Flat index — the
+    codebook-side retraining trigger complementing
+    :func:`ivf_drift_from_index`: per subspace, the exact integer squared
+    L2 reconstruction error of every LIVE vector against its nearest
+    FROZEN codeword (the batch ``sim_pq_recon_report`` rollup — one
+    shared ``pq_recon_rollup`` definition).
+
+    ``vec_state`` = :meth:`BucketedIvfFlatIndexSink.state` (vec_id, cell,
+    a).  Scale shape: broadcast subs*K codewords, map-side subvector
+    slice + argmin, one map-side-combinable aggregate shuffling |subs|
+    rows.  Rising error in a subspace under CDC while the codebooks stay
+    frozen = schedule :func:`rotate_ivf_pq_generation`."""
+    from cdc_platform_spark.operators.similarity import (
+        _l2_long,
+        pq_recon_rollup,
+        pq_subvectors,
+    )
+
+    sv = pq_subvectors(vec_state.select("vec_id", "a"))
+    best = (
+        sv.join(F.broadcast(codebooks), "sub")
+        .select("vec_id", "sub", _l2_long(F.col("sa"), F.col("ca")).alias("d"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min("d").alias("err"))
+    )
+    return pq_recon_rollup(best)
