@@ -257,9 +257,12 @@ class BucketedMinHashIndexSink:
             ),
         )
 
-    def write(self, batch: DataFrame) -> None:
+    def write(self, batch: DataFrame) -> bool:
+        """Returns True if the batch was applied, False for the empty-batch
+        no-op — so subclasses composing extra maintained views skip their
+        own work without re-running the emptiness probe."""
         if not batch.take(1):
-            return  # empty/replayed-out micro-batch: all three views unchanged
+            return False  # empty/replayed-out micro-batch: views unchanged
         self._recover()
         spark = batch.sparkSession
         nb = F.lit(self.n_buckets)
@@ -428,6 +431,7 @@ class BucketedMinHashIndexSink:
         finally:
             for df in persisted:
                 df.unpersist()
+        return True
 
     def compact(self, spark: SparkSession, tombstone_horizon: int | None = None) -> None:
         """Maintenance pass (the L3-compaction analogue for this view):
@@ -579,11 +583,21 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         _recover_swapped_dir(self.bench_path)
         self.hit_store._recover()
 
-    def write(self, batch: DataFrame) -> None:
-        if not batch.take(1):
-            return
-        super().write(batch)
+    def write(self, batch: DataFrame) -> bool:
+        if not super().write(batch):
+            return False
         self._maintain_decon_hits(batch)
+        return True
+
+    def _decon_state_is_legacy(self) -> bool:
+        """True when the index holds state written BEFORE the maintained
+        decontamination views existed (round 8 and earlier): index present
+        but no bench mirror.  The mirror is created by the first
+        bench-touching write under the current code, so its absence next
+        to a populated index means the leak view cannot be trusted —
+        reads fall back to the per-read derive and the next write
+        bootstraps the maintained form."""
+        return self.index.exists() and not os.path.isdir(self.bench_path)
 
     def _bench_gram_rows(self, spark: SparkSession) -> DataFrame:
         """(bench_id, gh) rows of the LIVE benchmark mirror — O(bench)."""
@@ -630,16 +644,32 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
 
         try:
             bench_touched = touched.filter(is_bench)
-            if bench_touched.take(1):
+            # full-rebuild branch also fires when the state predates the
+            # maintained views (pre-mirror dirs): the first write under
+            # the current code bootstraps mirror + leak view from the
+            # index, after which the mirror dir existing (even empty)
+            # routes every bench-free batch through the incremental path
+            if bench_touched.take(1) or self._decon_state_is_legacy():
                 # bench side changed: upsert the tiny mirror, then rebuild
-                tbb = bench_touched.select(F.pmod(F.hash("doc_id"), nb).alias("bucket"))
-                post_bench = (
-                    self.index.pruned_read(spark, tbb)
-                    .join(F.broadcast(bench_touched), "doc_id", "leftsemi")
-                    .select("doc_id", "offset", "op", "decon_grams")
-                )
-                content = post_bench
-                if os.path.isdir(self.bench_path):
+                if self._decon_state_is_legacy():
+                    # bootstrap (pre-mirror state dir or first-ever batch):
+                    # the mirror is the POST-MERGE index's whole bench
+                    # partition — building it from the touched set alone
+                    # would miss bench docs written by older code
+                    content = (
+                        self.index.raw_state(spark)
+                        .filter(is_bench)
+                        .select("doc_id", "offset", "op", "decon_grams")
+                    )
+                else:
+                    tbb = bench_touched.select(
+                        F.pmod(F.hash("doc_id"), nb).alias("bucket")
+                    )
+                    post_bench = (
+                        self.index.pruned_read(spark, tbb)
+                        .join(F.broadcast(bench_touched), "doc_id", "leftsemi")
+                        .select("doc_id", "offset", "op", "decon_grams")
+                    )
                     content = (
                         spark.read.parquet(self.bench_path)
                         .join(F.broadcast(bench_touched), "doc_id", "leftanti")
@@ -815,6 +845,27 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         surv = self.curated(spark)
         is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
         out = surv.filter(~is_bench)
+        if self._decon_state_is_legacy():
+            # state dir written before the maintained views existed: the
+            # leak view cannot be trusted until the next write bootstraps
+            # it, so fall back to the per-read derive over the stored
+            # grams (the round-8 read — correct, just O(corpus tokens))
+            g = (
+                spark.read.parquet(self.index.path)
+                .filter(F.col("op") != "d")
+                .select("doc_id", "decon_grams")
+            )
+            bench_grams = (
+                g.filter(is_bench).select(F.explode("decon_grams").alias("gh")).distinct()
+            )
+            hits = (
+                g.filter(~is_bench)
+                .select("doc_id", F.explode("decon_grams").alias("gh"))
+                .join(F.broadcast(bench_grams), "gh", "leftsemi")
+                .select("doc_id")
+                .distinct()
+            )
+            return out.join(hits, "doc_id", "leftanti")
         if not self.hit_store.exists():
             return out
         hits = (
@@ -844,6 +895,19 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         from cdc_platform_spark.operators.text import contamination_rollup
 
         self._recover()
+        if self._decon_state_is_legacy():
+            # pre-mirror state dir: per-read derive from the stored grams
+            # (the round-8 read) until the next write bootstraps the views
+            from cdc_platform_spark.operators.text import (
+                contamination_report_from_grams,
+            )
+
+            g = (
+                spark.read.parquet(self.index.path)
+                .filter(F.col("op") != "d")
+                .select("doc_id", F.col("decon_grams").alias("grams"))
+            )
+            return contamination_report_from_grams(g)
         if not os.path.isdir(self.bench_path):
             return spark.createDataFrame(
                 [],

@@ -666,3 +666,59 @@ def test_shard_manifest_decontaminated_composition(spark, tmp_path, cdc_rows):
     # the default manifest covers MORE docs (bench + contaminated kept)
     n_default = sum(r[1] for r in sink.shard_manifest(spark).collect())
     assert n_default > sum(r[1] for r in got)
+
+
+def test_decon_reads_survive_pre_mirror_state_dirs(spark, tmp_path):
+    """A state directory written BEFORE the maintained decontamination
+    views existed (no bench_grams/ mirror, no decon_leaks/ store) must
+    not silently degrade: reads fall back to the per-read gram derive,
+    and the next write — bench-touching or not — bootstraps the
+    maintained views from the index."""
+    import shutil
+
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    schema = "doc_id long, offset long, op string, text string"
+    bench_words = [f"bench{i}" for i in range(25)]
+    dirty = bench_words[:8] + [f"alpha{i}" for i in range(17)]
+    clean = [f"beta{i}" for i in range(25)]
+    rows = spark.createDataFrame(
+        [
+            (97, 10, "c", " ".join(bench_words)),
+            (1, 10, "c", " ".join(dirty)),
+            (2, 10, "c", " ".join(clean)),
+        ],
+        schema,
+    )
+    sink = CuratedCorpusSink(str(tmp_path / "c"), n_buckets=8)
+    sink.write(rows)
+    expected = sorted(map(tuple, sink.decontaminated(spark).collect()))
+    expected_report = sorted(map(tuple, sink.contamination_report(spark).collect()))
+    assert [r[0] for r in expected] == [2] and expected_report
+
+    # simulate the pre-round-9 writer: index/bands/pairs present, the
+    # maintained decon views never created
+    shutil.rmtree(sink.bench_path)
+    shutil.rmtree(sink.hit_store.path)
+    assert sink._decon_state_is_legacy()
+    assert sorted(map(tuple, sink.decontaminated(spark).collect())) == expected
+    assert (
+        sorted(map(tuple, sink.contamination_report(spark).collect()))
+        == expected_report
+    )
+
+    # any write bootstraps the maintained form — even one touching no
+    # bench doc — after which the views serve without the fallback
+    sink.write(
+        spark.createDataFrame(
+            [(3, 11, "c", " ".join(f"gamma{i}" for i in range(25)))], schema
+        )
+    )
+    assert not sink._decon_state_is_legacy()
+    assert sink.hit_store.exists()
+    got = sorted(r["doc_id"] for r in sink.decontaminated(spark).collect())
+    assert got == [2, 3]
+    assert (
+        sorted(map(tuple, sink.contamination_report(spark).collect()))
+        == expected_report
+    )
