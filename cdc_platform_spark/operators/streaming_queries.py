@@ -2294,6 +2294,125 @@ def _curated_shards_oracle() -> str:
     """
 
 
+def _curated_export_oracle() -> str:
+    """Oracle for sq_curated_export_stream: the decontaminated funnel
+    survivors joined back to their post-CDC text with the stable shard
+    assignment — the rows a training run actually tokenizes."""
+    from cdc_platform_spark.operators.dedup import (
+        _ORACLE_MINHASH_PAIR_CTES,
+        ORACLE_MD5_60BIT,
+    )
+    from cdc_platform_spark.operators.text import (
+        _DECON_GRAMS_DUCK,
+        CURATION_MIN_DISTINCT_RATIO,
+        CURATION_MIN_WORDS,
+        DECON_BENCH_MOD,
+    )
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    ctes = _ORACLE_MINHASH_PAIR_CTES.replace("FROM documents", "FROM docs_live")
+    shard = ORACLE_MD5_60BIT.format(x="CAST(q.doc_id AS VARCHAR)")
+    return f"""
+        WITH docs_live AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' spark dedup stream spark dedup stream'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 3
+        ),
+        {ctes},
+        qdocs AS (
+            SELECT doc_id, str_split(text, ' ') AS words, md5(text) AS content_md5
+            FROM docs_live
+        ),
+        qual AS (
+            SELECT doc_id, content_md5,
+                   CAST(len(words) AS BIGINT) AS n_words
+            FROM qdocs
+            WHERE len(words) >= {CURATION_MIN_WORDS}
+              AND CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                  >= {CURATION_MIN_DISTINCT_RATIO}
+        ),
+        qcanon AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+                FROM qual) WHERE rn = 1
+        ),
+        suppressed AS (SELECT DISTINCT db AS doc_id FROM scored),
+        dg AS (
+            SELECT doc_id, {ORACLE_MD5_60BIT.format(x="gram")} AS gh
+            FROM (SELECT doc_id, unnest({_DECON_GRAMS_DUCK}) AS gram FROM qdocs)
+        ),
+        bench AS (SELECT DISTINCT gh FROM dg WHERE doc_id % {DECON_BENCH_MOD} = 0),
+        hits AS (
+            SELECT DISTINCT c.doc_id FROM dg c JOIN bench b USING (gh)
+            WHERE c.doc_id % {DECON_BENCH_MOD} <> 0
+        )
+        SELECT q.doc_id, {shard} % {CuratedCorpusSink.N_SHARDS} AS shard_id,
+               q.n_words, t.text
+        FROM qcanon q
+        JOIN docs_live t ON t.doc_id = q.doc_id
+        LEFT JOIN suppressed s ON q.doc_id = s.doc_id
+        LEFT JOIN hits h ON q.doc_id = h.doc_id
+        WHERE s.doc_id IS NULL AND h.doc_id IS NULL
+          AND q.doc_id % {DECON_BENCH_MOD} <> 0
+        ORDER BY q.doc_id
+    """
+
+
+@register(
+    "sq_curated_export_stream",
+    category="streaming",
+    doc=(
+        "The training EXPORT read — export_docs(decontaminated=True): "
+        "(doc_id, shard_id, n_words, text) for every decontaminated "
+        "curated survivor, the stable-hash shard assignment of "
+        "shard_manifest, served from the maintained corpus state after "
+        "the same document CDC stream as sq_corpus_curation_stream. "
+        "Every other serving read avoids the text column by design; this "
+        "is the one read whose job IS the text — the rows a training run "
+        "tokenizes. Must equal the batch funnel composed with "
+        "decontamination, joined back to the post-CDC text."
+    ),
+    oracle=_curated_export_oracle(),
+)
+def sq_curated_export_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    work = _workdir("sq_curated_export_")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    off = F.col("doc_id") + F.lit(100000000)
+    wave0 = d.select(
+        "doc_id", F.col("doc_id").alias("offset"), F.lit("c").alias("op"), "text"
+    )
+    upd = d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 3)).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("u").alias("op"),
+        F.concat(F.col("text"), F.lit(" spark dedup stream spark dedup stream")).alias("text"),
+    )
+    dels = d.filter(F.col("doc_id") % 11 == 3).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("d").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    src = f"{work}/source"
+    wave0.unionByName(upd).unionByName(dels).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, offset long, op string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = CuratedCorpusSink(f"{work}/corpus")
+    _run_index_stream(stream, sink, work)
+    return sink.export_docs(spark, decontaminated=True).orderBy("doc_id")
+
+
 @register(
     "sq_curated_shards_stream",
     category="streaming",

@@ -1040,6 +1040,30 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
             )
         )
 
+    def export_docs(self, spark: SparkSession, decontaminated: bool = False) -> DataFrame:
+        """The training EXPORT read itself — (doc_id, shard_id, n_words,
+        text) for every curated (or decontaminated) survivor, with the
+        same stable shard assignment as ``shard_manifest``.  Every other
+        serving read deliberately never touches the text column; this is
+        the one read whose JOB is the text, the rows a training run
+        actually tokenizes.  Scale shape: the survivor set and the index
+        are bucketed by the same ``pmod(hash(doc_id), n)``, so the
+        text join is storage-aligned on a bucketed catalog (strategy left
+        to AQE — the survivor side is corpus-proportional); the text scan
+        is column-pruned to (doc_id, text) and the export is typically
+        written straight back out partitioned by shard_id, touching each
+        text value exactly once."""
+        surv = self.decontaminated(spark) if decontaminated else self.curated(spark)
+        txt = (
+            spark.read.parquet(self.index.path)
+            .filter(F.col("op") != "d")
+            .select("doc_id", "text")
+        )
+        shard = F.pmod(md5_60bit(F.col("doc_id").cast("string")), F.lit(self.N_SHARDS))
+        return surv.join(txt, "doc_id").select(
+            "doc_id", shard.alias("shard_id"), "n_words", "text"
+        )
+
     def curated_unified(self, spark: SparkSession, neighbor_view: DataFrame) -> DataFrame:
         """The curated corpus with BOTH dedup signals applied — the funnel
         a real pretraining pipeline runs: text-level near-dup suppression
