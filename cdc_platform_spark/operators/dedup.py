@@ -897,6 +897,89 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_representatives",
+    category="dedup",
+    doc=(
+        "Near-dup cluster REPRESENTATIVE selection by quality: per "
+        "connected component of the MinHash-LSH pair graph, keep the "
+        "longest member (word count, ties to the lowest doc_id) — the "
+        "policy production dedup actually ships (keep the best copy, not "
+        "the lowest id; c4/RefinedWeb keep longest/cleanest). Output "
+        "(cluster_id, rep_doc_id, rep_n_words, n_members). Scale shape: "
+        "components via pointer-jumping label propagation (no driver "
+        "loop over members), the quality join touches only clustered "
+        "docs, selection is one max_by per cluster — map-side "
+        "combinable, shuffle bounded by the clustered subset."
+    ),
+    oracle=f"""
+        WITH RECURSIVE {_ORACLE_MINHASH_PAIR_CTES},
+        sym AS (
+            SELECT da AS s, db AS d FROM scored
+            UNION
+            SELECT db, da FROM scored
+        ),
+        reach(s, d) AS (
+            SELECT s, d FROM sym
+            UNION
+            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+        ),
+        comp AS (
+            SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+            FROM reach GROUP BY s
+        ),
+        scored_docs AS (
+            SELECT c.cluster_id, c.doc_id,
+                   CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_words
+            FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+        )
+        SELECT cluster_id,
+               doc_id AS rep_doc_id,
+               n_words AS rep_n_words,
+               n_members
+        FROM (
+            SELECT cluster_id, doc_id, n_words,
+                   CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY n_words DESC, doc_id) AS rn
+            FROM scored_docs)
+        WHERE rn = 1
+        ORDER BY cluster_id
+    """,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    pairs = _minhash_pairs(spark, sf_dir)
+    comp = connected_components(pairs.select("doc_a", "doc_b")).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    scored_docs = comp.join(
+        d.select("doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words")),
+        "doc_id",
+    )
+    return (
+        scored_docs.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_words"),
+                    (-F.col("doc_id")).alias("nt"),
+                    F.col("doc_id"),
+                )
+            ).alias("b"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            F.col("b.doc_id").alias("rep_doc_id"),
+            F.col("b.n_words").alias("rep_n_words"),
+            "n_members",
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # --- cross-document duplicated-span detection ------------------------------
 SPAN_NGRAM = 5  # word-window width for span fingerprints
 SPAN_FLAG_THRESHOLD = 0.5  # flag docs where > half their spans are shared
