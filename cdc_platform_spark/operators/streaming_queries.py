@@ -2240,6 +2240,106 @@ def sq_dedup_clusters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.clusters(spark).orderBy("doc_id")
 
 
+def _cluster_reps_stream_oracle() -> str:
+    """Oracle for sq_cluster_reps_stream: the batch
+    dedup_cluster_representatives policy (longest member per component,
+    ties to the lowest doc_id) over the POST-CDC live documents."""
+    from cdc_platform_spark.operators.dedup import _ORACLE_MINHASH_PAIR_CTES
+
+    ctes = _ORACLE_MINHASH_PAIR_CTES.replace("FROM documents", "FROM docs_live")
+    return f"""
+        WITH RECURSIVE docs_live AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' spark dedup stream spark dedup stream'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 3
+        ),
+        {ctes},
+        sym AS (
+            SELECT da AS s, db AS d FROM scored
+            UNION
+            SELECT db, da FROM scored
+        ),
+        reach(s, d) AS (
+            SELECT s, d FROM sym
+            UNION
+            SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+        ),
+        comp AS (
+            SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+            FROM reach GROUP BY s
+        ),
+        scored_docs AS (
+            SELECT c.cluster_id, c.doc_id,
+                   CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_words
+            FROM comp c JOIN docs_live d ON d.doc_id = c.doc_id
+        )
+        SELECT cluster_id, doc_id AS rep_doc_id, n_words AS rep_n_words, n_members
+        FROM (
+            SELECT cluster_id, doc_id, n_words,
+                   CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY n_words DESC, doc_id) AS rn
+            FROM scored_docs)
+        WHERE rn = 1
+        ORDER BY cluster_id
+    """
+
+
+@register(
+    "sq_cluster_reps_stream",
+    category="streaming",
+    doc=(
+        "Quality-based cluster representatives served from maintained "
+        "state: the document CDC stream drives CuratedCorpusSink, then "
+        "cluster_representatives() picks the longest member per near-dup "
+        "component (ties to the lowest doc_id — the batch "
+        "dedup_cluster_representatives policy) with components from the "
+        "maintained pair view and lengths from the WRITE-TIME n_words "
+        "column — the read never re-tokenizes text. Must equal the batch "
+        "policy over the post-CDC live documents."
+    ),
+    oracle=_cluster_reps_stream_oracle(),
+)
+def sq_cluster_reps_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    work = _workdir("sq_cluster_reps_")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    off = F.col("doc_id") + F.lit(100000000)
+    wave0 = d.select(
+        "doc_id", F.col("doc_id").alias("offset"), F.lit("c").alias("op"), "text"
+    )
+    upd = d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 3)).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("u").alias("op"),
+        F.concat(F.col("text"), F.lit(" spark dedup stream spark dedup stream")).alias("text"),
+    )
+    dels = d.filter(F.col("doc_id") % 11 == 3).select(
+        "doc_id",
+        off.alias("offset"),
+        F.lit("d").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    src = f"{work}/source"
+    wave0.unionByName(upd).unionByName(dels).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, offset long, op string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = CuratedCorpusSink(f"{work}/corpus")
+    _run_index_stream(stream, sink, work)
+    return sink.cluster_representatives(spark).orderBy("cluster_id")
+
+
 def _curated_shards_oracle() -> str:
     """Oracle for sq_curated_shards_stream: the batch curation funnel over
     the post-CDC live documents, grouped into stable md5-hash shards with

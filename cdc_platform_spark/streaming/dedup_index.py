@@ -1040,6 +1040,40 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
             )
         )
 
+    def cluster_representatives(self, spark: SparkSession) -> DataFrame:
+        """Quality-based cluster representatives from MAINTAINED state —
+        the batch ``dedup_cluster_representatives`` policy (longest
+        member per near-dup component, ties to the lowest doc_id) with
+        the quality signal read from the WRITE-TIME ``n_words`` column:
+        components come from the maintained pair view, lengths from the
+        stored metrics — the read never re-tokenizes text.  One
+        O(pairs · log diameter) components pass + one map-side-combinable
+        max_by per cluster."""
+        comp = self.clusters(spark)
+        nw = (
+            spark.read.parquet(self.index.path)
+            .filter(F.col("op") != "d")
+            .select("doc_id", F.col("n_words").cast("long").alias("n_words"))
+        )
+        return (
+            comp.join(nw, "doc_id")
+            .groupBy("cluster_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("n_words"), (-F.col("doc_id")).alias("nt"), F.col("doc_id")
+                    )
+                ).alias("b"),
+                F.count(F.lit(1)).alias("n_members"),
+            )
+            .select(
+                "cluster_id",
+                F.col("b.doc_id").alias("rep_doc_id"),
+                F.col("b.n_words").alias("rep_n_words"),
+                "n_members",
+            )
+        )
+
     def export_docs(self, spark: SparkSession, decontaminated: bool = False) -> DataFrame:
         """The training EXPORT read itself — (doc_id, shard_id, n_words,
         text) for every curated (or decontaminated) survivor, with the
