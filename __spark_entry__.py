@@ -108,6 +108,9 @@ _REVERIFY = {
     "sq_contamination_report_stream",
     "sq_curated_shards_stream",
     "sq_unified_curation_stream",
+    # round 9: CDC wave staging factored into _stage_document_cdc
+    "sq_dedup_index_stream",
+    "sq_dedup_clusters_stream",
 }
 _REVERIFY_ASOF = "CORRECTNESS_r08.json"  # last pre-change correctness file
 

@@ -599,12 +599,16 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         bootstraps the maintained form."""
         return self.index.exists() and not os.path.isdir(self.bench_path)
 
-    def _bench_gram_rows(self, spark: SparkSession) -> DataFrame:
-        """(bench_id, gh) rows of the LIVE benchmark mirror — O(bench)."""
-        if not os.path.isdir(self.bench_path):
+    def _bench_gram_rows(self, spark: SparkSession, path: str | None = None) -> DataFrame:
+        """(bench_id, gh) rows of the LIVE benchmark mirror — O(bench).
+        ``path`` overrides the read location (the rebuild path derives the
+        gram set from the NOT-YET-SWAPPED tmp mirror, see
+        ``_maintain_decon_hits``)."""
+        p = path or self.bench_path
+        if not os.path.isdir(p):
             return spark.createDataFrame([], "bench_id long, gh long")
         return (
-            spark.read.parquet(self.bench_path)
+            spark.read.parquet(p)
             .filter(F.col("op") != "d")
             .select(
                 F.col("doc_id").alias("bench_id"), F.explode("decon_grams").alias("gh")
@@ -633,10 +637,10 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
             batch.filter(F.col("op").isNotNull()).select("doc_id").distinct().persist()
         )
 
-        def triples(live_rows: DataFrame) -> DataFrame:
+        def triples(live_rows: DataFrame, bench_path: str | None = None) -> DataFrame:
             return (
                 live_rows.select("doc_id", F.explode("decon_grams").alias("gh"))
-                .join(F.broadcast(self._bench_gram_rows(spark)), "gh")
+                .join(F.broadcast(self._bench_gram_rows(spark, bench_path)), "gh")
                 .select("doc_id", "bench_id", "gh")
                 .withColumn("bucket", F.pmod(F.hash("doc_id"), nb))
                 .withColumn("dead", F.lit(False))
@@ -675,15 +679,25 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
                         .join(F.broadcast(bench_touched), "doc_id", "leftanti")
                         .unionByName(post_bench)
                     )
+                # ORDER MATTERS for crash healing: the leak view rewrites
+                # FIRST (derived from the not-yet-swapped tmp mirror), the
+                # mirror swap commits LAST.  A crash before the rewrite
+                # leaves the mirror unswapped, so the replay re-enters this
+                # branch (legacy check / bench_touched replays identically);
+                # a crash between rewrite and swap likewise replays into a
+                # deterministic re-rebuild.  Swapping the mirror first
+                # would flip _decon_state_is_legacy() to False mid-crash
+                # and route the replay down the incremental path with the
+                # leak view never rebuilt.
                 tmp = f"{self.bench_path}.tmp-{uuid.uuid4().hex}"
                 content.coalesce(1).write.mode("overwrite").parquet(tmp)
-                _commit_swap(self.bench_path, tmp)
                 live = self.index.raw_state(spark).filter(
                     (F.col("op") != "d") & ~is_bench
                 )
                 self.hit_store.rewrite_all(
-                    triples(live).repartition(self.n_buckets, "bucket")
+                    triples(live, bench_path=tmp).repartition(self.n_buckets, "bucket")
                 )
+                _commit_swap(self.bench_path, tmp)
                 return
             # incremental path: bench set unchanged, touched docs re-scored
             # from their post-merge rows only
@@ -1049,6 +1063,12 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         stored metrics — the read never re-tokenizes text.  One
         O(pairs · log diameter) components pass + one map-side-combinable
         max_by per cluster."""
+        self._recover()
+        if not self.index.exists():
+            return spark.createDataFrame(
+                [],
+                "cluster_id long, rep_doc_id long, rep_n_words long, n_members long",
+            )
         comp = self.clusters(spark)
         nw = (
             spark.read.parquet(self.index.path)
@@ -1087,6 +1107,11 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         is column-pruned to (doc_id, text) and the export is typically
         written straight back out partitioned by shard_id, touching each
         text value exactly once."""
+        self._recover()
+        if not self.index.exists():
+            return spark.createDataFrame(
+                [], "doc_id long, shard_id long, n_words long, text string"
+            )
         surv = self.decontaminated(spark) if decontaminated else self.curated(spark)
         txt = (
             spark.read.parquet(self.index.path)

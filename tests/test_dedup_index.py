@@ -722,3 +722,55 @@ def test_decon_reads_survive_pre_mirror_state_dirs(spark, tmp_path):
         sorted(map(tuple, sink.contamination_report(spark).collect()))
         == expected_report
     )
+
+
+def test_decon_bootstrap_crash_between_rewrite_and_swap_heals(
+    spark, tmp_path, monkeypatch
+):
+    """Crash injected between the leak-view rewrite and the bench-mirror
+    swap during the bootstrap/rebuild branch: the mirror stays unswapped,
+    so the replayed batch re-enters the rebuild branch and converges —
+    the ordering invariant the round-9 review pinned (swapping the mirror
+    first would route the replay down the incremental path with the leak
+    view never rebuilt)."""
+    import cdc_platform_spark.streaming.dedup_index as dx
+
+    schema = "doc_id long, offset long, op string, text string"
+    bench_words = [f"bench{i}" for i in range(25)]
+    dirty = bench_words[:8] + [f"alpha{i}" for i in range(17)]
+    clean = [f"beta{i}" for i in range(25)]
+    rows = spark.createDataFrame(
+        [
+            (97, 10, "c", " ".join(bench_words)),
+            (1, 10, "c", " ".join(dirty)),
+            (2, 10, "c", " ".join(clean)),
+        ],
+        schema,
+    )
+    sink = dx.CuratedCorpusSink(str(tmp_path / "c"), n_buckets=8)
+
+    real_swap = dx._commit_swap
+    calls = {"n": 0}
+
+    def crashing_swap(path, tmp):
+        if path == sink.bench_path:
+            calls["n"] += 1
+            raise RuntimeError("injected crash before mirror swap")
+        return real_swap(path, tmp)
+
+    monkeypatch.setattr(dx, "_commit_swap", crashing_swap)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sink.write(rows)
+    assert calls["n"] == 1
+    monkeypatch.setattr(dx, "_commit_swap", real_swap)
+
+    # the mirror never swapped -> reads take the legacy fallback (correct)
+    assert sink._decon_state_is_legacy()
+    assert sorted(r["doc_id"] for r in sink.decontaminated(spark).collect()) == [2]
+    # at-least-once replay of the SAME batch heals everything
+    sink.write(rows)
+    assert not sink._decon_state_is_legacy()
+    assert sorted(r["doc_id"] for r in sink.decontaminated(spark).collect()) == [2]
+    assert sorted(
+        r["bench_id"] for r in sink.contamination_report(spark).collect()
+    ) == [97]
