@@ -377,6 +377,12 @@ def test_views_serve_empty_before_first_commit(spark, tmp_path):
     corpus = CuratedCorpusSink(str(tmp_path / "c"), n_buckets=8)
     assert corpus.curated(spark).count() == 0
     assert corpus.pairs(spark).count() == 0
+    assert corpus.decontaminated(spark).count() == 0
+    assert corpus.contamination_report(spark).count() == 0
+    assert corpus.cluster_representatives(spark).count() == 0
+    assert corpus.export_docs(spark).count() == 0
+    assert corpus.export_docs(spark, decontaminated=True).count() == 0
+    assert corpus.mix_sample(spark).count() == 0
     nn = CosineNeighborIndexSink(str(tmp_path / "n"), n_buckets=8)
     assert nn.view(spark).count() == 0
 
