@@ -2417,7 +2417,616 @@ def sq_unified_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = _workdir("sq_unicur_")
     # document CDC -> curated-corpus sink (same staging as the curation query)
-    stream = _stage_document_cdc(spark, sf_dir, work)
+    dstream = _stage_document_cdc(spark, sf_dir, f"{work}/docs")
+    corpus = CuratedCorpusSink(f"{work}/corpus")
+    _run_index_stream(dstream, corpus, f"{work}/dck")
+
+    # embedding CDC -> best-neighbor sink (same staging as the ANN queries)
+    _e, estream = _stage_embedding_cdc(spark, sf_dir, f"{work}/emb")
+    nn = CosineNeighborIndexSink(f"{work}/nn")
+    _run_index_stream(estream, nn, f"{work}/eck")
+
+    return corpus.curated_unified(spark, nn.view(spark)).orderBy("doc_id")
+
+
+def _ann_index_pq_oracle() -> str:
+    """Full-rebuild oracle for sq_ann_index_pq_stream: IVF coarse
+    quantizer AND per-subspace PQ codebooks trained on the ORIGINAL
+    table (frozen), then the POST-CDC vectors are (a) assigned to their
+    max-cosine cell and (b) encoded as min-L2 codes per subspace,
+    codes packed into the same CSV serialization the sink emits."""
+    from cdc_platform_spark.operators.dedup import ORACLE_EMB_UNNEST
+    from cdc_platform_spark.operators.similarity import (
+        _CENT_FINAL,
+        _PQ_FINAL_NS,
+        _PQ_TRAIN_CTES_NS,
+        _TRAIN_CTES,
+        _cent_hash,
+        DIM,
+        N_CELLS,
+        PQ_K,
+        PQ_SUBDIM,
+    )
+
+    return f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        norms AS (SELECT vec_id, SUM(v * v) AS n FROM u GROUP BY vec_id),
+        cents AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {N_CELLS}
+        ),
+        cu AS (SELECT u.* FROM u JOIN cents ON u.vec_id = cents.cent_id),
+        {_TRAIN_CTES},
+        ncf AS (SELECT cent_id, SUM(cv * cv) AS n FROM {_CENT_FINAL} GROUP BY cent_id),
+        su AS (SELECT vec_id, CAST((i - 1) // {PQ_SUBDIM} AS BIGINT) AS sub,
+                      CAST((i - 1) % {PQ_SUBDIM} AS BIGINT) AS j, v
+               FROM u),
+        pqseeds AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {PQ_K}
+        ),
+        {_PQ_TRAIN_CTES_NS},
+        final AS (
+            SELECT vec_id, i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 <> 0
+            UNION ALL
+            SELECT vec_id, {DIM} + 1 - i AS i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 = 0
+        ),
+        fnorms AS (SELECT vec_id, SUM(v * v) AS n FROM final GROUP BY vec_id),
+        fdots AS (
+            SELECT x.vec_id, c.cent_id, SUM(x.v * c.cv) AS d
+            FROM final x JOIN {_CENT_FINAL} c ON x.i = c.i
+            GROUP BY x.vec_id, c.cent_id
+        ),
+        fcos AS (
+            SELECT v.vec_id, v.cent_id, v.d / (sqrt(nx.n) * sqrt(nc.n)) AS c
+            FROM fdots v JOIN fnorms nx ON v.vec_id = nx.vec_id
+                         JOIN ncf nc ON v.cent_id = nc.cent_id
+        ),
+        cell_assign AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT vec_id, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM fcos) WHERE rn = 1
+        ),
+        suf AS (SELECT vec_id, CAST((i - 1) // {PQ_SUBDIM} AS BIGINT) AS sub,
+                       CAST((i - 1) % {PQ_SUBDIM} AS BIGINT) AS j, v
+                FROM final),
+        fd2 AS (
+            SELECT s.vec_id, s.sub, c.cent_id, SUM((s.v - c.cv) * (s.v - c.cv)) AS d
+            FROM suf s JOIN {_PQ_FINAL_NS} c ON s.sub = c.sub AND s.j = c.j
+            GROUP BY s.vec_id, s.sub, c.cent_id
+        ),
+        enc AS (
+            SELECT vec_id, sub, cent_id FROM (
+                SELECT vec_id, sub, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cent_id) AS rn
+                FROM fd2) WHERE rn = 1
+        ),
+        ranks AS (
+            SELECT cent_id, ROW_NUMBER() OVER (ORDER BY cent_id) - 1 AS code FROM pqseeds
+        ),
+        code_strs AS (
+            SELECT enc.vec_id,
+                   string_agg(CAST(ranks.code AS VARCHAR), ',' ORDER BY enc.sub) AS codes
+            FROM enc JOIN ranks ON enc.cent_id = ranks.cent_id
+            GROUP BY enc.vec_id
+        )
+        SELECT a.vec_id, a.cent_id AS cell, c.codes
+        FROM cell_assign a JOIN code_strs c ON a.vec_id = c.vec_id
+        ORDER BY a.vec_id
+    """
+
+
+@register(
+    "sq_ann_index_pq_stream",
+    category="streaming",
+    doc=(
+        "The full production ANN index (IVF-PQ composite) as an "
+        "incrementally-maintained materialized view: coarse quantizer and "
+        "per-subspace PQ codebooks are Lloyd-trained once on the base "
+        "table and frozen, then the same embedding CDC stream as "
+        "sq_ann_index_stream is driven availableNow through "
+        "BucketedIvfPqIndexSink — each micro-batch assigns cells AND "
+        "encodes 8-byte PQ codes for ONLY its own vectors (broadcast "
+        "codebooks, exact-integer argmin), deletes tombstone, and the "
+        "per-bucket copy-on-write merge (DPP-pruned state scan, journaled "
+        "atomic multi-bucket commit) rewrites only the buckets the batch's "
+        "vectors hash into — the 100 TB layout of the exact (cell, codes) "
+        "artifact sim_ann_ivf_pq queries. The final index must equal a "
+        "from-scratch rebuild over the post-CDC vectors (IVF assignment + "
+        "PQ encode oracle)."
+    ),
+    oracle=_ann_index_pq_oracle(),
+)
+def sq_ann_index_pq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.operators.similarity import (
+        pq_seeds,
+        pq_subvectors,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from cdc_platform_spark.streaming.ann_index import BucketedIvfPqIndexSink
+
+    work = _workdir("sq_annpq_")
+    e, stream = _stage_embedding_cdc(spark, sf_dir, work)
+    seeds = pq_seeds(e)
+    codebooks = train_pq_codebooks(pq_subvectors(e.select("vec_id", "a")), seeds)
+    ranks = seeds.withColumn(
+        "code", (F.row_number().over(Window.orderBy("cent_id")) - 1).cast("long")
+    )
+    sink = BucketedIvfPqIndexSink(
+        f"{work}/index", train_ivf_centroids(e), codebooks, ranks
+    )
+    _run_index_stream(stream, sink, work)
+    return sink.state(spark).orderBy("vec_id")
+
+
+def _ann_search_oracle() -> str:
+    """Oracle for sq_ann_search_from_index: the sim_ann_ivf search recipe
+    (frozen-quantizer probe + cell equi-join + exact cosine top-k)
+    evaluated over the POST-CDC corpus — exactly what serving from the
+    maintained index must equal."""
+    from cdc_platform_spark.operators.dedup import ORACLE_EMB_UNNEST
+    from cdc_platform_spark.operators.similarity import (
+        _CENT_FINAL,
+        _TRAIN_CTES,
+        _cent_hash,
+        DIM,
+        N_CELLS,
+        N_PROBE,
+        N_PROBES,
+        TOP_K,
+    )
+
+    return f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        norms AS (SELECT vec_id, SUM(v * v) AS n FROM u GROUP BY vec_id),
+        cents AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {N_CELLS}
+        ),
+        cu AS (SELECT u.* FROM u JOIN cents ON u.vec_id = cents.cent_id),
+        {_TRAIN_CTES},
+        ncf AS (SELECT cent_id, SUM(cv * cv) AS n FROM {_CENT_FINAL} GROUP BY cent_id),
+        final AS (
+            SELECT vec_id, i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 <> 0
+            UNION ALL
+            SELECT vec_id, {DIM} + 1 - i AS i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 = 0
+        ),
+        fnorms AS (SELECT vec_id, SUM(v * v) AS n FROM final GROUP BY vec_id),
+        fdots AS (
+            SELECT x.vec_id, c.cent_id, SUM(x.v * c.cv) AS d
+            FROM final x JOIN {_CENT_FINAL} c ON x.i = c.i
+            GROUP BY x.vec_id, c.cent_id
+        ),
+        fcos AS (
+            SELECT v.vec_id, v.cent_id, v.d / (sqrt(nx.n) * sqrt(nc.n)) AS c
+            FROM fdots v JOIN fnorms nx ON v.vec_id = nx.vec_id
+                         JOIN ncf nc ON v.cent_id = nc.cent_id
+        ),
+        assign AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT vec_id, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM fcos) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS qid, cent_id FROM (
+                SELECT vec_id, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM fcos) WHERE rn <= {N_PROBE} AND vec_id < {N_PROBES}
+        ),
+        cand AS (
+            SELECT DISTINCT p.qid, a.vec_id AS nid
+            FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+            WHERE a.vec_id <> p.qid
+        ),
+        dots AS (
+            SELECT c.qid, c.nid, SUM(x.v * y.v) AS d
+            FROM cand c JOIN final x ON x.vec_id = c.qid
+                        JOIN final y ON y.vec_id = c.nid AND y.i = x.i
+            GROUP BY c.qid, c.nid
+        ),
+        cos AS (
+            SELECT qid, nid, d / (sqrt(nq.n) * sqrt(nn.n)) AS c
+            FROM dots JOIN fnorms nq ON qid = nq.vec_id
+                      JOIN fnorms nn ON nid = nn.vec_id
+        )
+        SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid AS neighbor_id, c AS cosine
+        FROM (SELECT qid, nid, c, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk FROM cos)
+        WHERE rnk <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
+@register(
+    "sq_ann_search_projection",
+    category="streaming",
+    doc=(
+        "ANN search from the cell-partitioned SERVING PROJECTION — the "
+        "CQRS read replica of the maintained IVF-Flat index, refreshed "
+        "INCREMENTALLY: the insert wave streams into "
+        "BucketedIvfFlatIndexSink (vec_id-bucketed maintenance primary) "
+        "and a journal-driven bootstrap builds the replica; then the "
+        "update/delete wave streams in and refresh_from_primary rewrites "
+        "ONLY the cells the primary's touched-cell journal names — "
+        "untouched cell partitions keep their files. The probe reads ONLY "
+        "its probed cells' partitions (broadcast-semi DPP prune — "
+        "plan-test pinned) with no join against the primary. Must equal "
+        "the primary-path sq_ann_search_from_index result, i.e. the batch "
+        "sim_ann_ivf recipe over the post-CDC corpus (same oracle) — so a "
+        "green row certifies the DELTA refresh path end-to-end."
+    ),
+    oracle=_ann_search_oracle(),
+)
+def sq_ann_search_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.operators.similarity import (
+        N_PROBES,
+        _fixed_embeddings,
+        train_ivf_centroids,
+    )
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        IvfCellProjection,
+    )
+
+    work = _workdir("sq_annproj_")
+    e = _fixed_embeddings(spark, sf_dir)
+    cents = train_ivf_centroids(e)
+    sink = BucketedIvfFlatIndexSink(f"{work}/index", cents)
+    proj = IvfCellProjection(f"{work}/serving")
+    src = f"{work}/source"
+    emb_schema = "vec_id long, offset long, op string, a array<long>"
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(emb_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        _run_index_stream(stream, sink, work)
+
+    # phase 1: insert wave -> bootstrap (full) replica build
+    wave0 = e.select(
+        "vec_id", F.col("vec_id").alias("offset"), F.lit("c").alias("op"), "a"
+    )
+    wave0.repartition(2).write.mode("overwrite").parquet(src)
+    run_stream()
+    proj.refresh_from_primary(spark, sink)
+
+    # phase 2: update/delete wave appended to the same source; the
+    # checkpointed availableNow run processes only the new files, and the
+    # replica refresh is a DELTA — only journal-named cells rewritten
+    off = F.col("vec_id") + F.lit(100000000)
+    upd = e.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 11 != 3)).select(
+        "vec_id", off.alias("offset"), F.lit("u").alias("op"), F.reverse("a").alias("a")
+    )
+    dels = e.filter(F.col("vec_id") % 11 == 3).select(
+        "vec_id",
+        off.alias("offset"),
+        F.lit("d").alias("op"),
+        F.lit(None).cast("array<long>").alias("a"),
+    )
+    upd.unionByName(dels).repartition(2).write.mode("append").parquet(src)
+    run_stream()
+    proj.refresh_from_primary(spark, sink)
+
+    state = sink.state(spark)
+    pv = state.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("a").alias("qa")
+    )
+    return proj.search(spark, cents, pv).orderBy("query_id", "rank")
+
+
+def _ann_search_pq_oracle() -> str:
+    """Oracle for sq_ann_search_pq_from_index: the sim_ann_ivf_pq IVF-ADC
+    recipe (probe cells -> candidate codes -> asymmetric-distance
+    shortlist -> exact cosine re-rank) evaluated over the POST-CDC corpus
+    with quantizer and codebooks frozen on the original table."""
+    from cdc_platform_spark.operators.dedup import ORACLE_EMB_UNNEST
+    from cdc_platform_spark.operators.similarity import (
+        _CENT_FINAL,
+        _PQ_FINAL_NS,
+        _PQ_TRAIN_CTES_NS,
+        _TRAIN_CTES,
+        _cent_hash,
+        DIM,
+        N_CELLS,
+        N_PROBE,
+        N_PROBES,
+        PQ_K,
+        PQ_SUBDIM,
+        R_RERANK,
+        TOP_K,
+    )
+
+    return f"""
+        WITH u AS ({ORACLE_EMB_UNNEST}),
+        norms AS (SELECT vec_id, SUM(v * v) AS n FROM u GROUP BY vec_id),
+        cents AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {N_CELLS}
+        ),
+        cu AS (SELECT u.* FROM u JOIN cents ON u.vec_id = cents.cent_id),
+        {_TRAIN_CTES},
+        ncf AS (SELECT cent_id, SUM(cv * cv) AS n FROM {_CENT_FINAL} GROUP BY cent_id),
+        su AS (SELECT vec_id, CAST((i - 1) // {PQ_SUBDIM} AS BIGINT) AS sub,
+                      CAST((i - 1) % {PQ_SUBDIM} AS BIGINT) AS j, v
+               FROM u),
+        pqseeds AS (
+            SELECT vec_id AS cent_id FROM embeddings
+            ORDER BY {_cent_hash}, vec_id LIMIT {PQ_K}
+        ),
+        {_PQ_TRAIN_CTES_NS},
+        final AS (
+            SELECT vec_id, i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 <> 0
+            UNION ALL
+            SELECT vec_id, {DIM} + 1 - i AS i, v FROM u
+            WHERE vec_id % 11 <> 3 AND vec_id % 7 = 0
+        ),
+        fnorms AS (SELECT vec_id, SUM(v * v) AS n FROM final GROUP BY vec_id),
+        fdots AS (
+            SELECT x.vec_id, c.cent_id, SUM(x.v * c.cv) AS d
+            FROM final x JOIN {_CENT_FINAL} c ON x.i = c.i
+            GROUP BY x.vec_id, c.cent_id
+        ),
+        fcos AS (
+            SELECT v.vec_id, v.cent_id, v.d / (sqrt(nx.n) * sqrt(nc.n)) AS c
+            FROM fdots v JOIN fnorms nx ON v.vec_id = nx.vec_id
+                         JOIN ncf nc ON v.cent_id = nc.cent_id
+        ),
+        assign AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT vec_id, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM fcos) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS qid, cent_id FROM (
+                SELECT vec_id, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM fcos) WHERE rn <= {N_PROBE} AND vec_id < {N_PROBES}
+        ),
+        cand AS (
+            SELECT DISTINCT p.qid, a.vec_id AS nid
+            FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+            WHERE a.vec_id <> p.qid
+        ),
+        suf AS (SELECT vec_id, CAST((i - 1) // {PQ_SUBDIM} AS BIGINT) AS sub,
+                       CAST((i - 1) % {PQ_SUBDIM} AS BIGINT) AS j, v
+                FROM final),
+        fd2 AS (
+            SELECT s.vec_id, s.sub, c.cent_id, SUM((s.v - c.cv) * (s.v - c.cv)) AS d
+            FROM suf s JOIN {_PQ_FINAL_NS} c ON s.sub = c.sub AND s.j = c.j
+            GROUP BY s.vec_id, s.sub, c.cent_id
+        ),
+        enc AS (
+            SELECT vec_id, sub, cent_id FROM (
+                SELECT vec_id, sub, cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cent_id) AS rn
+                FROM fd2) WHERE rn = 1
+        ),
+        adc AS (
+            SELECT c.qid, c.nid, SUM(fq.d) AS adist
+            FROM cand c
+            JOIN enc e ON e.vec_id = c.nid
+            JOIN fd2 fq ON fq.vec_id = c.qid AND fq.sub = e.sub AND fq.cent_id = e.cent_id
+            GROUP BY c.qid, c.nid
+        ),
+        shortlist AS (
+            SELECT qid, nid FROM (
+                SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+                FROM adc) WHERE rn <= {R_RERANK}
+        ),
+        dots AS (
+            SELECT s.qid, s.nid, SUM(a.v * b.v) AS d
+            FROM shortlist s JOIN final a ON a.vec_id = s.qid
+                             JOIN final b ON b.vec_id = s.nid AND b.i = a.i
+            GROUP BY s.qid, s.nid
+        ),
+        cos AS (
+            SELECT qid, nid, d / (sqrt(nq.n) * sqrt(nn.n)) AS c
+            FROM dots JOIN fnorms nq ON qid = nq.vec_id
+                      JOIN fnorms nn ON nid = nn.vec_id
+        )
+        SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid AS neighbor_id, c AS cosine
+        FROM (SELECT qid, nid, c, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk FROM cos)
+        WHERE rnk <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
+@register(
+    "sq_ann_search_pq_from_index",
+    category="streaming",
+    doc=(
+        "IVF-ADC serving from the maintained composite index — the "
+        "production read path over BOTH maintained artifacts: the same "
+        "embedding CDC stream drives BucketedIvfPqIndexSink (cell + "
+        "8-byte PQ codes, the RAM-resident index) and "
+        "BucketedIvfFlatIndexSink (the cold vector store) in one "
+        "foreachBatch; top-k probes are then answered by probe cells -> "
+        "cell equi-join for candidate codes -> the query's broadcast "
+        "exact L2 code tables (ADC, never touching candidate vectors) -> "
+        "top-R shortlist -> exact cosine re-rank reading full vectors for "
+        "the R survivors only. Results must equal the batch "
+        "sim_ann_ivf_pq recipe evaluated over the post-CDC corpus."
+    ),
+    oracle=_ann_search_pq_oracle(),
+)
+def sq_ann_search_pq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.operators.similarity import (
+        pq_seeds,
+        pq_subvectors,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        BucketedIvfPqIndexSink,
+        ivf_pq_search_from_index,
+    )
+
+    work = _workdir("sq_annpqsearch_")
+    e, stream = _stage_embedding_cdc(spark, sf_dir, work)
+    cents = train_ivf_centroids(e)
+    seeds = pq_seeds(e)
+    codebooks = train_pq_codebooks(pq_subvectors(e.select("vec_id", "a")), seeds)
+    ranks = seeds.withColumn(
+        "code", (F.row_number().over(Window.orderBy("cent_id")) - 1).cast("long")
+    )
+    pq = BucketedIvfPqIndexSink(f"{work}/pq", cents, codebooks, ranks)
+    flat = BucketedIvfFlatIndexSink(f"{work}/flat", cents)
+
+    def both(b, _bid):
+        b.persist()
+        try:
+            pq.write(b)
+            flat.write(b)
+        finally:
+            b.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(both)
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ivf_pq_search_from_index(
+        pq.state(spark), flat.state(spark), cents, codebooks, ranks
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "sq_ann_search_from_index",
+    category="streaming",
+    doc=(
+        "ANN search served FROM the maintained index — the loop from index "
+        "maintenance to query answering, the actual production path: the "
+        "same embedding CDC stream as sq_ann_index_stream is driven "
+        "availableNow through BucketedIvfFlatIndexSink (inverted file with "
+        "the vectors co-located, per-bucket copy-on-write), then top-k "
+        "probes are answered from state() ALONE — probe cells via the "
+        "frozen broadcast centroids, candidates via the cell-probe "
+        "equi-join against the materialized inverted file, exact cosine "
+        "re-rank from the stored vectors. Results must equal the batch "
+        "sim_ann_ivf recipe evaluated over the post-CDC corpus."
+    ),
+    oracle=_ann_search_oracle(),
+)
+def sq_ann_search_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.operators.similarity import train_ivf_centroids
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        ivf_search_from_index,
+    )
+
+    work = _workdir("sq_annsearch_")
+    e, stream = _stage_embedding_cdc(spark, sf_dir, work)
+    cents = train_ivf_centroids(e)
+    sink = BucketedIvfFlatIndexSink(f"{work}/index", cents)
+    _run_index_stream(stream, sink, work)
+    return ivf_search_from_index(sink.state(spark), cents).orderBy("query_id", "rank")
+
+
+@register(
+    "sq_bucketed_agg_stream",
+    category="streaming",
+    doc=(
+        "The 100 TB materialized-aggregate form as a driver-checkable "
+        "artifact: the same 4-micro-batch CDC stream as "
+        "sq_incremental_agg_stream driven into a BucketedAggregatingSink "
+        "- hash-bucketed per-bucket copy-on-write aggregate state, "
+        "executor-side merge (map-only shaping with map-side partial "
+        "combine, DPP-pruned state semi-join, journaled atomic "
+        "multi-bucket commit), per-bucket batch-id fencing against "
+        "at-least-once redelivery. The final view must equal the one-shot "
+        "batch aggregate - bucketing is storage granularity, never "
+        "semantics."
+    ),
+    oracle="""
+        SELECT user_id AS pk,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+               MIN(value) AS value_min,
+               MAX(value) AS value_max,
+               MAX(event_id) AS last_offset
+        FROM events
+        GROUP BY user_id
+        ORDER BY pk
+    """,
+)
+def sq_bucketed_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.streaming.pipeline import BucketedAggregatingSink, CdcPipeline
+
+    work = _workdir("sq_bagg_")
+    src = _stage_chunks(spark, sf_dir, work)
+    sink = BucketedAggregatingSink(f"{work}/aggview", n_buckets=16)
+    CdcPipeline(
+        spark=spark,
+        source_dir=src,
+        checkpoint_dir=f"{work}/ck",
+        sinks={"aggview": sink},
+        max_files_per_trigger=1,
+    ).run_available_now()
+    return sink.state(spark).orderBy("pk")
+
+
+@register(
+    "sq_join_view_stream",
+    category="streaming",
+    doc=(
+        "Incremental materialized JOIN maintenance as a driver-checkable "
+        "artifact: BucketedJoinViewSink keeps facts ⋈ latest-dimension "
+        "consistent while BOTH sides change (each event is a fact AND a "
+        "dimension update for its key) — per micro-batch only the batch's "
+        "keys are retracted and re-derived (delta-join maintenance), and "
+        "all three tables (facts, dim, view) are pk-bucketed with "
+        "per-bucket copy-on-write + DPP-pruned reads, so the batch "
+        "rewrites only the buckets its keys hash into, driven "
+        "availableNow over 4 micro-batches. The final view must equal the "
+        "batch join of all facts against the final latest-per-key "
+        "dimension - which is what the oracle computes."
+    ),
+    oracle=f"""
+        WITH env AS ({_ENV_SQL}),
+        latest AS (
+            SELECT pk, value, op,
+                   ROW_NUMBER() OVER (PARTITION BY pk ORDER BY "offset" DESC) AS rn
+            FROM env
+        ),
+        dim AS (SELECT pk, value FROM latest WHERE rn = 1 AND op <> 'd')
+        SELECT f.seq, f.pk, f.event_type,
+               f.value AS fact_value, d.value AS dim_value
+        FROM env f JOIN dim d ON f.pk = d.pk
+        ORDER BY f.seq
+    """,
+)
+def sq_join_view_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.streaming.join_view import BucketedJoinViewSink
+    from cdc_platform_spark.streaming.pipeline import EVENTS_SCHEMA, to_envelope
+
+    work = _workdir("sq_joinview_")
+    src = _stage_chunks(spark, sf_dir, work)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
     sink = BucketedJoinViewSink(f"{work}/jv")
     q = (
         to_envelope(stream)
@@ -2428,6 +3037,7 @@ def sq_unified_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return sink.view(spark).orderBy("seq")
+
 
 
 def _neighbor_index_oracle() -> str:
