@@ -251,7 +251,16 @@ def temperature_resample(d: DataFrame, prefilter: bool = False) -> DataFrame:
     the fallback makes the result EXACT regardless, so the threshold
     compare may safely use doubles.  Cost: one extra tiny aggregate
     (survivor counts); the window input shrinks from O(n) to
-    O(OVERSHOOT * K * sqrt(n)) per domain."""
+    O(OVERSHOOT * K * sqrt(n)) per domain.
+
+    The prefilter form takes THREE passes over ``d`` (domain counts,
+    survivor counts, the final pool) where the exact form takes two —
+    and for the serving reads ``d`` is the whole curated-corpus
+    derivation, so the input is lazily localCheckpoint'ed (the
+    ivf_candidates pattern): the lineage computes once per action and
+    every pass reuses the materialized blocks."""
+    if prefilter:
+        d = d.select("lang", "source", "doc_id").localCheckpoint(eager=False)
     dom = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
     tgt = dom.select(
         "lang",
