@@ -125,6 +125,36 @@ def main(argv: list[str] | None = None) -> int:
         "the suggestion abstains until every partition has flushed",
     )
 
+    p_serve = sub.add_parser(
+        "serve",
+        help="run a serving read over a maintained curated-corpus state "
+        "dir (the CuratedCorpusSink views a deployment queries between "
+        "micro-batches)",
+    )
+    p_serve.add_argument(
+        "view",
+        choices=[
+            "curated",
+            "decontaminated",
+            "contamination-report",
+            "dedup-rate",
+            "mix-sample",
+            "shard-manifest",
+            "export",
+            "cluster-reps",
+            "clusters",
+            "pairs",
+        ],
+    )
+    p_serve.add_argument("corpus_root", help="the CuratedCorpusSink state directory")
+    p_serve.add_argument("--n-buckets", type=int, default=16)
+    p_serve.add_argument(
+        "--decontaminated",
+        action="store_true",
+        help="for mix-sample/shard-manifest/export: draw from the decontaminated corpus",
+    )
+    p_serve.add_argument("--limit", type=int, default=20)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "validate":
@@ -290,6 +320,32 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         batch = spark.read.schema(cfg.source.schema_ddl or EVENTS_SCHEMA).parquet(cfg.source.path)
         for row in to_envelope(batch).orderBy("partition", "offset").limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.cmd == "serve":
+        from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+        sink = CuratedCorpusSink(args.corpus_root, n_buckets=args.n_buckets)
+        reads = {
+            "curated": lambda: sink.curated(spark),
+            "decontaminated": lambda: sink.decontaminated(spark),
+            "contamination-report": lambda: sink.contamination_report(spark),
+            "dedup-rate": lambda: sink.dedup_rate_by_domain(spark),
+            "mix-sample": lambda: sink.mix_sample(
+                spark, decontaminated=args.decontaminated
+            ),
+            "shard-manifest": lambda: sink.shard_manifest(
+                spark, decontaminated=args.decontaminated
+            ),
+            "export": lambda: sink.export_docs(
+                spark, decontaminated=args.decontaminated
+            ),
+            "cluster-reps": lambda: sink.cluster_representatives(spark),
+            "clusters": lambda: sink.clusters(spark),
+            "pairs": lambda: sink.pairs(spark),
+        }
+        for row in reads[args.view]().limit(args.limit).collect():
             print(json.dumps(row.asDict(), default=str))
         return 0
 

@@ -973,3 +973,46 @@ def test_passthrough_rejects_dlq_and_tolerates_disabled_event_sinks():
             dlq_path="/dlq",
             sinks=[SinkConfig(id="c", type="curated_corpus", path="/t")],
         )
+
+
+def test_cli_serve_corpus_views(spark, tmp_path, capsys):
+    """`cdc-spark serve <view> <corpus_root>` runs the maintained
+    curated-corpus serving reads and prints JSON rows."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.cli import main
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+    from tests.conftest import SF_SMOKE
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang", "source", "text"
+    )
+    root = str(tmp_path / "corpus")
+    sink = CuratedCorpusSink(root, n_buckets=8)
+    sink.write(
+        d.select(
+            "doc_id", F.col("doc_id").alias("offset"), F.lit("c").alias("op"),
+            "text", "lang", "source",
+        )
+    )
+
+    for view, key in [
+        ("curated", "doc_id"),
+        ("decontaminated", "doc_id"),
+        ("contamination-report", "bench_id"),
+        ("dedup-rate", "lang"),
+        ("mix-sample", "sample_rank"),
+        ("shard-manifest", "shard_id"),
+        ("export", "shard_id"),
+        ("cluster-reps", "rep_doc_id"),
+    ]:
+        rc = main(["serve", view, root, "--n-buckets", "8", "--limit", "3"])
+        assert rc == 0
+        out = [
+            _json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+            if line.startswith("{")
+        ]
+        assert out and key in out[0], f"{view}: {out[:1]}"
