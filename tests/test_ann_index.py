@@ -670,3 +670,78 @@ def test_drift_report_degrades_under_cdc_and_recovers_after_rotation(spark, tmp_
     gen1 = rotate_ivf_generation(spark, sink, str(tmp_path / "g1"), cents2)
     recovered = weighted_mean(ivf_drift_from_index(gen1.state(spark), cents2))
     assert recovered > drifted, f"rotation did not recover: {recovered} vs {drifted}"
+
+
+def test_recon_error_degrades_under_cdc_and_recovers_after_rotation(spark, tmp_path):
+    """The codebook-side twin of the drift loop test: frozen PQ codebooks
+    serve a moving corpus, per-subspace reconstruction error rises as
+    reversal updates land, and rotate_ivf_pq_generation under RETRAINED
+    (centroids, codebooks, ranks) restores it — measured through
+    pq_recon_from_index over each generation's vector state."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.operators.dedup import dot_long
+    from cdc_platform_spark.operators.similarity import (
+        _fixed_embeddings,
+        pq_seeds,
+        pq_subvectors,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        BucketedIvfPqIndexSink,
+        pq_recon_from_index,
+        rotate_ivf_pq_generation,
+    )
+
+    e = _fixed_embeddings(spark, SF_SMOKE).localCheckpoint(eager=True)
+    cents = train_ivf_centroids(e)
+    seeds = pq_seeds(e)
+    cb = train_pq_codebooks(pq_subvectors(e.select("vec_id", "a")), seeds)
+    ranks = seeds.withColumn(
+        "code", (F.row_number().over(Window.orderBy("cent_id")) - 1).cast("long")
+    )
+    flat = BucketedIvfFlatIndexSink(str(tmp_path / "flat"), cents, n_buckets=8)
+    pq = BucketedIvfPqIndexSink(str(tmp_path / "pq"), cents, cb, ranks, n_buckets=8)
+    wave0 = e.select(
+        "vec_id", F.col("vec_id").alias("offset"), F.lit("c").alias("op"), "a"
+    )
+    flat.write(wave0)
+    pq.write(wave0)
+
+    def total_mean(df) -> float:
+        rows = df.collect()
+        return sum(r["mean_err"] * r["n_vecs"] for r in rows) / sum(
+            r["n_vecs"] for r in rows
+        )
+
+    healthy = total_mean(pq_recon_from_index(flat.state(spark), cb))
+
+    upd = e.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id",
+        (F.col("vec_id") + 10**6).alias("offset"),
+        F.lit("u").alias("op"),
+        F.reverse("a").alias("a"),
+    )
+    flat.write(upd)
+    pq.write(upd)
+    degraded = total_mean(pq_recon_from_index(flat.state(spark), cb))
+    assert degraded > healthy, f"recon error did not rise: {degraded} vs {healthy}"
+
+    # blue/green rotation: retrain the full triple on the post-CDC vectors
+    post = flat.state(spark).select(
+        "vec_id", "a", dot_long(F.col("a"), F.col("a")).alias("norm")
+    ).localCheckpoint(eager=True)
+    cents2 = train_ivf_centroids(post)
+    seeds2 = pq_seeds(post)
+    cb2 = train_pq_codebooks(pq_subvectors(post.select("vec_id", "a")), seeds2)
+    ranks2 = seeds2.withColumn(
+        "code", (F.row_number().over(Window.orderBy("cent_id")) - 1).cast("long")
+    )
+    rotate_ivf_pq_generation(
+        spark, pq, flat, str(tmp_path / "pq_g1"), cents2, cb2, ranks2
+    )
+    recovered = total_mean(pq_recon_from_index(flat.state(spark), cb2))
+    assert recovered < degraded, f"rotation did not recover: {recovered} vs {degraded}"
