@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -326,6 +327,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "serve":
         from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
 
+        # a serve must never mutate state: the sink constructor mkdirs its
+        # root, so a typo'd path would silently create a bogus empty state
+        # dir and exit 0 — indistinguishable from an empty corpus
+        if not os.path.isdir(args.corpus_root):
+            print(
+                json.dumps({"error": f"no corpus state at {args.corpus_root}"}),
+                file=sys.stderr,
+            )
+            return 1
         sink = CuratedCorpusSink(args.corpus_root, n_buckets=args.n_buckets)
         reads = {
             "curated": lambda: sink.curated(spark),

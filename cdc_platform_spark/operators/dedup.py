@@ -958,6 +958,15 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         d.select("doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words")),
         "doc_id",
     )
+    return cluster_reps_rollup(scored_docs).orderBy("cluster_id")
+
+
+def cluster_reps_rollup(scored_docs: DataFrame) -> DataFrame:
+    """THE representative-pick rule over (cluster_id, doc_id, n_words)
+    rows — longest member wins, ties to the lowest doc_id — one
+    definition shared by the batch ``dedup_cluster_representatives`` and
+    the streaming ``CuratedCorpusSink.cluster_representatives()`` so the
+    keep-the-best-copy policy can never drift between them."""
     return (
         scored_docs.groupBy("cluster_id")
         .agg(
@@ -976,7 +985,6 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("b.n_words").alias("rep_n_words"),
             "n_members",
         )
-        .orderBy("cluster_id")
     )
 
 

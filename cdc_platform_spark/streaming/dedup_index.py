@@ -1062,7 +1062,10 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         components come from the maintained pair view, lengths from the
         stored metrics — the read never re-tokenizes text.  One
         O(pairs · log diameter) components pass + one map-side-combinable
-        max_by per cluster."""
+        max_by per cluster (the batch ``cluster_reps_rollup`` — one
+        shared definition)."""
+        from cdc_platform_spark.operators.dedup import cluster_reps_rollup
+
         self._recover()
         if not self.index.exists():
             return spark.createDataFrame(
@@ -1075,24 +1078,7 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
             .filter(F.col("op") != "d")
             .select("doc_id", F.col("n_words").cast("long").alias("n_words"))
         )
-        return (
-            comp.join(nw, "doc_id")
-            .groupBy("cluster_id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("n_words"), (-F.col("doc_id")).alias("nt"), F.col("doc_id")
-                    )
-                ).alias("b"),
-                F.count(F.lit(1)).alias("n_members"),
-            )
-            .select(
-                "cluster_id",
-                F.col("b.doc_id").alias("rep_doc_id"),
-                F.col("b.n_words").alias("rep_n_words"),
-                "n_members",
-            )
-        )
+        return cluster_reps_rollup(comp.join(nw, "doc_id"))
 
     def export_docs(self, spark: SparkSession, decontaminated: bool = False) -> DataFrame:
         """The training EXPORT read itself — (doc_id, shard_id, n_words,

@@ -1016,3 +1016,11 @@ def test_cli_serve_corpus_views(spark, tmp_path, capsys):
             if line.startswith("{")
         ]
         assert out and key in out[0], f"{view}: {out[:1]}"
+
+    # a typo'd path must error without creating a bogus state dir
+    import os
+
+    bad = str(tmp_path / "corpsu")
+    assert main(["serve", "curated", bad]) == 1
+    assert not os.path.isdir(bad)
+    capsys.readouterr()

@@ -780,3 +780,17 @@ def test_decon_bootstrap_crash_between_rewrite_and_swap_heals(
     assert sorted(
         r["bench_id"] for r in sink.contamination_report(spark).collect()
     ) == [97]
+
+    # same crash window on the OTHER rebuild path: mirror established, a
+    # bench-touching batch (delete of doc 97) crashes between the leak-view
+    # rewrite and the mirror swap — the replayed batch must re-enter the
+    # rebuild branch via bench_touched and converge
+    bench_del = spark.createDataFrame([(97, 20, "d", None)], schema)
+    monkeypatch.setattr(dx, "_commit_swap", crashing_swap)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sink.write(bench_del)
+    monkeypatch.setattr(dx, "_commit_swap", real_swap)
+    sink.write(bench_del)  # replay
+    # bench doc deleted -> its grams stop contaminating; doc 1 readmitted
+    assert sorted(r["doc_id"] for r in sink.decontaminated(spark).collect()) == [1, 2]
+    assert sink.contamination_report(spark).count() == 0
