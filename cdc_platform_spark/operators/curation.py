@@ -385,3 +385,118 @@ def text_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefilter=True: md5-prefix candidate filter, bit-identical output
     # (property-tested), window input shrinks O(n) -> O(K*sqrt(n))/domain
     return temperature_resample(d.select("lang", "source", "doc_id"), prefilter=True)
+
+
+TOKEN_BUDGET_MULT = 40  # K_tok in target_tokens = min(total, max(1, floor(K_tok*sqrt(total))))
+
+
+@register(
+    "text_token_budget_sample",
+    category="text",
+    doc=(
+        "TOKEN-budgeted temperature sampling: per (lang, source) domain a "
+        "sqrt-law TOKEN budget — target_tokens = min(total, max(1, floor("
+        f"{TOKEN_BUDGET_MULT}*sqrt(total_tokens)))) — filled by documents in "
+        "md5(doc_id) order until the running token count crosses the budget "
+        "(the boundary-crossing document is kept, so every domain "
+        "contributes at least one doc). This is the mix a production "
+        "scheduler actually provisions: training budgets are measured in "
+        "TOKENS, not document counts — text_domain_mix computes the shares, "
+        "text_temperature_resample flattens doc counts, this operator "
+        "materializes a token-budgeted pool. Exact integer arithmetic "
+        "throughout (word counts and running sums are BIGINT; the only "
+        "double is the sqrt target expression shared verbatim with the "
+        "oracle). Scale shape: one tiny domain aggregate broadcast back + "
+        "ONE window shuffle on the domain key — same plan family as the "
+        "doc-count resampler."
+    ),
+    oracle=f"""
+        WITH w AS (
+            SELECT lang, source, doc_id,
+                   CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words
+            FROM documents
+        ),
+        dom AS (
+            SELECT lang, source, SUM(n_words) AS total_tokens
+            FROM w GROUP BY lang, source
+        ),
+        tgt AS (
+            SELECT lang, source, CAST(total_tokens AS BIGINT) AS total_tokens,
+                   CAST(LEAST(total_tokens, GREATEST(1, CAST(FLOOR(
+                        {TOKEN_BUDGET_MULT} * sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT)))
+                        AS BIGINT) AS target_tokens
+            FROM dom
+        ),
+        ranked AS (
+            SELECT lang, source, doc_id, n_words,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                   SUM(n_words) OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+            FROM w
+        )
+        SELECT r.lang, r.source, r.doc_id, r.n_words,
+               CAST(r.rn AS BIGINT) AS sample_rank,
+               CAST(r.cum_tokens AS BIGINT) AS cum_tokens,
+               t.target_tokens
+        FROM ranked r JOIN tgt t ON r.lang = t.lang AND r.source = t.source
+        WHERE r.cum_tokens - r.n_words < t.target_tokens
+        ORDER BY r.lang, r.source, sample_rank
+    """,
+)
+def text_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).select(
+        "lang",
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+    )
+    return token_budget_sample(d)
+
+
+def token_budget_sample(d: DataFrame) -> DataFrame:
+    """THE token-budget sampling body over a (lang, source, doc_id,
+    n_words) frame — sqrt-law token targets per domain, documents kept in
+    md5(doc_id) order while the PRECEDING cumulative token count is under
+    the budget (the boundary document is included, so a non-empty domain
+    always contributes).  Factored for the same reason as
+    ``temperature_resample``: a maintained-state serving form can reuse
+    it verbatim."""
+    dom = d.groupBy("lang", "source").agg(F.sum("n_words").alias("total_tokens"))
+    tgt = dom.select(
+        "lang",
+        "source",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.least(
+            F.col("total_tokens"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(
+                    F.lit(TOKEN_BUDGET_MULT) * F.sqrt(F.col("total_tokens").cast("double"))
+                ),
+            ),
+        )
+        .cast("long")
+        .alias("target_tokens"),
+    )
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select("lang", "source", "doc_id", "n_words").withColumn(
+        "sample_rank", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "cum_tokens",
+        F.sum("n_words").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    # tgt is domain-cardinality (tiny by construction) -> broadcast is bounded
+    return (
+        ranked.join(F.broadcast(tgt.select("lang", "source", "target_tokens")), ["lang", "source"])
+        .filter(F.col("cum_tokens") - F.col("n_words") < F.col("target_tokens"))
+        .select(
+            "lang", "source", "doc_id", "n_words", "sample_rank", "cum_tokens", "target_tokens"
+        )
+        .orderBy("lang", "source", "sample_rank")
+    )
