@@ -1649,6 +1649,111 @@ def _mix_sample_oracle() -> str:
     """
 
 
+def _mix_sample_tokens_oracle() -> str:
+    """Oracle for sq_mix_sample_tokens_stream: the batch
+    token_budget_sample rule (sqrt-law TOKEN budgets, md5-ordered fill,
+    boundary doc kept) over the POST-CDC curated corpus."""
+    from cdc_platform_spark.operators.curation import TOKEN_BUDGET_MULT
+    from cdc_platform_spark.operators.dedup import _ORACLE_MINHASH_PAIR_CTES
+    from cdc_platform_spark.operators.text import (
+        CURATION_MIN_DISTINCT_RATIO,
+        CURATION_MIN_WORDS,
+    )
+
+    assert _ORACLE_MINHASH_PAIR_CTES.count("FROM documents") == 1
+    ctes = _ORACLE_MINHASH_PAIR_CTES.replace("FROM documents", "FROM docs_live")
+    return f"""
+        WITH docs_live AS (
+            SELECT doc_id, lang, source,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' spark dedup stream spark dedup stream'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 3
+        ),
+        {ctes},
+        qdocs AS (
+            SELECT doc_id, str_split(text, ' ') AS words, md5(text) AS content_md5
+            FROM docs_live
+        ),
+        qual AS (
+            SELECT doc_id, content_md5,
+                   CAST(len(words) AS BIGINT) AS n_words
+            FROM qdocs
+            WHERE len(words) >= {CURATION_MIN_WORDS}
+              AND CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                  >= {CURATION_MIN_DISTINCT_RATIO}
+        ),
+        qcanon AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+                FROM qual) WHERE rn = 1
+        ),
+        suppressed AS (SELECT DISTINCT db AS doc_id FROM scored),
+        cur AS (
+            SELECT q.doc_id, d.lang, d.source, q.n_words
+            FROM qcanon q
+            JOIN docs_live d ON d.doc_id = q.doc_id
+            LEFT JOIN suppressed s ON q.doc_id = s.doc_id
+            WHERE s.doc_id IS NULL
+        ),
+        dom AS (
+            SELECT lang, source, SUM(n_words) AS total_tokens
+            FROM cur GROUP BY lang, source
+        ),
+        tgt AS (
+            SELECT lang, source,
+                   CAST(LEAST(total_tokens, GREATEST(1, CAST(FLOOR(
+                        {TOKEN_BUDGET_MULT} * sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT)))
+                        AS BIGINT) AS target_tokens
+            FROM dom
+        ),
+        ranked AS (
+            SELECT lang, source, doc_id, n_words,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                   SUM(n_words) OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+            FROM cur
+        )
+        SELECT r.lang, r.source, r.doc_id, r.n_words,
+               CAST(r.rn AS BIGINT) AS sample_rank,
+               CAST(r.cum_tokens AS BIGINT) AS cum_tokens,
+               t.target_tokens
+        FROM ranked r JOIN tgt t ON r.lang = t.lang AND r.source = t.source
+        WHERE r.cum_tokens - r.n_words < t.target_tokens
+        ORDER BY r.lang, r.source, sample_rank
+    """
+
+
+@register(
+    "sq_mix_sample_tokens_stream",
+    category="streaming",
+    doc=(
+        "The TOKEN-budgeted training mix served from maintained state: "
+        "the same document CDC stream as sq_mix_sample_stream drives "
+        "CuratedCorpusSink, then mix_sample_tokens() applies the batch "
+        "token_budget_sample rule (sqrt-law token budgets per domain, "
+        "md5-ordered fill, boundary doc kept — one shared definition) to "
+        "the live curated corpus with word counts from the WRITE-TIME "
+        "n_words metric. Training budgets are denominated in tokens; this "
+        "is the pool a scheduler provisions. Must equal the batch rule "
+        "over the post-CDC curation funnel output."
+    ),
+    oracle=_mix_sample_tokens_oracle(),
+)
+def sq_mix_sample_tokens_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    work = _workdir("sq_mix_tokens_")
+    stream = _stage_document_cdc(spark, sf_dir, work, domains=True)
+    sink = CuratedCorpusSink(f"{work}/corpus")
+    _run_index_stream(stream, sink, work)
+    return sink.mix_sample_tokens(spark).orderBy("lang", "source", "sample_rank")
+
+
 def _mix_sample_decon_oracle() -> str:
     """Oracle for sq_mix_sample_decon_stream: the batch
     temperature-resample rule over the POST-CDC curated corpus with

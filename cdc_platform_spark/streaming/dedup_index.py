@@ -1028,6 +1028,36 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
             doms.join(surv, "doc_id", "leftsemi"), prefilter=True
         )
 
+    def mix_sample_tokens(
+        self, spark: SparkSession, decontaminated: bool = False
+    ) -> DataFrame:
+        """The TOKEN-budgeted training mix from maintained state — the
+        batch ``token_budget_sample`` body (one shared definition) over
+        the live curated corpus: per (lang, source) domain a sqrt-law
+        token budget filled in md5(doc_id) order, word counts read from
+        the WRITE-TIME ``n_words`` metric (never re-tokenizes text).
+        Training budgets are denominated in tokens, so this is the pool a
+        scheduler actually provisions; ``decontaminated=True`` draws from
+        the decontaminated corpus."""
+        from cdc_platform_spark.operators.curation import token_budget_sample
+
+        base = self.decontaminated(spark) if decontaminated else self.curated(spark)
+        surv = base.select("doc_id", F.col("n_words").cast("long").alias("n_words"))
+        if not self.index.exists():
+            return token_budget_sample(
+                spark.createDataFrame(
+                    [], "lang string, source string, doc_id long, n_words long"
+                )
+            )
+        doms = (
+            spark.read.parquet(self.index.path)
+            .filter(F.col("op") != "d")
+            .select("doc_id", "lang", "source")
+        )
+        return token_budget_sample(
+            doms.join(surv, "doc_id").select("lang", "source", "doc_id", "n_words")
+        )
+
     N_SHARDS = 16
 
     def shard_manifest(self, spark: SparkSession, decontaminated: bool = False) -> DataFrame:
