@@ -226,6 +226,7 @@ def main() -> None:
             "serve_clusters": lambda: corpus.clusters(spark),
             "serve_shard_manifest": lambda: corpus.shard_manifest(spark),
             "serve_mix_sample": lambda: corpus.mix_sample(spark),
+            "serve_mix_tokens": lambda: corpus.mix_sample_tokens(spark),
             "serve_cluster_reps": lambda: corpus.cluster_representatives(spark),
             "serve_export": lambda: corpus.export_docs(spark, decontaminated=True),
             "serve_ivf_pq_search": lambda: ivf_pq_search_from_index(
