@@ -97,22 +97,12 @@ def _driver_verified_names(after: str | None = None) -> set[str]:
 # change (> _REVERIFY_ASOF) carries a green row, the entry stops consuming
 # a rotation slot.
 _REVERIFY = {
-    # round 9: md5-prefix prefilter enabled (bit-identical, new plan shape)
-    "text_temperature_resample",
-    "sq_mix_sample_stream",
-    # round 9: decontamination hit set now MAINTAINED at write time —
-    # every CuratedCorpusSink-backed stream's write path changed
-    "sq_corpus_curation_stream",
-    "sq_decontaminated_curation_stream",
-    "sq_dedup_rate_stream",
-    "sq_contamination_report_stream",
-    "sq_curated_shards_stream",
-    "sq_unified_curation_stream",
-    # round 9: CDC wave staging factored into _stage_document_cdc
-    "sq_dedup_index_stream",
-    "sq_dedup_clusters_stream",
+    # round 10: md5-prefix prefilter enabled on the token-budget forms
+    # (bit-identical output, new plan shape — token-sum sufficiency fallback)
+    "text_token_budget_sample",
+    "sq_mix_sample_tokens_stream",
 }
-_REVERIFY_ASOF = "CORRECTNESS_r08.json"  # last pre-change correctness file
+_REVERIFY_ASOF = "CORRECTNESS_r09.json"  # last pre-change correctness file
 
 
 def _priority_order(registry) -> list[str]:

@@ -523,38 +523,52 @@ def main() -> None:
     bagg_runs = [round(run_pipeline(bucketed_agg_sinks), 3) for _ in range(3)]
     bagg_eps = round(n_events / min(bagg_runs), 1)
 
+    # TWO lines, diagnostics first: the driver's BENCH_r{N}.json preserves
+    # only the LAST 2000 chars of stdout, so everything a regression
+    # tripwire needs must sit at the END.  Line 1 carries the per-run
+    # sample arrays (useful, but first to be truncated); line 2 is the
+    # canonical single JSON line — scalar aggregates, then the per-query
+    # timing dict LAST so the 21-query tripwire always survives the cap
+    # (round 9 lost it by emitting "queries" first in a grown dict).
+    print(
+        json.dumps(
+            {
+                "metric": "bench_run_samples",
+                "query_runs": runs,
+                "pipeline_runs": pipeline_runs,
+                "pipeline_bucketed_runs": bucketed_runs,
+                "pipeline_aggview_runs": agg_runs,
+                "pipeline_bucketed_aggview_runs": bagg_runs,
+                "serving_read_runs": serving_runs,
+                "maintenance_runs": maintenance_runs,
+                "partition_scaling_runs": partition_scaling_runs,
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "query_runs": runs,
                 "sf": SF_DIR,
                 "events_per_sec": eps,
                 "pipeline_e2e_sec": round(pipeline_sec, 3),
                 "pipeline_events_per_sec": pipeline_eps,
                 "pipeline_bucketed_events_per_sec": bucketed_eps,
-                "pipeline_runs": pipeline_runs,
-                "pipeline_bucketed_runs": bucketed_runs,
                 "pipeline_aggview_events_per_sec": agg_eps,
-                "pipeline_aggview_runs": agg_runs,
                 "pipeline_bucketed_aggview_events_per_sec": bagg_eps,
-                "pipeline_bucketed_aggview_runs": bagg_runs,
-                "serving_reads": serving,
-                "serving_read_runs": serving_runs,
-                "maintenance": maintenance,
-                "maintenance_runs": maintenance_runs,
                 "backpressure_events_per_sec": bp_eps,
                 "backpressure_max_batch_rows": bp_max_batch,
                 "envelope_decode_events_per_sec": decode_eps,
                 "decode_wide100_events_per_sec": decode_wide100_eps,
                 "decode_text10kb_events_per_sec": decode_text10kb_eps,
-                "partition_scaling_events_per_sec": partition_scaling,
-                "partition_scaling_runs": partition_scaling_runs,
                 "lakehouse_append_20k_sec": lakehouse_append_sec,
                 "lakehouse_append_events_per_sec": lakehouse_append_eps,
+                "partition_scaling_events_per_sec": partition_scaling,
+                "maintenance": maintenance,
+                "serving_reads": serving,
+                "queries": timings,
             }
         )
     )

@@ -140,6 +140,7 @@ def main(argv: list[str] | None = None) -> int:
             "contamination-report",
             "dedup-rate",
             "mix-sample",
+            "mix-tokens",
             "shard-manifest",
             "export",
             "cluster-reps",
@@ -152,7 +153,8 @@ def main(argv: list[str] | None = None) -> int:
     p_serve.add_argument(
         "--decontaminated",
         action="store_true",
-        help="for mix-sample/shard-manifest/export: draw from the decontaminated corpus",
+        help="for mix-sample/mix-tokens/shard-manifest/export: draw from "
+        "the decontaminated corpus",
     )
     p_serve.add_argument("--limit", type=int, default=20)
 
@@ -343,6 +345,9 @@ def main(argv: list[str] | None = None) -> int:
             "contamination-report": lambda: sink.contamination_report(spark),
             "dedup-rate": lambda: sink.dedup_rate_by_domain(spark),
             "mix-sample": lambda: sink.mix_sample(
+                spark, decontaminated=args.decontaminated
+            ),
+            "mix-tokens": lambda: sink.mix_sample_tokens(
                 spark, decontaminated=args.decontaminated
             ),
             "shard-manifest": lambda: sink.shard_manifest(

@@ -454,17 +454,43 @@ def text_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
     )
-    return token_budget_sample(d)
+    # prefilter=True: md5-prefix candidate filter, bit-identical output
+    # (fallback makes it exact); plan shape pinned in test_prefilter_pin.py
+    return token_budget_sample(d, prefilter=True)
 
 
-def token_budget_sample(d: DataFrame) -> DataFrame:
+def token_budget_sample(d: DataFrame, prefilter: bool = False) -> DataFrame:
     """THE token-budget sampling body over a (lang, source, doc_id,
     n_words) frame — sqrt-law token targets per domain, documents kept in
     md5(doc_id) order while the PRECEDING cumulative token count is under
     the budget (the boundary document is included, so a non-empty domain
     always contributes).  Factored for the same reason as
     ``temperature_resample``: a maintained-state serving form can reuse
-    it verbatim."""
+    it verbatim.
+
+    ``prefilter=True`` is the extreme-scale form, bit-identical output —
+    ``temperature_resample``'s md5-prefix candidate filter re-derived for
+    TOKEN targets: keep, per domain, the rows whose 32-bit md5 prefix
+    falls in the first ``PREFILTER_OVERSHOOT * target_tokens /
+    total_tokens`` of hash space.  That is a CLEAN PREFIX of the md5
+    ranking order, so survivor ranks AND survivor cumulative token sums
+    equal their full-corpus values (the running sum over a prefix only
+    reads rows inside the prefix).  md5 order is independent of
+    ``n_words``, so the expected token mass of a hash fraction f is
+    f * total_tokens; with f = OVERSHOOT * target/total the survivors
+    carry ~OVERSHOOT * target_tokens.  Sufficiency is therefore checked
+    in TOKENS: a domain whose survivors sum to fewer than
+    ``target_tokens`` is ranked in full (the boundary document — first
+    row whose cumulative sum reaches the target — is guaranteed inside
+    the survivor prefix exactly when the survivor token sum reaches the
+    target).  Same LEFT-join-from-targets shape as the resample
+    fallback, so a zero-survivor domain falls back instead of vanishing.
+    The window input shrinks from O(corpus) to
+    ~OVERSHOOT * K_tok * sqrt(total_tokens) tokens' worth of rows per
+    domain — the serving read a training scheduler provisions must not
+    sort the corpus per call."""
+    if prefilter:
+        d = d.select("lang", "source", "doc_id", "n_words").localCheckpoint(eager=False)
     dom = d.groupBy("lang", "source").agg(F.sum("n_words").alias("total_tokens"))
     tgt = dom.select(
         "lang",
@@ -482,10 +508,58 @@ def token_budget_sample(d: DataFrame) -> DataFrame:
         .cast("long")
         .alias("target_tokens"),
     )
+    pool = d.select("lang", "source", "doc_id", "n_words")
+    if prefilter:
+        # 32-bit numeric md5 prefix: orders exactly like the full md5
+        # string, so "u below threshold" keeps a clean prefix of the
+        # ranking order (same primitive as temperature_resample)
+        u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        cand_pred = (
+            u.cast("double") / F.lit(float(2**32))
+            < F.lit(float(PREFILTER_OVERSHOOT))
+            * F.col("target_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        )
+        # tgt is domain-cardinality (tiny) -> broadcast is bounded
+        cand = pool.join(
+            F.broadcast(tgt.select("lang", "source", "total_tokens", "target_tokens")),
+            ["lang", "source"],
+        ).filter(cand_pred)
+        # exactness fallback in TOKENS: a domain whose survivors sum to
+        # fewer tokens than its target may have its boundary document
+        # beyond the prefix — rank it in full.  LEFT join from tgt so a
+        # domain with ZERO survivors (no group in cand) still falls back.
+        kept = cand.groupBy("lang", "source").agg(
+            F.sum("n_words").alias("kept_tokens")
+        )
+        short = (
+            tgt.select("lang", "source", "target_tokens")
+            .join(kept, ["lang", "source"], "left")
+            .filter(
+                F.coalesce(F.col("kept_tokens"), F.lit(0).cast("long"))
+                < F.col("target_tokens")
+            )
+            .select("lang", "source", F.lit(True).alias("_short"))
+        )
+        # ONE pass over d for the final pool (candidate-threshold OR
+        # fallback-domain) — a union of branches would evaluate d's whole
+        # upstream lineage twice, which for the serving reads means
+        # re-deriving the curated corpus per branch
+        pool = (
+            pool.join(
+                F.broadcast(tgt.select("lang", "source", "total_tokens", "target_tokens")),
+                ["lang", "source"],
+            )
+            .join(F.broadcast(short), ["lang", "source"], "left")
+            .filter(cand_pred | F.col("_short").isNotNull())
+            .select("lang", "source", "doc_id", "n_words")
+        )
     w = Window.partitionBy("lang", "source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
-    ranked = d.select("lang", "source", "doc_id", "n_words").withColumn(
+    ranked = pool.withColumn(
         "sample_rank", F.row_number().over(w).cast("long")
     ).withColumn(
         "cum_tokens",

@@ -1871,6 +1871,132 @@ def sq_mix_sample_decon_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mix_tokens_decon_oracle() -> str:
+    """Oracle for sq_mix_tokens_decon_stream: the batch
+    token_budget_sample rule (sqrt-law TOKEN budgets, md5-ordered fill,
+    boundary doc kept) over the POST-CDC DECONTAMINATED corpus — the
+    token pool a pretraining scheduler actually provisions (never eval
+    docs or their leaks)."""
+    from cdc_platform_spark.operators.curation import TOKEN_BUDGET_MULT
+    from cdc_platform_spark.operators.dedup import (
+        ORACLE_MD5_60BIT,
+        _ORACLE_MINHASH_PAIR_CTES,
+    )
+    from cdc_platform_spark.operators.text import (
+        _DECON_GRAMS_DUCK,
+        CURATION_MIN_DISTINCT_RATIO,
+        CURATION_MIN_WORDS,
+        DECON_BENCH_MOD,
+    )
+
+    assert _ORACLE_MINHASH_PAIR_CTES.count("FROM documents") == 1
+    ctes = _ORACLE_MINHASH_PAIR_CTES.replace("FROM documents", "FROM docs_live")
+    return f"""
+        WITH docs_live AS (
+            SELECT doc_id, lang, source,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' spark dedup stream spark dedup stream'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 3
+        ),
+        {ctes},
+        qdocs AS (
+            SELECT doc_id, str_split(text, ' ') AS words, md5(text) AS content_md5
+            FROM docs_live
+        ),
+        qual AS (
+            SELECT doc_id, content_md5,
+                   CAST(len(words) AS BIGINT) AS n_words
+            FROM qdocs
+            WHERE len(words) >= {CURATION_MIN_WORDS}
+              AND CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                  >= {CURATION_MIN_DISTINCT_RATIO}
+        ),
+        qcanon AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+                FROM qual) WHERE rn = 1
+        ),
+        suppressed AS (SELECT DISTINCT db AS doc_id FROM scored),
+        dg AS (
+            SELECT doc_id, {ORACLE_MD5_60BIT.format(x="gram")} AS gh
+            FROM (SELECT doc_id, unnest({_DECON_GRAMS_DUCK}) AS gram FROM qdocs)
+        ),
+        bench AS (SELECT DISTINCT gh FROM dg WHERE doc_id % {DECON_BENCH_MOD} = 0),
+        hits AS (
+            SELECT DISTINCT c.doc_id FROM dg c JOIN bench b USING (gh)
+            WHERE c.doc_id % {DECON_BENCH_MOD} <> 0
+        ),
+        cur AS (
+            SELECT q.doc_id, d.lang, d.source, q.n_words
+            FROM qcanon q
+            JOIN docs_live d ON d.doc_id = q.doc_id
+            LEFT JOIN suppressed s ON q.doc_id = s.doc_id
+            LEFT JOIN hits h ON q.doc_id = h.doc_id
+            WHERE s.doc_id IS NULL AND h.doc_id IS NULL
+              AND q.doc_id % {DECON_BENCH_MOD} <> 0
+        ),
+        dom AS (
+            SELECT lang, source, SUM(n_words) AS total_tokens
+            FROM cur GROUP BY lang, source
+        ),
+        tgt AS (
+            SELECT lang, source,
+                   CAST(LEAST(total_tokens, GREATEST(1, CAST(FLOOR(
+                        {TOKEN_BUDGET_MULT} * sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT)))
+                        AS BIGINT) AS target_tokens
+            FROM dom
+        ),
+        ranked AS (
+            SELECT lang, source, doc_id, n_words,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                   SUM(n_words) OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+            FROM cur
+        )
+        SELECT r.lang, r.source, r.doc_id, r.n_words,
+               CAST(r.rn AS BIGINT) AS sample_rank,
+               CAST(r.cum_tokens AS BIGINT) AS cum_tokens,
+               t.target_tokens
+        FROM ranked r JOIN tgt t ON r.lang = t.lang AND r.source = t.source
+        WHERE r.cum_tokens - r.n_words < t.target_tokens
+        ORDER BY r.lang, r.source, sample_rank
+    """
+
+
+@register(
+    "sq_mix_tokens_decon_stream",
+    category="streaming",
+    doc=(
+        "The TOKEN-budgeted training mix drawn from the DECONTAMINATED "
+        "corpus — mix_sample_tokens(decontaminated=True): the same "
+        "document CDC stream as sq_mix_sample_tokens_stream, with the "
+        "budget pool additionally excluding the benchmark partition and "
+        "every document sharing a word 8-gram with a live benchmark "
+        "document (the maintained leak-evidence view). Training budgets "
+        "are denominated in tokens and schedulers must never provision "
+        "eval docs or their leaks — this is the read they actually hit. "
+        "Must equal the batch token_budget_sample applied to the post-CDC "
+        "decontaminated funnel output."
+    ),
+    oracle=_mix_tokens_decon_oracle(),
+)
+def sq_mix_tokens_decon_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    work = _workdir("sq_mix_tokens_decon_")
+    stream = _stage_document_cdc(spark, sf_dir, work, domains=True)
+    sink = CuratedCorpusSink(f"{work}/corpus")
+    _run_index_stream(stream, sink, work)
+    return sink.mix_sample_tokens(spark, decontaminated=True).orderBy(
+        "lang", "source", "sample_rank"
+    )
+
+
 def _contamination_report_oracle() -> str:
     """Oracle for sq_contamination_report_stream: the batch
     text_contamination_report attribution over the POST-CDC live docs."""

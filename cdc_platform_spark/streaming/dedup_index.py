@@ -1054,8 +1054,13 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
             .filter(F.col("op") != "d")
             .select("doc_id", "lang", "source")
         )
+        # prefilter=True: the md5-prefix candidate filter (bit-identical
+        # output, token-sum sufficiency fallback) keeps the window input
+        # at ~OVERSHOOT*K_tok*sqrt(total_tokens) per domain instead of
+        # the whole curated corpus — same scale contract as mix_sample()
         return token_budget_sample(
-            doms.join(surv, "doc_id").select("lang", "source", "doc_id", "n_words")
+            doms.join(surv, "doc_id").select("lang", "source", "doc_id", "n_words"),
+            prefilter=True,
         )
 
     N_SHARDS = 16

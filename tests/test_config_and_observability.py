@@ -1004,6 +1004,7 @@ def test_cli_serve_corpus_views(spark, tmp_path, capsys):
         ("contamination-report", "bench_id"),
         ("dedup-rate", "lang"),
         ("mix-sample", "sample_rank"),
+        ("mix-tokens", "cum_tokens"),
         ("shard-manifest", "shard_id"),
         ("export", "shard_id"),
         ("cluster-reps", "rep_doc_id"),

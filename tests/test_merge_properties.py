@@ -583,6 +583,65 @@ def test_temperature_resample_prefilter_zero_survivor_fallback(spark, monkeypatc
 
 
 @given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 2),
+            st.integers(0, 10**6),
+            st.integers(1, 5_000),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_token_budget_prefilter_is_exact(spark, rows):
+    """The token-budget prefilter (md5-prefix threshold + TOKEN-SUM
+    sufficiency fallback) must be bit-identical to the exact full-rank
+    form for arbitrary domain shapes and word-count skews — including
+    domains where one giant document carries most of the token mass, the
+    case where the survivor token sum is most likely to undershoot and
+    the fallback must fire."""
+    from cdc_platform_spark.operators.curation import token_budget_sample
+
+    seen: dict[tuple[int, int, int], int] = {}
+    for lang, src, doc_id, n_words in rows:
+        seen.setdefault((lang, src, doc_id), n_words)
+    data = [
+        (f"l{lang}", f"s{src}", doc_id, n_words)
+        for (lang, src, doc_id), n_words in seen.items()
+    ]
+    d = spark.createDataFrame(
+        data, "lang string, source string, doc_id long, n_words long"
+    )
+    exact = sorted(map(tuple, token_budget_sample(d).collect()))
+    fast = sorted(map(tuple, token_budget_sample(d, prefilter=True).collect()))
+    assert fast == exact
+
+
+def test_token_budget_prefilter_zero_survivor_fallback(spark, monkeypatch):
+    """With the overshoot forced to 0 the token prefilter keeps NOTHING —
+    every domain must take the full-rank fallback (including domains with
+    no group in the survivor-token aggregate) and the output must still
+    equal the exact form."""
+    import cdc_platform_spark.operators.curation as cur
+
+    d = spark.createDataFrame(
+        [("l0", "s0", i, 10 + i % 7) for i in range(40)]
+        + [("l1", "s1", i, 3) for i in range(3)],
+        "lang string, source string, doc_id long, n_words long",
+    )
+    exact = sorted(map(tuple, cur.token_budget_sample(d).collect()))
+    monkeypatch.setattr(cur, "PREFILTER_OVERSHOOT", 0)
+    fast = sorted(map(tuple, cur.token_budget_sample(d, prefilter=True).collect()))
+    assert fast == exact and fast
+
+
+@given(
     prefix_picks=st.lists(st.integers(0, 1), min_size=4, max_size=7),
     change_ops=st.lists(st.sampled_from(["u", "d", "b"]), min_size=2, max_size=6),
     split_seed=st.integers(0, 2**16),

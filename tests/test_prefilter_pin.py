@@ -44,6 +44,12 @@ def test_batch_resample_window_input_is_prefiltered(spark):
     _assert_prefilter_below_window(_analyzed(text_temperature_resample(spark, SF_SMOKE)))
 
 
+def test_batch_token_budget_window_input_is_prefiltered(spark):
+    from cdc_platform_spark.operators.curation import text_token_budget_sample
+
+    _assert_prefilter_below_window(_analyzed(text_token_budget_sample(spark, SF_SMOKE)))
+
+
 def test_mix_sample_window_input_is_prefiltered(spark, tmp_path):
     from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
 
@@ -60,6 +66,9 @@ def test_mix_sample_window_input_is_prefiltered(spark, tmp_path):
     for deco in (False, True):
         _assert_prefilter_below_window(
             _analyzed(sink.mix_sample(spark, decontaminated=deco))
+        )
+        _assert_prefilter_below_window(
+            _analyzed(sink.mix_sample_tokens(spark, decontaminated=deco))
         )
 
 
