@@ -101,6 +101,11 @@ _REVERIFY = {
     # (bit-identical output, new plan shape — token-sum sufficiency fallback)
     "text_token_budget_sample",
     "sq_mix_sample_tokens_stream",
+    # round 10: decontaminated()/contamination_report() gained the opt-in
+    # stop_gram_cap read path (default-off, but the read code changed)
+    "sq_decontaminated_curation_stream",
+    "sq_contamination_report_stream",
+    "sq_mix_sample_decon_stream",
 }
 _REVERIFY_ASOF = "CORRECTNESS_r09.json"  # last pre-change correctness file
 

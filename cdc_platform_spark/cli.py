@@ -156,6 +156,14 @@ def main(argv: list[str] | None = None) -> int:
         help="for mix-sample/mix-tokens/shard-manifest/export: draw from "
         "the decontaminated corpus",
     )
+    p_serve.add_argument(
+        "--stop-gram-cap",
+        type=int,
+        default=None,
+        help="for decontaminated/contamination-report: ignore boilerplate "
+        "grams (live-corpus doc frequency > cap) as leak evidence — the "
+        "opt-in capped semantics of text_contamination_report_capped",
+    )
     p_serve.add_argument("--limit", type=int, default=20)
 
     args = ap.parse_args(argv)
@@ -328,21 +336,31 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "serve":
         from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+        from cdc_platform_spark.streaming.pipeline import StateInFlightError
 
-        # a serve must never mutate state: the sink constructor mkdirs its
-        # root, so a typo'd path would silently create a bogus empty state
-        # dir and exit 0 — indistinguishable from an empty corpus
+        # a serve must never mutate state: read_only below disarms every
+        # recovery mutation (tmp sweeps, snapshot restores, journal
+        # resolution — those renames belong to the writer process and a
+        # concurrent serve performing them could fail the writer's
+        # in-flight micro-batch); this isdir guard additionally catches a
+        # typo'd path, which would otherwise read as an empty corpus
         if not os.path.isdir(args.corpus_root):
             print(
                 json.dumps({"error": f"no corpus state at {args.corpus_root}"}),
                 file=sys.stderr,
             )
             return 1
-        sink = CuratedCorpusSink(args.corpus_root, n_buckets=args.n_buckets)
+        sink = CuratedCorpusSink(
+            args.corpus_root, n_buckets=args.n_buckets, read_only=True
+        )
         reads = {
             "curated": lambda: sink.curated(spark),
-            "decontaminated": lambda: sink.decontaminated(spark),
-            "contamination-report": lambda: sink.contamination_report(spark),
+            "decontaminated": lambda: sink.decontaminated(
+                spark, stop_gram_cap=args.stop_gram_cap
+            ),
+            "contamination-report": lambda: sink.contamination_report(
+                spark, stop_gram_cap=args.stop_gram_cap
+            ),
             "dedup-rate": lambda: sink.dedup_rate_by_domain(spark),
             "mix-sample": lambda: sink.mix_sample(
                 spark, decontaminated=args.decontaminated
@@ -360,7 +378,14 @@ def main(argv: list[str] | None = None) -> int:
             "clusters": lambda: sink.clusters(spark),
             "pairs": lambda: sink.pairs(spark),
         }
-        for row in reads[args.view]().limit(args.limit).collect():
+        try:
+            rows = reads[args.view]().limit(args.limit).collect()
+        except StateInFlightError as exc:
+            # the writer is mid-commit: retriable, and distinct from a
+            # wrong-path/empty-corpus failure
+            print(json.dumps({"error": str(exc), "retriable": True}), file=sys.stderr)
+            return 2
+        for row in rows:
             print(json.dumps(row.asDict(), default=str))
         return 0
 

@@ -1999,10 +1999,28 @@ def sq_mix_tokens_decon_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _contamination_report_oracle() -> str:
     """Oracle for sq_contamination_report_stream: the batch
-    text_contamination_report attribution over the POST-CDC live docs."""
+    text_contamination_report attribution over the POST-CDC live docs.
+    ``stop_gram_cap`` yields the CAPPED variant (boilerplate grams with
+    corpus DF > cap excluded as evidence) for
+    sq_contamination_capped_stream."""
+    return _contamination_report_oracle_capped(None)
+
+
+def _contamination_report_oracle_capped(stop_gram_cap: int | None) -> str:
     from cdc_platform_spark.operators.dedup import ORACLE_MD5_60BIT
     from cdc_platform_spark.operators.text import _DECON_GRAMS_DUCK, DECON_BENCH_MOD
 
+    corpus_cte = "SELECT doc_id, gh FROM g WHERE doc_id % {m} <> 0".format(
+        m=DECON_BENCH_MOD
+    )
+    if stop_gram_cap is not None:
+        corpus_cte = f"""
+            SELECT doc_id, gh FROM ({corpus_cte})
+            WHERE gh NOT IN (
+                SELECT gh FROM ({corpus_cte}) GROUP BY gh
+                HAVING COUNT(DISTINCT doc_id) > {stop_gram_cap}
+            )
+        """
     return f"""
         WITH docs_live AS (
             SELECT doc_id,
@@ -2017,7 +2035,7 @@ def _contamination_report_oracle() -> str:
             FROM (SELECT doc_id, unnest({_DECON_GRAMS_DUCK}) AS gram FROM w)
         ),
         bench AS (SELECT doc_id AS bench_id, gh FROM g WHERE doc_id % {DECON_BENCH_MOD} = 0),
-        corpus AS (SELECT doc_id, gh FROM g WHERE doc_id % {DECON_BENCH_MOD} <> 0),
+        corpus AS ({corpus_cte}),
         leaks AS (
             SELECT b.bench_id,
                    COUNT(DISTINCT c.doc_id) AS n_leaking_docs,
@@ -2128,6 +2146,42 @@ def sq_contamination_report_stream(spark: SparkSession, sf_dir: str) -> DataFram
     sink = CuratedCorpusSink(f"{work}/corpus")
     _run_index_stream(stream, sink, work)
     return sink.contamination_report(spark).orderBy("bench_id")
+
+
+def _sq_contamination_capped_oracle() -> str:
+    from cdc_platform_spark.operators.text import STOP_GRAM_DOC_FREQ_CAP
+
+    return _contamination_report_oracle_capped(STOP_GRAM_DOC_FREQ_CAP)
+
+
+@register(
+    "sq_contamination_capped_stream",
+    category="streaming",
+    doc=(
+        "Contamination attribution with the OPT-IN stop-gram cap served "
+        "from maintained state: contamination_report(stop_gram_cap=N) "
+        "excludes boilerplate grams (live-corpus doc frequency > cap) as "
+        "leak evidence — the skew/noise valve for web-scale corpora. DF "
+        "per gram is derived from the maintained leak triples themselves "
+        "(every live corpus doc carrying a bench gram has a triple, so "
+        "the view count IS the corpus DF): the capped read stays O(leak "
+        "evidence). Must equal the batch "
+        "text_contamination_report_capped semantics over the post-CDC "
+        "live documents."
+    ),
+    oracle=_sq_contamination_capped_oracle(),
+)
+def sq_contamination_capped_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.operators.text import STOP_GRAM_DOC_FREQ_CAP
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    work = _workdir("sq_contam_capped_")
+    stream = _stage_document_cdc(spark, sf_dir, work)
+    sink = CuratedCorpusSink(f"{work}/corpus")
+    _run_index_stream(stream, sink, work)
+    return sink.contamination_report(
+        spark, stop_gram_cap=STOP_GRAM_DOC_FREQ_CAP
+    ).orderBy("bench_id")
 
 
 @register(

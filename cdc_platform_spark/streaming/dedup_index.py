@@ -56,6 +56,7 @@ from cdc_platform_spark.operators.dedup import (
 )
 from cdc_platform_spark.streaming.pipeline import (
     BucketedUpsertSink,
+    StateInFlightError,
     _BucketStore,
     _commit_swap,
     _recover_swapped_dir,
@@ -224,12 +225,17 @@ class BucketedMinHashIndexSink:
     test and the ``sq_dedup_index_stream`` driver oracle.
     """
 
-    def __init__(self, path: str, n_buckets: int = 16) -> None:
-        self.index = _SigIndexSink(f"{path}/index", n_buckets)
-        self.bands = _BucketStore(f"{path}/bands", n_buckets)
-        self.pair_store = _BucketStore(f"{path}/pairs", n_buckets)
+    def __init__(self, path: str, n_buckets: int = 16, read_only: bool = False) -> None:
+        self.index = _SigIndexSink(f"{path}/index", n_buckets, read_only=read_only)
+        self.bands = _BucketStore(f"{path}/bands", n_buckets, read_only=read_only)
+        self.pair_store = _BucketStore(f"{path}/pairs", n_buckets, read_only=read_only)
         self.n_buckets = n_buckets
-        os.makedirs(path, exist_ok=True)
+        # read_only: serving-process mode — recovery never mutates (raises
+        # StateInFlightError on a mid-commit state instead), writes refuse,
+        # and the constructor creates nothing
+        self.read_only = read_only
+        if not read_only:
+            os.makedirs(path, exist_ok=True)
 
     def _recover(self) -> None:
         self.index._recover()
@@ -552,9 +558,11 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
     metrics are cheap JVM expressions over the stored text, suppression
     is one broadcast anti join against the pair view."""
 
-    def __init__(self, path: str, n_buckets: int = 16) -> None:
-        super().__init__(path, n_buckets)
-        self.index = _CuratedSigIndexSink(f"{path}/index", n_buckets)
+    def __init__(self, path: str, n_buckets: int = 16, read_only: bool = False) -> None:
+        super().__init__(path, n_buckets, read_only=read_only)
+        self.index = _CuratedSigIndexSink(
+            f"{path}/index", n_buckets, read_only=read_only
+        )
         # decontamination as MAINTAINED state (not a per-read derive):
         # - bench_grams/: latest (doc_id, offset, op, decon_grams) per
         #   BENCHMARK document — a keyed-upsert mirror of the index's
@@ -576,11 +584,34 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         #   incremented).  Worst-case size is boilerplate-gram × corpus —
         #   exactly the case the stop-gram cap exists for (SCALING.md).
         self.bench_path = f"{path}/bench_grams"
-        self.hit_store = _BucketStore(f"{path}/decon_leaks", n_buckets)
+        self.hit_store = _BucketStore(
+            f"{path}/decon_leaks", n_buckets, read_only=read_only
+        )
 
     def _recover(self) -> None:
         super()._recover()
-        _recover_swapped_dir(self.bench_path)
+        _recover_swapped_dir(self.bench_path, read_only=self.read_only)
+        if self.read_only:
+            # a bench-mirror tmp sibling marks a decon REBUILD in flight:
+            # the leak view commits before the mirror swap (the ordering
+            # crash-replay healing requires, see _maintain_decon_hits), so
+            # between those two commits contamination_report() would join
+            # post-batch triples against pre-batch base rows — a mixed
+            # state matching neither side of the batch.  A read-only serve
+            # refuses (retriably) instead of serving it.  Residual window:
+            # after the writer's own recovery sweeps the orphan tmp, the
+            # mixed state is unmarked until its replayed batch commits —
+            # the replay is the very batch the restarted writer runs first.
+            parent = os.path.dirname(self.bench_path) or "."
+            base = os.path.basename(self.bench_path)
+            if os.path.isdir(parent) and any(
+                n.startswith(f"{base}.tmp-") for n in os.listdir(parent)
+            ):
+                raise StateInFlightError(
+                    f"{self.bench_path}: decontamination rebuild in flight "
+                    "(mirror tmp present) — the leak view and bench mirror "
+                    "may straddle a batch; retry after the writer commits"
+                )
         self.hit_store._recover()
 
     def write(self, batch: DataFrame) -> bool:
@@ -688,7 +719,13 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
                 # deterministic re-rebuild.  Swapping the mirror first
                 # would flip _decon_state_is_legacy() to False mid-crash
                 # and route the replay down the incremental path with the
-                # leak view never rebuilt.
+                # leak view never rebuilt.  The cost of this ordering is a
+                # crash window (leak view committed, mirror not yet
+                # swapped) where contamination_report() would mix the two
+                # batches' states; the tmp mirror still on disk marks it,
+                # and read-only serving (_recover) refuses while the
+                # marker is present.  The writer itself never reads in
+                # the window — replay heals it (tested).
                 tmp = f"{self.bench_path}.tmp-{uuid.uuid4().hex}"
                 content.coalesce(1).write.mode("overwrite").parquet(tmp)
                 live = self.index.raw_state(spark).filter(
@@ -826,7 +863,9 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
             "doc_id", F.col("n_words").cast("long").alias("n_words"), "distinct_ratio"
         )
 
-    def decontaminated(self, spark: SparkSession) -> DataFrame:
+    def decontaminated(
+        self, spark: SparkSession, stop_gram_cap: int | None = None
+    ) -> DataFrame:
         """``curated()`` with benchmark decontamination composed in — the
         point a real pretraining funnel drops contaminated documents:
 
@@ -852,7 +891,14 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         The write path pays O(touched docs' grams) per batch against the
         broadcast bench gram set (fixed-size at deployment: eval suites
         are human-curated, not corpus-proportional; the fixture's mod-97
-        slice merely stands in for it)."""
+        slice merely stands in for it).
+
+        ``stop_gram_cap`` (round 10, OPT-IN — changes semantics exactly
+        like the capped batch report) ignores boilerplate grams (live
+        corpus DF > cap) as contamination evidence: a document is a hit
+        only if it shares a NON-boilerplate gram with a live benchmark
+        doc.  DF comes from the maintained triples (``_drop_stop_grams``),
+        so the capped read is still O(leak evidence)."""
         from cdc_platform_spark.operators.text import DECON_BENCH_MOD
 
         self._recover()
@@ -872,25 +918,47 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
             bench_grams = (
                 g.filter(is_bench).select(F.explode("decon_grams").alias("gh")).distinct()
             )
-            hits = (
+            cg = (
                 g.filter(~is_bench)
                 .select("doc_id", F.explode("decon_grams").alias("gh"))
                 .join(F.broadcast(bench_grams), "gh", "leftsemi")
-                .select("doc_id")
-                .distinct()
             )
-            return out.join(hits, "doc_id", "leftanti")
+            if stop_gram_cap is not None:
+                # restricted to bench grams, cg still holds EVERY corpus
+                # doc carrying each gram, so per-gram DF here is exact
+                cg = self._drop_stop_grams(cg, stop_gram_cap)
+            return out.join(cg.select("doc_id").distinct(), "doc_id", "leftanti")
         if not self.hit_store.exists():
             return out
-        hits = (
-            spark.read.parquet(self.hit_store.path)
-            .filter(~F.col("dead"))
-            .select("doc_id")
-            .distinct()
-        )
-        return out.join(hits, "doc_id", "leftanti")
+        hits = spark.read.parquet(self.hit_store.path).filter(~F.col("dead"))
+        if stop_gram_cap is not None:
+            hits = self._drop_stop_grams(hits.select("doc_id", "gh"), stop_gram_cap)
+        return out.join(hits.select("doc_id").distinct(), "doc_id", "leftanti")
 
-    def contamination_report(self, spark: SparkSession) -> DataFrame:
+    @staticmethod
+    def _drop_stop_grams(leaks: DataFrame, stop_gram_cap: int) -> DataFrame:
+        """Exclude boilerplate grams from the leak triples by the EXACT
+        batch ``stop_gram_cap`` semantics (corpus doc-frequency > cap),
+        computed from the maintained view itself: every live corpus doc
+        carrying a bench gram has a triple for it (carrying IS leaking
+        when the gram is benchmark-side), so ``count_distinct(doc_id)``
+        per gh over the view equals that gram's live-corpus DF — the cap
+        is a read-time refinement over already-maintained state, no
+        corpus scan and no second maintained table.  (Write-time capped
+        STORAGE would need per-gram DF state to retract/resurrect triples
+        as grams cross the cap under CDC — see SCALING.md; the read-time
+        form is exact and O(leak evidence).)"""
+        over = (
+            leaks.groupBy("gh")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .filter(F.col("df") > stop_gram_cap)
+            .select("gh")
+        )
+        return leaks.join(over, "gh", "leftanti")
+
+    def contamination_report(
+        self, spark: SparkSession, stop_gram_cap: int | None = None
+    ) -> DataFrame:
         """Contamination ATTRIBUTION from maintained state — the batch
         ``text_contamination_report`` semantics over the LIVE corpus: per
         live benchmark document, how many live corpus documents share a
@@ -905,7 +973,13 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         document's grams per read; the rollup body is the batch
         operator's ``contamination_rollup`` (one shared definition), so
         the served report cannot drift from the batch semantics.  Read
-        cost is O(bench + leak evidence), never O(corpus tokens)."""
+        cost is O(bench + leak evidence), never O(corpus tokens).
+
+        ``stop_gram_cap`` (round 10, OPT-IN — it changes semantics the
+        same way ``text_contamination_report_capped`` does vs the plain
+        report) excludes grams appearing in more than ``cap`` live corpus
+        documents, matching the batch capped operator exactly (see
+        ``_drop_stop_grams``)."""
         from cdc_platform_spark.operators.text import contamination_rollup
 
         self._recover()
@@ -921,7 +995,7 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
                 .filter(F.col("op") != "d")
                 .select("doc_id", F.col("decon_grams").alias("grams"))
             )
-            return contamination_report_from_grams(g)
+            return contamination_report_from_grams(g, stop_gram_cap=stop_gram_cap)
         if not os.path.isdir(self.bench_path):
             return spark.createDataFrame(
                 [],
@@ -943,6 +1017,8 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
             if self.hit_store.exists()
             else spark.createDataFrame([], "bench_id long, doc_id long, gh long")
         )
+        if stop_gram_cap is not None:
+            leaks = self._drop_stop_grams(leaks, stop_gram_cap)
         return contamination_rollup(base, leaks)
 
     def dedup_rate_by_domain(self, spark: SparkSession) -> DataFrame:

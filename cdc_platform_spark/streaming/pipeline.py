@@ -78,6 +78,17 @@ def to_envelope(df: DataFrame, topic: str = CDC_TOPIC, n_partitions: int = 8) ->
     )
 
 
+class StateInFlightError(RuntimeError):
+    """A READ-ONLY recovery found evidence of an in-flight or interrupted
+    commit (a pending journal, or a displaced ``.old-*`` snapshot whose
+    live dir is missing).  A read-only process must not resolve it — the
+    rollback/restore renames belong to the writer, and a serving process
+    performing them can destroy the writer's in-flight tmp or race its
+    two-rename swap (its micro-batch would fail and replay).  Retriable:
+    the window is one commit; retry after the writer's next recovery or
+    commit completes."""
+
+
 def _sweep_stale_tmp(path: str) -> None:
     """Remove crash-orphaned ``.tmp-*`` siblings of a swapped state dir: a
     crash during the tmp write (or between the renames) strands a full
@@ -92,14 +103,33 @@ def _sweep_stale_tmp(path: str) -> None:
             shutil.rmtree(f"{parent}/{name}", ignore_errors=True)
 
 
-def _recover_swapped_dir(path: str) -> None:
+def _recover_swapped_dir(path: str, read_only: bool = False) -> None:
     """Crash recovery for the two-rename swap protocol (shared by
     UpsertSink and AggregatingSink): sweep stale tmp dirs, and if the live
     dir is missing but a displaced ``.old-*`` snapshot exists (crash
     between the renames), restore the newest one.  Restoring an older
     state is safe under both sinks' merge semantics: the mid-swap batch
     replays and re-merges (idempotent keyed merge / absent-from-meta
-    batch-id fence)."""
+    batch-id fence).
+
+    ``read_only=True`` (the serving-process form) performs NO filesystem
+    mutation: tmp dirs are left for the writer (they may be its in-flight
+    batch, not crash orphans), and a missing live dir with a displaced
+    snapshot raises :class:`StateInFlightError` instead of racing the
+    writer's second rename with a restore."""
+    if read_only:
+        if os.path.isdir(path):
+            return
+        parent = os.path.dirname(path) or "."
+        base = os.path.basename(path)
+        if os.path.isdir(parent) and any(
+            name.startswith(f"{base}.old-") for name in os.listdir(parent)
+        ):
+            raise StateInFlightError(
+                f"{path}: live dir missing, displaced snapshot present — "
+                "mid-swap; retry after the writer recovers"
+            )
+        return
     _sweep_stale_tmp(path)
     if os.path.isdir(path):
         return
@@ -365,12 +395,24 @@ class BucketedUpsertSink:
     # by the hypothesis GC property on a delete-only event log)
     _STATE_SCHEMA = "pk long, offset long, op string, event_type string, value double"
 
-    def __init__(self, path: str, n_buckets: int = 16) -> None:
+    def __init__(self, path: str, n_buckets: int = 16, read_only: bool = False) -> None:
         self.path = path
         self.n_buckets = n_buckets
+        # read_only: serving-process mode — _recover() never mutates (no
+        # journal resolution, no sweeps, no snapshot restores; it raises
+        # StateInFlightError on evidence of a mid-commit state instead),
+        # and the write paths refuse outright
+        self.read_only = read_only
 
     def _bucket_dir(self, i: int) -> str:
         return f"{self.path}/bucket={i}"
+
+    def _assert_writable(self) -> None:
+        if self.read_only:
+            raise RuntimeError(
+                f"{self.path}: store opened read_only (serving mode) — "
+                "writes belong to the pipeline process"
+            )
 
     @property
     def _work(self) -> str:
@@ -390,7 +432,31 @@ class BucketedUpsertSink:
         Returns True iff recovery may have CHANGED live bucket contents
         (a journal was resolved or a displaced snapshot restored) — the
         aggregate subclass invalidates its in-memory fence cache on that
-        signal instead of re-reading every ``_agg_meta`` per batch."""
+        signal instead of re-reading every ``_agg_meta`` per batch.
+
+        In ``read_only`` mode nothing is resolved, swept, or restored:
+        a pending journal or a displaced snapshot whose live bucket is
+        missing means the state is mid-commit and a read could see some
+        buckets new and some old — raise :class:`StateInFlightError`
+        (retriable) instead.  A displaced snapshot whose live bucket
+        EXISTS is completed-swap garbage: consistent, safe to read."""
+        if self.read_only:
+            if os.path.isdir(self._work):
+                for name in os.listdir(self._work):
+                    if name.startswith("commit-") and name.endswith(".json"):
+                        raise StateInFlightError(
+                            f"{self.path}: pending commit journal {name} — "
+                            "mid-commit; retry after the writer recovers"
+                        )
+                    if ".old-" in name and not os.path.isdir(
+                        f"{self.path}/{name.split('.old-')[0]}"
+                    ):
+                        raise StateInFlightError(
+                            f"{self.path}: displaced snapshot {name} with no "
+                            "live bucket — mid-swap; retry after the writer "
+                            "recovers"
+                        )
+            return False
         changed = False
         if os.path.isdir(self._work):
             for name in sorted(os.listdir(self._work)):
@@ -523,6 +589,7 @@ class BucketedUpsertSink:
         # the DPP subquery and exchange count without executing a write
         if not batch.take(1):
             return  # empty/poisoned micro-batch: skip the whole merge job
+        self._assert_writable()
         self._recover()
         merged = self._merged(batch)
         run_id = uuid.uuid4().hex
@@ -629,6 +696,7 @@ class BucketedUpsertSink:
         caller guarantees no future (re)delivery carries offsets below
         ``tombstone_horizon``.  O(state) — schedule like compaction, not
         per batch."""
+        self._assert_writable()
         self._recover()
         if tombstone_horizon is not None:
             self._set_gc_horizon(tombstone_horizon)
@@ -644,6 +712,7 @@ class BucketedUpsertSink:
         """Full-view rewrite (the compaction path): every EXISTING bucket
         is either replaced by its new content or removed if now empty —
         still one journaled all-or-nothing commit."""
+        self._assert_writable()
         run_id = uuid.uuid4().hex
         tmp = f"{self.path}.tmp-{run_id}"
         content.write.mode("overwrite").partitionBy("bucket").parquet(tmp)

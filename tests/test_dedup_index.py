@@ -649,6 +649,55 @@ def test_decon_hits_maintained_incrementally_on_both_sides(spark, tmp_path):
     assert sorted(r["doc_id"] for r in sink.decontaminated(spark).collect()) == [1]
 
 
+def test_served_stop_gram_cap_matches_batch_capped_semantics(spark, tmp_path):
+    """contamination_report(stop_gram_cap=N) / decontaminated(
+    stop_gram_cap=N) from maintained state == the batch capped operator
+    body over the same live docs: a boilerplate gram (shared corpus-wide
+    AND with a bench doc) is excluded as evidence, a rare leaked gram is
+    kept.  DF per gram is derived from the maintained triples — the view
+    holds every carrying corpus doc, so the view count IS the corpus DF."""
+    from cdc_platform_spark.operators.text import contamination_report_from_grams
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    schema = "doc_id long, offset long, op string, text string"
+    boiler = [f"boiler{i}" for i in range(8)]  # one shared 8-gram
+    rare = [f"rare{i}" for i in range(8)]
+    bench_text = " ".join(boiler + rare + [f"bench{i}" for i in range(9)])
+    rows = [(97, 10, "c", bench_text)]
+    # 5 corpus docs carry the boilerplate gram (df=5 > cap=2), exactly one
+    # carries the rare gram (df=1 <= cap)
+    for i in range(1, 6):
+        words = boiler + [f"doc{i}_{j}" for j in range(17)]
+        if i == 3:
+            words = boiler + rare + [f"doc{i}_{j}" for j in range(9)]
+        rows.append((i, 10, "c", " ".join(words)))
+    sink = CuratedCorpusSink(str(tmp_path / "c"), n_buckets=8)
+    sink.write(spark.createDataFrame(rows, schema))
+
+    cap = 2
+    g = (
+        spark.read.parquet(sink.index.path)
+        .filter(F.col("op") != "d")
+        .select("doc_id", F.col("decon_grams").alias("grams"))
+    )
+    for c in (None, cap):
+        got = sorted(
+            map(tuple, sink.contamination_report(spark, stop_gram_cap=c).collect())
+        )
+        want = sorted(
+            map(tuple, contamination_report_from_grams(g, stop_gram_cap=c).collect())
+        )
+        assert got == want, f"cap={c}: {got} vs {want}"
+    # uncapped: every boilerplate carrier is a hit; capped: only doc 3
+    # (the rare-gram carrier) remains contaminated
+    assert sorted(
+        r["doc_id"] for r in sink.decontaminated(spark).collect()
+    ) == []
+    assert sorted(
+        r["doc_id"] for r in sink.decontaminated(spark, stop_gram_cap=cap).collect()
+    ) == [1, 2, 4, 5]
+
+
 def test_shard_manifest_decontaminated_composition(spark, tmp_path, cdc_rows):
     """shard_manifest(decontaminated=True) == the stable-hash manifest
     aggregate over the decontaminated survivor set."""

@@ -1,0 +1,169 @@
+"""Read-only serving mode: a serve process must NEVER mutate a live
+corpus state dir.
+
+The writer's crash-recovery renames (tmp sweeps, ``.old-*`` restores,
+journal rollback) are safe exactly once — run by the pipeline process
+before it writes.  A concurrent serving process running them can delete
+the writer's in-flight ``.tmp-*`` batch or race its two-rename swap.
+``read_only=True`` disarms all of it: recovery inspects and either
+passes (state consistent) or raises the retriable
+:class:`StateInFlightError` (state mid-commit), and every write path
+refuses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+from cdc_platform_spark.streaming.pipeline import StateInFlightError
+from tests.conftest import SF_SMOKE
+
+
+def _write_corpus(spark, root: str) -> CuratedCorpusSink:
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id",
+        F.col("doc_id").alias("offset"),
+        F.lit("c").alias("op"),
+        "text",
+        "lang",
+        "source",
+    )
+    sink = CuratedCorpusSink(root, n_buckets=4)
+    sink.write(d)
+    return sink
+
+
+def _tree_snapshot(root: str) -> set[str]:
+    out = set()
+    for dirpath, dirnames, filenames in os.walk(os.path.dirname(root)):
+        for n in dirnames + filenames:
+            out.add(os.path.join(dirpath, n))
+    return out
+
+
+def test_read_only_serving_reads_without_mutation(spark, tmp_path):
+    """Every serving read works through a read_only sink, and the state
+    tree is byte-for-byte untouched afterwards — including a planted
+    in-flight ``.tmp-*`` dir (a writer's half-written batch) and a
+    completed-swap ``.old-*`` leftover, both of which WRITER-mode
+    recovery would delete."""
+    root = str(tmp_path / "corpus")
+    _write_corpus(spark, root)
+
+    # plant writer-in-flight artifacts a read-only recovery must not touch
+    tmp_dir = f"{root}/index.tmp-feedbeef"
+    os.makedirs(f"{tmp_dir}/bucket=0")
+    with open(f"{tmp_dir}/bucket=0/part-0.parquet", "w") as fh:
+        fh.write("in-flight")
+    work = f"{root}/index.work"
+    os.makedirs(work, exist_ok=True)
+    # completed swap: live bucket exists, displaced snapshot is garbage —
+    # consistent state, read-only must pass WITHOUT deleting it
+    os.makedirs(f"{work}/bucket=0.old-cafe", exist_ok=True)
+
+    before = _tree_snapshot(root)
+    ro = CuratedCorpusSink(root, n_buckets=4, read_only=True)
+    assert ro.curated(spark).count() > 0
+    assert ro.mix_sample(spark).count() > 0
+    assert ro.mix_sample_tokens(spark).count() > 0
+    assert ro.shard_manifest(spark).count() > 0
+    ro.contamination_report(spark).count()
+    ro.clusters(spark).count()
+    assert _tree_snapshot(root) == before, "read-only serve mutated state"
+
+
+def test_read_only_raises_on_pending_journal(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    _write_corpus(spark, root)
+    work = f"{root}/index.work"
+    os.makedirs(work, exist_ok=True)
+    with open(f"{work}/commit-dead.json", "w") as fh:
+        json.dump({"tmp": f"{root}/index.tmp-dead", "run_id": "dead", "buckets": [0]}, fh)
+    ro = CuratedCorpusSink(root, n_buckets=4, read_only=True)
+    with pytest.raises(StateInFlightError, match="journal"):
+        ro.curated(spark).count()
+    os.remove(f"{work}/commit-dead.json")
+
+    # displaced snapshot with NO live bucket = mid-swap: also raises
+    os.rename(f"{root}/index/bucket=0", f"{work}/bucket=0.old-dead")
+    with pytest.raises(StateInFlightError, match="mid-swap"):
+        ro.curated(spark).count()
+    # the writer-mode sink recovers it (restores the bucket)
+    CuratedCorpusSink(root, n_buckets=4)._recover()
+    assert os.path.isdir(f"{root}/index/bucket=0")
+    assert ro.curated(spark).count() > 0
+
+
+def test_read_only_raises_on_mid_swap_flat_dir(spark, tmp_path):
+    """The flat bench-gram mirror uses the two-rename swap: live missing
+    + ``.old-*`` present must raise in read-only mode (writer mode
+    restores it)."""
+    root = str(tmp_path / "corpus")
+    _write_corpus(spark, root)
+    sink = CuratedCorpusSink(root, n_buckets=4)
+    if not os.path.isdir(sink.bench_path):
+        pytest.skip("fixture stream carried no benchmark docs")
+    os.rename(sink.bench_path, f"{sink.bench_path}.old-dead")
+    ro = CuratedCorpusSink(root, n_buckets=4, read_only=True)
+    with pytest.raises(StateInFlightError, match="mid-swap"):
+        ro.curated(spark).count()
+    sink._recover()
+    assert os.path.isdir(sink.bench_path)
+
+
+def test_read_only_raises_on_decon_rebuild_marker(spark, tmp_path):
+    """A bench-mirror ``.tmp-*`` sibling means a decon rebuild is in
+    flight (the leak view commits BEFORE the mirror swap): a read-only
+    serve must refuse rather than join post-batch triples against
+    pre-batch base rows.  The writer's own recovery sweeps the orphan and
+    its replay heals the state."""
+    root = str(tmp_path / "corpus")
+    _write_corpus(spark, root)
+    sink = CuratedCorpusSink(root, n_buckets=4)
+    os.makedirs(f"{sink.bench_path}.tmp-dead", exist_ok=True)
+    ro = CuratedCorpusSink(root, n_buckets=4, read_only=True)
+    with pytest.raises(StateInFlightError, match="rebuild in flight"):
+        ro.contamination_report(spark).count()
+    sink._recover()  # writer mode: sweeps the orphan tmp
+    assert not os.path.isdir(f"{sink.bench_path}.tmp-dead")
+    ro.contamination_report(spark).count()
+
+
+def test_read_only_refuses_writes(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    _write_corpus(spark, root)
+    ro = CuratedCorpusSink(root, n_buckets=4, read_only=True)
+    batch = spark.createDataFrame(
+        [(1, 1, "c", "a b c d e f g h i j", "en", "web")],
+        "doc_id long, offset long, op string, text string, lang string, source string",
+    )
+    with pytest.raises(RuntimeError, match="read_only"):
+        ro.write(batch)
+
+
+def test_read_only_constructor_creates_nothing(tmp_path):
+    root = str(tmp_path / "nonexistent")
+    CuratedCorpusSink(root, n_buckets=4, read_only=True)
+    assert not os.path.isdir(root)
+
+
+def test_cli_serve_mid_commit_returns_retriable(spark, tmp_path, capsys):
+    from cdc_platform_spark.cli import main
+
+    root = str(tmp_path / "corpus")
+    _write_corpus(spark, root)
+    work = f"{root}/index.work"
+    os.makedirs(work, exist_ok=True)
+    with open(f"{work}/commit-dead.json", "w") as fh:
+        json.dump({"tmp": f"{root}/index.tmp-dead", "run_id": "dead", "buckets": [0]}, fh)
+    rc = main(["serve", "curated", root, "--n-buckets", "4", "--limit", "1"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "retriable" in err
+    # and the journal is still there for the writer to resolve
+    assert os.path.exists(f"{work}/commit-dead.json")
