@@ -106,6 +106,13 @@ _REVERIFY = {
     "sq_decontaminated_curation_stream",
     "sq_contamination_report_stream",
     "sq_mix_sample_decon_stream",
+    # NOT re-fronted: every bucketed-sink stream, although pipeline.py /
+    # ann_index.py gained read_only plumbing this round — the additions
+    # are `if self.read_only:` branches and default-False kwargs, dead
+    # code under every certified (writer-mode) configuration; pytest's
+    # full-registry oracle sweep re-checks them at sf0.001 each run, and
+    # sq_ann_search_from_index/_projection/_pq re-passed the sf0.01
+    # driver-mimic after the change.
 }
 _REVERIFY_ASOF = "CORRECTNESS_r09.json"  # last pre-change correctness file
 

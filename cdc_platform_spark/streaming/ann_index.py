@@ -61,9 +61,14 @@ class IvfIndexSink:
 
     _COLS = ["vec_id", "offset", "op", "cell"]
 
-    def __init__(self, path: str, centroids: DataFrame) -> None:
+    def __init__(
+        self, path: str, centroids: DataFrame, read_only: bool = False
+    ) -> None:
         self.path = path
         self.cents = centroids.localCheckpoint(eager=True)
+        # read_only: serving-process mode — state() recovery never mutates
+        # (raises StateInFlightError on a mid-swap dir), write() refuses
+        self.read_only = read_only
 
     def _assign(self, batch: DataFrame) -> DataFrame:
         """(vec_id, offset, op, a) -> (vec_id, offset, op, cell): exact
@@ -94,6 +99,11 @@ class IvfIndexSink:
     def write(self, batch: DataFrame) -> None:
         if not batch.take(1):
             return  # empty/replayed-out micro-batch: skip the index merge
+        if self.read_only:
+            raise RuntimeError(
+                f"{self.path}: index opened read_only (serving mode) — "
+                "writes belong to the pipeline process"
+            )
         _recover_swapped_dir(self.path)
         spark = batch.sparkSession
         updates = self._assign(batch)
@@ -111,7 +121,7 @@ class IvfIndexSink:
 
     def state(self, spark: SparkSession) -> DataFrame:
         """The live inverted file: (vec_id, cell), tombstones dropped."""
-        _recover_swapped_dir(self.path)
+        _recover_swapped_dir(self.path, read_only=self.read_only)
         return (
             spark.read.parquet(self.path)
             .filter(F.col("op") != "d")
@@ -133,8 +143,15 @@ class IvfPqIndexSink(IvfIndexSink):
 
     _COLS = ["vec_id", "offset", "op", "cell", "codes"]
 
-    def __init__(self, path: str, centroids: DataFrame, codebooks: DataFrame, ranks: DataFrame) -> None:
-        super().__init__(path, centroids)
+    def __init__(
+        self,
+        path: str,
+        centroids: DataFrame,
+        codebooks: DataFrame,
+        ranks: DataFrame,
+        read_only: bool = False,
+    ) -> None:
+        super().__init__(path, centroids, read_only=read_only)
         self.codebooks = codebooks.localCheckpoint(eager=True)
         self.ranks = ranks.localCheckpoint(eager=True)
 
@@ -188,7 +205,7 @@ class IvfPqIndexSink(IvfIndexSink):
 
     def state(self, spark: SparkSession) -> DataFrame:
         """The live composite index: (vec_id, cell, codes)."""
-        _recover_swapped_dir(self.path)
+        _recover_swapped_dir(self.path, read_only=self.read_only)
         return (
             spark.read.parquet(self.path)
             .filter(F.col("op") != "d")
@@ -215,8 +232,14 @@ class BucketedIvfIndexSink(BucketedUpsertSink):
     _COLS = ["vec_id", "offset", "op", "cell"]
     _STATE_SCHEMA = "vec_id long, offset long, op string, cell long"
 
-    def __init__(self, path: str, centroids: DataFrame, n_buckets: int = 16) -> None:
-        BucketedUpsertSink.__init__(self, path, n_buckets)
+    def __init__(
+        self,
+        path: str,
+        centroids: DataFrame,
+        n_buckets: int = 16,
+        read_only: bool = False,
+    ) -> None:
+        BucketedUpsertSink.__init__(self, path, n_buckets, read_only=read_only)
         self.cents = centroids.localCheckpoint(eager=True)
 
     _assign = IvfIndexSink._assign
@@ -256,8 +279,11 @@ class BucketedIvfPqIndexSink(BucketedIvfIndexSink):
         codebooks: DataFrame,
         ranks: DataFrame,
         n_buckets: int = 16,
+        read_only: bool = False,
     ) -> None:
-        BucketedIvfIndexSink.__init__(self, path, centroids, n_buckets)
+        BucketedIvfIndexSink.__init__(
+            self, path, centroids, n_buckets, read_only=read_only
+        )
         self.codebooks = codebooks.localCheckpoint(eager=True)
         self.ranks = ranks.localCheckpoint(eager=True)
 
@@ -397,6 +423,7 @@ class BucketedIvfFlatIndexSink(BucketedIvfIndexSink):
         computed once and reused for the touched-cell journal."""
         if not batch.take(1):
             return
+        self._assert_writable()
         self._recover()
         upd = self._updates(batch).persist()
         try:
@@ -451,9 +478,9 @@ class IvfCellProjection:
     dirs are named ``bucket=<cell>``), so delta commits are
     all-or-nothing and crash-recovered exactly like the index stores."""
 
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, read_only: bool = False) -> None:
         self.path = path
-        self.store = _BucketStore(path)
+        self.store = _BucketStore(path, read_only=read_only)
 
     def refresh(self, state: DataFrame, cells: list[int] | None = None) -> None:
         """Re-cluster ``BucketedIvfFlatIndexSink.state()`` by cell.

@@ -146,6 +146,45 @@ def test_read_only_refuses_writes(spark, tmp_path):
         ro.write(batch)
 
 
+def test_ann_index_read_only_serving(spark, tmp_path):
+    """The ANN serving path shares the read-only contract: a read_only
+    BucketedIvfFlatIndexSink serves ivf_search_from_index without
+    mutating, raises on a planted mid-commit journal, and refuses
+    writes."""
+    from cdc_platform_spark.operators.similarity import (
+        _fixed_embeddings,
+        train_ivf_centroids,
+    )
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        ivf_search_from_index,
+    )
+    from tests.conftest import SF_SMOKE
+
+    e = _fixed_embeddings(spark, SF_SMOKE).localCheckpoint(eager=True)
+    vecs = e.select(
+        "vec_id", F.col("vec_id").alias("offset"), F.lit("c").alias("op"), "a"
+    )
+    cents = train_ivf_centroids(e)
+    root = str(tmp_path / "ivf")
+    BucketedIvfFlatIndexSink(root, cents, n_buckets=4).write(vecs)
+
+    ro = BucketedIvfFlatIndexSink(root, cents, n_buckets=4, read_only=True)
+    before = _tree_snapshot(root)
+    assert ivf_search_from_index(ro.state(spark), cents).count() > 0
+    assert _tree_snapshot(root) == before
+
+    with pytest.raises(RuntimeError, match="read_only"):
+        ro.write(vecs.limit(1))
+
+    work = f"{root}.work"
+    os.makedirs(work, exist_ok=True)
+    with open(f"{work}/commit-dead.json", "w") as fh:
+        json.dump({"tmp": f"{root}.tmp-dead", "run_id": "dead", "buckets": [0]}, fh)
+    with pytest.raises(StateInFlightError, match="journal"):
+        ro.state(spark).count()
+
+
 def test_read_only_constructor_creates_nothing(tmp_path):
     root = str(tmp_path / "nonexistent")
     CuratedCorpusSink(root, n_buckets=4, read_only=True)
