@@ -126,6 +126,26 @@ def main(argv: list[str] | None = None) -> int:
         "the suggestion abstains until every partition has flushed",
     )
 
+    p_ann = sub.add_parser(
+        "ann-search",
+        help="serve top-k ANN from a maintained IVF-Flat index state dir "
+        "(read-only; quantizer loaded from the generation's persisted "
+        "<state>.quantizer artifacts)",
+    )
+    p_ann.add_argument(
+        "index_root",
+        help="a BucketedIvfFlatIndexSink state dir, or a generation-pointer "
+        "root containing CURRENT (the blue/green rotation layout)",
+    )
+    p_ann.add_argument(
+        "--queries",
+        default=None,
+        help="parquet of (vec_id, embedding array<float>) external queries; "
+        "default: the corpus probe convention (index rows with small ids)",
+    )
+    p_ann.add_argument("--n-buckets", type=int, default=16)
+    p_ann.add_argument("--limit", type=int, default=20)
+
     p_serve = sub.add_parser(
         "serve",
         help="run a serving read over a maintained curated-corpus state "
@@ -331,6 +351,58 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         batch = spark.read.schema(cfg.source.schema_ddl or EVENTS_SCHEMA).parquet(cfg.source.path)
         for row in to_envelope(batch).orderBy("partition", "offset").limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.cmd == "ann-search":
+        from pyspark.sql import functions as F
+
+        from cdc_platform_spark.operators.dedup import fixed_point
+        from cdc_platform_spark.streaming.ann_index import (
+            BucketedIvfFlatIndexSink,
+            ivf_search_from_index,
+            load_quantizer,
+        )
+        from cdc_platform_spark.streaming.pipeline import StateInFlightError
+
+        root = args.index_root
+        ptr = f"{root}/CURRENT"
+        if os.path.isfile(ptr):
+            with open(ptr) as fh:
+                gen = fh.read().strip()
+            if not gen:
+                print(json.dumps({"error": f"{ptr}: empty pointer"}), file=sys.stderr)
+                return 1
+            root = gen
+        if not os.path.isdir(root):
+            print(
+                json.dumps({"error": f"no index state at {root}"}), file=sys.stderr
+            )
+            return 1
+        try:
+            cents, _, _ = load_quantizer(spark, root)
+            sink = BucketedIvfFlatIndexSink(
+                root, cents, n_buckets=args.n_buckets, read_only=True
+            )
+            probes = None
+            if args.queries:
+                probes = spark.read.parquet(args.queries).select(
+                    F.col("vec_id").alias("qid"),
+                    fixed_point(F.col("embedding")).alias("qa"),
+                )
+            rows = (
+                ivf_search_from_index(sink.state(spark), cents, probes=probes)
+                .orderBy("query_id", "rank")
+                .limit(args.limit)
+                .collect()
+            )
+        except FileNotFoundError as exc:
+            print(json.dumps({"error": str(exc)}), file=sys.stderr)
+            return 1
+        except StateInFlightError as exc:
+            print(json.dumps({"error": str(exc), "retriable": True}), file=sys.stderr)
+            return 2
+        for row in rows:
             print(json.dumps(row.asDict(), default=str))
         return 0
 

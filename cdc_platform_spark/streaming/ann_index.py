@@ -655,6 +655,61 @@ class IndexGenerationPointer:
         os.replace(tmp, self._ptr)
 
 
+def save_quantizer(
+    state_path: str,
+    centroids: DataFrame,
+    codebooks: DataFrame | None = None,
+    ranks: DataFrame | None = None,
+) -> str:
+    """Persist the frozen quantizer artifacts NEXT TO the index state
+    (``<state>.quantizer/{centroids,codebooks,ranks}``) — what makes a
+    generation self-describing: an external serving process (the
+    ``cdc-spark ann-search`` verb) loads the exact tables the index was
+    encoded under instead of retraining, which would produce a different
+    quantizer and silently wrong cell probes.  A sibling dir (not inside
+    the state dir, where partition discovery would choke on it), written
+    whole and published with the two-rename swap so a reader sees one
+    training generation in full, never a mix of two."""
+    q = f"{state_path}.quantizer"
+    tmp = f"{q}.tmp-{uuid.uuid4().hex}"
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/centroids")
+    if codebooks is not None:
+        codebooks.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/codebooks")
+    if ranks is not None:
+        ranks.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/ranks")
+    _commit_swap(q, tmp)
+    return q
+
+
+def load_quantizer(
+    spark: SparkSession, state_path: str, read_only: bool = True
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
+    """Load the persisted quantizer for an index generation — (centroids,
+    codebooks|None, ranks|None), eagerly localCheckpointed like the
+    training path so every downstream broadcast reuses one materialized
+    table.  ``read_only=True`` by default: loading is a serving-process
+    act and must not race a writer's swap (StateInFlightError instead)."""
+    q = f"{state_path}.quantizer"
+    _recover_swapped_dir(q, read_only=read_only)
+    if not os.path.isdir(q):
+        raise FileNotFoundError(
+            f"{q}: no persisted quantizer — save_quantizer() it at train/"
+            "rotate time, or pass the tables explicitly"
+        )
+    cents = spark.read.parquet(f"{q}/centroids").localCheckpoint(eager=True)
+    cb = (
+        spark.read.parquet(f"{q}/codebooks").localCheckpoint(eager=True)
+        if os.path.isdir(f"{q}/codebooks")
+        else None
+    )
+    rk = (
+        spark.read.parquet(f"{q}/ranks").localCheckpoint(eager=True)
+        if os.path.isdir(f"{q}/ranks")
+        else None
+    )
+    return cents, cb, rk
+
+
 def rotate_ivf_generation(
     spark: SparkSession,
     old: BucketedIvfFlatIndexSink,
@@ -682,6 +737,7 @@ def rotate_ivf_generation(
     horizon = old.gc_horizon()
     if horizon is not None:
         new._set_gc_horizon(horizon)
+    save_quantizer(new.path, centroids)  # generation is self-describing
     return new
 
 
@@ -724,6 +780,7 @@ def rotate_ivf_pq_generation(
     horizons = [h for h in (old.gc_horizon(), vec_sink.gc_horizon()) if h is not None]
     if horizons:
         new._set_gc_horizon(max(horizons))
+    save_quantizer(new.path, centroids, codebooks, ranks)  # self-describing
     return new
 
 
@@ -872,7 +929,9 @@ def ivf_cluster_sample_from_index(state: DataFrame) -> DataFrame:
     )
 
 
-def ivf_search_from_index(state: DataFrame, centroids: DataFrame) -> DataFrame:
+def ivf_search_from_index(
+    state: DataFrame, centroids: DataFrame, probes: DataFrame | None = None
+) -> DataFrame:
     """Serve ANN top-k FROM the maintained IVF-Flat index — the production
     query path that index maintenance exists for (closing the loop of
     reference J1/W2 state maintenance into a read view, the same
@@ -891,15 +950,28 @@ def ivf_search_from_index(state: DataFrame, centroids: DataFrame) -> DataFrame:
          of a full scan,
       3. exact cosine re-rank from the vectors stored IN the index,
          window top-``TOP_K`` per query.
-    """
+
+    ``probes`` overrides the probe set with an EXTERNAL query batch
+    (``(qid, qa)`` fixed-point rows — the ``cdc-spark ann-search
+    --queries`` path); default is the similarity family's corpus-probe
+    convention (index rows with ``vec_id < N_PROBES``), which the oracles
+    certify.  External probes are NOT excluded from their own result
+    rows (they are not corpus members)."""
     from pyspark.sql import Window
 
     from cdc_platform_spark.operators.similarity import N_PROBE, N_PROBES, TOP_K
 
     st = state.withColumn("norm", dot_long(F.col("a"), F.col("a")))
-    pv = st.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("qid"), F.col("a").alias("qa"), F.col("norm").alias("qn")
-    )
+    if probes is None:
+        pv = st.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("a").alias("qa"),
+            F.col("norm").alias("qn"),
+        )
+    else:
+        pv = probes.select(
+            "qid", "qa", dot_long(F.col("qa"), F.col("qa")).alias("qn")
+        )
     pc = pv.crossJoin(F.broadcast(centroids)).select(
         "qid",
         "qa",
@@ -908,18 +980,23 @@ def ivf_search_from_index(state: DataFrame, centroids: DataFrame) -> DataFrame:
         (dot_long(F.col("qa"), F.col("ca")) / (F.sqrt("qn") * F.sqrt("cn"))).alias("c"),
     )
     w_probe = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cent_id"))
-    probes = (
+    probe_cells = (
         pc.withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= N_PROBE)
         .select("qid", "qa", "qn", F.col("cent_id").alias("cell"))
     )
     w_rank = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nid"))
+    cand = probe_cells.join(
+        st.select(F.col("vec_id").alias("nid"), "cell", F.col("a").alias("na"), F.col("norm").alias("nn")),
+        "cell",
+    )
+    if probes is None:
+        # corpus probes are index members: a vector is not its own neighbor.
+        # External query ids live in their own namespace — excluding a
+        # colliding corpus id would silently drop a valid neighbor.
+        cand = cand.filter(F.col("nid") != F.col("qid"))
     return (
-        probes.join(
-            st.select(F.col("vec_id").alias("nid"), "cell", F.col("a").alias("na"), F.col("norm").alias("nn")),
-            "cell",
-        )
-        .filter(F.col("nid") != F.col("qid"))
+        cand
         .select(
             "qid",
             "nid",

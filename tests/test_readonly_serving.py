@@ -185,6 +185,116 @@ def test_ann_index_read_only_serving(spark, tmp_path):
         ro.state(spark).count()
 
 
+def test_ann_search_cli_serves_generation(spark, tmp_path, capsys):
+    """`cdc-spark ann-search` end-to-end: index built + quantizer
+    persisted (save_quantizer), generation resolved via the CURRENT
+    pointer, served read-only; --queries takes an external parquet batch
+    (own id namespace: an external query equal to a corpus vector must
+    get that vector back as its top hit, not have it self-excluded)."""
+    from cdc_platform_spark.cli import main
+    from cdc_platform_spark.operators.similarity import (
+        _fixed_embeddings,
+        train_ivf_centroids,
+    )
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        save_quantizer,
+    )
+    from tests.conftest import SF_SMOKE
+
+    e = _fixed_embeddings(spark, SF_SMOKE).localCheckpoint(eager=True)
+    cents = train_ivf_centroids(e)
+    gen = str(tmp_path / "gens" / "g1")
+    sink = BucketedIvfFlatIndexSink(gen, cents, n_buckets=4)
+    sink.write(
+        e.select("vec_id", F.col("vec_id").alias("offset"), F.lit("c").alias("op"), "a")
+    )
+    save_quantizer(gen, cents)
+    root = str(tmp_path / "gens")
+    with open(f"{root}/CURRENT", "w") as fh:
+        fh.write(gen)
+
+    rc = main(["ann-search", root, "--n-buckets", "4", "--limit", "5"])
+    assert rc == 0
+    out = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert out and {"query_id", "rank", "neighbor_id", "cosine"} <= set(out[0])
+    assert all(r["neighbor_id"] != r["query_id"] for r in out)
+
+    # external queries: reuse two corpus embeddings under external ids
+    qdir = str(tmp_path / "queries")
+    spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(2).select(
+        (F.col("vec_id") + 10**9).alias("vec_id"), "embedding"
+    ).write.parquet(qdir)
+    rc = main(["ann-search", root, "--queries", qdir, "--n-buckets", "4", "--limit", "4"])
+    assert rc == 0
+    out = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    top = [r for r in out if r["rank"] == 1]
+    assert top and all(
+        r["neighbor_id"] == r["query_id"] - 10**9 and abs(r["cosine"] - 1.0) < 1e-9
+        for r in top
+    ), f"external query should find its corpus twin at rank 1: {top}"
+
+    # quantizer missing -> clear error, not a retrain or a crash
+    bare = str(tmp_path / "bare")
+    BucketedIvfFlatIndexSink(bare, cents, n_buckets=4).write(
+        e.limit(4).select(
+            "vec_id", F.col("vec_id").alias("offset"), F.lit("c").alias("op"), "a"
+        )
+    )
+    assert main(["ann-search", bare, "--n-buckets", "4"]) == 1
+    assert "quantizer" in capsys.readouterr().err
+
+    # mid-commit journal -> retriable exit 2
+    work = f"{gen}.work"
+    os.makedirs(work, exist_ok=True)
+    with open(f"{work}/commit-dead.json", "w") as fh:
+        json.dump({"tmp": f"{gen}.tmp-dead", "run_id": "dead", "buckets": [0]}, fh)
+    assert main(["ann-search", root, "--n-buckets", "4"]) == 2
+    assert "retriable" in capsys.readouterr().err
+    os.remove(f"{work}/commit-dead.json")
+
+
+def test_quantizer_roundtrip_and_rotation_persists(spark, tmp_path):
+    """save_quantizer/load_quantizer roundtrip (centroids-only and full
+    PQ triple), and rotate_ivf_generation persists the new generation's
+    quantizer so it is self-describing."""
+    from cdc_platform_spark.operators.similarity import (
+        _fixed_embeddings,
+        train_ivf_centroids,
+    )
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        load_quantizer,
+        rotate_ivf_generation,
+        save_quantizer,
+    )
+    from tests.conftest import SF_SMOKE
+
+    e = _fixed_embeddings(spark, SF_SMOKE).localCheckpoint(eager=True)
+    cents = train_ivf_centroids(e)
+    p = str(tmp_path / "ix")
+    save_quantizer(p, cents)
+    got, cb, rk = load_quantizer(spark, p)
+    assert cb is None and rk is None
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, cents.collect()))
+
+    old = BucketedIvfFlatIndexSink(str(tmp_path / "g1"), cents, n_buckets=4)
+    old.write(
+        e.select("vec_id", F.col("vec_id").alias("offset"), F.lit("c").alias("op"), "a")
+    )
+    new = rotate_ivf_generation(spark, old, str(tmp_path / "g2"), cents)
+    got2, _, _ = load_quantizer(spark, new.path)
+    assert got2.count() == cents.count()
+
+
 def test_read_only_constructor_creates_nothing(tmp_path):
     root = str(tmp_path / "nonexistent")
     CuratedCorpusSink(root, n_buckets=4, read_only=True)
