@@ -143,6 +143,15 @@ def main(argv: list[str] | None = None) -> int:
         help="parquet of (vec_id, embedding array<float>) external queries; "
         "default: the corpus probe convention (index rows with small ids)",
     )
+    p_ann.add_argument(
+        "--pq-index",
+        default=None,
+        help="a BucketedIvfPqIndexSink state dir (or pointer root): serve "
+        "IVF-ADC instead — candidates/scores from the PQ codes, full "
+        "vectors from index_root only for the rerank survivors; the "
+        "(centroids, codebooks, ranks) triple loads from the PQ "
+        "generation's persisted quantizer",
+    )
     p_ann.add_argument("--n-buckets", type=int, default=16)
     p_ann.add_argument("--limit", type=int, default=20)
 
@@ -360,42 +369,70 @@ def main(argv: list[str] | None = None) -> int:
         from cdc_platform_spark.operators.dedup import fixed_point
         from cdc_platform_spark.streaming.ann_index import (
             BucketedIvfFlatIndexSink,
+            BucketedIvfPqIndexSink,
+            ivf_pq_search_from_index,
             ivf_search_from_index,
             load_quantizer,
         )
         from cdc_platform_spark.streaming.pipeline import StateInFlightError
 
-        root = args.index_root
-        ptr = f"{root}/CURRENT"
-        if os.path.isfile(ptr):
-            with open(ptr) as fh:
-                gen = fh.read().strip()
-            if not gen:
-                print(json.dumps({"error": f"{ptr}: empty pointer"}), file=sys.stderr)
-                return 1
-            root = gen
-        if not os.path.isdir(root):
+        def resolve_generation(root: str) -> str | None:
+            """A state dir, or a pointer root whose CURRENT names one —
+            read directly (IndexGenerationPointer's constructor mkdirs,
+            which a serving process must not)."""
+            ptr = f"{root}/CURRENT"
+            if os.path.isfile(ptr):
+                with open(ptr) as fh:
+                    root = fh.read().strip()
+            return root if root and os.path.isdir(root) else None
+
+        vec_root = resolve_generation(args.index_root)
+        if vec_root is None:
             print(
-                json.dumps({"error": f"no index state at {root}"}), file=sys.stderr
+                json.dumps({"error": f"no index state at {args.index_root}"}),
+                file=sys.stderr,
             )
             return 1
         try:
-            cents, _, _ = load_quantizer(spark, root)
-            sink = BucketedIvfFlatIndexSink(
-                root, cents, n_buckets=args.n_buckets, read_only=True
-            )
             probes = None
             if args.queries:
                 probes = spark.read.parquet(args.queries).select(
                     F.col("vec_id").alias("qid"),
                     fixed_point(F.col("embedding")).alias("qa"),
                 )
-            rows = (
-                ivf_search_from_index(sink.state(spark), cents, probes=probes)
-                .orderBy("query_id", "rank")
-                .limit(args.limit)
-                .collect()
-            )
+            if args.pq_index:
+                pq_root = resolve_generation(args.pq_index)
+                if pq_root is None:
+                    print(
+                        json.dumps({"error": f"no index state at {args.pq_index}"}),
+                        file=sys.stderr,
+                    )
+                    return 1
+                cents, cb, rk = load_quantizer(spark, pq_root)
+                if cb is None or rk is None:
+                    print(
+                        json.dumps(
+                            {"error": f"{pq_root}: quantizer lacks codebooks/ranks"}
+                        ),
+                        file=sys.stderr,
+                    )
+                    return 1
+                pq = BucketedIvfPqIndexSink(
+                    pq_root, cents, cb, rk, n_buckets=args.n_buckets, read_only=True
+                )
+                vec = BucketedIvfFlatIndexSink(
+                    vec_root, cents, n_buckets=args.n_buckets, read_only=True
+                )
+                out = ivf_pq_search_from_index(
+                    pq.state(spark), vec.state(spark), cents, cb, rk, probes=probes
+                )
+            else:
+                cents, _, _ = load_quantizer(spark, vec_root)
+                sink = BucketedIvfFlatIndexSink(
+                    vec_root, cents, n_buckets=args.n_buckets, read_only=True
+                )
+                out = ivf_search_from_index(sink.state(spark), cents, probes=probes)
+            rows = out.orderBy("query_id", "rank").limit(args.limit).collect()
         except FileNotFoundError as exc:
             print(json.dumps({"error": str(exc)}), file=sys.stderr)
             return 1

@@ -790,6 +790,7 @@ def ivf_pq_search_from_index(
     centroids: DataFrame,
     codebooks: DataFrame,
     ranks: DataFrame,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-ADC serving FROM the maintained composite index — the
     production 100 TB read path over the artifacts the sinks maintain:
@@ -808,7 +809,13 @@ def ivf_pq_search_from_index(
     join; the query's exact subvector-to-codeword L2 table (queries x
     subs x K, broadcast) looked up against each candidate's decoded code
     string; top-``R_RERANK`` by asymmetric distance; exact cosine re-rank
-    to top-``TOP_K``."""
+    to top-``TOP_K``.
+
+    ``probes`` overrides the probe set with an EXTERNAL ``(qid, qa)``
+    query batch (the ``cdc-spark ann-search --pq-index`` path); default
+    is the corpus-probe convention the oracles certify.  External query
+    ids live in their own namespace, so the corpus-probe self-exclusion
+    does not apply to them."""
     from pyspark.sql import Window
 
     from cdc_platform_spark.operators.similarity import (
@@ -822,27 +829,34 @@ def ivf_pq_search_from_index(
     )
 
     st = vec_state.withColumn("norm", dot_long(F.col("a"), F.col("a")))
-    pv = st.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("qid"), F.col("a").alias("qa"), F.col("norm").alias("qn")
-    )
+    external = probes is not None
+    if external:
+        pv = probes.select(
+            "qid", "qa", dot_long(F.col("qa"), F.col("qa")).alias("qn")
+        )
+    else:
+        pv = st.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("a").alias("qa"),
+            F.col("norm").alias("qn"),
+        )
     pc = pv.crossJoin(F.broadcast(centroids)).select(
         "qid",
         "cent_id",
         (dot_long(F.col("qa"), F.col("ca")) / (F.sqrt("qn") * F.sqrt("cn"))).alias("c"),
     )
     w_probe = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cent_id"))
-    probes = (
+    probe_cells = (
         pc.withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= N_PROBE)
         .select("qid", F.col("cent_id").alias("cell"))
     )
-    cand = (
-        probes.join(
-            pq_state.select(F.col("vec_id").alias("nid"), "cell", "codes"), "cell"
-        )
-        .filter(F.col("nid") != F.col("qid"))
-        .select("qid", "nid", "codes")
+    cand = probe_cells.join(
+        pq_state.select(F.col("vec_id").alias("nid"), "cell", "codes"), "cell"
     )
+    if not external:
+        cand = cand.filter(F.col("nid") != F.col("qid"))
+    cand = cand.select("qid", "nid", "codes")
 
     # the query's ADC lookup table: exact L2 from its subvectors to every
     # codeword, keyed by the stored RANK (codes serialize ranks, not ids)

@@ -262,6 +262,65 @@ def test_ann_search_cli_serves_generation(spark, tmp_path, capsys):
     os.remove(f"{work}/commit-dead.json")
 
 
+def test_ann_search_cli_pq_mode(spark, tmp_path, capsys):
+    """`cdc-spark ann-search --pq-index`: IVF-ADC served from the PQ
+    composite generation (codes scored against the broadcast query
+    distance table, vectors read only for the rerank survivors), with
+    the full (centroids, codebooks, ranks) triple loaded from the PQ
+    generation's persisted quantizer."""
+    from pyspark.sql import Window
+
+    from cdc_platform_spark.cli import main
+    from cdc_platform_spark.operators.similarity import (
+        _fixed_embeddings,
+        pq_seeds,
+        pq_subvectors,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        BucketedIvfPqIndexSink,
+        save_quantizer,
+    )
+    from tests.conftest import SF_SMOKE
+
+    e = _fixed_embeddings(spark, SF_SMOKE).localCheckpoint(eager=True)
+    cents = train_ivf_centroids(e)
+    seeds = pq_seeds(e)
+    cb = train_pq_codebooks(pq_subvectors(e.select("vec_id", "a")), seeds)
+    rk = seeds.withColumn(
+        "code", (F.row_number().over(Window.orderBy("cent_id")) - 1).cast("long")
+    )
+    rows = e.select(
+        "vec_id", F.col("vec_id").alias("offset"), F.lit("c").alias("op"), "a"
+    )
+    vec_root = str(tmp_path / "vec")
+    pq_root = str(tmp_path / "pq")
+    BucketedIvfFlatIndexSink(vec_root, cents, n_buckets=4).write(rows)
+    BucketedIvfPqIndexSink(pq_root, cents, cb, rk, n_buckets=4).write(rows)
+    save_quantizer(vec_root, cents)
+    save_quantizer(pq_root, cents, cb, rk)
+
+    rc = main(
+        ["ann-search", vec_root, "--pq-index", pq_root, "--n-buckets", "4", "--limit", "5"]
+    )
+    assert rc == 0
+    out = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert out and {"query_id", "rank", "neighbor_id", "cosine"} <= set(out[0])
+
+    # a PQ root whose quantizer lacks codebooks is a clear config error
+    save_quantizer(pq_root, cents)  # overwrite with centroids-only
+    assert (
+        main(["ann-search", vec_root, "--pq-index", pq_root, "--n-buckets", "4"]) == 1
+    )
+    assert "codebooks" in capsys.readouterr().err
+
+
 def test_quantizer_roundtrip_and_rotation_persists(spark, tmp_path):
     """save_quantizer/load_quantizer roundtrip (centroids-only and full
     PQ triple), and rotate_ivf_generation persists the new generation's
