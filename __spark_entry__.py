@@ -106,6 +106,7 @@ _REVERIFY = {
     "sq_decontaminated_curation_stream",
     "sq_contamination_report_stream",
     "sq_mix_sample_decon_stream",
+    "sq_curated_export_stream",  # export_docs(decontaminated=True) reads it too
     # NOT re-fronted: every bucketed-sink stream, although pipeline.py /
     # ann_index.py gained read_only plumbing this round — the additions
     # are `if self.read_only:` branches and default-False kwargs, dead

@@ -396,6 +396,12 @@ def main(argv: list[str] | None = None) -> int:
         try:
             probes = None
             if args.queries:
+                if not os.path.exists(args.queries):
+                    print(
+                        json.dumps({"error": f"no query parquet at {args.queries}"}),
+                        file=sys.stderr,
+                    )
+                    return 1
                 probes = spark.read.parquet(args.queries).select(
                     F.col("vec_id").alias("qid"),
                     fixed_point(F.col("embedding")).alias("qa"),

@@ -244,6 +244,15 @@ class BucketedIvfIndexSink(BucketedUpsertSink):
 
     _assign = IvfIndexSink._assign
 
+    def _recover(self) -> bool:
+        changed = super()._recover()
+        # the persisted quantizer sibling (save_quantizer) has no other
+        # recovery owner: heal it alongside the state dirs in writer mode
+        # (sweep crash-orphaned tmp copies, restore a mid-swap snapshot);
+        # read-only mode raises on a mid-swap quantizer like any store
+        _recover_swapped_dir(f"{self.path}.quantizer", read_only=self.read_only)
+        return changed
+
     def _updates(self, batch: DataFrame) -> DataFrame:
         return self._assign(batch).withColumn(
             "bucket", F.pmod(F.hash(self._KEY), F.lit(self.n_buckets))
@@ -671,6 +680,12 @@ def save_quantizer(
     whole and published with the two-rename swap so a reader sees one
     training generation in full, never a mix of two."""
     q = f"{state_path}.quantizer"
+    # writer-mode recovery first: heal a crash from a PREVIOUS save (sweep
+    # orphaned tmp copies, restore a displaced snapshot whose swap died
+    # between the renames) — the sink's own _recover never touches this
+    # sibling, so this call and the sinks' writer-mode _recover below are
+    # the only paths that clear a stuck quantizer
+    _recover_swapped_dir(q)
     tmp = f"{q}.tmp-{uuid.uuid4().hex}"
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/centroids")
     if codebooks is not None:

@@ -823,6 +823,7 @@ class _BucketStore(BucketedUpsertSink):
         views write retracted rows back with ``dead=true``) — partitioned
         parquet cannot emit an empty partition dir, and an absent dir
         would silently keep the bucket's stale rows live."""
+        self._assert_writable()
         run_id = uuid.uuid4().hex
         tmp = f"{self.path}.tmp-{run_id}"
         content.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
@@ -840,6 +841,7 @@ class _BucketStore(BucketedUpsertSink):
         disappear, which write_buckets' marker-row convention avoids
         instead).  Buckets not named are untouched even if ``content``
         accidentally carries their rows — the caller pre-filters."""
+        self._assert_writable()
         run_id = uuid.uuid4().hex
         tmp = f"{self.path}.tmp-{run_id}"
         content.write.mode("overwrite").partitionBy("bucket").parquet(tmp)

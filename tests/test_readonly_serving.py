@@ -321,6 +321,107 @@ def test_ann_search_cli_pq_mode(spark, tmp_path, capsys):
     assert "codebooks" in capsys.readouterr().err
 
 
+def test_read_only_projection_refuses_bucket_writes(spark, tmp_path):
+    """Every _BucketStore publish path refuses under read_only — including
+    the delta-refresh overwrite_buckets that IvfCellProjection uses (the
+    path a serving-opened projection must never take)."""
+    from cdc_platform_spark.operators.similarity import (
+        _fixed_embeddings,
+        train_ivf_centroids,
+    )
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        IvfCellProjection,
+    )
+    from tests.conftest import SF_SMOKE
+
+    e = _fixed_embeddings(spark, SF_SMOKE).localCheckpoint(eager=True)
+    cents = train_ivf_centroids(e)
+    primary = BucketedIvfFlatIndexSink(str(tmp_path / "ix"), cents, n_buckets=4)
+    primary.write(
+        e.select("vec_id", F.col("vec_id").alias("offset"), F.lit("c").alias("op"), "a")
+    )
+    IvfCellProjection(str(tmp_path / "proj")).refresh(primary.state(spark))
+
+    ro = IvfCellProjection(str(tmp_path / "proj"), read_only=True)
+    assert ro.search(
+        spark, cents, primary.state(spark).limit(2).select(
+            F.col("vec_id").alias("qid"), F.col("a").alias("qa")
+        )
+    ).count() >= 0
+    with pytest.raises(RuntimeError, match="read_only"):
+        ro.refresh(primary.state(spark), cells=[0])
+    with pytest.raises(RuntimeError, match="read_only"):
+        ro.refresh(primary.state(spark))
+
+
+def test_quantizer_crash_heals_on_next_writer_touch(spark, tmp_path):
+    """A crash between save_quantizer's two renames leaves the quantizer
+    displaced: load_quantizer (read-only) raises retriably, and BOTH
+    writer paths heal it — the sink's own _recover (next micro-batch) and
+    the next save_quantizer."""
+    from cdc_platform_spark.operators.similarity import (
+        _fixed_embeddings,
+        train_ivf_centroids,
+    )
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        load_quantizer,
+        save_quantizer,
+    )
+    from tests.conftest import SF_SMOKE
+
+    e = _fixed_embeddings(spark, SF_SMOKE).localCheckpoint(eager=True)
+    cents = train_ivf_centroids(e)
+    p = str(tmp_path / "ix")
+    sink = BucketedIvfFlatIndexSink(p, cents, n_buckets=4)
+    sink.write(
+        e.select("vec_id", F.col("vec_id").alias("offset"), F.lit("c").alias("op"), "a")
+    )
+    save_quantizer(p, cents)
+
+    # simulate the mid-swap crash: live displaced, not yet replaced
+    os.rename(f"{p}.quantizer", f"{p}.quantizer.old-dead")
+    with pytest.raises(StateInFlightError, match="mid-swap"):
+        load_quantizer(spark, p)
+    # writer path 1: the sink's recovery restores the displaced snapshot
+    sink._recover()
+    assert load_quantizer(spark, p)[0].count() == cents.count()
+
+    # crash again + an orphaned tmp: writer path 2, save_quantizer heals
+    os.rename(f"{p}.quantizer", f"{p}.quantizer.old-dead2")
+    os.makedirs(f"{p}.quantizer.tmp-orphan", exist_ok=True)
+    save_quantizer(p, cents)
+    assert not os.path.exists(f"{p}.quantizer.tmp-orphan")
+    assert load_quantizer(spark, p)[0].count() == cents.count()
+
+
+def test_ann_search_cli_bad_queries_path(spark, tmp_path, capsys):
+    from cdc_platform_spark.cli import main
+    from cdc_platform_spark.operators.similarity import (
+        _fixed_embeddings,
+        train_ivf_centroids,
+    )
+    from cdc_platform_spark.streaming.ann_index import (
+        BucketedIvfFlatIndexSink,
+        save_quantizer,
+    )
+    from tests.conftest import SF_SMOKE
+
+    e = _fixed_embeddings(spark, SF_SMOKE).localCheckpoint(eager=True)
+    cents = train_ivf_centroids(e)
+    p = str(tmp_path / "ix")
+    BucketedIvfFlatIndexSink(p, cents, n_buckets=4).write(
+        e.limit(4).select(
+            "vec_id", F.col("vec_id").alias("offset"), F.lit("c").alias("op"), "a"
+        )
+    )
+    save_quantizer(p, cents)
+    rc = main(["ann-search", p, "--queries", str(tmp_path / "nope"), "--n-buckets", "4"])
+    assert rc == 1
+    assert "query parquet" in capsys.readouterr().err
+
+
 def test_quantizer_roundtrip_and_rotation_persists(spark, tmp_path):
     """save_quantizer/load_quantizer roundtrip (centroids-only and full
     PQ triple), and rotate_ivf_generation persists the new generation's
