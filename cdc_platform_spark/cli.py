@@ -155,6 +155,17 @@ def main(argv: list[str] | None = None) -> int:
     p_ann.add_argument("--n-buckets", type=int, default=16)
     p_ann.add_argument("--limit", type=int, default=20)
 
+    p_exc = sub.add_parser(
+        "export-corpus",
+        help="publish the curated (or decontaminated) training export as "
+        "a lakehouse snapshot — prints the snapshot id a training run "
+        "pins for reproducibility",
+    )
+    p_exc.add_argument("corpus_root", help="the CuratedCorpusSink state directory")
+    p_exc.add_argument("table_root", help="the VersionedTable root to snapshot into")
+    p_exc.add_argument("--n-buckets", type=int, default=16)
+    p_exc.add_argument("--decontaminated", action="store_true")
+
     p_serve = sub.add_parser(
         "serve",
         help="run a serving read over a maintained curated-corpus state "
@@ -447,6 +458,31 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         for row in rows:
             print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.cmd == "export-corpus":
+        from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+        from cdc_platform_spark.streaming.pipeline import StateInFlightError
+
+        if not os.path.isdir(args.corpus_root):
+            print(
+                json.dumps({"error": f"no corpus state at {args.corpus_root}"}),
+                file=sys.stderr,
+            )
+            return 1
+        # the corpus is only READ (read_only sink); the write goes to the
+        # lakehouse table, which owns its own transactional commit
+        sink = CuratedCorpusSink(
+            args.corpus_root, n_buckets=args.n_buckets, read_only=True
+        )
+        try:
+            sid = sink.export_to_table(
+                spark, args.table_root, decontaminated=args.decontaminated
+            )
+        except StateInFlightError as exc:
+            print(json.dumps({"error": str(exc), "retriable": True}), file=sys.stderr)
+            return 2
+        print(json.dumps({"snapshot": sid}))
         return 0
 
     if args.cmd == "serve":

@@ -1220,6 +1220,29 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
             "doc_id", shard.alias("shard_id"), "n_words", "text"
         )
 
+    def export_to_table(
+        self, spark: SparkSession, table_root: str, decontaminated: bool = False
+    ) -> str:
+        """Publish the training export as a LAKEHOUSE SNAPSHOT — the
+        reproducibility seam between curation and training: each call
+        writes the current ``export_docs`` rows as one
+        :class:`~cdc_platform_spark.lakehouse.table.VersionedTable`
+        overwrite and returns its snapshot id, so a training run PINS the
+        exact corpus it consumed (``cdc-spark query --snapshot-id``, time
+        travel, ``diff`` between two training datasets, rollback) while
+        curation keeps moving underneath.  The corpus state itself is
+        only READ — an export must never perturb the pipeline's stores —
+        and each snapshot is immutable once written, the property a
+        "what data was model X trained on" audit actually needs.  Scale
+        shape: one column-pruned pass over the survivors (the one read
+        whose job is the text), written through the table format's
+        transactional commit; on a real Iceberg catalog the same call
+        maps through the gated backend unchanged."""
+        from cdc_platform_spark.lakehouse.table import VersionedTable
+
+        table = VersionedTable(spark, table_root)
+        return table.overwrite(self.export_docs(spark, decontaminated=decontaminated))
+
     def curated_unified(self, spark: SparkSession, neighbor_view: DataFrame) -> DataFrame:
         """The curated corpus with BOTH dedup signals applied — the funnel
         a real pretraining pipeline runs: text-level near-dup suppression

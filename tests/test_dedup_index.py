@@ -698,6 +698,54 @@ def test_served_stop_gram_cap_matches_batch_capped_semantics(spark, tmp_path):
     ) == [1, 2, 4, 5]
 
 
+def test_export_to_table_snapshots_are_pinnable(spark, tmp_path, capsys):
+    """export_to_table publishes each training export as an immutable
+    lakehouse snapshot: a later corpus change + re-export yields a new
+    snapshot while the pinned one reads back byte-identical — the
+    'what data was model X trained on' audit path.  The corpus state is
+    opened read-only by the CLI verb (an export must never perturb the
+    pipeline's stores)."""
+    import json as _json
+
+    from cdc_platform_spark.cli import main
+    from cdc_platform_spark.lakehouse.table import VersionedTable
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    schema = "doc_id long, offset long, op string, text string"
+    docs = [
+        (i, 10, "c", " ".join(f"w{i}_{j}" for j in range(25))) for i in range(1, 9)
+    ]
+    root = str(tmp_path / "corpus")
+    table_root = str(tmp_path / "table")
+    sink = CuratedCorpusSink(root, n_buckets=8)
+    sink.write(spark.createDataFrame(docs, schema))
+
+    sid1 = sink.export_to_table(spark, table_root)
+    table = VersionedTable(spark, table_root)
+    rows1 = sorted(r["doc_id"] for r in table.read(sid1).collect())
+    assert rows1 == [d[0] for d in docs]
+
+    # corpus moves: delete one doc, re-export via the CLI verb
+    sink.write(spark.createDataFrame([(3, 11, "d", None)], schema))
+    rc = main(["export-corpus", root, table_root, "--n-buckets", "8"])
+    assert rc == 0
+    out = _json.loads(
+        [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")][-1]
+    )
+    sid2 = out["snapshot"]
+    assert sid2 and sid2 != sid1
+    # the pinned snapshot is unchanged; the head reflects the delete
+    assert sorted(r["doc_id"] for r in table.read(sid1).collect()) == rows1
+    assert sorted(r["doc_id"] for r in table.read(sid2).collect()) == [
+        d for d in rows1 if d != 3
+    ]
+    assert table.current_snapshot_id() == sid2
+
+    # a typo'd corpus path errors without creating state
+    assert main(["export-corpus", str(tmp_path / "nope"), table_root]) == 1
+    capsys.readouterr()
+
+
 def test_shard_manifest_decontaminated_composition(spark, tmp_path, cdc_rows):
     """shard_manifest(decontaminated=True) == the stable-hash manifest
     aggregate over the decontaminated survivor set."""
