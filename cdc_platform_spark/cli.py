@@ -165,6 +165,13 @@ def main(argv: list[str] | None = None) -> int:
     p_exc.add_argument("table_root", help="the VersionedTable root to snapshot into")
     p_exc.add_argument("--n-buckets", type=int, default=16)
     p_exc.add_argument("--decontaminated", action="store_true")
+    p_exc.add_argument(
+        "--stop-gram-cap",
+        type=int,
+        default=None,
+        help="with --decontaminated: ignore boilerplate grams (live-corpus "
+        "doc frequency > cap) as leak evidence",
+    )
 
     p_serve = sub.add_parser(
         "serve",
@@ -470,6 +477,14 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 1
+        if args.stop_gram_cap is not None and not args.decontaminated:
+            print(
+                json.dumps(
+                    {"error": "--stop-gram-cap requires --decontaminated"}
+                ),
+                file=sys.stderr,
+            )
+            return 1
         # the corpus is only READ (read_only sink); the write goes to the
         # lakehouse table, which owns its own transactional commit
         sink = CuratedCorpusSink(
@@ -477,7 +492,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         try:
             sid = sink.export_to_table(
-                spark, args.table_root, decontaminated=args.decontaminated
+                spark,
+                args.table_root,
+                decontaminated=args.decontaminated,
+                stop_gram_cap=args.stop_gram_cap,
             )
         except StateInFlightError as exc:
             print(json.dumps({"error": str(exc), "retriable": True}), file=sys.stderr)
@@ -504,26 +522,52 @@ def main(argv: list[str] | None = None) -> int:
         sink = CuratedCorpusSink(
             args.corpus_root, n_buckets=args.n_buckets, read_only=True
         )
+        cap = args.stop_gram_cap
+        # --stop-gram-cap must never be silently ignored: it applies to
+        # the decontamination-consulting reads only (and to the derived
+        # views only when they actually draw from the decontaminated
+        # corpus) — a flag that changes WHICH documents ship must error
+        # loudly when it cannot take effect
+        if cap is not None:
+            cap_ok = args.view in ("decontaminated", "contamination-report") or (
+                args.view in ("mix-sample", "mix-tokens", "shard-manifest", "export")
+                and args.decontaminated
+            )
+            if not cap_ok:
+                print(
+                    json.dumps(
+                        {
+                            "error": f"--stop-gram-cap has no effect on "
+                            f"'{args.view}'"
+                            + (
+                                " without --decontaminated"
+                                if args.view
+                                in ("mix-sample", "mix-tokens", "shard-manifest", "export")
+                                else ""
+                            )
+                        }
+                    ),
+                    file=sys.stderr,
+                )
+                return 1
         reads = {
             "curated": lambda: sink.curated(spark),
-            "decontaminated": lambda: sink.decontaminated(
-                spark, stop_gram_cap=args.stop_gram_cap
-            ),
+            "decontaminated": lambda: sink.decontaminated(spark, stop_gram_cap=cap),
             "contamination-report": lambda: sink.contamination_report(
-                spark, stop_gram_cap=args.stop_gram_cap
+                spark, stop_gram_cap=cap
             ),
             "dedup-rate": lambda: sink.dedup_rate_by_domain(spark),
             "mix-sample": lambda: sink.mix_sample(
-                spark, decontaminated=args.decontaminated
+                spark, decontaminated=args.decontaminated, stop_gram_cap=cap
             ),
             "mix-tokens": lambda: sink.mix_sample_tokens(
-                spark, decontaminated=args.decontaminated
+                spark, decontaminated=args.decontaminated, stop_gram_cap=cap
             ),
             "shard-manifest": lambda: sink.shard_manifest(
-                spark, decontaminated=args.decontaminated
+                spark, decontaminated=args.decontaminated, stop_gram_cap=cap
             ),
             "export": lambda: sink.export_docs(
-                spark, decontaminated=args.decontaminated
+                spark, decontaminated=args.decontaminated, stop_gram_cap=cap
             ),
             "cluster-reps": lambda: sink.cluster_representatives(spark),
             "clusters": lambda: sink.clusters(spark),

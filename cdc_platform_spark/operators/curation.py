@@ -278,49 +278,9 @@ def temperature_resample(d: DataFrame, prefilter: bool = False) -> DataFrame:
     )
     pool = d.select("lang", "source", "doc_id")
     if prefilter:
-        # 32-bit numeric md5 prefix: orders exactly like the full md5
-        # string (hex chars sort lexicographically = numerically), so
-        # "u below threshold" keeps a clean prefix of the ranking order
-        u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-            "long"
-        )
-        cand_pred = (
-            u.cast("double") / F.lit(float(2**32))
-            < F.lit(float(PREFILTER_OVERSHOOT))
-            * F.col("target_docs").cast("double")
-            / F.col("domain_docs").cast("double")
-        )
-        # tgt is domain-cardinality (tiny) -> broadcast is bounded
-        cand = pool.join(
-            F.broadcast(tgt.select("lang", "source", "domain_docs", "target_docs")),
-            ["lang", "source"],
-        ).filter(cand_pred)
-        # exactness fallback: a domain whose survivor count undershot its
-        # target is ranked in full (rare by construction, never wrong).
-        # Derived from tgt (every domain) LEFT-joined with the survivor
-        # counts: a domain whose prefilter kept ZERO rows has no group in
-        # cand at all, and deriving `short` from cand alone would silently
-        # drop it instead of falling back.
-        kept = cand.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_kept"))
-        short = (
-            tgt.select("lang", "source", "target_docs")
-            .join(kept, ["lang", "source"], "left")
-            .filter(F.coalesce(F.col("n_kept"), F.lit(0)) < F.col("target_docs"))
-            .select("lang", "source", F.lit(True).alias("_short"))
-        )
-        # ONE pass over d for the final pool: keep a row if it passes the
-        # candidate threshold OR its domain fell back — a union of
-        # (cand anti short) with (d semi short) would evaluate d's whole
-        # upstream lineage twice, which for the serving reads means
-        # re-deriving the curated corpus per branch
-        pool = (
-            pool.join(
-                F.broadcast(tgt.select("lang", "source", "domain_docs", "target_docs")),
-                ["lang", "source"],
-            )
-            .join(F.broadcast(short), ["lang", "source"], "left")
-            .filter(cand_pred | F.col("_short").isNotNull())
-            .select("lang", "source", "doc_id")
+        pool = _md5_prefix_pool(
+            pool, tgt, target_col="target_docs", total_col="domain_docs",
+            weight=F.lit(1).cast("long"),
         )
     w = Window.partitionBy("lang", "source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
@@ -510,51 +470,9 @@ def token_budget_sample(d: DataFrame, prefilter: bool = False) -> DataFrame:
     )
     pool = d.select("lang", "source", "doc_id", "n_words")
     if prefilter:
-        # 32-bit numeric md5 prefix: orders exactly like the full md5
-        # string, so "u below threshold" keeps a clean prefix of the
-        # ranking order (same primitive as temperature_resample)
-        u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-            "long"
-        )
-        cand_pred = (
-            u.cast("double") / F.lit(float(2**32))
-            < F.lit(float(PREFILTER_OVERSHOOT))
-            * F.col("target_tokens").cast("double")
-            / F.col("total_tokens").cast("double")
-        )
-        # tgt is domain-cardinality (tiny) -> broadcast is bounded
-        cand = pool.join(
-            F.broadcast(tgt.select("lang", "source", "total_tokens", "target_tokens")),
-            ["lang", "source"],
-        ).filter(cand_pred)
-        # exactness fallback in TOKENS: a domain whose survivors sum to
-        # fewer tokens than its target may have its boundary document
-        # beyond the prefix — rank it in full.  LEFT join from tgt so a
-        # domain with ZERO survivors (no group in cand) still falls back.
-        kept = cand.groupBy("lang", "source").agg(
-            F.sum("n_words").alias("kept_tokens")
-        )
-        short = (
-            tgt.select("lang", "source", "target_tokens")
-            .join(kept, ["lang", "source"], "left")
-            .filter(
-                F.coalesce(F.col("kept_tokens"), F.lit(0).cast("long"))
-                < F.col("target_tokens")
-            )
-            .select("lang", "source", F.lit(True).alias("_short"))
-        )
-        # ONE pass over d for the final pool (candidate-threshold OR
-        # fallback-domain) — a union of branches would evaluate d's whole
-        # upstream lineage twice, which for the serving reads means
-        # re-deriving the curated corpus per branch
-        pool = (
-            pool.join(
-                F.broadcast(tgt.select("lang", "source", "total_tokens", "target_tokens")),
-                ["lang", "source"],
-            )
-            .join(F.broadcast(short), ["lang", "source"], "left")
-            .filter(cand_pred | F.col("_short").isNotNull())
-            .select("lang", "source", "doc_id", "n_words")
+        pool = _md5_prefix_pool(
+            pool, tgt, target_col="target_tokens", total_col="total_tokens",
+            weight=F.col("n_words"),
         )
     w = Window.partitionBy("lang", "source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")

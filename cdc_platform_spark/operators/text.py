@@ -575,17 +575,30 @@ def contamination_report_from_grams(
     bench = exploded.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "gh")
     corpus = exploded.filter(~is_bench)
     if stop_gram_cap is not None:
-        stop = (
-            corpus.groupBy("gh")
-            .agg(F.count_distinct("doc_id").alias("df"))
-            .filter(F.col("df") > stop_gram_cap)
-            .select("gh")
-        )
-        corpus = corpus.join(stop, "gh", "leftanti")
+        corpus = drop_stop_grams(corpus, stop_gram_cap)
     base = g.filter(is_bench).select(
         F.col("doc_id").alias("bench_id"), F.size("grams").alias("n_grams")
     )
     return contamination_rollup(base, bench.join(corpus, "gh"))
+
+
+def drop_stop_grams(g: DataFrame, stop_gram_cap: int) -> DataFrame:
+    """THE stop-gram exclusion rule over (doc_id, gh, ...) evidence rows —
+    drop every row whose gram appears in more than ``cap`` distinct
+    documents.  One definition shared by the batch capped report above
+    and the served ``CuratedCorpusSink`` capped reads (which apply it to
+    the maintained leak triples, where the per-gram distinct-doc count
+    equals the live-corpus DF), so the two capped semantics cannot
+    drift.  Skew-safe: ``count_distinct`` partials combine map-side, so a
+    boilerplate gram reaches its reducer pre-collapsed; extra columns on
+    ``g`` pass through the anti join untouched."""
+    over = (
+        g.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > stop_gram_cap)
+        .select("gh")
+    )
+    return g.join(over, "gh", "leftanti")
 
 
 def contamination_rollup(base: DataFrame, leak_triples: DataFrame) -> DataFrame:

@@ -237,10 +237,50 @@ class BucketedMinHashIndexSink:
         if not read_only:
             os.makedirs(path, exist_ok=True)
 
+    # --- cross-store batch markers -------------------------------------
+    # One batch commits SEVERAL stores in sequence (index, then bands,
+    # then pairs; the curated subclass adds the decon views).  Each store's
+    # own journal protocol makes its commit atomic, but nothing marks the
+    # WINDOW between two stores' commits — a concurrent read-only serve
+    # there would see e.g. a just-added near-duplicate in the index with
+    # its pair rows not yet committed: a state matching neither side of
+    # the batch, with no per-store evidence to refuse on.  A plain marker
+    # file at the sink root (store subdirs never see it) brackets the
+    # sequence: written before the first store commit, removed after the
+    # last — read-only recovery refuses (retriably) while it exists.
+    # Crash mid-batch leaves the marker, which is CORRECT: the state
+    # really is mid-batch until the checkpoint replays the batch (the
+    # writer's re-entered write() re-marks, completes, clears).
+
+    @property
+    def _stores_marker(self) -> str:
+        return f"{self.path}/_writer-inflight"
+
+    @staticmethod
+    def _set_marker(path: str) -> None:
+        with open(path, "w") as fh:
+            fh.write(uuid.uuid4().hex)
+
+    @staticmethod
+    def _clear_marker(path: str) -> None:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+    def _refuse_if_inflight(self, marker: str, what: str) -> None:
+        if self.read_only and os.path.exists(marker):
+            raise StateInFlightError(
+                f"{marker}: a writer batch is mid-commit across the {what} "
+                "stores (or crashed mid-batch and will replay) — retry "
+                "after it completes"
+            )
+
     def _recover(self) -> None:
         self.index._recover()
         self.bands._recover()
         self.pair_store._recover()
+        self._refuse_if_inflight(self._stores_marker, "index/bands/pairs")
 
     def _batch_rows(self, batch: DataFrame) -> DataFrame:
         """Latest row per doc within the batch + signatures — the exact
@@ -269,9 +309,19 @@ class BucketedMinHashIndexSink:
         own work without re-running the emptiness probe."""
         if not batch.take(1):
             return False  # empty/replayed-out micro-batch: views unchanged
+        if self.read_only:
+            raise RuntimeError(
+                f"{self.path}: sink opened read_only (serving mode) — "
+                "writes belong to the pipeline process"
+            )
         self._recover()
         spark = batch.sparkSession
         nb = F.lit(self.n_buckets)
+
+        # bracket the multi-store commit sequence for concurrent read-only
+        # serves; deliberately NOT cleared on exception — a failed batch
+        # leaves the stores genuinely mid-batch until the replay
+        self._set_marker(self._stores_marker)
 
         rows = self._batch_rows(batch).persist()
         persisted = [rows]
@@ -437,6 +487,7 @@ class BucketedMinHashIndexSink:
         finally:
             for df in persisted:
                 df.unpersist()
+        self._clear_marker(self._stores_marker)
         return True
 
     def compact(self, spark: SparkSession, tombstone_horizon: int | None = None) -> None:
@@ -588,36 +639,42 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
             f"{path}/decon_leaks", n_buckets, read_only=read_only
         )
 
+    # the decon views (hit store + bench mirror + contamination report)
+    # straddle a batch from the FIRST store commit until
+    # _maintain_decon_hits finishes — a superset of the base class's
+    # stores window — so they get their own marker spanning the whole
+    # write.  Checked by the decon-dependent reads only: curated(),
+    # dedup-rate, clusters etc. are consistent as soon as the base
+    # stores marker clears, and blocking them for the (potentially long)
+    # decon rebuild would be a needless availability outage.
+
+    @property
+    def _decon_marker(self) -> str:
+        return f"{self.path}/_decon-inflight"
+
     def _recover(self) -> None:
         super()._recover()
         _recover_swapped_dir(self.bench_path, read_only=self.read_only)
-        if self.read_only:
-            # a bench-mirror tmp sibling marks a decon REBUILD in flight:
-            # the leak view commits before the mirror swap (the ordering
-            # crash-replay healing requires, see _maintain_decon_hits), so
-            # between those two commits contamination_report() would join
-            # post-batch triples against pre-batch base rows — a mixed
-            # state matching neither side of the batch.  A read-only serve
-            # refuses (retriably) instead of serving it.  Residual window:
-            # after the writer's own recovery sweeps the orphan tmp, the
-            # mixed state is unmarked until its replayed batch commits —
-            # the replay is the very batch the restarted writer runs first.
-            parent = os.path.dirname(self.bench_path) or "."
-            base = os.path.basename(self.bench_path)
-            if os.path.isdir(parent) and any(
-                n.startswith(f"{base}.tmp-") for n in os.listdir(parent)
-            ):
-                raise StateInFlightError(
-                    f"{self.bench_path}: decontamination rebuild in flight "
-                    "(mirror tmp present) — the leak view and bench mirror "
-                    "may straddle a batch; retry after the writer commits"
-                )
         self.hit_store._recover()
 
+    def _refuse_if_decon_inflight(self) -> None:
+        """Read-only gate for the decon-dependent views — the leak view,
+        bench mirror and curated stores commit in sequence inside one
+        batch (the ordering crash-replay healing requires, see
+        _maintain_decon_hits), so between any two of those commits a
+        contamination read would mix two batches' states."""
+        self._refuse_if_inflight(self._decon_marker, "decontamination")
+
     def write(self, batch: DataFrame) -> bool:
+        # set BEFORE the first store commit: the decon views' straddle
+        # window opens with the index commit, not with the decon phase
+        if not self.read_only:
+            self._set_marker(self._decon_marker)
         if not super().write(batch):
+            self._clear_marker(self._decon_marker)
             return False
         self._maintain_decon_hits(batch)
+        self._clear_marker(self._decon_marker)
         return True
 
     def _decon_state_is_legacy(self) -> bool:
@@ -902,6 +959,7 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         from cdc_platform_spark.operators.text import DECON_BENCH_MOD
 
         self._recover()
+        self._refuse_if_decon_inflight()
         surv = self.curated(spark)
         is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
         out = surv.filter(~is_bench)
@@ -947,14 +1005,11 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         corpus scan and no second maintained table.  (Write-time capped
         STORAGE would need per-gram DF state to retract/resurrect triples
         as grams cross the cap under CDC — see SCALING.md; the read-time
-        form is exact and O(leak evidence).)"""
-        over = (
-            leaks.groupBy("gh")
-            .agg(F.count_distinct("doc_id").alias("df"))
-            .filter(F.col("df") > stop_gram_cap)
-            .select("gh")
-        )
-        return leaks.join(over, "gh", "leftanti")
+        form is exact and O(leak evidence).)  The rule itself is the
+        batch operator's ``drop_stop_grams`` — one shared definition."""
+        from cdc_platform_spark.operators.text import drop_stop_grams
+
+        return drop_stop_grams(leaks, stop_gram_cap)
 
     def contamination_report(
         self, spark: SparkSession, stop_gram_cap: int | None = None
@@ -983,6 +1038,7 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         from cdc_platform_spark.operators.text import contamination_rollup
 
         self._recover()
+        self._refuse_if_decon_inflight()
         if self._decon_state_is_legacy():
             # pre-mirror state dir: per-read derive from the stored grams
             # (the round-8 read) until the next write bootstraps the views
@@ -1066,7 +1122,12 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         )
         return dedup_rate_rollup(flagged, supp)
 
-    def mix_sample(self, spark: SparkSession, decontaminated: bool = False) -> DataFrame:
+    def mix_sample(
+        self,
+        spark: SparkSession,
+        decontaminated: bool = False,
+        stop_gram_cap: int | None = None,
+    ) -> DataFrame:
         """The training MIX served from maintained state: temperature
         resampling (the exact batch ``temperature_resample`` body — one
         definition) over the LIVE curated corpus's (lang, source)
@@ -1084,7 +1145,11 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         their leaks)."""
         from cdc_platform_spark.operators.curation import temperature_resample
 
-        base = self.decontaminated(spark) if decontaminated else self.curated(spark)
+        base = (
+            self.decontaminated(spark, stop_gram_cap=stop_gram_cap)
+            if decontaminated
+            else self.curated(spark)
+        )
         surv = base.select("doc_id")
         if not self.index.exists():
             return temperature_resample(
@@ -1105,7 +1170,10 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         )
 
     def mix_sample_tokens(
-        self, spark: SparkSession, decontaminated: bool = False
+        self,
+        spark: SparkSession,
+        decontaminated: bool = False,
+        stop_gram_cap: int | None = None,
     ) -> DataFrame:
         """The TOKEN-budgeted training mix from maintained state — the
         batch ``token_budget_sample`` body (one shared definition) over
@@ -1117,7 +1185,11 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         the decontaminated corpus."""
         from cdc_platform_spark.operators.curation import token_budget_sample
 
-        base = self.decontaminated(spark) if decontaminated else self.curated(spark)
+        base = (
+            self.decontaminated(spark, stop_gram_cap=stop_gram_cap)
+            if decontaminated
+            else self.curated(spark)
+        )
         surv = base.select("doc_id", F.col("n_words").cast("long").alias("n_words"))
         if not self.index.exists():
             return token_budget_sample(
@@ -1141,7 +1213,12 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
 
     N_SHARDS = 16
 
-    def shard_manifest(self, spark: SparkSession, decontaminated: bool = False) -> DataFrame:
+    def shard_manifest(
+        self,
+        spark: SparkSession,
+        decontaminated: bool = False,
+        stop_gram_cap: int | None = None,
+    ) -> DataFrame:
         """Training-export shard manifest served FROM the maintained
         curated corpus: (shard_id, n_docs, n_tokens).
 
@@ -1155,7 +1232,11 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         with ``decontaminated=True`` — the export a pretraining run
         actually ships): one map-side-combinable aggregate, no extra
         maintained state."""
-        surv = self.decontaminated(spark) if decontaminated else self.curated(spark)
+        surv = (
+            self.decontaminated(spark, stop_gram_cap=stop_gram_cap)
+            if decontaminated
+            else self.curated(spark)
+        )
         shard = F.pmod(md5_60bit(F.col("doc_id").cast("string")), F.lit(self.N_SHARDS))
         return (
             surv.groupBy(shard.alias("shard_id"))
@@ -1191,7 +1272,12 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         )
         return cluster_reps_rollup(comp.join(nw, "doc_id"))
 
-    def export_docs(self, spark: SparkSession, decontaminated: bool = False) -> DataFrame:
+    def export_docs(
+        self,
+        spark: SparkSession,
+        decontaminated: bool = False,
+        stop_gram_cap: int | None = None,
+    ) -> DataFrame:
         """The training EXPORT read itself — (doc_id, shard_id, n_words,
         text) for every curated (or decontaminated) survivor, with the
         same stable shard assignment as ``shard_manifest``.  Every other
@@ -1209,7 +1295,11 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
             return spark.createDataFrame(
                 [], "doc_id long, shard_id long, n_words long, text string"
             )
-        surv = self.decontaminated(spark) if decontaminated else self.curated(spark)
+        surv = (
+            self.decontaminated(spark, stop_gram_cap=stop_gram_cap)
+            if decontaminated
+            else self.curated(spark)
+        )
         txt = (
             spark.read.parquet(self.index.path)
             .filter(F.col("op") != "d")
@@ -1221,7 +1311,11 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         )
 
     def export_to_table(
-        self, spark: SparkSession, table_root: str, decontaminated: bool = False
+        self,
+        spark: SparkSession,
+        table_root: str,
+        decontaminated: bool = False,
+        stop_gram_cap: int | None = None,
     ) -> str:
         """Publish the training export as a LAKEHOUSE SNAPSHOT — the
         reproducibility seam between curation and training: each call
@@ -1241,7 +1335,11 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         from cdc_platform_spark.lakehouse.table import VersionedTable
 
         table = VersionedTable(spark, table_root)
-        return table.overwrite(self.export_docs(spark, decontaminated=decontaminated))
+        return table.overwrite(
+            self.export_docs(
+                spark, decontaminated=decontaminated, stop_gram_cap=stop_gram_cap
+            )
+        )
 
     def curated_unified(self, spark: SparkSession, neighbor_view: DataFrame) -> DataFrame:
         """The curated corpus with BOTH dedup signals applied — the funnel

@@ -444,10 +444,27 @@ class BucketedUpsertSink:
             if os.path.isdir(self._work):
                 for name in os.listdir(self._work):
                     if name.startswith("commit-") and name.endswith(".json"):
-                        raise StateInFlightError(
-                            f"{self.path}: pending commit journal {name} — "
-                            "mid-commit; retry after the writer recovers"
-                        )
+                        # replicate _resolve_journal's distinction WITHOUT
+                        # resolving: tmp still present = commit point not
+                        # reached, live buckets may hold a mix of old and
+                        # new -> refuse; tmp gone = the commit point passed
+                        # and only cleanup is pending, every live bucket is
+                        # the committed version -> consistent, readable
+                        # (writer-crash-between-rmtree-and-journal-removal
+                        # must not brick serving forever).  Unreadable
+                        # journal: conservative refuse.
+                        try:
+                            with open(f"{self._work}/{name}") as fh:
+                                j = json.load(fh)
+                            mid_commit = os.path.isdir(j["tmp"])
+                        except (OSError, ValueError, KeyError):
+                            mid_commit = True
+                        if mid_commit:
+                            raise StateInFlightError(
+                                f"{self.path}: pending commit journal {name} — "
+                                "mid-commit; retry after the writer recovers"
+                            )
+                        continue
                     if ".old-" in name and not os.path.isdir(
                         f"{self.path}/{name.split('.old-')[0]}"
                     ):
