@@ -96,26 +96,41 @@ def _driver_verified_names(after: str | None = None) -> set[str]:
 # new code path.  Self-clearing: once a correctness file NEWER than the
 # change (> _REVERIFY_ASOF) carries a green row, the entry stops consuming
 # a rotation slot.
+#
+# RULE (learned in round 10): "implementation changed" is TRANSITIVE OVER
+# IMPORTS, not the diff's file list.  A change to a shared sink/operator
+# body re-fronts EVERY query whose runtime path goes through it — e.g. a
+# BucketedMinHashIndexSink.write()/_recover() edit re-fronts all 15 sink
+# streams, a temperature_resample edit re-fronts every mix_sample serve.
+# Round 10 declared the sink plumbing "dead code under every certified
+# configuration" and shipped 17 red registry entries; never again.  Prune
+# entries only once a post-change green row exists.
 _REVERIFY = {
-    # round 10: md5-prefix prefilter enabled on the token-budget forms
-    # (bit-identical output, new plan shape — token-sum sufficiency fallback)
-    "text_token_budget_sample",
-    "sq_mix_sample_tokens_stream",
-    # round 10: decontaminated()/contamination_report() gained the opt-in
-    # stop_gram_cap read path (default-off, but the read code changed)
+    # round 11: BucketedMinHashIndexSink regained self.path (r10 snapshot
+    # regression) — every write()/_recover() through the sink family runs
+    # the restored marker code; re-front all sink streams that had an r≤9
+    # green row (the rest were sampled red in r10 and re-front themselves)
+    "sq_dedup_index_stream",
+    "sq_dedup_clusters_stream",
+    "sq_dedup_rate_stream",
+    "sq_cluster_reps_stream",
+    "sq_corpus_curation_stream",
+    "sq_unified_curation_stream",
+    "sq_curated_shards_stream",
+    "sq_mix_sample_stream",
+    # …and the sink streams that were sampled RED in r10: a red row does
+    # NOT erase their earlier green rows, so they still need re-fronting
+    "sq_curated_export_stream",
     "sq_decontaminated_curation_stream",
     "sq_contamination_report_stream",
     "sq_mix_sample_decon_stream",
-    "sq_curated_export_stream",  # export_docs(decontaminated=True) reads it too
-    # NOT re-fronted: every bucketed-sink stream, although pipeline.py /
-    # ann_index.py gained read_only plumbing this round — the additions
-    # are `if self.read_only:` branches and default-False kwargs, dead
-    # code under every certified (writer-mode) configuration; pytest's
-    # full-registry oracle sweep re-checks them at sf0.001 each run, and
-    # sq_ann_search_from_index/_projection/_pq re-passed the sf0.01
-    # driver-mimic after the change.
+    "sq_mix_sample_tokens_stream",
+    # round 11: _md5_prefix_pool restored (r10 snapshot deleted the inline
+    # prefilter and never wrote the helper) — both prefilter=True samplers
+    "text_temperature_resample",
+    "text_token_budget_sample",
 }
-_REVERIFY_ASOF = "CORRECTNESS_r09.json"  # last pre-change correctness file
+_REVERIFY_ASOF = "CORRECTNESS_r10.json"  # last pre-fix correctness file
 
 
 def _priority_order(registry) -> list[str]:

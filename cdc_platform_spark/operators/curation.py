@@ -226,6 +226,68 @@ TEMP_SAMPLE_MULT = 4  # K in target = min(n, max(1, floor(K * sqrt(n))))
 PREFILTER_OVERSHOOT = 4  # safety factor on the per-domain md5 threshold
 
 
+def _md5_prefix_pool(
+    pool: DataFrame,
+    tgt: DataFrame,
+    *,
+    target_col: str,
+    total_col: str,
+    weight,
+) -> DataFrame:
+    """Shared md5-prefix candidate filter for the two mix samplers.
+
+    Keeps, per (lang, source) domain, the rows whose 32-bit numeric md5
+    prefix falls in the first ``PREFILTER_OVERSHOOT * target / total`` of
+    the hash space.  The 32-bit prefix orders exactly like the full md5
+    string (hex chars sort lexicographically = numerically), so "u below
+    threshold" keeps a CLEAN PREFIX of the md5 ranking order — ranks
+    computed on survivors equal ranks in the full corpus.
+
+    Exactness fallback: a domain whose survivors sum to less ``weight``
+    than its target (docs for temperature_resample via ``weight=lit(1)``,
+    tokens for token_budget_sample via ``weight=n_words``) may have its
+    boundary row beyond the prefix — it is ranked in full.  ``short`` is
+    derived from ``tgt`` (every domain) LEFT-joined with the survivor
+    sums: a domain whose prefilter kept ZERO rows has no group in the
+    candidate frame at all, and deriving the fallback set from candidates
+    alone would silently drop it instead of falling back.
+
+    The final pool is ONE pass over ``pool`` (candidate-threshold OR
+    fallback-domain): a union of (cand anti short) with (pool semi short)
+    would evaluate the pool's whole upstream lineage twice, which for the
+    serving reads means re-deriving the curated corpus per branch.
+    ``tgt`` and ``short`` are domain-cardinality (tiny) -> broadcasts
+    are bounded."""
+    out_cols = pool.columns
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    cand_pred = (
+        u.cast("double") / F.lit(float(2**32))
+        < F.lit(float(PREFILTER_OVERSHOOT))
+        * F.col(target_col).cast("double")
+        / F.col(total_col).cast("double")
+    )
+    dims = tgt.select("lang", "source", total_col, target_col)
+    cand = pool.join(F.broadcast(dims), ["lang", "source"]).filter(cand_pred)
+    kept = cand.groupBy("lang", "source").agg(F.sum(weight).alias("kept_weight"))
+    short = (
+        tgt.select("lang", "source", target_col)
+        .join(kept, ["lang", "source"], "left")
+        .filter(
+            F.coalesce(F.col("kept_weight"), F.lit(0).cast("long"))
+            < F.col(target_col)
+        )
+        .select("lang", "source", F.lit(True).alias("_short"))
+    )
+    return (
+        pool.join(F.broadcast(dims), ["lang", "source"])
+        .join(F.broadcast(short), ["lang", "source"], "left")
+        .filter(cand_pred | F.col("_short").isNotNull())
+        .select(*out_cols)
+    )
+
+
 def temperature_resample(d: DataFrame, prefilter: bool = False) -> DataFrame:
     """THE temperature-resampling body over a (lang, source, doc_id)
     frame — sqrt-law targets per domain, exactly ``target_docs`` picks in

@@ -226,6 +226,7 @@ class BucketedMinHashIndexSink:
     """
 
     def __init__(self, path: str, n_buckets: int = 16, read_only: bool = False) -> None:
+        self.path = path
         self.index = _SigIndexSink(f"{path}/index", n_buckets, read_only=read_only)
         self.bands = _BucketStore(f"{path}/bands", n_buckets, read_only=read_only)
         self.pair_store = _BucketStore(f"{path}/pairs", n_buckets, read_only=read_only)

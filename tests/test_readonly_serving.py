@@ -82,11 +82,19 @@ def test_read_only_raises_on_pending_journal(spark, tmp_path):
     _write_corpus(spark, root)
     work = f"{root}/index.work"
     os.makedirs(work, exist_ok=True)
+    # mid-commit journal (tmp dir still present = commit point NOT
+    # reached, live buckets may mix old and new): refuse
+    os.makedirs(f"{root}/index.tmp-dead", exist_ok=True)
     with open(f"{work}/commit-dead.json", "w") as fh:
         json.dump({"tmp": f"{root}/index.tmp-dead", "run_id": "dead", "buckets": [0]}, fh)
     ro = CuratedCorpusSink(root, n_buckets=4, read_only=True)
     with pytest.raises(StateInFlightError, match="journal"):
         ro.curated(spark).count()
+    # commit point passed (tmp gone, only .old- cleanup pending): every
+    # live bucket is the committed version — readable, a writer crash
+    # between rmtree(tmp) and journal removal must not brick serving
+    os.rmdir(f"{root}/index.tmp-dead")
+    assert ro.curated(spark).count() > 0
     os.remove(f"{work}/commit-dead.json")
 
     # displaced snapshot with NO live bucket = mid-swap: also raises
@@ -117,20 +125,23 @@ def test_read_only_raises_on_mid_swap_flat_dir(spark, tmp_path):
 
 
 def test_read_only_raises_on_decon_rebuild_marker(spark, tmp_path):
-    """A bench-mirror ``.tmp-*`` sibling means a decon rebuild is in
-    flight (the leak view commits BEFORE the mirror swap): a read-only
-    serve must refuse rather than join post-batch triples against
-    pre-batch base rows.  The writer's own recovery sweeps the orphan and
-    its replay heals the state."""
+    """The ``_decon-inflight`` marker brackets a writer batch from the
+    first store commit through _maintain_decon_hits: while it exists a
+    read-only serve of the DECON-DEPENDENT views must refuse rather than
+    join post-batch triples against pre-batch base rows — but curated()
+    (consistent once the base stores marker clears) must stay available."""
     root = str(tmp_path / "corpus")
     _write_corpus(spark, root)
     sink = CuratedCorpusSink(root, n_buckets=4)
-    os.makedirs(f"{sink.bench_path}.tmp-dead", exist_ok=True)
+    sink._set_marker(sink._decon_marker)
     ro = CuratedCorpusSink(root, n_buckets=4, read_only=True)
-    with pytest.raises(StateInFlightError, match="rebuild in flight"):
+    with pytest.raises(StateInFlightError, match="decontamination"):
         ro.contamination_report(spark).count()
-    sink._recover()  # writer mode: sweeps the orphan tmp
-    assert not os.path.isdir(f"{sink.bench_path}.tmp-dead")
+    with pytest.raises(StateInFlightError, match="decontamination"):
+        ro.decontaminated(spark).count()
+    # non-decon views do not block on the decon straddle window
+    assert ro.curated(spark).count() > 0
+    sink._clear_marker(sink._decon_marker)
     ro.contamination_report(spark).count()
 
 
@@ -179,6 +190,7 @@ def test_ann_index_read_only_serving(spark, tmp_path):
 
     work = f"{root}.work"
     os.makedirs(work, exist_ok=True)
+    os.makedirs(f"{root}.tmp-dead", exist_ok=True)  # tmp present = mid-commit
     with open(f"{work}/commit-dead.json", "w") as fh:
         json.dump({"tmp": f"{root}.tmp-dead", "run_id": "dead", "buckets": [0]}, fh)
     with pytest.raises(StateInFlightError, match="journal"):
@@ -252,9 +264,10 @@ def test_ann_search_cli_serves_generation(spark, tmp_path, capsys):
     assert main(["ann-search", bare, "--n-buckets", "4"]) == 1
     assert "quantizer" in capsys.readouterr().err
 
-    # mid-commit journal -> retriable exit 2
+    # mid-commit journal (tmp dir present) -> retriable exit 2
     work = f"{gen}.work"
     os.makedirs(work, exist_ok=True)
+    os.makedirs(f"{gen}.tmp-dead", exist_ok=True)
     with open(f"{work}/commit-dead.json", "w") as fh:
         json.dump({"tmp": f"{gen}.tmp-dead", "run_id": "dead", "buckets": [0]}, fh)
     assert main(["ann-search", root, "--n-buckets", "4"]) == 2
@@ -468,6 +481,7 @@ def test_cli_serve_mid_commit_returns_retriable(spark, tmp_path, capsys):
     _write_corpus(spark, root)
     work = f"{root}/index.work"
     os.makedirs(work, exist_ok=True)
+    os.makedirs(f"{root}/index.tmp-dead", exist_ok=True)  # mid-commit
     with open(f"{work}/commit-dead.json", "w") as fh:
         json.dump({"tmp": f"{root}/index.tmp-dead", "run_id": "dead", "buckets": [0]}, fh)
     rc = main(["serve", "curated", root, "--n-buckets", "4", "--limit", "1"])
