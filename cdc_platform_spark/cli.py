@@ -27,6 +27,38 @@ import os
 import sys
 
 
+def _collect_stable(build, fingerprint, attempts: int = 4):
+    """Materialize a serving read under the check-read-recheck protocol.
+
+    The read-only in-flight gates run when the DataFrame is BUILT, but
+    Spark reads the underlying parquet lazily at collect time — a writer
+    batch that starts after the gate can replace bucket dirs mid-collect
+    (the residual window the markers alone cannot close).  Bracket the
+    collect with ``fingerprint()`` (bucket mtimes + marker bits): equal
+    fingerprints prove no writer commit overlapped the read; a change —
+    or a read error WITH a change, e.g. a FileNotFound from a swapped
+    bucket — retries against the new committed state.  A read error with
+    an UNCHANGED fingerprint is a real failure and propagates."""
+    from cdc_platform_spark.streaming.pipeline import StateInFlightError
+
+    for _ in range(attempts):
+        before = fingerprint()
+        try:
+            rows = build().collect()
+        except StateInFlightError:
+            raise  # already mid-commit at build time: retriable as-is
+        except Exception:
+            if fingerprint() != before:
+                continue  # writer replaced state mid-read: retry
+            raise
+        if fingerprint() == before:
+            return rows
+    raise StateInFlightError(
+        f"read overlapped a writer commit on each of {attempts} attempts — "
+        "retry after the writer idles"
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="cdc-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -574,7 +606,10 @@ def main(argv: list[str] | None = None) -> int:
             "pairs": lambda: sink.pairs(spark),
         }
         try:
-            rows = reads[args.view]().limit(args.limit).collect()
+            rows = _collect_stable(
+                lambda: reads[args.view]().limit(args.limit),
+                sink.state_fingerprint,
+            )
         except StateInFlightError as exc:
             # the writer is mid-commit: retriable, and distinct from a
             # wrong-path/empty-corpus failure

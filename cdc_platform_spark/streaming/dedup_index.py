@@ -252,6 +252,12 @@ class BucketedMinHashIndexSink:
     # Crash mid-batch leaves the marker, which is CORRECT: the state
     # really is mid-batch until the checkpoint replays the batch (the
     # writer's re-entered write() re-marks, completes, clears).
+    #
+    # Residual window: the gate runs when the read DataFrame is BUILT,
+    # but Spark reads the parquet lazily at action time — a writer batch
+    # that starts after the gate can still replace buckets mid-collect.
+    # Serving processes close it with state_fingerprint() + cli.py's
+    # _collect_stable (check-read-recheck, retry on change).
 
     @property
     def _stores_marker(self) -> str:
@@ -268,6 +274,40 @@ class BucketedMinHashIndexSink:
             os.remove(path)
         except OSError:
             pass
+
+    def _fingerprint_roots(self) -> list[str]:
+        return [self.index.path, self.bands.path, self.pair_store.path]
+
+    def _fingerprint_markers(self) -> list[str]:
+        return [self._stores_marker]
+
+    def state_fingerprint(self) -> tuple:
+        """Cheap filesystem fingerprint of the committed state, for the
+        check-read-recheck serving protocol (cli.py ``serve``).
+
+        The in-flight markers gate a read only when the DataFrame is
+        BUILT; Spark reads the parquet lazily at action time, so a writer
+        batch that starts after the gate can still replace buckets
+        (rmtree+rename) mid-collect.  Two equal fingerprints bracketing
+        the materialized read prove no writer commit overlapped it: a
+        bucket replacement installs a different directory at the live
+        path (distinct mtime_ns), and the writer raises its marker before
+        the first store commit, so any overlap flips either a bucket
+        entry or the marker bit."""
+        entries: list[tuple] = []
+        for root in self._fingerprint_roots():
+            if not os.path.isdir(root):
+                entries.append((root, None))
+                continue
+            for name in sorted(os.listdir(root)):
+                p = f"{root}/{name}"
+                try:
+                    entries.append((p, os.stat(p).st_mtime_ns))
+                except OSError:
+                    entries.append((p, None))
+        for m in self._fingerprint_markers():
+            entries.append((m, os.path.exists(m)))
+        return tuple(entries)
 
     def _refuse_if_inflight(self, marker: str, what: str) -> None:
         if self.read_only and os.path.exists(marker):
@@ -652,6 +692,12 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
     @property
     def _decon_marker(self) -> str:
         return f"{self.path}/_decon-inflight"
+
+    def _fingerprint_roots(self) -> list[str]:
+        return super()._fingerprint_roots() + [self.bench_path, self.hit_store.path]
+
+    def _fingerprint_markers(self) -> list[str]:
+        return super()._fingerprint_markers() + [self._decon_marker]
 
     def _recover(self) -> None:
         super()._recover()

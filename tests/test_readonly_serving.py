@@ -490,3 +490,86 @@ def test_cli_serve_mid_commit_returns_retriable(spark, tmp_path, capsys):
     assert "retriable" in err
     # and the journal is still there for the writer to resolve
     assert os.path.exists(f"{work}/commit-dead.json")
+
+
+def test_collect_stable_retries_on_fingerprint_change():
+    """The check-read-recheck protocol (no Spark needed): a fingerprint
+    change across the collect retries; a change plus a read error retries;
+    an error with an UNCHANGED fingerprint propagates; persistent overlap
+    exhausts into a retriable StateInFlightError."""
+    from cdc_platform_spark.cli import _collect_stable
+
+    class FakeDF:
+        def __init__(self, rows, exc=None):
+            self.rows, self.exc = rows, exc
+
+        def collect(self):
+            if self.exc:
+                raise self.exc
+            return self.rows
+
+    # stable state: one attempt suffices
+    assert _collect_stable(lambda: FakeDF([1, 2]), lambda: ("g1",)) == [1, 2]
+
+    # commit lands mid-read once, then state is stable: second attempt wins
+    fps = iter([("g1",), ("g2",), ("g2",), ("g2",)])
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return FakeDF([calls["n"]])
+
+    assert _collect_stable(build, lambda: next(fps)) == [2]
+
+    # swapped-bucket read error WITH a fingerprint change: retried
+    dfs = iter([FakeDF(None, exc=OSError("bucket gone")), FakeDF([7])])
+    fps2 = iter([("a",), ("b",), ("b",), ("b",)])
+    assert _collect_stable(lambda: next(dfs), lambda: next(fps2)) == [7]
+
+    # read error with UNCHANGED fingerprint: a real failure, propagates
+    with pytest.raises(OSError, match="disk"):
+        _collect_stable(lambda: FakeDF(None, exc=OSError("disk")), lambda: ("g",))
+
+    # every attempt overlapped by a commit: retriable exhaustion
+    counter = {"n": 0}
+
+    def always_changing():
+        counter["n"] += 1
+        return (counter["n"],)
+
+    with pytest.raises(StateInFlightError, match="retry"):
+        _collect_stable(lambda: FakeDF([0]), always_changing, attempts=3)
+
+    # mid-commit at build time: StateInFlightError propagates untouched
+    def inflight_build():
+        raise StateInFlightError("mid-commit")
+
+    with pytest.raises(StateInFlightError, match="mid-commit"):
+        _collect_stable(inflight_build, lambda: ("g",))
+
+
+def test_state_fingerprint_tracks_commits_and_markers(spark, tmp_path):
+    """state_fingerprint() must change across a writer commit (bucket
+    replacement) and flip with the in-flight markers — the two signals
+    _collect_stable brackets a serving read with."""
+    root = str(tmp_path / "corpus")
+    _write_corpus(spark, root)
+    ro = CuratedCorpusSink(root, n_buckets=4, read_only=True)
+    fp0 = ro.state_fingerprint()
+    assert fp0 == ro.state_fingerprint()  # pure read, deterministic
+
+    sink = CuratedCorpusSink(root, n_buckets=4)
+    sink._set_marker(sink._stores_marker)
+    assert ro.state_fingerprint() != fp0
+    sink._clear_marker(sink._stores_marker)
+    sink._set_marker(sink._decon_marker)
+    assert ro.state_fingerprint() != fp0
+    sink._clear_marker(sink._decon_marker)
+    assert ro.state_fingerprint() == fp0
+
+    batch = spark.createDataFrame(
+        [(990001, 999, "c", "zz yy xx ww vv uu tt ss rr qq", "en", "web")],
+        "doc_id long, offset long, op string, text string, lang string, source string",
+    )
+    sink.write(batch)
+    assert ro.state_fingerprint() != fp0
