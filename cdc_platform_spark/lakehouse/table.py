@@ -320,6 +320,43 @@ class VersionedTable(TableFormat):
         )
 
     # --- maintenance ---------------------------------------------------------
+    def discard_snapshot(self, snapshot_id: str) -> None:
+        """Un-commit a LEAF snapshot that was never published — manifest,
+        HEAD (re-pointed to its parent, or cleared for a first commit),
+        and any file groups no surviving snapshot references.
+
+        This is the cleanup half of a torn-export retry
+        (:meth:`~cdc_platform_spark.streaming.dedup_index.CuratedCorpusSink.
+        export_to_table`): an export whose lazy source read overlapped a
+        writer commit must not stay pinnable in history.  Only a childless
+        snapshot may be discarded — discarding mid-chain would orphan its
+        children's parent links; real Iceberg has no un-commit either
+        (expire + rollback compose the same effect)."""
+        snap = self._snapshot(snapshot_id)  # raises on unknown id
+        children = [s["id"] for s in self.snapshots() if s.get("parent") == snapshot_id]
+        if children:
+            raise ValueError(
+                f"snapshot {snapshot_id!r} has children {children}: only a "
+                "leaf snapshot can be discarded"
+            )
+        if self.current_snapshot_id() == snapshot_id:
+            if snap.get("parent"):
+                self.rollback(snap["parent"])
+            else:
+                os.remove(f"{self.root}/HEAD")
+        for name in self._snapshot_files():
+            if name.endswith(f"-{snapshot_id}.json"):
+                os.remove(f"{self.root}/snapshots/{name}")
+                self._manifest_cache.pop(name, None)
+        referenced = {
+            os.path.realpath(g) for s in self.snapshots() for g in s["files"]
+        }
+        for group in snap["files"]:
+            if os.path.realpath(group) not in referenced:
+                import shutil
+
+                shutil.rmtree(group, ignore_errors=True)
+
     def rollback(self, snapshot_id: str) -> None:
         """Reset HEAD to an existing snapshot (ref time_travel.py:33-58:
         validate id, then set current)."""

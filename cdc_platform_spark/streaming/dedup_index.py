@@ -1378,14 +1378,45 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         shape: one column-pruned pass over the survivors (the one read
         whose job is the text), written through the table format's
         transactional commit; on a real Iceberg catalog the same call
-        maps through the gated backend unchanged."""
+        maps through the gated backend unchanged.
+
+        Torn-export protection: the in-flight gates run when the source
+        DataFrame is BUILT, but the overwrite reads the corpus parquet
+        lazily while writing — a writer bucket swap mid-export would bake
+        a state matching neither side of the batch into an IMMUTABLE,
+        PINNABLE snapshot (strictly worse than the torn serve read
+        ``cli._collect_stable`` guards against).  Same protocol: bracket
+        the commit with :meth:`state_fingerprint`; on overlap, un-commit
+        the torn snapshot (``discard_snapshot`` — never published, so
+        nothing can have pinned it) and retry against the new committed
+        state."""
         from cdc_platform_spark.lakehouse.table import VersionedTable
+        from cdc_platform_spark.streaming.pipeline import StateInFlightError
 
         table = VersionedTable(spark, table_root)
-        return table.overwrite(
-            self.export_docs(
-                spark, decontaminated=decontaminated, stop_gram_cap=stop_gram_cap
-            )
+        attempts = 4
+        for _ in range(attempts):
+            before = self.state_fingerprint()
+            try:
+                sid = table.overwrite(
+                    self.export_docs(
+                        spark,
+                        decontaminated=decontaminated,
+                        stop_gram_cap=stop_gram_cap,
+                    )
+                )
+            except StateInFlightError:
+                raise  # mid-commit at build time: retriable as-is
+            except Exception:
+                if self.state_fingerprint() != before:
+                    continue  # swapped-bucket read error: retry on new state
+                raise
+            if self.state_fingerprint() == before:
+                return sid
+            table.discard_snapshot(sid)
+        raise StateInFlightError(
+            f"export overlapped a writer commit on each of {attempts} "
+            "attempts — retry after the writer idles"
         )
 
     def curated_unified(self, spark: SparkSession, neighbor_view: DataFrame) -> DataFrame:

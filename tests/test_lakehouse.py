@@ -402,3 +402,47 @@ def test_expire_gc_with_differently_spelled_root(spark, tmp_path):
     cutoff = maint._snapshot(maint.current_snapshot_id())["ts_ms"]
     maint.expire_snapshots(cutoff)
     assert writer.read().count() == 10  # live groups survived the GC
+
+
+def test_discard_snapshot_uncommits_leaf(spark, table):
+    """discard_snapshot removes a never-published leaf: manifest gone,
+    HEAD back on the parent, and the leaf's unshared file groups GC'd —
+    while groups the parent still references survive an appended-leaf
+    discard."""
+    import os
+
+    s1 = table.append(_df(spark, 0, 10))
+    s2 = table.overwrite(_df(spark, 0, 3))
+    g2 = table._snapshot(s2)["files"]
+    table.discard_snapshot(s2)
+    assert table.current_snapshot_id() == s1
+    assert [s["id"] for s in table.snapshots()] == [s1]
+    assert table.read().count() == 10
+    assert all(not os.path.exists(g) for g in g2)
+    # an append's file list INCLUDES the parent's groups: discarding the
+    # append leaf must not GC what the parent still references
+    s3 = table.append(_df(spark, 10, 20))
+    table.discard_snapshot(s3)
+    assert table.read().count() == 10
+
+
+def test_discard_snapshot_first_commit_clears_head(spark, table):
+    s1 = table.overwrite(_df(spark, 0, 5))
+    table.discard_snapshot(s1)
+    assert table.current_snapshot_id() is None
+    assert table.snapshots() == []
+    with pytest.raises(ValueError, match="empty"):
+        table.read()
+    # the table stays writable after a full un-commit
+    s2 = table.overwrite(_df(spark, 0, 7))
+    assert table.read().count() == 7
+    assert table.current_snapshot_id() == s2
+
+
+def test_discard_snapshot_refuses_non_leaf_and_unknown(spark, table):
+    s1 = table.append(_df(spark, 0, 10))
+    table.overwrite(_df(spark, 0, 3))
+    with pytest.raises(ValueError, match="leaf"):
+        table.discard_snapshot(s1)
+    with pytest.raises(KeyError):
+        table.discard_snapshot("nonexistent")

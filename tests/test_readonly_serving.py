@@ -573,3 +573,48 @@ def test_state_fingerprint_tracks_commits_and_markers(spark, tmp_path):
     )
     sink.write(batch)
     assert ro.state_fingerprint() != fp0
+
+
+def test_export_retries_on_torn_fingerprint(spark, tmp_path):
+    """A fingerprint change bracketing the export commit means a writer
+    swap overlapped the lazy source read: the torn snapshot is
+    un-committed (it was never published, so nothing can have pinned it)
+    and the export retries — the returned sid is the ONLY snapshot in
+    the table's history."""
+    from cdc_platform_spark.lakehouse.table import VersionedTable
+
+    root = str(tmp_path / "corpus")
+    _write_corpus(spark, root)
+    sink = CuratedCorpusSink(root, n_buckets=4, read_only=True)
+    fps = iter(["fp-a", "fp-b", "fp-b", "fp-b"])  # attempt 1 torn, 2 stable
+    sink.state_fingerprint = lambda: next(fps)
+    table_root = str(tmp_path / "tbl")
+    sid = sink.export_to_table(spark, table_root)
+    t = VersionedTable(spark, table_root)
+    assert t.current_snapshot_id() == sid
+    assert [s["id"] for s in t.snapshots()] == [sid]
+    assert t.read().count() == sink.export_docs(spark).count()
+
+
+def test_export_exhaustion_leaves_no_published_snapshot(spark, tmp_path):
+    """Persistent writer overlap exhausts into the retriable
+    StateInFlightError, and every torn attempt is un-committed: the
+    table holds NO pinnable snapshot afterwards."""
+    from cdc_platform_spark.lakehouse.table import VersionedTable
+
+    root = str(tmp_path / "corpus")
+    _write_corpus(spark, root)
+    sink = CuratedCorpusSink(root, n_buckets=4, read_only=True)
+    n = {"v": 0}
+
+    def always_changing():
+        n["v"] += 1
+        return n["v"]
+
+    sink.state_fingerprint = always_changing
+    table_root = str(tmp_path / "tbl")
+    with pytest.raises(StateInFlightError, match="retry"):
+        sink.export_to_table(spark, table_root)
+    t = VersionedTable(spark, table_root)
+    assert t.current_snapshot_id() is None
+    assert t.snapshots() == []
