@@ -618,3 +618,77 @@ def test_export_exhaustion_leaves_no_published_snapshot(spark, tmp_path):
     t = VersionedTable(spark, table_root)
     assert t.current_snapshot_id() is None
     assert t.snapshots() == []
+
+
+_LIVE_DOC = 990077
+_LIVE_TEXT = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+    "uniform victor whiskey xray"
+)  # 24 distinct words: clears CURATION_MIN_WORDS / MIN_DISTINCT_RATIO
+
+
+def _live_batch(spark):
+    return spark.createDataFrame(
+        [(_LIVE_DOC, 999_999, "c", _LIVE_TEXT, "en", "web")],
+        "doc_id long, offset long, op string, text string, lang string, source string",
+    )
+
+
+def test_collect_stable_live_writer_interleave(spark, tmp_path):
+    """End-to-end check-read-recheck against a REAL writer bucket swap —
+    no mocked fingerprints: the first build()'s scan is bound to the
+    pre-swap file listing, then a real writer batch replaces buckets
+    before the collect (the exact window the in-flight markers cannot
+    close).  Whatever the stale plan does — FileNotFound from the
+    swapped bucket or a silently stale row set — _collect_stable must
+    converge on the post-swap committed state."""
+    from cdc_platform_spark.cli import _collect_stable
+
+    root = str(tmp_path / "corpus")
+    _write_corpus(spark, root)
+    ro = CuratedCorpusSink(root, n_buckets=4, read_only=True)
+    writer = CuratedCorpusSink(root, n_buckets=4)
+    state = {"written": False}
+
+    def build():
+        df = ro.curated(spark)  # gate passes; scan bound to current files
+        if not state["written"]:
+            writer.write(_live_batch(spark))  # REAL swap before the collect
+            state["written"] = True
+        return df
+
+    rows = _collect_stable(build, ro.state_fingerprint)
+    assert _LIVE_DOC in {r["doc_id"] for r in rows}
+    # the protocol converged in bounded attempts against a real swap
+    assert state["written"]
+
+
+def test_export_live_writer_interleave(spark, tmp_path):
+    """Torn-export protection against a REAL writer swap: a writer batch
+    lands between the export's source build and its lakehouse commit;
+    the published snapshot must reflect the post-swap corpus and the
+    torn attempt must not remain pinnable in history."""
+    from cdc_platform_spark.lakehouse.table import VersionedTable
+
+    root = str(tmp_path / "corpus")
+    _write_corpus(spark, root)
+    ro = CuratedCorpusSink(root, n_buckets=4, read_only=True)
+    writer = CuratedCorpusSink(root, n_buckets=4)
+    state = {"written": False}
+    orig = ro.export_docs
+
+    def interleaved(spark_, **kw):
+        df = orig(spark_, **kw)
+        if not state["written"]:
+            writer.write(_live_batch(spark))
+            state["written"] = True
+        return df
+
+    ro.export_docs = interleaved
+    table_root = str(tmp_path / "tbl")
+    sid = ro.export_to_table(spark, table_root)
+    t = VersionedTable(spark, table_root)
+    assert t.current_snapshot_id() == sid
+    assert [s["id"] for s in t.snapshots()] == [sid]  # torn attempt un-committed
+    assert _LIVE_DOC in {r["doc_id"] for r in t.read().select("doc_id").collect()}
