@@ -340,9 +340,14 @@ class VersionedTable(TableFormat):
                 "leaf snapshot can be discarded"
             )
         if self.current_snapshot_id() == snapshot_id:
-            if snap.get("parent"):
-                self.rollback(snap["parent"])
-            else:
+            try:
+                # expire_snapshots keeps HEAD but may have dropped its
+                # parent's manifest (and GC'd its groups) — falling back to
+                # an empty table is then the truthful committed state
+                self.rollback(snap["parent"]) if snap.get("parent") else os.remove(
+                    f"{self.root}/HEAD"
+                )
+            except KeyError:
                 os.remove(f"{self.root}/HEAD")
         for name in self._snapshot_files():
             if name.endswith(f"-{snapshot_id}.json"):

@@ -446,3 +446,17 @@ def test_discard_snapshot_refuses_non_leaf_and_unknown(spark, table):
         table.discard_snapshot(s1)
     with pytest.raises(KeyError):
         table.discard_snapshot("nonexistent")
+
+
+def test_discard_snapshot_expired_parent_clears_head(spark, table):
+    """expire_snapshots keeps HEAD but may drop its parent's manifest;
+    discarding HEAD then has no parent to roll back to — the truthful
+    committed state is an empty table, not a KeyError with the torn
+    snapshot left pinned."""
+    table.append(_df(spark, 0, 10))
+    s2 = table.overwrite(_df(spark, 0, 3))
+    cutoff = int(time.time() * 1000) + 10_000
+    assert table.expire_snapshots(older_than_ms=cutoff) == 1  # parent gone
+    table.discard_snapshot(s2)
+    assert table.current_snapshot_id() is None
+    assert table.snapshots() == []
