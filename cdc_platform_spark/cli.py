@@ -33,30 +33,16 @@ def _collect_stable(build, fingerprint, attempts: int = 4):
     The read-only in-flight gates run when the DataFrame is BUILT, but
     Spark reads the underlying parquet lazily at collect time — a writer
     batch that starts after the gate can replace bucket dirs mid-collect
-    (the residual window the markers alone cannot close).  Bracket the
-    collect with ``fingerprint()`` (bucket mtimes + marker bits): equal
-    fingerprints prove no writer commit overlapped the read; a change —
-    or a read error WITH a change, e.g. a FileNotFound from a swapped
-    bucket — retries against the new committed state.  A read error with
-    an UNCHANGED fingerprint is a real failure and propagates."""
-    from cdc_platform_spark.streaming.pipeline import StateInFlightError
+    (the residual window the markers alone cannot close).  The shared
+    :func:`~cdc_platform_spark.streaming.serving.run_stable` brackets
+    the collect with ``fingerprint()``: equal fingerprints prove no
+    writer commit overlapped the read; a change — or a read error WITH
+    a change, e.g. a FileNotFound from a swapped bucket — retries
+    against the new committed state.  A read error with an UNCHANGED
+    fingerprint is a real failure and propagates."""
+    from cdc_platform_spark.streaming.serving import run_stable
 
-    for _ in range(attempts):
-        before = fingerprint()
-        try:
-            rows = build().collect()
-        except StateInFlightError:
-            raise  # already mid-commit at build time: retriable as-is
-        except Exception:
-            if fingerprint() != before:
-                continue  # writer replaced state mid-read: retry
-            raise
-        if fingerprint() == before:
-            return rows
-    raise StateInFlightError(
-        f"read overlapped a writer commit on each of {attempts} attempts — "
-        "retry after the writer idles"
-    )
+    return run_stable(lambda: build().collect(), fingerprint, attempts=attempts)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -479,16 +465,30 @@ def main(argv: list[str] | None = None) -> int:
                 vec = BucketedIvfFlatIndexSink(
                     vec_root, cents, n_buckets=args.n_buckets, read_only=True
                 )
-                out = ivf_pq_search_from_index(
-                    pq.state(spark), vec.state(spark), cents, cb, rk, probes=probes
-                )
+                fp_sinks = [pq, vec]
+
+                def build_search():
+                    return ivf_pq_search_from_index(
+                        pq.state(spark), vec.state(spark), cents, cb, rk, probes=probes
+                    )
+
             else:
                 cents, _, _ = load_quantizer(spark, vec_root)
                 sink = BucketedIvfFlatIndexSink(
                     vec_root, cents, n_buckets=args.n_buckets, read_only=True
                 )
-                out = ivf_search_from_index(sink.state(spark), cents, probes=probes)
-            rows = out.orderBy("query_id", "rank").limit(args.limit).collect()
+                fp_sinks = [sink]
+
+                def build_search():
+                    return ivf_search_from_index(sink.state(spark), cents, probes=probes)
+
+            # a pinned generation (CURRENT pointer) is immutable and the
+            # bracket never moves; a LIVE root gets the same
+            # check-read-recheck the corpus serve does
+            rows = _collect_stable(
+                lambda: build_search().orderBy("query_id", "rank").limit(args.limit),
+                lambda: tuple(s.state_fingerprint() for s in fp_sinks),
+            )
         except FileNotFoundError as exc:
             print(json.dumps({"error": str(exc)}), file=sys.stderr)
             return 1
@@ -605,10 +605,18 @@ def main(argv: list[str] | None = None) -> int:
             "clusters": lambda: sink.clusters(spark),
             "pairs": lambda: sink.pairs(spark),
         }
+        # fingerprint only the stores this view reads: a curated-family
+        # serve must not retry (or exhaust) on decon-maintenance commits
+        # it never consults — mirrors the cap_ok view classification
+        decon_read = args.view in ("decontaminated", "contamination-report") or (
+            args.view in ("mix-sample", "mix-tokens", "shard-manifest", "export")
+            and args.decontaminated
+        )
+        fp_scope = "all" if decon_read else "text"
         try:
             rows = _collect_stable(
                 lambda: reads[args.view]().limit(args.limit),
-                sink.state_fingerprint,
+                lambda: sink.state_fingerprint(fp_scope),
             )
         except StateInFlightError as exc:
             # the writer is mid-commit: retriable, and distinct from a

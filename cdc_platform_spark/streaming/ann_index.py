@@ -258,6 +258,15 @@ class BucketedIvfIndexSink(BucketedUpsertSink):
             "bucket", F.pmod(F.hash(self._KEY), F.lit(self.n_buckets))
         )
 
+    def state_fingerprint(self) -> tuple:
+        """Extends the bucketed-store fingerprint with the quantizer
+        sibling: an ann-search over a LIVE index root (not a pinned
+        generation) lazily reads both, so a quantizer swap mid-read must
+        flip the bracket too."""
+        from cdc_platform_spark.streaming.serving import fs_fingerprint
+
+        return fs_fingerprint([self.path, self._work, f"{self.path}.quantizer"])
+
     def state(self, spark: SparkSession) -> DataFrame:
         """The live inverted file: (vec_id, cell), tombstones dropped."""
         return (

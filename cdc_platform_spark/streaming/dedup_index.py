@@ -275,39 +275,34 @@ class BucketedMinHashIndexSink:
         except OSError:
             pass
 
-    def _fingerprint_roots(self) -> list[str]:
+    def _fingerprint_roots(self, scope: str = "all") -> list[str]:
         return [self.index.path, self.bands.path, self.pair_store.path]
 
-    def _fingerprint_markers(self) -> list[str]:
+    def _fingerprint_markers(self, scope: str = "all") -> list[str]:
         return [self._stores_marker]
 
-    def state_fingerprint(self) -> tuple:
+    def state_fingerprint(self, scope: str = "all") -> tuple:
         """Cheap filesystem fingerprint of the committed state, for the
-        check-read-recheck serving protocol (cli.py ``serve``).
+        check-read-recheck serving protocol (cli.py ``serve`` and the
+        lakehouse export; see
+        :func:`cdc_platform_spark.streaming.serving.fs_fingerprint` for
+        why equal brackets prove an un-torn read).
 
-        The in-flight markers gate a read only when the DataFrame is
-        BUILT; Spark reads the parquet lazily at action time, so a writer
-        batch that starts after the gate can still replace buckets
-        (rmtree+rename) mid-collect.  Two equal fingerprints bracketing
-        the materialized read prove no writer commit overlapped it: a
-        bucket replacement installs a different directory at the live
-        path (distinct mtime_ns), and the writer raises its marker before
-        the first store commit, so any overlap flips either a bucket
-        entry or the marker bit."""
-        entries: list[tuple] = []
-        for root in self._fingerprint_roots():
-            if not os.path.isdir(root):
-                entries.append((root, None))
-                continue
-            for name in sorted(os.listdir(root)):
-                p = f"{root}/{name}"
-                try:
-                    entries.append((p, os.stat(p).st_mtime_ns))
-                except OSError:
-                    entries.append((p, None))
-        for m in self._fingerprint_markers():
-            entries.append((m, os.path.exists(m)))
-        return tuple(entries)
+        ``scope`` bounds the fingerprint to the stores a read actually
+        consults, so a serve does not retry — or exhaust, under
+        back-to-back maintenance — on state it never reads: ``"text"``
+        covers the index/bands/pairs stores and their batch marker (the
+        curated view and everything derived from it); ``"all"`` (the
+        safe default) additionally covers the curated subclass's
+        decontamination state.  Scopes must stay CONSERVATIVE: a batch
+        commits index→bands→pairs under one marker, so the narrowest
+        useful unit is the whole text-store family, never a single
+        store."""
+        from cdc_platform_spark.streaming.serving import fs_fingerprint
+
+        return fs_fingerprint(
+            self._fingerprint_roots(scope), self._fingerprint_markers(scope)
+        )
 
     def _refuse_if_inflight(self, marker: str, what: str) -> None:
         if self.read_only and os.path.exists(marker):
@@ -693,11 +688,18 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
     def _decon_marker(self) -> str:
         return f"{self.path}/_decon-inflight"
 
-    def _fingerprint_roots(self) -> list[str]:
-        return super()._fingerprint_roots() + [self.bench_path, self.hit_store.path]
+    def _fingerprint_roots(self, scope: str = "all") -> list[str]:
+        # "text": curated and its derivatives never read the bench mirror
+        # or the hit store, so decon maintenance (which commits under its
+        # own marker AFTER the stores marker clears) must not retry them
+        if scope == "text":
+            return super()._fingerprint_roots(scope)
+        return super()._fingerprint_roots(scope) + [self.bench_path, self.hit_store.path]
 
-    def _fingerprint_markers(self) -> list[str]:
-        return super()._fingerprint_markers() + [self._decon_marker]
+    def _fingerprint_markers(self, scope: str = "all") -> list[str]:
+        if scope == "text":
+            return super()._fingerprint_markers(scope)
+        return super()._fingerprint_markers(scope) + [self._decon_marker]
 
     def _recover(self) -> None:
         super()._recover()
@@ -1391,32 +1393,31 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         nothing can have pinned it) and retry against the new committed
         state."""
         from cdc_platform_spark.lakehouse.table import VersionedTable
-        from cdc_platform_spark.streaming.pipeline import StateInFlightError
+        from cdc_platform_spark.streaming.serving import run_stable
 
         table = VersionedTable(spark, table_root)
-        attempts = 4
-        for _ in range(attempts):
-            before = self.state_fingerprint()
-            try:
-                sid = table.overwrite(
-                    self.export_docs(
-                        spark,
-                        decontaminated=decontaminated,
-                        stop_gram_cap=stop_gram_cap,
-                    )
+
+        def commit_export() -> str:
+            return table.overwrite(
+                self.export_docs(
+                    spark, decontaminated=decontaminated, stop_gram_cap=stop_gram_cap
                 )
-            except StateInFlightError:
-                raise  # mid-commit at build time: retriable as-is
-            except Exception:
-                if self.state_fingerprint() != before:
-                    continue  # swapped-bucket read error: retry on new state
-                raise
-            if self.state_fingerprint() == before:
-                return sid
-            table.discard_snapshot(sid)
-        raise StateInFlightError(
-            f"export overlapped a writer commit on each of {attempts} "
-            "attempts — retry after the writer idles"
+            )
+
+        def uncommit_torn(sid: str) -> None:
+            try:
+                table.discard_snapshot(sid)
+            except (ValueError, KeyError):
+                # a concurrent commit already built on (or removed) the
+                # torn snapshot — sole-ownership cleanup is impossible;
+                # the retry still publishes a consistent snapshot and the
+                # torn sid was never returned to anyone
+                pass
+
+        return run_stable(
+            commit_export,
+            lambda: self.state_fingerprint("all" if decontaminated else "text"),
+            on_torn=uncommit_torn,
         )
 
     def curated_unified(self, spark: SparkSession, neighbor_view: DataFrame) -> DataFrame:

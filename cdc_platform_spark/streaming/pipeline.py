@@ -418,6 +418,17 @@ class BucketedUpsertSink:
     def _work(self) -> str:
         return f"{self.path}.work"
 
+    def state_fingerprint(self) -> tuple:
+        """Cheap filesystem fingerprint of the committed state, for the
+        check-read-recheck serving protocol
+        (:func:`cdc_platform_spark.streaming.serving.run_stable`).  The
+        state dir's first-level mtimes catch bucket swaps; the ``.work``
+        dir catches a mid-commit journal or displaced snapshot, so any
+        overlapping multi-bucket commit flips the fingerprint."""
+        from cdc_platform_spark.streaming.serving import fs_fingerprint
+
+        return fs_fingerprint([self.path, self._work])
+
     def _recover(self) -> bool:
         """Per-bucket crash recovery. Displaced snapshots live in a sibling
         ``.work`` dir (NOT inside the state dir, where partition discovery

@@ -587,7 +587,7 @@ def test_export_retries_on_torn_fingerprint(spark, tmp_path):
     _write_corpus(spark, root)
     sink = CuratedCorpusSink(root, n_buckets=4, read_only=True)
     fps = iter(["fp-a", "fp-b", "fp-b", "fp-b"])  # attempt 1 torn, 2 stable
-    sink.state_fingerprint = lambda: next(fps)
+    sink.state_fingerprint = lambda scope="all": next(fps)
     table_root = str(tmp_path / "tbl")
     sid = sink.export_to_table(spark, table_root)
     t = VersionedTable(spark, table_root)
@@ -607,7 +607,7 @@ def test_export_exhaustion_leaves_no_published_snapshot(spark, tmp_path):
     sink = CuratedCorpusSink(root, n_buckets=4, read_only=True)
     n = {"v": 0}
 
-    def always_changing():
+    def always_changing(scope="all"):
         n["v"] += 1
         return n["v"]
 
@@ -692,3 +692,136 @@ def test_export_live_writer_interleave(spark, tmp_path):
     assert t.current_snapshot_id() == sid
     assert [s["id"] for s in t.snapshots()] == [sid]  # torn attempt un-committed
     assert _LIVE_DOC in {r["doc_id"] for r in t.read().select("doc_id").collect()}
+
+
+def test_run_stable_exhaustion_chains_last_error():
+    """Exhaustion must carry the last swallowed read error as __cause__ —
+    a permanently failing read under a busy writer must not be silently
+    misattributed to overlap."""
+    from cdc_platform_spark.streaming.serving import run_stable
+
+    n = {"v": 0}
+
+    def always_changing():
+        n["v"] += 1
+        return (n["v"],)
+
+    def broken():
+        raise OSError("corrupt part-00000")
+
+    with pytest.raises(StateInFlightError, match="retry") as ei:
+        run_stable(broken, always_changing, attempts=3)
+    assert isinstance(ei.value.__cause__, OSError)
+    assert "corrupt" in str(ei.value.__cause__)
+
+    # clean exhaustion (reads succeed, bracket always moves): no cause
+    with pytest.raises(StateInFlightError) as ei2:
+        run_stable(lambda: [1], always_changing, attempts=2)
+    assert ei2.value.__cause__ is None
+
+
+def test_fs_fingerprint_survives_vanishing_root(tmp_path, monkeypatch):
+    """A root vanishing between two syscalls (the writer's two-rename swap
+    in flight) must fingerprint as a CHANGE, never raise — the probe
+    exists to survive exactly that window."""
+    import os as _os
+
+    from cdc_platform_spark.streaming.serving import fs_fingerprint
+
+    root = tmp_path / "store"
+    root.mkdir()
+    (root / "bucket=0").mkdir()
+    stable = fs_fingerprint([str(root)])
+    assert stable == fs_fingerprint([str(root)])
+
+    real_listdir = _os.listdir
+    state = {"raced": False}
+
+    def racing_listdir(p):
+        if str(p) == str(root) and not state["raced"]:
+            state["raced"] = True
+            raise FileNotFoundError(p)  # swapped away mid-probe
+        return real_listdir(p)
+
+    monkeypatch.setattr(_os, "listdir", racing_listdir)
+    mid_swap = fs_fingerprint([str(root)])
+    assert mid_swap != stable  # reads as a changed state, not an error
+    assert fs_fingerprint([str(root)]) == stable  # and heals after
+
+
+def test_fingerprint_scope_ignores_decon_maintenance(spark, tmp_path):
+    """A curated-family serve must not retry on decon-only state changes
+    it never reads: the decon marker, hit store and bench mirror flip the
+    'all' scope but leave 'text' untouched; a text-store commit flips
+    BOTH scopes."""
+    root = str(tmp_path / "corpus")
+    _write_corpus(spark, root)
+    ro = CuratedCorpusSink(root, n_buckets=4, read_only=True)
+    text0, all0 = ro.state_fingerprint("text"), ro.state_fingerprint("all")
+
+    sink = CuratedCorpusSink(root, n_buckets=4)
+    sink._set_marker(sink._decon_marker)
+    assert ro.state_fingerprint("text") == text0
+    assert ro.state_fingerprint("all") != all0
+    sink._clear_marker(sink._decon_marker)
+
+    os.makedirs(sink.hit_store.path, exist_ok=True)
+    with open(f"{sink.hit_store.path}/bucket=0", "w") as fh:
+        fh.write("x")
+    assert ro.state_fingerprint("text") == text0
+    assert ro.state_fingerprint("all") != all0
+    os.remove(f"{sink.hit_store.path}/bucket=0")
+
+    sink.write(_live_batch(spark))  # a real text-store commit
+    assert ro.state_fingerprint("text") != text0
+    assert ro.state_fingerprint("all") != all0
+
+
+def test_export_survives_concurrent_child_of_torn_snapshot(spark, tmp_path, monkeypatch):
+    """If a concurrent commit built on the torn snapshot before the
+    un-commit runs, discard_snapshot refuses (leaf-only) — the export
+    must swallow that, retry, and still publish a consistent snapshot."""
+    from cdc_platform_spark.lakehouse.table import VersionedTable
+
+    root = str(tmp_path / "corpus")
+    _write_corpus(spark, root)
+    ro = CuratedCorpusSink(root, n_buckets=4, read_only=True)
+    fps = iter(["fp-a", "fp-b", "fp-b", "fp-b"])  # attempt 1 torn, 2 stable
+    ro.state_fingerprint = lambda scope="all": next(fps)
+
+    def refuse(self, sid):
+        raise ValueError(f"snapshot {sid!r} has children")
+
+    monkeypatch.setattr(VersionedTable, "discard_snapshot", refuse)
+    table_root = str(tmp_path / "tbl")
+    sid = ro.export_to_table(spark, table_root)
+    t = VersionedTable(spark, table_root)
+    assert t.current_snapshot_id() == sid  # the GOOD snapshot is HEAD
+    assert t.read().count() == ro.export_docs(spark).count()
+
+
+def test_ann_sink_fingerprint_tracks_commits(spark, tmp_path):
+    """The bucketed ANN sinks fingerprint their state + work + quantizer
+    dirs, so ann-search over a LIVE root brackets correctly."""
+    from cdc_platform_spark.operators.similarity import (
+        _fixed_embeddings,
+        train_ivf_centroids,
+    )
+    from cdc_platform_spark.streaming.ann_index import BucketedIvfFlatIndexSink
+
+    e = _fixed_embeddings(spark, SF_SMOKE)
+    cents = train_ivf_centroids(e)
+    vec_rows = e.select(
+        "vec_id", F.col("vec_id").alias("offset"), F.lit("c").alias("op"), "a"
+    )
+    path = str(tmp_path / "flat")
+    sink = BucketedIvfFlatIndexSink(path, cents, n_buckets=4)
+    sink.write(vec_rows.limit(32))
+
+    ro = BucketedIvfFlatIndexSink(path, cents, n_buckets=4, read_only=True)
+    fp0 = ro.state_fingerprint()
+    assert fp0 == ro.state_fingerprint()  # pure read, deterministic
+    sink.write(
+        vec_rows.filter(F.col("vec_id") >= 32).limit(16)
+    )
+    assert ro.state_fingerprint() != fp0
