@@ -48,37 +48,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["q10_agg_pricing_summary"].builder(spark, SMOKE_SF_DIR)
 
 
-def _driver_verified_names(after: str | None = None) -> set[str]:
-    """Query names with at least one *green* row in any CORRECTNESS_r*.json
-    (restricted to files sorting strictly after ``after`` when given).
+def _last_green() -> dict[str, str]:
+    """Per query name, the basename of the NEWEST CORRECTNESS_r*.json file
+    carrying a *green* row for it (names with no green row ever are absent).
 
     The driver samples only the first 50 entries of ``queries()``, so we
     rotate: queries never independently verified by the driver are emitted
-    first, previously-verified ones after.  Each round's CORRECTNESS file
-    advances the rotation automatically.
+    first, then the verified backlog OLDEST green first — every round's
+    sample re-certifies the entries whose certification is stalest, and
+    each round's CORRECTNESS file advances the rotation automatically.
 
     Green = hash/rows/schema all true, or a by-design ``no_oracle`` row
-    (rows-only gate).  A red row (hash mismatch, error) does NOT count as
-    verified, so failed queries automatically re-front the next round
-    until they pass.
+    (rows-only gate).  A red row (hash mismatch, error) does NOT update the
+    map, so failed queries keep their old timestamp — or, never green,
+    automatically re-front the next round until they pass.
     """
     import glob
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
-    paths = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
-    if after is not None:
-        paths = [p for p in paths if os.path.basename(p) > after]
-    for path in paths:
+    last: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        base = os.path.basename(path)
         for name, row in rows.items():
             if not isinstance(row, dict):
-                seen.add(name)
+                last[name] = base
                 continue
             green = bool(
                 row.get("rows_match")
@@ -87,8 +86,8 @@ def _driver_verified_names(after: str | None = None) -> set[str]:
             )
             rows_only_by_design = row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             if green or rows_only_by_design:
-                seen.add(name)
-    return seen
+                last[name] = base
+    return last
 
 
 # Queries whose IMPLEMENTATION changed since their last green driver row:
@@ -106,42 +105,24 @@ def _driver_verified_names(after: str | None = None) -> set[str]:
 # configuration" and shipped 17 red registry entries; never again.  Prune
 # entries only once a post-change green row exists.
 _REVERIFY = {
-    # round 11: BucketedMinHashIndexSink regained self.path (r10 snapshot
-    # regression) — every write()/_recover() through the sink family runs
-    # the restored marker code; re-front all sink streams that had an r≤9
-    # green row (the rest were sampled red in r10 and re-front themselves)
-    "sq_dedup_index_stream",
-    "sq_dedup_clusters_stream",
-    "sq_dedup_rate_stream",
-    "sq_cluster_reps_stream",
-    "sq_corpus_curation_stream",
-    "sq_unified_curation_stream",
-    "sq_curated_shards_stream",
-    "sq_mix_sample_stream",
-    # …and the sink streams that were sampled RED in r10: a red row does
-    # NOT erase their earlier green rows, so they still need re-fronting
-    "sq_curated_export_stream",
-    "sq_decontaminated_curation_stream",
-    "sq_contamination_report_stream",
-    "sq_mix_sample_decon_stream",
-    "sq_mix_sample_tokens_stream",
-    # round 11: _md5_prefix_pool restored (r10 snapshot deleted the inline
-    # prefilter and never wrote the helper) — both prefilter=True samplers
-    "text_temperature_resample",
-    "text_token_budget_sample",
+    # round 12: q65_top_supplier's global MAX moved from an unpartitioned
+    # window to the broadcast-scalar pattern (the tpch_like q69/q78 shape)
+    "q65_top_supplier",
+    # round 12: dedup_span_ngram's gram derivation extracted into the
+    # shared span_gram_hashes_col (now also feeds BucketedSpanIndexSink;
+    # sq_span_dedup_stream itself is never-verified and fronts itself)
+    "dedup_span_ngram",
 }
-_REVERIFY_ASOF = "CORRECTNESS_r10.json"  # last pre-fix correctness file
+_REVERIFY_ASOF = "CORRECTNESS_r11.json"  # last pre-change correctness file
 
 
 def _priority_order(registry) -> list[str]:
-    """Never-driver-verified first (sorted), then the verified backlog.
-
-    Within the verified tail, the CDC core (q26-q30) and the flagship q10
-    lead so they re-appear as soon as slots free up.
-    """
-    seen = _driver_verified_names() - (
-        _REVERIFY - _driver_verified_names(after=_REVERIFY_ASOF)
-    )
+    """Never-driver-verified first (sorted), then the verified backlog
+    OLDEST last-green-row first — the driver's 50-name sample always
+    re-certifies the entries whose certification is stalest."""
+    last = _last_green()
+    refronted = {n for n in _REVERIFY if last.get(n, "") <= _REVERIFY_ASOF}
+    seen = set(last) - refronted
     # Ordering within the unseen block: streaming-path queries first (the
     # only independent check on the streaming machinery — batch queries all
     # have pytest oracle coverage as a fallback), then new flagship
@@ -151,14 +132,8 @@ def _priority_order(registry) -> list[str]:
         (n for n in registry if n not in seen),
         key=lambda n: (not n.startswith("sq_"), n not in flagship, n),
     )
-    core = [
-        n
-        for n in sorted(registry)
-        if n in seen
-        and (n.startswith(("q26_", "q27_", "q28_", "q29_", "q30_", "q10_")))
-    ]
-    rest = [n for n in sorted(registry) if n in seen and n not in core]
-    return unseen + core + rest
+    backlog = sorted((n for n in registry if n in seen), key=lambda n: (last[n], n))
+    return unseen + backlog
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

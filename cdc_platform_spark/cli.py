@@ -411,6 +411,7 @@ def main(argv: list[str] | None = None) -> int:
             load_quantizer,
         )
         from cdc_platform_spark.streaming.pipeline import StateInFlightError
+        from cdc_platform_spark.streaming.serving import fs_fingerprint
 
         def resolve_generation(root: str) -> str | None:
             """A state dir, or a pointer root whose CURRENT names one —
@@ -442,6 +443,18 @@ def main(argv: list[str] | None = None) -> int:
                     F.col("vec_id").alias("qid"),
                     fixed_point(F.col("embedding")).alias("qa"),
                 )
+            # The quantizer and sinks must be (re)loaded INSIDE the
+            # per-attempt closure: a live-root quantizer swap mid-read
+            # flips the fingerprint and retries, and the retry must probe
+            # the NEW index with the NEW centroids/codebooks — anything
+            # captured from a previous attempt (an eagerly checkpointed
+            # centroid table, a sink holding it) would make run_stable
+            # converge on a new-index/old-quantizer mix and return
+            # silently wrong neighbors once the writer idles.  The
+            # fingerprint is therefore computed from the state PATHS
+            # directly (same roots the sinks' state_fingerprint covers:
+            # state dir + .work sibling + .quantizer sibling), not from
+            # sink objects that would pin one attempt's load.
             if args.pq_index:
                 pq_root = resolve_generation(args.pq_index)
                 if pq_root is None:
@@ -450,8 +463,10 @@ def main(argv: list[str] | None = None) -> int:
                         file=sys.stderr,
                     )
                     return 1
-                cents, cb, rk = load_quantizer(spark, pq_root)
-                if cb is None or rk is None:
+                # artifact-shape validation once upfront: codebooks/ranks
+                # presence is a property of the generation, not an attempt
+                _, cb0, rk0 = load_quantizer(spark, pq_root)
+                if cb0 is None or rk0 is None:
                     print(
                         json.dumps(
                             {"error": f"{pq_root}: quantizer lacks codebooks/ranks"}
@@ -459,27 +474,32 @@ def main(argv: list[str] | None = None) -> int:
                         file=sys.stderr,
                     )
                     return 1
-                pq = BucketedIvfPqIndexSink(
-                    pq_root, cents, cb, rk, n_buckets=args.n_buckets, read_only=True
-                )
-                vec = BucketedIvfFlatIndexSink(
-                    vec_root, cents, n_buckets=args.n_buckets, read_only=True
-                )
-                fp_sinks = [pq, vec]
+                fp_roots = [
+                    p
+                    for root in (pq_root, vec_root)
+                    for p in (root, f"{root}.work", f"{root}.quantizer")
+                ]
 
                 def build_search():
+                    cents, cb, rk = load_quantizer(spark, pq_root)
+                    pq = BucketedIvfPqIndexSink(
+                        pq_root, cents, cb, rk, n_buckets=args.n_buckets, read_only=True
+                    )
+                    vec = BucketedIvfFlatIndexSink(
+                        vec_root, cents, n_buckets=args.n_buckets, read_only=True
+                    )
                     return ivf_pq_search_from_index(
                         pq.state(spark), vec.state(spark), cents, cb, rk, probes=probes
                     )
 
             else:
-                cents, _, _ = load_quantizer(spark, vec_root)
-                sink = BucketedIvfFlatIndexSink(
-                    vec_root, cents, n_buckets=args.n_buckets, read_only=True
-                )
-                fp_sinks = [sink]
+                fp_roots = [vec_root, f"{vec_root}.work", f"{vec_root}.quantizer"]
 
                 def build_search():
+                    cents, _, _ = load_quantizer(spark, vec_root)
+                    sink = BucketedIvfFlatIndexSink(
+                        vec_root, cents, n_buckets=args.n_buckets, read_only=True
+                    )
                     return ivf_search_from_index(sink.state(spark), cents, probes=probes)
 
             # a pinned generation (CURRENT pointer) is immutable and the
@@ -487,7 +507,7 @@ def main(argv: list[str] | None = None) -> int:
             # check-read-recheck the corpus serve does
             rows = _collect_stable(
                 lambda: build_search().orderBy("query_id", "rank").limit(args.limit),
-                lambda: tuple(s.state_fingerprint() for s in fp_sinks),
+                lambda: fs_fingerprint(fp_roots),
             )
         except FileNotFoundError as exc:
             print(json.dumps({"error": str(exc)}), file=sys.stderr)
@@ -555,33 +575,36 @@ def main(argv: list[str] | None = None) -> int:
             args.corpus_root, n_buckets=args.n_buckets, read_only=True
         )
         cap = args.stop_gram_cap
+        # One definition of "this view reads the decontamination stores",
+        # shared by the --stop-gram-cap validity check AND the fingerprint
+        # scope below: the two taxonomies must never diverge (a view added
+        # to one list but not the other would silently serve with a
+        # fingerprint narrower than the state it reads).
+        decon_optional = ("mix-sample", "mix-tokens", "shard-manifest", "export")
+        decon_read = args.view in ("decontaminated", "contamination-report") or (
+            args.view in decon_optional and args.decontaminated
+        )
         # --stop-gram-cap must never be silently ignored: it applies to
         # the decontamination-consulting reads only (and to the derived
         # views only when they actually draw from the decontaminated
         # corpus) — a flag that changes WHICH documents ship must error
         # loudly when it cannot take effect
-        if cap is not None:
-            cap_ok = args.view in ("decontaminated", "contamination-report") or (
-                args.view in ("mix-sample", "mix-tokens", "shard-manifest", "export")
-                and args.decontaminated
+        if cap is not None and not decon_read:
+            print(
+                json.dumps(
+                    {
+                        "error": f"--stop-gram-cap has no effect on "
+                        f"'{args.view}'"
+                        + (
+                            " without --decontaminated"
+                            if args.view in decon_optional
+                            else ""
+                        )
+                    }
+                ),
+                file=sys.stderr,
             )
-            if not cap_ok:
-                print(
-                    json.dumps(
-                        {
-                            "error": f"--stop-gram-cap has no effect on "
-                            f"'{args.view}'"
-                            + (
-                                " without --decontaminated"
-                                if args.view
-                                in ("mix-sample", "mix-tokens", "shard-manifest", "export")
-                                else ""
-                            )
-                        }
-                    ),
-                    file=sys.stderr,
-                )
-                return 1
+            return 1
         reads = {
             "curated": lambda: sink.curated(spark),
             "decontaminated": lambda: sink.decontaminated(spark, stop_gram_cap=cap),
@@ -607,11 +630,7 @@ def main(argv: list[str] | None = None) -> int:
         }
         # fingerprint only the stores this view reads: a curated-family
         # serve must not retry (or exhaust) on decon-maintenance commits
-        # it never consults — mirrors the cap_ok view classification
-        decon_read = args.view in ("decontaminated", "contamination-report") or (
-            args.view in ("mix-sample", "mix-tokens", "shard-manifest", "export")
-            and args.decontaminated
-        )
+        # it never consults — same decon_read predicate as the cap check
         fp_scope = "all" if decon_read else "text"
         try:
             rows = _collect_stable(

@@ -31,7 +31,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, Row, SparkSession, Window
+from pyspark.sql import DataFrame, Row, SparkSession
 
 from cdc_platform_spark.lakehouse.format import TableFormat
 
@@ -522,6 +522,50 @@ class VersionedTable(TableFormat):
             )
         return self._commit(groups, "rewrite-sorted", total)
 
+    @staticmethod
+    def _zorder_annotate(df, columns: list[str], bits: int = 8):
+        """Add a ``__z`` column: per-column approx-percentile rank buckets,
+        bit-interleaved into a z-value.
+
+        Bucket boundaries come from ONE ``approxQuantile`` pass over all z
+        columns together (Greenwald-Khanna sketch: distributed, mergeable,
+        no sort). Each row is then mapped to its bucket by counting the
+        boundaries below its value against the broadcast boundary array —
+        a per-row O(2^bits) scan of a 255-element literal, fully inside
+        whole-stage codegen. No window, no global sort, no single-partition
+        stage anywhere; the only driver-side state is the 2^bits-1 doubles
+        per column.
+
+        NULLs land in bucket 0 (every boundary comparison is NULL, so the
+        filtered array is empty) — the same slot ntile's nulls-first
+        ordering would assign — so null keys are conserved by the rewrite.
+        Columns are bucketed through a cast to double; an all-NULL column
+        yields zero boundaries and constant bucket 0, which degrades that
+        dimension gracefully instead of aborting.
+        """
+        from pyspark.sql import functions as F
+
+        nb = 2**bits
+        qs = [i / nb for i in range(1, nb)]
+        dcols = [f"__d{i}" for i in range(len(columns))]
+        ddf = df.select(
+            *[F.col(c).cast("double").alias(d) for c, d in zip(columns, dcols)]
+        )
+        all_bounds = ddf.stat.approxQuantile(dcols, qs, 1.0 / (4 * nb))
+        z = F.lit(0).cast("long")
+        ncols = len(columns)
+        for i, (c, bnds) in enumerate(zip(columns, all_bounds)):
+            if bnds:
+                arr = F.array(*[F.lit(float(b)) for b in bnds])
+                v = F.col(c).cast("double")
+                bucket = F.size(F.filter(arr, lambda x: x < v)).cast("long")
+            else:  # all-NULL column: no sketch output, constant bucket
+                bucket = F.lit(0).cast("long")
+            df = df.withColumn(f"__b{i}", bucket)
+            for j in range(bits):
+                z = z + F.shiftleft(F.shiftright(F.col(f"__b{i}"), j).bitwiseAND(F.lit(1)), j * ncols + i)
+        return df.withColumn("__z", z).drop(*[f"__b{i}" for i in range(ncols)])
+
     def rewrite_zorder(self, columns: list[str], n_groups: int = 16, bits: int = 8) -> str | None:
         """Z-order clustering (Delta OPTIMIZE ZORDER / Iceberg sort-order with
         a space-filling curve): bucket each column into 2^bits rank buckets,
@@ -531,10 +575,12 @@ class VersionedTable(TableFormat):
         of them — single-column clustering (rewrite_sorted) can only serve
         one probe dimension.
 
-        Locally the rank bucketing uses a global ntile (one single-partition
-        window over the maintenance scan); a cluster deployment replaces it
-        with approx-percentile bucket boundaries (one pass, no global sort)
-        — the z math and layout are identical.
+        Rank bucketing uses approx-percentile boundaries (see
+        :meth:`_zorder_annotate` — one sketch pass, no global sort, no
+        window), and the z-range group edges likewise come from
+        ``percentile_approx`` rather than an exact percentile, so the whole
+        maintenance op is shuffle-free and scales with partition count: the
+        heaviest stage is an embarrassingly-parallel scan.
         """
         from pyspark.sql import functions as F
 
@@ -542,20 +588,12 @@ class VersionedTable(TableFormat):
         if cur is None:
             return None
         snap = self._snapshot(cur)
-        df = self.read()
-        z = F.lit(0).cast("long")
-        ncols = len(columns)
-        for i, c in enumerate(columns):
-            bucket = (F.ntile(2**bits).over(Window.orderBy(F.col(c), *[x for x in columns if x != c])) - 1).cast("long")
-            df = df.withColumn(f"__b{i}", bucket)
-            for j in range(bits):
-                z = z + F.shiftleft(F.shiftright(F.col(f"__b{i}"), j).bitwiseAND(F.lit(1)), j * ncols + i)
-        df = df.withColumn("__z", z).drop(*[f"__b{i}" for i in range(ncols)])
+        df = self._zorder_annotate(self.read(), columns, bits)
         qs = [i / n_groups for i in range(1, n_groups)]
-        bounds = df.selectExpr(
-            *[f"percentile(__z, {q}) AS b{i}" for i, q in enumerate(qs)]
+        edges_row = df.select(
+            F.percentile_approx("__z", F.array(*[F.lit(q) for q in qs]), F.lit(10_000)).alias("e")
         ).collect()[0]
-        edges = [bounds[i] for i in range(len(qs))]
+        edges = list(edges_row["e"] or [])
         groups: list[str] = []
         total = 0
         lo = None

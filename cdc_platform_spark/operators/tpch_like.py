@@ -276,8 +276,13 @@ def q64_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="composite",
     doc=(
         "TPC-H Q15-shaped: supplier(s) with the maximum shipped revenue in "
-        "1996H1 — aggregate, then filter at the global MAX via a window "
-        "(single-pass; no re-scan of the fact, unlike the view+subquery form)."
+        "1996H1 — aggregate, then filter at the global MAX computed as a "
+        "1-row aggregate broadcast back onto the per-supplier totals (the "
+        "q69/q78 scalar pattern). Supplier cardinality grows with SF, so an "
+        "unpartitioned window here would funnel every supplier row through "
+        "one task; the broadcast-scalar join keeps the filter fully parallel. "
+        "The per-supplier aggregate is localCheckpoint-shared so the fact "
+        "scan runs once, matching the single-pass claim."
     ),
     oracle=f"""
         WITH rev AS (
@@ -297,10 +302,14 @@ def q65_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
     )
     s = _t(spark, "supplier", sf_dir)
-    rev = l.groupBy("l_suppkey").agg(F.sum(revenue()).alias("total_rev_dec"))
-    w = Window.partitionBy()
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(F.sum(revenue()).alias("total_rev_dec"))
+        .localCheckpoint(eager=False)
+    )
+    mx = rev.agg(F.max("total_rev_dec").alias("mx"))
     return (
-        rev.withColumn("mx", F.max("total_rev_dec").over(w))
+        rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev_dec") == F.col("mx"))
         .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", F.col("total_rev_dec").cast("double").alias("total_revenue"))

@@ -1391,7 +1391,16 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         the commit with :meth:`state_fingerprint`; on overlap, un-commit
         the torn snapshot (``discard_snapshot`` — never published, so
         nothing can have pinned it) and retry against the new committed
-        state."""
+        state.
+
+        One residue the un-commit cannot reach: an attempt that fails
+        DURING the overwrite's source read (the error-with-moved-
+        fingerprint retry path) dies before ``_commit`` runs, so there is
+        no snapshot to discard — just an orphan, never-referenced file
+        group under ``<table_root>/data/``.  It is invisible to every
+        read (reads go through snapshot manifests) and is reclaimed by
+        the next ``expire_snapshots`` run, the same GC that owns all
+        unreferenced groups."""
         from cdc_platform_spark.lakehouse.table import VersionedTable
         from cdc_platform_spark.streaming.serving import run_stable
 
@@ -1407,11 +1416,17 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
         def uncommit_torn(sid: str) -> None:
             try:
                 table.discard_snapshot(sid)
-            except (ValueError, KeyError):
-                # a concurrent commit already built on (or removed) the
-                # torn snapshot — sole-ownership cleanup is impossible;
-                # the retry still publishes a consistent snapshot and the
-                # torn sid was never returned to anyone
+            except (ValueError, KeyError, OSError):
+                # best-effort cleanup, never a reason to abort the retry:
+                # ValueError/KeyError — a concurrent commit already built
+                # on (or removed) the torn snapshot, so sole-ownership
+                # cleanup is impossible; OSError — a concurrent
+                # expire_snapshots raced the discard's own removes (HEAD
+                # or manifest gone between its existence check and
+                # os.remove).  In every case the retry still publishes a
+                # consistent snapshot, the torn sid was never returned to
+                # anyone, and any group the discard left behind is
+                # unreferenced and reclaimed by expire_snapshots' GC
                 pass
 
         return run_stable(

@@ -285,10 +285,31 @@ def test_table_format_seam(spark, tmp_path):
             open_table(spark, "iceberg://cat.db.tbl")
 
 
+def test_zorder_annotate_plan_is_scan_shaped(spark):
+    """The z-value derivation must be expression-only (verdict r11: the old
+    global-ntile bucketing was one single-partition sort of the whole table
+    per z column).  Approx-percentile boundaries are a sketch aggregate at
+    annotate time; the annotated plan itself must contain NO window, NO
+    sort, NO exchange — an embarrassingly-parallel scan+project whose cost
+    scales with partition count."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(4096).select(
+        F.col("id").alias("x"),
+        F.pmod(F.col("id") * F.lit(2654435761), F.lit(4096)).alias("y"),
+    )
+    z = VersionedTable._zorder_annotate(df, ["x", "y"], bits=4)
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    for node in ("Window", "Sort", "Exchange"):
+        assert node not in plan, f"{node} in z-annotate plan:\n{plan}"
+    # and the z-values actually cluster: both dims bucketed, interleaved
+    assert z.select("__z").distinct().count() > 16
+
+
 def test_rewrite_zorder_conserves_rows_with_nulls(spark, table):
     """Same conservation guarantee as rewrite_sorted: a z-order rewrite must
-    keep every committed row (ntile assigns null keys a bucket, and the
-    commit asserts the total)."""
+    keep every committed row (NULL keys bucket to 0, and the commit
+    asserts the total)."""
     df = spark.createDataFrame(
         [(1, 10.0, 5), (2, None, 6), (3, 30.0, None), (4, 40.0, 8)],
         "id long, v double, w long",

@@ -334,6 +334,53 @@ def test_ann_search_cli_pq_mode(spark, tmp_path, capsys):
     assert "codebooks" in capsys.readouterr().err
 
 
+def test_ann_search_cli_retry_reloads_quantizer(spark, tmp_path, monkeypatch):
+    """Regression (ADVICE r11, cli.py ann-search): a live-root quantizer
+    swap mid-attempt must make the RETRY reload centroids — the old code
+    captured the first load's tables (and sinks built from them) in the
+    closure, so the retry probed the NEW index with the OLD in-memory
+    quantizer and, once the writer idled, run_stable returned silently
+    wrong neighbors.  The spy swaps the quantizer while attempt 1 is in
+    flight (inside the fingerprint bracket) and asserts attempt 2 loads
+    the swapped table instead of reusing the captured one."""
+    import cdc_platform_spark.streaming.ann_index as ann
+    from cdc_platform_spark.cli import main
+    from cdc_platform_spark.operators.similarity import (
+        _fixed_embeddings,
+        train_ivf_centroids,
+    )
+
+    e = _fixed_embeddings(spark, SF_SMOKE).localCheckpoint(eager=True)
+    cents = train_ivf_centroids(e)
+    root = str(tmp_path / "live")
+    sink = ann.BucketedIvfFlatIndexSink(root, cents, n_buckets=4)
+    sink.write(
+        e.select("vec_id", F.col("vec_id").alias("offset"), F.lit("c").alias("op"), "a")
+    )
+    ann.save_quantizer(root, cents)
+    n_full = cents.count()
+    swapped = cents.limit(2).localCheckpoint(eager=True)
+
+    real_load = ann.load_quantizer
+    loaded_counts: list[int] = []
+
+    def loading_spy(spark_, path, read_only=True):
+        out = real_load(spark_, path, read_only=read_only)
+        loaded_counts.append(out[0].count())
+        if len(loaded_counts) == 1:
+            # the writer swaps the quantizer while attempt 1 is in flight
+            ann.save_quantizer(root, swapped)
+        return out
+
+    monkeypatch.setattr(ann, "load_quantizer", loading_spy)
+    rc = main(["ann-search", root, "--n-buckets", "4", "--limit", "3"])
+    assert rc == 0
+    assert loaded_counts[0] == n_full
+    # the bracket moved, so there WAS a retry, and it loaded the swapped
+    # 2-centroid quantizer — not the captured first-attempt copy
+    assert len(loaded_counts) >= 2 and loaded_counts[-1] == 2, loaded_counts
+
+
 def test_read_only_projection_refuses_bucket_writes(spark, tmp_path):
     """Every _BucketStore publish path refuses under read_only — including
     the delta-refresh overwrite_buckets that IvfCellProjection uses (the
