@@ -251,6 +251,42 @@ def main() -> None:
             serving_runs[name] = samples
             serving[name] = min(samples)
 
+        # Serving-consistency protocol overhead tripwires (verdict r11):
+        # the check-read-recheck bracket is two fs_fingerprint probes per
+        # read — measure that cost DIRECTLY so protocol overhead stays
+        # separated from host variance in every artifact.
+        # (a) the probe itself, in milliseconds (O(first-level entries)
+        #     stat calls — must stay file-count-independent and ~ms-scale);
+        # (b) the same serve read raw vs under run_stable (delta ≈ two
+        #     probes; a blowup here means the bracket started doing real
+        #     work, e.g. an accidental state scan in a fingerprint).
+        from cdc_platform_spark.streaming.serving import run_stable
+
+        t0 = time.perf_counter()
+        for _ in range(100):
+            corpus.state_fingerprint("all")
+        serving["fingerprint_probe_ms"] = round(
+            (time.perf_counter() - t0) * 1000 / 100, 3
+        )
+
+        def run_stable_read(make_df) -> float:
+            t0 = time.perf_counter()
+            run_stable(
+                lambda: make_df().write.format("noop").mode("overwrite").save(),
+                lambda: corpus.state_fingerprint("text"),
+            )
+            return time.perf_counter() - t0
+
+        run_stable_read(reads["serve_curated"])  # warm-up
+        stable_samples = [
+            round(run_stable_read(reads["serve_curated"]), 3) for _ in range(3)
+        ]
+        serving_runs["serve_curated_stable"] = stable_samples
+        serving["serve_curated_stable"] = min(stable_samples)
+        serving["stable_bracket_overhead"] = round(
+            serving["serve_curated_stable"] - serving["serve_curated"], 3
+        )
+
         # Maintenance verbs over the SAME maintained state — the scheduled
         # paths a deployment runs between micro-batches (compaction, the
         # CQRS cell-projection delta refresh, PQ blue/green rotation).
@@ -264,6 +300,20 @@ def main() -> None:
         )
 
         maintenance_runs: dict[str, list[float]] = {}
+
+        # lakehouse export publication: serve_export's read PLUS the
+        # VersionedTable snapshot commit under the torn-read bracket — the
+        # delta vs the serve_export row is the publication cost (verdict
+        # r11: keep it separated from the read).  Runs BEFORE the compact
+        # seed below so the corpus matches serve_export's state exactly.
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            corpus.export_to_table(
+                spark, f"{serving_dir}/export_tbl", decontaminated=True
+            )
+            samples.append(round(time.perf_counter() - t0, 3))
+        maintenance_runs["maint_export_publish"] = samples
 
         # compact: O(index) rewrite keeping current rows + tombstone GC.
         # Seed real tombstones first (deletes for ~1/37 of the corpus) so

@@ -1000,6 +1000,24 @@ _SPAN_GRAMS_DUCK = (
 )
 
 
+def span_gram_hashes_col(words: Column) -> Column:
+    """60-bit hashes of a words array's DISTINCT word-``SPAN_NGRAM``-grams —
+    ONE definition shared by batch :func:`dedup_span_ngram` and the
+    streaming :class:`~cdc_platform_spark.streaming.span_index.
+    BucketedSpanIndexSink`, so streamed and batch span keys can never
+    drift.  Distinctness is per gram STRING (duplicate hashes from a
+    60-bit collision are kept), matching the oracle's row-count df
+    semantics exactly.  Caller guards ``size(words) >= SPAN_NGRAM`` —
+    the sequence bounds need it."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (SPAN_NGRAM - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(SPAN_NGRAM)]
+        ),
+    )
+    return F.transform(F.array_distinct(grams), md5_60bit)
+
+
 @register(
     "dedup_span_ngram",
     category="dedup",
@@ -1043,25 +1061,15 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load_table(spark, "documents", sf_dir))
     words = F.split(F.col("text"), " ")
-    # no short-doc guard needed here: g filters to size(words) >= SPAN_NGRAM
-    # below, so the sequence bounds are always valid
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - (SPAN_NGRAM - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(SPAN_NGRAM)]
-        ),
-    )
     g = (
         d.filter(F.size(words) >= SPAN_NGRAM)
-        .select("doc_id", F.array_distinct(grams).alias("grams"))
+        .select("doc_id", span_gram_hashes_col(words).alias("grams"))
         .localCheckpoint(eager=False)
     )
     # materialized once: the (doc_id, gh) stream feeds BOTH the df aggregate
-    # and the hit join; without this the explode + md5 run twice
-    exploded = (
-        g.select("doc_id", F.explode("grams").alias("gram"))
-        .select("doc_id", md5_60bit(F.col("gram")).alias("gh"))
-        .localCheckpoint(eager=False)
+    # and the hit join; without this the explode runs twice
+    exploded = g.select("doc_id", F.explode("grams").alias("gh")).localCheckpoint(
+        eager=False
     )
     # df >= 2 spans only: the duplicated subset is what joins back (at real
     # corpus scale the unique-span long tail — most of the vocabulary —

@@ -1404,6 +1404,80 @@ def sq_dedup_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.pairs(spark).orderBy("doc_a", "doc_b")
 
 
+def _span_dedup_oracle() -> str:
+    """Full-rebuild oracle for sq_span_dedup_stream: the batch
+    dedup_span_ngram query evaluated over the POST-CDC live documents —
+    the same docs_live CTE recipe as every other _stage_document_cdc
+    oracle, with the span CTE chain built from the SAME constants/SQL
+    fragments the batch operator's oracle uses (SPAN_NGRAM,
+    _SPAN_GRAMS_DUCK, ORACLE_MD5_60BIT), so the two cannot drift."""
+    from cdc_platform_spark.operators.dedup import (
+        ORACLE_MD5_60BIT,
+        SPAN_FLAG_THRESHOLD,
+        SPAN_NGRAM,
+        _SPAN_GRAMS_DUCK,
+    )
+
+    return f"""
+        WITH docs_live AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' spark dedup stream spark dedup stream'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 3
+        ),
+        w AS (SELECT doc_id, str_split(text, ' ') AS words FROM docs_live),
+        g AS (
+            SELECT doc_id, {ORACLE_MD5_60BIT.format(x="gram")} AS gh
+            FROM (SELECT doc_id, unnest({_SPAN_GRAMS_DUCK}) AS gram FROM w)
+        ),
+        dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+        hits AS (
+            SELECT g.doc_id, COUNT(*) AS n_shared_spans
+            FROM g JOIN dup USING (gh) GROUP BY g.doc_id
+        ),
+        base AS (SELECT doc_id, len({_SPAN_GRAMS_DUCK}) AS n_spans FROM w WHERE len(words) >= {SPAN_NGRAM})
+        SELECT base.doc_id,
+               CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(COALESCE(n_shared_spans, 0) AS BIGINT) AS n_shared_spans,
+               CAST(COALESCE(n_shared_spans, 0) AS DOUBLE) / n_spans AS shared_fraction,
+               CAST(CAST(COALESCE(n_shared_spans, 0) AS DOUBLE) / n_spans > {SPAN_FLAG_THRESHOLD}
+                    AS BIGINT) AS is_flagged
+        FROM base LEFT JOIN hits USING (doc_id)
+        ORDER BY base.doc_id
+    """
+
+
+@register(
+    "sq_span_dedup_stream",
+    category="streaming",
+    doc=(
+        "Incremental cross-document duplicated-span statistics as a "
+        "driver-checkable artifact: the shared document CDC stream (full "
+        "insert wave, then marker-text updates doc_id % 7 = 0 and deletes "
+        "doc_id % 11 = 3) driven availableNow through "
+        "BucketedSpanIndexSink, which maintains an EXACT span posting "
+        "store plus per-document shared-span statistics incrementally - "
+        "each micro-batch explodes ONLY its own documents' grams, "
+        "retracts old postings via the pre-merge per-doc index (which "
+        "commits LAST, the replay anchor), detects df>=2 threshold "
+        "crossings from replay-stable counts, and recomputes statistics "
+        "for exactly the affected documents. The final served stats must "
+        "equal the from-scratch batch dedup_span_ngram over the live "
+        "documents - which is what the oracle computes."
+    ),
+    oracle=_span_dedup_oracle(),
+)
+def sq_span_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.streaming.span_index import BucketedSpanIndexSink
+
+    work = _workdir("sq_spanidx_")
+    stream = _stage_document_cdc(spark, sf_dir, work)
+    sink = BucketedSpanIndexSink(f"{work}/span")
+    _run_index_stream(stream, sink, work)
+    return sink.span_stats(spark).orderBy("doc_id")
+
+
 def _corpus_curation_oracle() -> str:
     """Oracle for sq_corpus_curation_stream: the batch curation funnel
     (quality filter -> exact dedup -> near-dup suppression) evaluated over

@@ -1,0 +1,186 @@
+"""BucketedSpanIndexSink: exact duplicated-span statistics under CDC.
+
+The design contract under test (streaming/span_index.py module
+docstring): the posting store is EXACT (unlike the minhash sink's
+superset band store), enabled by the commit ORDER — the per-doc index,
+the authoritative old-gram record, commits LAST, so every crash window
+between store commits replays to the identical computation.  The tests
+therefore cover not just end-state equivalence but each crash boundary
+explicitly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_platform_spark.operators.dedup import SPAN_NGRAM, span_gram_hashes_col
+from cdc_platform_spark.streaming.pipeline import StateInFlightError
+from cdc_platform_spark.streaming.span_index import BucketedSpanIndexSink
+
+_BATCH_SCHEMA = "doc_id long, offset long, op string, text string"
+
+# grams (5-word windows) chosen so docs share specific spans:
+#   A: abcde bcdef cdefg defgh     (4 spans)
+#   B: shares abcde with A only
+#   C: disjoint
+#   D: too short for any span
+#   E: shares bcdef + cdefg with A (used in wave 2)
+A = "a b c d e f g h"
+B = "a b c d e x y z w"
+C = "p q r s t u"
+D = "short doc"
+B2 = "m n o p q r s"
+E = "b c d e f g q q q"
+
+
+def _expected(spark, docs):
+    """From-scratch batch computation (the dedup_span_ngram algebra) over
+    the live corpus — the oracle every end state must equal."""
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    words = F.split(F.col("text"), " ")
+    g = d.filter(F.size(words) >= SPAN_NGRAM).select(
+        "doc_id", span_gram_hashes_col(words).alias("grams")
+    )
+    ex = g.select("doc_id", F.explode("grams").alias("gh"))
+    dup = ex.groupBy("gh").agg(F.count(F.lit(1)).alias("df")).filter("df >= 2").select("gh")
+    hits = ex.join(dup, "gh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared_spans")
+    )
+    ns = F.coalesce(F.col("n_shared_spans"), F.lit(0)).cast("long")
+    return {
+        r["doc_id"]: (r["n_spans"], r["n_shared_spans"])
+        for r in g.select("doc_id", F.size("grams").cast("long").alias("n_spans"))
+        .join(hits, "doc_id", "left")
+        .select("doc_id", "n_spans", ns.alias("n_shared_spans"))
+        .collect()
+    }
+
+
+def _got(spark, sink):
+    return {
+        r["doc_id"]: (r["n_spans"], r["n_shared_spans"])
+        for r in sink.span_stats(spark).collect()
+    }
+
+
+def _b(spark, rows):
+    return spark.createDataFrame(rows, _BATCH_SCHEMA)
+
+
+WAVE1 = [(1, 1, "c", A), (2, 2, "c", B), (3, 3, "c", C), (4, 4, "c", D)]
+# update doc2 away from the overlap, delete doc3, insert doc5 sharing
+# two spans with UNTOUCHED doc1 — doc1's stats must move without doc1
+# appearing in the batch (the df-crossing propagation path)
+WAVE2 = [(2, 10, "u", B2), (3, 11, "d", None), (5, 12, "c", E)]
+LIVE_AFTER_2 = [(1, A), (2, B2), (5, E)]
+
+
+def test_multi_batch_equivalence_and_crossing_propagation(spark, tmp_path):
+    sink = BucketedSpanIndexSink(str(tmp_path / "span"), n_buckets=4)
+    sink.write(_b(spark, WAVE1))
+    assert _got(spark, sink) == _expected(spark, [(1, A), (2, B), (3, C)])
+
+    sink.write(_b(spark, WAVE2))
+    got = _got(spark, sink)
+    assert got == _expected(spark, LIVE_AFTER_2)
+    # the crossing actually propagated: untouched doc1 gained the two
+    # spans doc5 brought, and lost nothing from doc2's retreat (abcde
+    # kept df>=2? no — B2 removed it, E never had it: 1 -> 2 net)
+    assert got[1] == (4, 2)
+    # retraction: doc2's rewrite dropped its old shared span
+    assert got[2][1] == 0
+    # deleted doc3 and short doc4 are not served
+    assert 3 not in got and 4 not in got
+
+
+def test_replay_idempotence(spark, tmp_path):
+    sink = BucketedSpanIndexSink(str(tmp_path / "span"), n_buckets=4)
+    sink.write(_b(spark, WAVE1))
+    sink.write(_b(spark, WAVE2))
+    before = _got(spark, sink)
+    sink.write(_b(spark, WAVE2))  # full redelivery of the last batch
+    assert _got(spark, sink) == before
+
+
+@pytest.mark.parametrize("fail_store", ["stats", "index"])
+def test_crash_between_store_commits_replays_exact(spark, tmp_path, fail_store):
+    """Kill the batch after the postings commit (fail_store='stats') or
+    after postings+stats ('index'), then replay it — the commit-order
+    argument says the replayed batch recomputes the identical state
+    because the pre-merge index survives until the LAST commit."""
+    sink = BucketedSpanIndexSink(str(tmp_path / "span"), n_buckets=4)
+    sink.write(_b(spark, WAVE1))
+
+    target = sink.stats if fail_store == "stats" else sink.index
+    meth = "write_buckets" if fail_store == "stats" else "write"
+    real = getattr(target, meth)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    setattr(target, meth, boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sink.write(_b(spark, WAVE2))
+    setattr(target, meth, real)
+
+    # mid-batch: the cross-store marker is still up, read-only serves
+    # must refuse retriably rather than read a postings/stats mix
+    ro = BucketedSpanIndexSink(str(tmp_path / "span"), n_buckets=4, read_only=True)
+    with pytest.raises(StateInFlightError):
+        ro.span_stats(spark)
+
+    sink.write(_b(spark, WAVE2))  # checkpoint replay of the same batch
+    assert _got(spark, sink) == _expected(spark, LIVE_AFTER_2)
+    # marker cleared: serving reads work again
+    assert _got(spark, ro) == _expected(spark, LIVE_AFTER_2)
+
+
+def test_out_of_order_redelivery_cannot_regress(spark, tmp_path):
+    """A stale redelivered version (lower offset) of an already-updated
+    doc must not win any store: the winner derivation and the index
+    merge both key on offset."""
+    sink = BucketedSpanIndexSink(str(tmp_path / "span"), n_buckets=4)
+    sink.write(_b(spark, WAVE1))
+    sink.write(_b(spark, WAVE2))
+    before = _got(spark, sink)
+    sink.write(_b(spark, [(2, 2, "c", B)]))  # wave-1 version, old offset
+    assert _got(spark, sink) == before
+
+
+def test_compact_drops_dead_weight_not_state(spark, tmp_path):
+    sink = BucketedSpanIndexSink(str(tmp_path / "span"), n_buckets=4)
+    sink.write(_b(spark, WAVE1))
+    sink.write(_b(spark, WAVE2))
+    stats = sink.state_stats(spark)
+    assert stats["postings"]["tombstones"] > 0  # retraction left dead rows
+    before = _got(spark, sink)
+    sink.compact(spark)
+    after_stats = sink.state_stats(spark)
+    assert after_stats["postings"]["tombstones"] == 0
+    assert after_stats["stats"]["tombstones"] == 0
+    assert _got(spark, sink) == before
+
+
+def test_read_only_refuses_writes(spark, tmp_path):
+    sink = BucketedSpanIndexSink(str(tmp_path / "span"), n_buckets=4)
+    sink.write(_b(spark, WAVE1))
+    ro = BucketedSpanIndexSink(str(tmp_path / "span"), n_buckets=4, read_only=True)
+    with pytest.raises(RuntimeError, match="read_only"):
+        ro.write(_b(spark, WAVE2))
+    # and a read-only open of a missing root creates nothing
+    ro2 = BucketedSpanIndexSink(str(tmp_path / "nope"), n_buckets=4, read_only=True)
+    assert ro2.span_stats(spark).count() == 0
+    assert not os.path.exists(str(tmp_path / "nope"))
+
+
+def test_delete_only_first_batch(spark, tmp_path):
+    """Degenerate but legal: a stream whose first delivered batch is all
+    deletes (upstream compaction artifact) must no-op cleanly."""
+    sink = BucketedSpanIndexSink(str(tmp_path / "span"), n_buckets=4)
+    sink.write(_b(spark, [(9, 1, "d", None)]))
+    assert sink.span_stats(spark).count() == 0
+    sink.write(_b(spark, WAVE1))
+    assert _got(spark, sink) == _expected(spark, [(1, A), (2, B), (3, C)])
