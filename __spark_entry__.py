@@ -112,6 +112,10 @@ _REVERIFY = {
     # shared span_gram_hashes_col (now also feeds BucketedSpanIndexSink;
     # sq_span_dedup_stream itself is never-verified and fronts itself)
     "dedup_span_ngram",
+    # round 12: rewrite_sorted's range boundaries moved from the exact
+    # percentile aggregate to an approxQuantile sketch — re-front the
+    # registry query whose runtime path goes through it
+    "lk_stats_pruned_scan",
 }
 _REVERIFY_ASOF = "CORRECTNESS_r11.json"  # last pre-change correctness file
 

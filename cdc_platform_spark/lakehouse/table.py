@@ -463,10 +463,13 @@ class VersionedTable(TableFormat):
         only counters small files); at 100 TB clustering is what turns
         stats from bookkeeping into I/O elimination.
 
-        Locally this writes group-by-group from driver-computed range
-        boundaries (exact percentiles of the sort column — one extra scan);
-        a cluster deployment uses ``repartitionByRange(n).sortWithinPartitions``
-        and splits the output files into groups by range, same layout.
+        Range boundaries come from one ``approxQuantile`` sketch pass
+        (Greenwald-Khanna: distributed, mergeable — never the exact
+        ``percentile`` aggregate, whose single buffer holds every value
+        of the sort column); group writes are driver-sequenced filters
+        over those boundaries.  A cluster deployment can equally use
+        ``repartitionByRange(n).sortWithinPartitions`` and split the
+        output files into groups by range — same layout.
         """
         from pyspark.sql import functions as F
 
@@ -476,15 +479,18 @@ class VersionedTable(TableFormat):
         snap = self._snapshot(cur)
         df = self.read()
         qs = [i / n_groups for i in range(1, n_groups)]
-        bounds = df.selectExpr(
-            *[f"percentile({sort_by}, {q}) AS b{i}" for i, q in enumerate(qs)]
-        ).collect()[0]
-        edges = [bounds[i] for i in range(len(qs))]
-        if all(e is None for e in edges):
-            # entirely-NULL sort column: percentile has no data, every range
-            # predicate would degenerate to "everything" — rewrite as a
-            # single group instead of duplicating the table n_groups times
-            n_groups, edges = 1, []
+        edges = (
+            df.select(F.col(sort_by).cast("double").alias("__s")).stat.approxQuantile(
+                "__s", qs, 1.0 / (8 * n_groups)
+            )
+            if qs
+            else []
+        )
+        if not edges:
+            # entirely-NULL sort column (the sketch sees no values): every
+            # range predicate would degenerate to "everything" — rewrite as
+            # a single group instead of duplicating the table n_groups times
+            n_groups = 1
         groups: list[str] = []
         total = 0
         lo = None
