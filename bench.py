@@ -270,6 +270,9 @@ def main() -> None:
         )
 
         def run_stable_read(make_df) -> float:
+            # production shape: the DataFrame is REBUILT inside the
+            # attempt (what _collect_stable does), so this row carries
+            # build + execute + two probes
             t0 = time.perf_counter()
             run_stable(
                 lambda: make_df().write.format("noop").mode("overwrite").save(),
@@ -283,8 +286,27 @@ def main() -> None:
         ]
         serving_runs["serve_curated_stable"] = stable_samples
         serving["serve_curated_stable"] = min(stable_samples)
+
+        # pure PROTOCOL overhead: same pre-built DataFrame as the raw
+        # serve_curated row, only the bracket added — the delta must stay
+        # ~= 2 × fingerprint_probe_ms (a blowup means the bracket started
+        # doing real work); the serve_curated_stable minus serve_curated
+        # delta, by contrast, is dominated by the per-attempt plan rebuild
+        df_pre = reads["serve_curated"]()
+
+        def run_prebuilt_stable() -> float:
+            t0 = time.perf_counter()
+            run_stable(
+                lambda: df_pre.write.format("noop").mode("overwrite").save(),
+                lambda: corpus.state_fingerprint("text"),
+            )
+            return time.perf_counter() - t0
+
+        run_prebuilt_stable()  # warm-up
+        prebuilt = [round(run_prebuilt_stable(), 3) for _ in range(3)]
+        serving_runs["serve_curated_prebuilt_stable"] = prebuilt
         serving["stable_bracket_overhead"] = round(
-            serving["serve_curated_stable"] - serving["serve_curated"], 3
+            min(prebuilt) - serving["serve_curated"], 3
         )
 
         # Maintenance verbs over the SAME maintained state — the scheduled

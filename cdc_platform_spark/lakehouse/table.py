@@ -125,6 +125,16 @@ class VersionedTable(TableFormat):
         os.rename(f"{self.root}/HEAD.tmp", f"{self.root}/HEAD")
         return sid
 
+    @staticmethod
+    def _statable(schema) -> list[str]:
+        from pyspark.sql import types as T
+
+        return [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (T.NumericType, T.StringType, T.TimestampType, T.DateType))
+        ]
+
     def _write_group(self, df: DataFrame) -> tuple[str, int]:
         group = f"{self.root}/data/{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(group)
@@ -132,13 +142,8 @@ class VersionedTable(TableFormat):
         # per-group column stats for scan pruning (the role of Iceberg
         # manifest entries, ref maintenance.py:149-156 metadata-only planning)
         from pyspark.sql import functions as F
-        from pyspark.sql import types as T
 
-        statable = [
-            f.name
-            for f in written.schema.fields
-            if isinstance(f.dataType, (T.NumericType, T.StringType, T.TimestampType, T.DateType))
-        ]
+        statable = self._statable(written.schema)
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in statable:
             aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
@@ -149,6 +154,59 @@ class VersionedTable(TableFormat):
         }
         self._group_stats[group] = stats
         return group, int(row["__rows"])
+
+    _GROUP_SALT = 8  # files-per-group parallelism of the one-pass rewrite
+
+    def _write_groups(self, df: DataFrame, order_col: str, drop: list[str] | None = None) -> tuple[list[str], int]:
+        """ONE-pass multi-group write for the clustering rewrites: ``df``
+        carries an integer ``__g`` group id; all groups land in a single
+        partitioned write job (parallelism = groups × ``_GROUP_SALT``
+        salt, each task sorted on ``order_col``), each ``__g=`` partition
+        dir is adopted as an immutable file group, and every group's
+        manifest stats come from ONE grouped aggregate over the written
+        output.  Replaces the filter-per-group path, which re-scanned the
+        source and ran a stats job once PER group — n_groups+1 passes
+        where the table's size is exactly the reason the rewrite exists.
+
+        The temp dir lives under ``data/`` with a ``.tmp-`` prefix: it is
+        unreferenced by any manifest, so a crash mid-write leaves garbage
+        that the next ``expire_snapshots`` GC reclaims like any other
+        unreferenced group."""
+        from pyspark.sql import functions as F
+
+        run = uuid.uuid4().hex
+        tmp = f"{self.root}/data/.tmp-{run}"
+        out = (
+            df.withColumn("__salt", F.pmod(F.hash(order_col), F.lit(self._GROUP_SALT)))
+            .repartition(F.col("__g"), F.col("__salt"))
+            .sortWithinPartitions("__g", order_col)
+            .drop("__salt", *(drop or []))
+        )
+        out.write.mode("overwrite").partitionBy("__g").parquet(tmp)
+
+        written = self.spark.read.parquet(tmp)
+        statable = self._statable(written.drop("__g").schema)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in statable:
+            aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
+        rows = written.groupBy("__g").agg(*aggs).collect()
+
+        groups: list[str] = []
+        total = 0
+        for r in sorted(rows, key=lambda r: r["__g"]):
+            d = r.asDict()
+            group = f"{self.root}/data/{uuid.uuid4().hex}"
+            os.rename(f"{tmp}/__g={d['__g']}", group)
+            self._group_stats[group] = {
+                c: {"min": _json_safe(d[f"min__{c}"]), "max": _json_safe(d[f"max__{c}"])}
+                for c in statable
+            }
+            groups.append(group)
+            total += int(d["__rows"])
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        return groups, total
 
     # --- write paths ---------------------------------------------------------
     def append(self, df: DataFrame, partition_by: str | None = None) -> str:
@@ -486,42 +544,22 @@ class VersionedTable(TableFormat):
             if qs
             else []
         )
-        if not edges:
-            # entirely-NULL sort column (the sketch sees no values): every
-            # range predicate would degenerate to "everything" — rewrite as
-            # a single group instead of duplicating the table n_groups times
-            n_groups = 1
-        groups: list[str] = []
-        total = 0
-        lo = None
-        for i in range(n_groups):
-            hi = edges[i] if i < len(edges) else None
-            cond = F.lit(True)
-            if lo is not None:
-                cond = cond & (F.col(sort_by) > F.lit(lo))
-            else:
-                # first group also takes NULL sort keys: every range predicate
-                # evaluates NULL for them, so without this they'd match no
-                # group and vanish from the rewritten snapshot
-                null_cond = F.col(sort_by).isNull()
-                if hi is not None:
-                    cond = null_cond | (F.col(sort_by) <= F.lit(hi))
-                else:
-                    cond = F.lit(True)
-            if hi is not None and lo is not None:
-                cond = cond & (F.col(sort_by) <= F.lit(hi))
-            part = df.filter(cond).sortWithinPartitions(sort_by)
-            group, rows = self._write_group(part)
-            if rows == 0:
-                # empty range (duplicate percentile edges) — drop the group
-                import shutil
-
-                shutil.rmtree(group, ignore_errors=True)
-                self._group_stats.pop(group, None)
-            else:
-                groups.append(group)
-                total += rows
-            lo = hi
+        if edges:
+            # group id = number of boundaries strictly below the value
+            # (group 0 spans up to edges[0], the last group is unbounded
+            # above); NULL sort keys route to group 0 — every range
+            # comparison evaluates NULL for them, so without the explicit
+            # branch they would vanish from the rewritten snapshot
+            arr = F.array(*[F.lit(float(e)) for e in edges])
+            v = F.col(sort_by).cast("double")
+            g = F.when(F.col(sort_by).isNull(), F.lit(0)).otherwise(
+                F.size(F.filter(arr, lambda x: x < v))
+            )
+        else:
+            # entirely-NULL sort column (the sketch sees no values):
+            # rewrite as a single group
+            g = F.lit(0)
+        groups, total = self._write_groups(df.withColumn("__g", g.cast("int")), sort_by)
         if total != snap["rows"]:
             raise RuntimeError(
                 f"rewrite_sorted produced {total} rows, snapshot has {snap['rows']} — aborting commit"
@@ -583,10 +621,11 @@ class VersionedTable(TableFormat):
 
         Rank bucketing uses approx-percentile boundaries (see
         :meth:`_zorder_annotate` — one sketch pass, no global sort, no
-        window), and the z-range group edges likewise come from
-        ``percentile_approx`` rather than an exact percentile, so the whole
-        maintenance op is shuffle-free and scales with partition count: the
-        heaviest stage is an embarrassingly-parallel scan.
+        window), the z-range group edges likewise come from
+        ``percentile_approx`` rather than an exact percentile, and all
+        groups land in ONE partitioned write (:meth:`_write_groups`), so
+        the whole maintenance op is three passes total — z-sketch, edge
+        sketch, write — with every stage embarrassingly parallel.
         """
         from pyspark.sql import functions as F
 
@@ -600,27 +639,17 @@ class VersionedTable(TableFormat):
             F.percentile_approx("__z", F.array(*[F.lit(q) for q in qs]), F.lit(10_000)).alias("e")
         ).collect()[0]
         edges = list(edges_row["e"] or [])
-        groups: list[str] = []
-        total = 0
-        lo = None
-        for i in range(n_groups):
-            hi = edges[i] if i < len(edges) else None
-            cond = F.lit(True)
-            if lo is not None:
-                cond = cond & (F.col("__z") > F.lit(lo))
-            if hi is not None:
-                cond = cond & (F.col("__z") <= F.lit(hi))
-            part = df.filter(cond).sortWithinPartitions("__z").drop("__z")
-            group, rows = self._write_group(part)
-            if rows == 0:
-                import shutil
-
-                shutil.rmtree(group, ignore_errors=True)
-                self._group_stats.pop(group, None)
-            else:
-                groups.append(group)
-                total += rows
-            lo = hi
+        if edges:
+            # group id = number of z-edges strictly below __z (same rule
+            # as rewrite_sorted); __z is never NULL — null z-columns
+            # bucket to 0 in _zorder_annotate
+            arr = F.array(*[F.lit(int(e)) for e in edges])
+            g = F.size(F.filter(arr, lambda x: x < F.col("__z")))
+        else:
+            g = F.lit(0)
+        groups, total = self._write_groups(
+            df.withColumn("__g", g.cast("int")), "__z", drop=["__z"]
+        )
         if total != snap["rows"]:
             raise RuntimeError(
                 f"rewrite_zorder produced {total} rows, snapshot has {snap['rows']} — aborting commit"
