@@ -231,6 +231,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_serve.add_argument("--limit", type=int, default=20)
 
+    p_span = sub.add_parser(
+        "span-stats",
+        help="serve per-document duplicated-span statistics from a "
+        "maintained BucketedSpanIndexSink state dir (read-only; "
+        "retriable exit 2 mid-commit)",
+    )
+    p_span.add_argument("span_root", help="the BucketedSpanIndexSink state directory")
+    p_span.add_argument("--n-buckets", type=int, default=16)
+    p_span.add_argument(
+        "--flagged-only",
+        action="store_true",
+        help="only documents over the shared-span flag threshold (the "
+        "boilerplate/template-reuse suspects a curation pass drops)",
+    )
+    p_span.add_argument("--limit", type=int, default=20)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "validate":
@@ -553,6 +569,39 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"error": str(exc), "retriable": True}), file=sys.stderr)
             return 2
         print(json.dumps({"snapshot": sid}))
+        return 0
+
+    if args.cmd == "span-stats":
+        from pyspark.sql import functions as F
+
+        from cdc_platform_spark.streaming.pipeline import StateInFlightError
+        from cdc_platform_spark.streaming.span_index import BucketedSpanIndexSink
+
+        if not os.path.isdir(args.span_root):
+            print(
+                json.dumps({"error": f"no span index state at {args.span_root}"}),
+                file=sys.stderr,
+            )
+            return 1
+        sink = BucketedSpanIndexSink(
+            args.span_root, n_buckets=args.n_buckets, read_only=True
+        )
+
+        def build_stats():
+            df = sink.span_stats(spark)
+            if args.flagged_only:
+                df = df.filter(F.col("is_flagged") == 1)
+            return df.orderBy(F.col("shared_fraction").desc(), "doc_id").limit(
+                args.limit
+            )
+
+        try:
+            rows = _collect_stable(build_stats, sink.state_fingerprint)
+        except StateInFlightError as exc:
+            print(json.dumps({"error": str(exc), "retriable": True}), file=sys.stderr)
+            return 2
+        for row in rows:
+            print(json.dumps(row.asDict(), default=str))
         return 0
 
     if args.cmd == "serve":

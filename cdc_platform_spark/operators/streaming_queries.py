@@ -1556,6 +1556,121 @@ def sq_corpus_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.curated(spark).orderBy("doc_id")
 
 
+def _span_filtered_curation_oracle() -> str:
+    """Oracle for sq_span_filtered_curation_stream: the batch curation
+    funnel COMPOSED with the span-flag drop rule, all over the POST-CDC
+    live documents — the curation CTE chain is the canonical
+    _corpus_curation_oracle recipe, the span CTE chain the canonical
+    _span_dedup_oracle recipe (same constants/SQL fragments as the batch
+    operators), and a document appears iff it survives the funnel AND is
+    not span-flagged."""
+    from cdc_platform_spark.operators.dedup import (
+        ORACLE_MD5_60BIT,
+        SPAN_FLAG_THRESHOLD,
+        SPAN_NGRAM,
+        _ORACLE_MINHASH_PAIR_CTES,
+        _SPAN_GRAMS_DUCK,
+    )
+    from cdc_platform_spark.operators.text import (
+        CURATION_MIN_DISTINCT_RATIO,
+        CURATION_MIN_WORDS,
+    )
+
+    assert _ORACLE_MINHASH_PAIR_CTES.count("FROM documents") == 1
+    ctes = _ORACLE_MINHASH_PAIR_CTES.replace("FROM documents", "FROM docs_live")
+    return f"""
+        WITH docs_live AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' spark dedup stream spark dedup stream'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 3
+        ),
+        {ctes},
+        qdocs AS (
+            SELECT doc_id, str_split(text, ' ') AS words, md5(text) AS content_md5
+            FROM docs_live
+        ),
+        qual AS (
+            SELECT doc_id, content_md5,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio
+            FROM qdocs
+            WHERE len(words) >= {CURATION_MIN_WORDS}
+              AND CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                  >= {CURATION_MIN_DISTINCT_RATIO}
+        ),
+        qcanon AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+                FROM qual) WHERE rn = 1
+        ),
+        suppressed AS (SELECT DISTINCT db AS doc_id FROM scored),
+        sw AS (SELECT doc_id, str_split(text, ' ') AS words FROM docs_live),
+        sg AS (
+            SELECT doc_id, {ORACLE_MD5_60BIT.format(x="gram")} AS gh
+            FROM (SELECT doc_id, unnest({_SPAN_GRAMS_DUCK}) AS gram FROM sw)
+        ),
+        sdup AS (SELECT gh FROM sg GROUP BY gh HAVING COUNT(*) >= 2),
+        shits AS (
+            SELECT sg.doc_id, COUNT(*) AS n_shared_spans
+            FROM sg JOIN sdup USING (gh) GROUP BY sg.doc_id
+        ),
+        sbase AS (SELECT doc_id, len({_SPAN_GRAMS_DUCK}) AS n_spans FROM sw WHERE len(words) >= {SPAN_NGRAM}),
+        flagged AS (
+            SELECT sbase.doc_id
+            FROM sbase LEFT JOIN shits USING (doc_id)
+            WHERE CAST(COALESCE(n_shared_spans, 0) AS DOUBLE) / n_spans > {SPAN_FLAG_THRESHOLD}
+        )
+        SELECT q.doc_id, q.n_words, q.distinct_ratio
+        FROM qcanon q
+        LEFT JOIN suppressed s ON q.doc_id = s.doc_id
+        LEFT JOIN flagged f ON q.doc_id = f.doc_id
+        WHERE s.doc_id IS NULL AND f.doc_id IS NULL
+        ORDER BY q.doc_id
+    """
+
+
+@register(
+    "sq_span_filtered_curation_stream",
+    category="streaming",
+    doc=(
+        "The curation funnel COMPOSED with the span-level dedup signal "
+        "(round 12): the shared document CDC stream drives BOTH "
+        "CuratedCorpusSink and BucketedSpanIndexSink per micro-batch, and "
+        "curated_span_filtered() then serves the corpus with the "
+        "RefinedWeb-style boilerplate drop applied - quality filter -> "
+        "exact dedup -> near-dup suppression -> drop every document whose "
+        "duplicated-span fraction exceeds the flag threshold (no "
+        "canonical survivor: span-flagged material exists elsewhere). "
+        "Must equal the batch funnel composed with the batch "
+        "dedup_span_ngram flag rule over the post-CDC live documents."
+    ),
+    oracle=_span_filtered_curation_oracle(),
+)
+def sq_span_filtered_curation_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+    from cdc_platform_spark.streaming.span_index import BucketedSpanIndexSink
+
+    work = _workdir("sq_spancur_")
+    stream = _stage_document_cdc(spark, sf_dir, work)
+    corpus = CuratedCorpusSink(f"{work}/corpus")
+    span = BucketedSpanIndexSink(f"{work}/span")
+
+    def write_both(batch, _bid) -> None:
+        corpus.write(batch)
+        span.write(batch)
+
+    q = (
+        stream.writeStream.foreachBatch(write_both)
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return corpus.curated_span_filtered(spark, span.span_stats(spark)).orderBy("doc_id")
+
+
 def _decontaminated_curation_oracle() -> str:
     """Oracle for sq_decontaminated_curation_stream: the batch curation
     funnel (quality -> exact dedup -> near-dup suppression) COMPOSED with

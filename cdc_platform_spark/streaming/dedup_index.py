@@ -1457,3 +1457,18 @@ class CuratedCorpusSink(BucketedMinHashIndexSink):
             .select(F.col("vec_id").alias("doc_id"))
         )
         return self.curated(spark).join(losers, "doc_id", "leftanti")
+
+    def curated_span_filtered(self, spark: SparkSession, span_stats_view: DataFrame) -> DataFrame:
+        """The curated corpus with the SPAN-LEVEL dedup signal composed in
+        (round 12) — the RefinedWeb/MassiveText boilerplate drop: a
+        document whose duplicated-span fraction exceeds
+        SPAN_FLAG_THRESHOLD (``is_flagged`` in a
+        :class:`~cdc_platform_spark.streaming.span_index.
+        BucketedSpanIndexSink` ``span_stats`` view) is removed from the
+        curated set.  Unlike the pairwise near-dup rule there is no
+        canonical survivor — a span-flagged document is mostly material
+        that exists elsewhere, so ALL flagged documents drop.  The
+        flagged set is corpus-proportional at 100 TB, so no broadcast
+        hint — AQE picks the strategy."""
+        flagged = span_stats_view.filter(F.col("is_flagged") == 1).select("doc_id")
+        return self.curated(spark).join(flagged, "doc_id", "leftanti")

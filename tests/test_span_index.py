@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from cdc_platform_spark.operators.dedup import SPAN_NGRAM, span_gram_hashes_col
 from cdc_platform_spark.streaming.pipeline import StateInFlightError
 from cdc_platform_spark.streaming.span_index import BucketedSpanIndexSink
+from tests.conftest import SF_SMOKE
 
 _BATCH_SCHEMA = "doc_id long, offset long, op string, text string"
 
@@ -174,6 +175,84 @@ def test_read_only_refuses_writes(spark, tmp_path):
     ro2 = BucketedSpanIndexSink(str(tmp_path / "nope"), n_buckets=4, read_only=True)
     assert ro2.span_stats(spark).count() == 0
     assert not os.path.exists(str(tmp_path / "nope"))
+
+
+def test_span_stats_cli(spark, tmp_path, capsys):
+    """`cdc-spark span-stats`: the serve verb over a maintained span
+    index — read-only, shared-fraction-descending, retriable exit 2
+    while a writer batch is mid-commit."""
+    import json
+
+    from cdc_platform_spark.cli import main
+
+    root = str(tmp_path / "span")
+    sink = BucketedSpanIndexSink(root, n_buckets=4)
+    sink.write(_b(spark, WAVE1))
+
+    rc = main(["span-stats", root, "--n-buckets", "4", "--limit", "10"])
+    assert rc == 0
+    out = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert out and {
+        "doc_id", "n_spans", "n_shared_spans", "shared_fraction", "is_flagged"
+    } <= set(out[0])
+    fr = [r["shared_fraction"] for r in out]
+    assert fr == sorted(fr, reverse=True)
+
+    # --flagged-only keeps only threshold breakers
+    rc = main(["span-stats", root, "--n-buckets", "4", "--flagged-only"])
+    assert rc == 0
+    flagged = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert all(r["is_flagged"] == 1 for r in flagged)
+
+    # wrong path -> clear error, not an empty serve
+    assert main(["span-stats", str(tmp_path / "nope")]) == 1
+    capsys.readouterr()
+
+    # mid-batch marker -> retriable exit 2
+    with open(sink._stores_marker, "w") as fh:
+        fh.write("x")
+    assert main(["span-stats", root, "--n-buckets", "4"]) == 2
+    assert "retriable" in capsys.readouterr().err
+    os.remove(sink._stores_marker)
+
+
+def test_curated_span_filtered_composes_both_sinks(spark, tmp_path):
+    """curated_span_filtered: the curation funnel minus span-flagged docs —
+    cross-sink composition over the same batches (the sq_span_filtered_
+    curation_stream recipe, pinned here at unit scale)."""
+    from cdc_platform_spark.streaming.dedup_index import CuratedCorpusSink
+
+    corpus = CuratedCorpusSink(str(tmp_path / "corpus"), n_buckets=4)
+    span = BucketedSpanIndexSink(str(tmp_path / "span"), n_buckets=4)
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id",
+        F.col("doc_id").alias("offset"),
+        F.lit("c").alias("op"),
+        "text",
+        "lang",
+        "source",
+    )
+    corpus.write(d)
+    span.write(d.select("doc_id", "offset", "op", "text"))
+    curated = {r["doc_id"] for r in corpus.curated(spark).collect()}
+    flagged = {
+        r["doc_id"]
+        for r in span.span_stats(spark).filter("is_flagged = 1").collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in corpus.curated_span_filtered(spark, span.span_stats(spark)).collect()
+    }
+    assert got == curated - flagged
+    assert flagged, "fixture should contain span-flagged docs (near-dup bait)"
 
 
 def test_delete_only_first_batch(spark, tmp_path):
