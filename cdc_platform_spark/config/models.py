@@ -88,6 +88,7 @@ class SinkConfig(BaseModel, extra="forbid"):
         "lakehouse_upsert",
         "curated_corpus",
         "feature_store",
+        "span_index",
     ]
     path: str
     enabled: bool = True
@@ -113,10 +114,11 @@ class SinkConfig(BaseModel, extra="forbid"):
             "upsert",
             "curated_corpus",
             "feature_store",
+            "span_index",
         ):
             raise ValueError(
                 "state_buckets is only supported on upsert/curated_corpus/"
-                "feature_store sinks"
+                "feature_store/span_index sinks"
             )
         return self
 
@@ -153,11 +155,15 @@ class PipelineConfig(BaseModel, extra="forbid"):
         # one family the wrong shape and fail at runtime, so refuse here.
         # Disabled sinks never compile, so only enabled ones count.
         enabled = [s for s in self.sinks if s.enabled]
-        artifact = {s.id for s in enabled if s.type in ("curated_corpus", "feature_store")}
+        artifact = {
+            s.id
+            for s in enabled
+            if s.type in ("curated_corpus", "feature_store", "span_index")
+        }
         if self.source.envelope == "passthrough" and len(artifact) != len(enabled):
             raise ValueError(
                 "envelope=passthrough pipelines support only "
-                "curated_corpus/feature_store sinks"
+                "curated_corpus/feature_store/span_index sinks"
             )
         if self.source.envelope == "events" and artifact:
             raise ValueError(

@@ -124,6 +124,10 @@ def compile_pipeline(
             sinks[s.id] = MultimodalFeatureStoreSink(
                 s.path, n_buckets=s.state_buckets or 16
             )
+        elif s.type == "span_index":
+            from cdc_platform_spark.streaming.span_index import BucketedSpanIndexSink
+
+            sinks[s.id] = BucketedSpanIndexSink(s.path, n_buckets=s.state_buckets or 16)
         else:  # pragma: no cover - pydantic Literal already forbids
             raise ValueError(f"unknown sink type {s.type!r}")
     stream_builder = None

@@ -934,6 +934,70 @@ sinks:
     assert got == want and got
 
 
+def test_span_index_pipeline_deploys_from_yaml(spark, tmp_path):
+    """span_index sinks deploy from YAML too (round 12): a passthrough
+    pipeline over document CDC rows must leave the same span_stats view
+    as a direct sink write, and the scheduled maintenance sweep must
+    reach the sink's compact() (dead markers reclaimed)."""
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.config import load_pipeline_config
+    from cdc_platform_spark.plans.compiler import compile_pipeline
+    from cdc_platform_spark.streaming.span_index import BucketedSpanIndexSink
+
+    from .conftest import SF_SMOKE
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    wave0 = d.select(
+        "doc_id", F.col("doc_id").alias("offset"), F.lit("c").alias("op"), "text"
+    ).localCheckpoint(eager=True)
+    # an update wave so the posting store does real retraction work
+    wave1 = (
+        d.filter("doc_id % 7 = 0")
+        .select(
+            "doc_id",
+            (F.col("doc_id") + F.lit(10**9)).alias("offset"),
+            F.lit("u").alias("op"),
+            F.concat("text", F.lit(" tail")).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wave0.unionByName(wave1).repartition(2).write.parquet(f"{tmp_path}/src")
+
+    cfg_file = tmp_path / "p.yaml"
+    cfg_file.write_text(
+        f"""
+pipeline_id: span-demo
+source:
+  path: {tmp_path}/src
+  envelope: passthrough
+  schema_ddl: "doc_id long, offset long, op string, text string"
+checkpoint_dir: {tmp_path}/ck
+maintenance_every_n_batches: 1
+sinks:
+  - id: spans
+    type: span_index
+    path: {tmp_path}/spans
+    state_buckets: 8
+"""
+    )
+    cfg = load_pipeline_config(str(cfg_file))
+    pipe = compile_pipeline(spark, cfg)
+    pipe.run_available_now()
+
+    direct = BucketedSpanIndexSink(str(tmp_path / "direct"), n_buckets=8)
+    direct.write(wave0)
+    direct.write(wave1)  # separate batch: the update retracts -> dead markers
+    got = sorted(map(tuple, pipe.sinks["spans"].span_stats(spark).collect()))
+    want = sorted(map(tuple, direct.span_stats(spark).collect()))
+    assert got == want and got
+    # maintenance_every_n_batches=1 swept compact() after the last batch:
+    # the YAML-deployed sink carries no dead weight, while the unmaintained
+    # direct two-batch write provably does (so the sweep really ran)
+    assert pipe.sinks["spans"].state_stats(spark)["postings"]["tombstones"] == 0
+    assert direct.state_stats(spark)["postings"]["tombstones"] > 0
+
+
 def test_passthrough_rejects_dlq_and_tolerates_disabled_event_sinks():
     """The passthrough validator counts only ENABLED sinks (a disabled
     append sink is legal ballast), and refuses dlq_path outright — the
