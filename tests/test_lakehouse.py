@@ -331,6 +331,30 @@ def test_rewrite_sorted_all_null_sort_column(spark, table):
     assert table.read().count() == 3
 
 
+def test_rewrite_sorted_rejects_non_numeric_sort_key(spark, table):
+    """ADVICE r12: cast(string as double) yields all-NULLs, silently
+    collapsing the clustering into one garbled group where the old exact
+    path failed loudly — the guard must fail loudly instead."""
+    df = spark.createDataFrame([(1, "b"), (2, "a")], "id long, k string")
+    table.append(df)
+    with pytest.raises(TypeError, match="rewrite_sorted"):
+        table.rewrite_sorted("k", n_groups=2)
+    # numeric keys unaffected
+    assert table.rewrite_sorted("id", n_groups=2) is not None
+    assert table.read().count() == 2
+
+
+def test_rewrite_zorder_rejects_non_numeric_column(spark, table):
+    """Same guard for the z-curve: a string z-column would bucket every
+    row to 0 and silently drop that dimension from the curve."""
+    df = spark.createDataFrame([(1, 2, "x"), (3, 4, "y")], "a long, b long, k string")
+    table.append(df)
+    with pytest.raises(TypeError, match="rewrite_zorder"):
+        table.rewrite_zorder(["a", "k"], n_groups=2)
+    assert table.rewrite_zorder(["a", "b"], n_groups=2) is not None
+    assert table.read().count() == 2
+
+
 def test_iceberg_session_config_recipe(spark):
     """The documented flip-on recipe must agree with what IcebergTable
     actually consumes: the catalog key names SparkCatalog, and the catalog

@@ -165,6 +165,38 @@ def test_compact_drops_dead_weight_not_state(spark, tmp_path):
     assert _got(spark, sink) == before
 
 
+def test_compact_crash_mid_sequence_blocks_serves_until_retry(spark, tmp_path):
+    """compact() rewrites postings and stats as two separate journaled
+    commits; the cross-store marker must bracket the sequence (ADVICE
+    r12) so that if compact ever does more than tombstone GC, a crash
+    between the rewrites fails read-only serves fast instead of serving
+    a cross-store mix.  The scheduler's retry is idempotent and clears
+    the marker."""
+    sink = BucketedSpanIndexSink(str(tmp_path / "span"), n_buckets=4)
+    sink.write(_b(spark, WAVE1))
+    sink.write(_b(spark, WAVE2))
+    before = _got(spark, sink)
+
+    real = sink.stats.rewrite_all
+
+    def boom(*a, **k):
+        raise RuntimeError("injected compact crash")
+
+    sink.stats.rewrite_all = boom
+    with pytest.raises(RuntimeError, match="injected compact crash"):
+        sink.compact(spark)
+    sink.stats.rewrite_all = real
+
+    ro = BucketedSpanIndexSink(str(tmp_path / "span"), n_buckets=4, read_only=True)
+    with pytest.raises(StateInFlightError):
+        ro.span_stats(spark)
+
+    sink.compact(spark)  # scheduler retry: idempotent, clears the marker
+    assert not os.path.exists(sink._stores_marker)
+    assert _got(spark, ro) == before
+    assert sink.state_stats(spark)["postings"]["tombstones"] == 0
+
+
 def test_read_only_refuses_writes(spark, tmp_path):
     sink = BucketedSpanIndexSink(str(tmp_path / "span"), n_buckets=4)
     sink.write(_b(spark, WAVE1))
