@@ -3575,3 +3575,132 @@ def sq_neighbor_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = CosineNeighborIndexSink(f"{work}/nn")
     _run_index_stream(stream, sink, work)
     return sink.view(spark).orderBy("vec_id")
+
+
+def _stage_event_session_cdc(spark: SparkSession, sf_dir: str, work: str):
+    """Stage the deterministic EVENT-level CDC stream for the session
+    sink: full insert wave, then updates (ts shifted +45 min,
+    event_id % 7 = 0 — a shift larger than the 30-min session gap, so
+    updates genuinely SPLIT and MERGE sessions) and deletes
+    (event_id % 11 = 3 — removing bridge events splits sessions), split
+    into 4 arbitrary chunks so the waves interleave across micro-batches
+    and the offset-keyed merge must converge regardless of arrival
+    order.  The sq_session_stats_stream oracle's live CTE mirrors
+    exactly this recipe."""
+    from pyspark.sql import functions as F
+
+    e = _normalized_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "value",
+    )
+    off = F.col("event_id") + F.lit(100000000)  # wave-1 offsets after all wave-0
+    wave0 = e.select(
+        "event_id",
+        F.col("event_id").alias("offset"),
+        F.lit("c").alias("op"),
+        "user_id",
+        "t_us",
+        "value",
+    )
+    upd = e.filter((F.col("event_id") % 7 == 0) & (F.col("event_id") % 11 != 3)).select(
+        "event_id",
+        off.alias("offset"),
+        F.lit("u").alias("op"),
+        "user_id",
+        (F.col("t_us") + F.lit(2_700_000_000)).alias("t_us"),
+        "value",
+    )
+    dels = e.filter(F.col("event_id") % 11 == 3).select(
+        "event_id",
+        off.alias("offset"),
+        F.lit("d").alias("op"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("t_us"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    src = f"{work}/source"
+    wave0.unionByName(upd).unionByName(dels).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    return (
+        spark.readStream.schema(
+            "event_id long, offset long, op string, user_id long, t_us long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def _session_stats_oracle() -> str:
+    """Full-rebuild oracle for sq_session_stats_stream: the batch
+    w_session_per_user gaps-and-islands algebra evaluated over the
+    POST-CDC live events — the same live CTE recipe as
+    _stage_event_session_cdc (deletes event_id % 11 = 3 removed,
+    updates event_id % 7 = 0 time-shifted +45 min), with the same
+    30-minute (1 800 000 000 µs) gap rule and exact DECIMAL(18,2) sum."""
+    return """
+        WITH live AS (
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT)
+                     + CASE WHEN event_id % 7 = 0 THEN 2700000000 ELSE 0 END AS t_us,
+                   CAST(value AS DECIMAL(18,2)) AS v
+            FROM events
+            WHERE event_id % 11 <> 3
+        ),
+        marked AS (
+            SELECT user_id, event_id, t_us, v,
+                   CASE WHEN LAG(t_us) OVER w IS NULL
+                          OR t_us - LAG(t_us) OVER w >= 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM live
+            WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, t_us, v,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno
+            FROM marked
+        )
+        SELECT user_id, CAST(MIN(t_us) AS BIGINT) AS session_start_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(v) AS DOUBLE) AS value_sum
+        FROM sessions
+        GROUP BY user_id, sno
+        ORDER BY user_id, session_start_us
+    """
+
+
+@register(
+    "sq_session_stats_stream",
+    category="streaming",
+    doc=(
+        "Incremental per-user SESSION aggregates under event CDC as a "
+        "driver-checkable artifact - the CDC-maintained form of the batch "
+        "w_session_per_user (the native session_window form, "
+        "sq_session_per_user_stream, is append-only; real CDC updates can "
+        "MOVE an event across time or users and deletes can SPLIT a "
+        "session, neither expressible with watermarked session windows). "
+        "The staged stream is a full insert wave, then time-shift updates "
+        "(event_id % 7 = 0, +45 min - past the 30-min gap, so sessions "
+        "genuinely split/merge) and deletes (event_id % 11 = 3), driven "
+        "availableNow through BucketedSessionStatsSink: per micro-batch it "
+        "re-keys only its own events into the per-user event log "
+        "(copy-on-write buckets, DPP-pruned), recomputes sessions for "
+        "exactly the touched users (old owners and new owners), and "
+        "commits user_events -> sessions -> per-event index LAST (the "
+        "replay anchor). The served view must equal the from-scratch "
+        "gaps-and-islands batch computation over the live post-CDC "
+        "events, which is what the oracle computes."
+    ),
+    oracle=_session_stats_oracle(),
+)
+def sq_session_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.streaming.session_index import BucketedSessionStatsSink
+
+    work = _workdir("sq_sessidx_")
+    stream = _stage_event_session_cdc(spark, sf_dir, work)
+    sink = BucketedSessionStatsSink(f"{work}/sessions")
+    _run_index_stream(stream, sink, work)
+    return sink.session_stats(spark).orderBy("user_id", "session_start_us")

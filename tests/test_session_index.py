@@ -1,0 +1,238 @@
+"""BucketedSessionStatsSink: exact per-user session aggregates under CDC.
+
+The design contract under test (streaming/session_index.py module
+docstring): sessions are RECOMPUTED per touched user from an exact
+per-user event log, with the per-event index committing LAST so every
+crash window between store commits replays to the identical computation.
+The tests cover the session-structure moves native session_window
+streaming cannot express — a delete SPLITTING a session, an insert
+MERGING two, an update moving an event across users — plus each crash
+boundary, out-of-order redelivery, flat-vs-bucketed equivalence, and
+compaction.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_platform_spark.streaming.pipeline import StateInFlightError
+from cdc_platform_spark.streaming.session_index import (
+    SESSION_GAP_US,
+    BucketedSessionStatsSink,
+    sessionize,
+)
+
+_BATCH_SCHEMA = (
+    "event_id long, offset long, op string, user_id long, t_us long, value double"
+)
+
+MIN = 60 * 1_000_000  # one minute in µs
+
+
+def _expected(spark, events):
+    """From-scratch batch computation (the w_session_per_user algebra)
+    over the live event set — the oracle every end state must equal.
+    ``events``: (event_id, user_id, t_us, value) tuples."""
+    d = spark.createDataFrame(
+        events, "event_id long, user_id long, t_us long, value double"
+    ).withColumn("value", F.col("value").cast("decimal(18,2)"))
+    return {
+        (r["user_id"], r["session_start_us"]): (r["n_events"], float(r["value_sum"]))
+        for r in sessionize(d)
+        .select(
+            "user_id",
+            "session_start_us",
+            "n_events",
+            F.col("value_sum").cast("double").alias("value_sum"),
+        )
+        .collect()
+    }
+
+
+def _got(spark, sink):
+    return {
+        (r["user_id"], r["session_start_us"]): (r["n_events"], r["value_sum"])
+        for r in sink.session_stats(spark).collect()
+    }
+
+
+def _b(spark, rows):
+    return spark.createDataFrame(rows, _BATCH_SCHEMA)
+
+
+# user 1: events at 0, 20, 40 minutes — ONE session (gaps 20 < 30)
+# user 2: events at 0 and 90 minutes — TWO sessions
+WAVE1 = [
+    (10, 10, "c", 1, 0 * MIN, 1.0),
+    (11, 11, "c", 1, 20 * MIN, 2.0),
+    (12, 12, "c", 1, 40 * MIN, 4.0),
+    (20, 20, "c", 2, 0 * MIN, 8.0),
+    (21, 21, "c", 2, 90 * MIN, 16.0),
+]
+LIVE1 = [(10, 1, 0 * MIN, 1.0), (11, 1, 20 * MIN, 2.0), (12, 1, 40 * MIN, 4.0),
+         (20, 2, 0 * MIN, 8.0), (21, 2, 90 * MIN, 16.0)]
+
+# wave 2: delete user 1's BRIDGE event (t=20) — the session must SPLIT
+# into two (gap 0→40 ≥ 30); insert an event for user 2 at t=45 bridging
+# its two sessions (gaps 45 and 45 ≥ 30? no: 45-0=45 ≥ 30 — stays split;
+# use t=60: 60-0=60 ≥ 30 still split. bridge needs BOTH gaps < 30:
+# t=75 → 75-0=75 no. 90-min spread can't be bridged by one event; use
+# two-step: insert at t=25 and t=65? 25-0=25 <30, 65-25=40 ≥30. So
+# bridging 0..90 needs gaps <30: insert 25 and 50 and 75 — three events)
+WAVE2 = [
+    (11, 100, "d", None, None, None),
+    (22, 101, "c", 2, 25 * MIN, 1.0),
+    (23, 102, "c", 2, 50 * MIN, 1.0),
+    (24, 103, "c", 2, 75 * MIN, 1.0),
+]
+LIVE2 = [(10, 1, 0 * MIN, 1.0), (12, 1, 40 * MIN, 4.0),
+         (20, 2, 0 * MIN, 8.0), (21, 2, 90 * MIN, 16.0),
+         (22, 2, 25 * MIN, 1.0), (23, 2, 50 * MIN, 1.0), (24, 2, 75 * MIN, 1.0)]
+
+
+def test_split_and_merge_equivalence(spark, tmp_path):
+    sink = BucketedSessionStatsSink(str(tmp_path / "sess"), n_buckets=4)
+    sink.write(_b(spark, WAVE1))
+    got = _got(spark, sink)
+    assert got == _expected(spark, LIVE1)
+    assert got[(1, 0)] == (3, 7.0)  # one session of 3 events
+    assert (2, 0) in got and (2, 90 * MIN) in got  # user 2 split in two
+
+    sink.write(_b(spark, WAVE2))
+    got = _got(spark, sink)
+    assert got == _expected(spark, LIVE2)
+    # the delete SPLIT user 1's session: two singleton sessions now
+    assert got[(1, 0)] == (1, 1.0) and got[(1, 40 * MIN)] == (1, 4.0)
+    # the inserts MERGED user 2's sessions into one 5-event session
+    assert got[(2, 0)] == (5, 27.0)
+
+
+def test_update_moves_event_across_users(spark, tmp_path):
+    """An op=u carrying a NEW user_id must recompute BOTH users' sessions
+    (old owner loses the event, new owner gains it)."""
+    sink = BucketedSessionStatsSink(str(tmp_path / "sess"), n_buckets=4)
+    sink.write(_b(spark, WAVE1))
+    sink.write(_b(spark, [(12, 200, "u", 2, 85 * MIN, 4.0)]))
+    live = [(10, 1, 0 * MIN, 1.0), (11, 1, 20 * MIN, 2.0),
+            (20, 2, 0 * MIN, 8.0), (21, 2, 90 * MIN, 16.0), (12, 2, 85 * MIN, 4.0)]
+    got = _got(spark, sink)
+    assert got == _expected(spark, live)
+    assert got[(1, 0)] == (2, 3.0)  # user 1 shrank
+    assert got[(2, 85 * MIN)] == (2, 20.0)  # moved event joined user 2's late session
+
+
+def test_flat_vs_bucketed_equivalence(spark, tmp_path):
+    """The incrementally maintained view must equal the flat full
+    recompute from the per-event index after EVERY batch."""
+    sink = BucketedSessionStatsSink(str(tmp_path / "sess"), n_buckets=4)
+    for wave in (WAVE1, WAVE2, [(12, 300, "u", 1, 200 * MIN, 4.0)]):
+        sink.write(_b(spark, wave))
+        flat = {
+            (r["user_id"], r["session_start_us"]): (r["n_events"], r["value_sum"])
+            for r in sink.sessions_from_scratch(spark).collect()
+        }
+        assert _got(spark, sink) == flat
+
+
+def test_replay_idempotence(spark, tmp_path):
+    sink = BucketedSessionStatsSink(str(tmp_path / "sess"), n_buckets=4)
+    sink.write(_b(spark, WAVE1))
+    sink.write(_b(spark, WAVE2))
+    before = _got(spark, sink)
+    sink.write(_b(spark, WAVE2))  # full redelivery of the last batch
+    assert _got(spark, sink) == before
+
+
+@pytest.mark.parametrize("fail_store", ["sessions", "index"])
+def test_crash_between_store_commits_replays_exact(spark, tmp_path, fail_store):
+    """Kill the batch after the user_events commit (fail_store='sessions')
+    or after user_events+sessions ('index'), then replay — the
+    commit-order argument says the replayed batch recomputes the
+    identical state because the pre-merge index survives until LAST."""
+    sink = BucketedSessionStatsSink(str(tmp_path / "sess"), n_buckets=4)
+    sink.write(_b(spark, WAVE1))
+
+    target = sink.sessions if fail_store == "sessions" else sink.index
+    meth = "write_buckets" if fail_store == "sessions" else "write"
+    real = getattr(target, meth)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    setattr(target, meth, boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sink.write(_b(spark, WAVE2))
+    setattr(target, meth, real)
+
+    ro = BucketedSessionStatsSink(str(tmp_path / "sess"), n_buckets=4, read_only=True)
+    with pytest.raises(StateInFlightError):
+        ro.session_stats(spark)
+
+    sink.write(_b(spark, WAVE2))  # checkpoint replay of the same batch
+    assert _got(spark, sink) == _expected(spark, LIVE2)
+    assert _got(spark, ro) == _expected(spark, LIVE2)
+
+
+def test_out_of_order_redelivery_cannot_regress(spark, tmp_path):
+    sink = BucketedSessionStatsSink(str(tmp_path / "sess"), n_buckets=4)
+    sink.write(_b(spark, WAVE1))
+    sink.write(_b(spark, [(12, 200, "u", 2, 85 * MIN, 4.0)]))
+    before = _got(spark, sink)
+    sink.write(_b(spark, [(12, 12, "c", 1, 40 * MIN, 4.0)]))  # stale version
+    assert _got(spark, sink) == before
+
+
+def test_delete_only_first_batch(spark, tmp_path):
+    """A delete for a never-seen event on a fresh sink must be a clean
+    no-op state (no store wreckage, empty serve view)."""
+    sink = BucketedSessionStatsSink(str(tmp_path / "sess"), n_buckets=4)
+    sink.write(_b(spark, [(99, 1, "d", None, None, None)]))
+    assert _got(spark, sink) == {}
+    sink.write(_b(spark, WAVE1))
+    assert _got(spark, sink) == _expected(spark, LIVE1)
+
+
+def test_compact_drops_dead_weight_not_state(spark, tmp_path):
+    sink = BucketedSessionStatsSink(str(tmp_path / "sess"), n_buckets=4)
+    sink.write(_b(spark, WAVE1))
+    sink.write(_b(spark, WAVE2))
+    assert sink.state_stats(spark)["user_events"]["tombstones"] > 0
+    before = _got(spark, sink)
+    sink.compact(spark, tombstone_horizon=10**9)
+    after = sink.state_stats(spark)
+    assert after["user_events"]["tombstones"] == 0
+    assert after["sessions"]["tombstones"] == 0
+    assert after["index"]["tombstones"] == 0  # 'd' rows GC'd below horizon
+    assert not os.path.exists(sink._stores_marker)
+    assert _got(spark, sink) == before
+
+
+def test_read_only_refuses_writes(spark, tmp_path):
+    sink = BucketedSessionStatsSink(str(tmp_path / "sess"), n_buckets=4)
+    sink.write(_b(spark, WAVE1))
+    ro = BucketedSessionStatsSink(str(tmp_path / "sess"), n_buckets=4, read_only=True)
+    with pytest.raises(RuntimeError, match="read_only"):
+        ro.write(_b(spark, WAVE2))
+    ro2 = BucketedSessionStatsSink(str(tmp_path / "nope"), n_buckets=4, read_only=True)
+    assert ro2.session_stats(spark).count() == 0
+    assert not os.path.exists(str(tmp_path / "nope"))
+
+
+def test_gap_boundary_exactly_30_minutes(spark, tmp_path):
+    """session_window semantics: [t, t+30) windows merge iff they
+    OVERLAP — a gap of exactly 30 minutes starts a NEW session, 29:59
+    does not."""
+    sink = BucketedSessionStatsSink(str(tmp_path / "sess"), n_buckets=4)
+    rows = [
+        (1, 1, "c", 7, 0, 1.0),
+        (2, 2, "c", 7, SESSION_GAP_US, 1.0),  # exactly the gap: NEW session
+        (3, 3, "c", 8, 0, 1.0),
+        (4, 4, "c", 8, SESSION_GAP_US - 1, 1.0),  # one µs inside: same session
+    ]
+    sink.write(_b(spark, rows))
+    got = _got(spark, sink)
+    assert got[(7, 0)] == (1, 1.0) and got[(7, SESSION_GAP_US)] == (1, 1.0)
+    assert got[(8, 0)] == (2, 2.0)
