@@ -129,6 +129,10 @@ _REVERIFY = {
     # lk_stats_pruned_scan pruned: each has a post-change r12 green row.)
     "sq_span_dedup_stream",
     "sq_span_filtered_curation_stream",
+    # round 13: w_gapfill_locf's grid+LOCF tail extracted into the shared
+    # gapfill_locf_grid (now also feeds sq_gapfill_locf_stream's serve
+    # view; the stream itself is never-verified and fronts itself)
+    "w_gapfill_locf",
 }
 _REVERIFY_ASOF = "CORRECTNESS_r12.json"  # last pre-change correctness file
 

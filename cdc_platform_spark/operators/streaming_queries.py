@@ -3704,3 +3704,103 @@ def sq_session_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = BucketedSessionStatsSink(f"{work}/sessions")
     _run_index_stream(stream, sink, work)
     return sink.session_stats(spark).orderBy("user_id", "session_start_us")
+
+
+@register(
+    "sq_gapfill_locf_stream",
+    category="streaming",
+    doc=(
+        "Gap-filled hourly series with LOCF served from INCREMENTALLY "
+        "maintained state - the streaming form of the batch w_gapfill_locf "
+        "(TimescaleDB time_bucket_gapfill + locf semantics), completing "
+        "the window-time family's streaming matrix alongside "
+        "sq_session_stats_stream. The hourly (event_type, hour) "
+        "count/decimal-sum aggregates are maintained per micro-batch by "
+        "BucketedAggregatingSink (partial-aggregate merge, per-bucket "
+        "copy-on-write + batch-id fence, key = event_type:hour_s so a "
+        "batch rewrites only the hour buckets it touches); the dense grid "
+        "and the per-key running last() are a READ-TIME derivation over "
+        "the maintained aggregate - bounded by grid size (|keys| x "
+        "|hours|), never event count, via the same gapfill_locf_grid tail "
+        "the batch operator uses, so the two semantics cannot drift. The "
+        "served grid must equal the one-shot batch computation, which is "
+        "what the oracle (DuckDB ASOF JOIN - an independent formulation) "
+        "computes."
+    ),
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+            FROM events
+        ),
+        grid AS (
+            SELECT et.event_type, gs.h
+            FROM (SELECT DISTINCT event_type FROM events) et,
+                 (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds) gs
+        )
+        SELECT g.event_type, CAST(epoch(g.h) AS BIGINT) AS hour_start,
+               COALESCE(hy.n, 0) AS n,
+               locf.v AS v_locf
+        FROM grid g
+        LEFT JOIN hourly hy ON hy.event_type = g.event_type AND hy.h = g.h
+        ASOF LEFT JOIN hourly locf ON g.event_type = locf.event_type AND g.h >= locf.h
+        ORDER BY g.event_type, hour_start
+    """,
+)
+def sq_gapfill_locf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.operators.windows import gapfill_locf_grid
+    from cdc_platform_spark.streaming.pipeline import (
+        EVENTS_SCHEMA,
+        BucketedAggregatingSink,
+        to_envelope,
+    )
+
+    work = _workdir("sq_gapfill_")
+    src = _stage_chunks(spark, sf_dir, work)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    sink = BucketedAggregatingSink(f"{work}/hourly")
+
+    def shape(env):
+        # key = event_type:hour_s — composite string pk, so the generic
+        # per-key aggregate sink maintains the hourly series unchanged;
+        # hour from the µs clock (epoch >= 0 in the fixtures), exactly
+        # the batch operator's ns-clock bucket
+        hour_s = (F.unix_micros(F.col("event_ts")) / F.lit(3_600_000_000)).cast(
+            "long"
+        ) * F.lit(3600)
+        return env.select(
+            F.concat_ws(":", F.col("event_type"), hour_s.cast("string")).alias("pk"),
+            F.col("offset"),
+            F.col("value"),
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: sink.write(shape(to_envelope(b)), bid)
+        )
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # read-time derivation over the MAINTAINED aggregate: decode the
+    # composite key (the regex anchors the hour after the LAST ':' so an
+    # event_type containing ':' cannot corrupt the split), then the
+    # shared grid + LOCF tail
+    st = sink.state(spark)
+    hourly = st.select(
+        F.regexp_extract("pk", r"^(.*):(-?\d+)$", 1).alias("event_type"),
+        F.regexp_extract("pk", r"^(.*):(-?\d+)$", 2).cast("long").alias("hour_s"),
+        F.col("n_events").alias("n"),
+        F.col("value_sum").alias("v"),
+    )
+    return gapfill_locf_grid(hourly)

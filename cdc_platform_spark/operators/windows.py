@@ -234,8 +234,6 @@ def w_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     e = load_table(spark, "events", sf_dir).withColumn(
         # exact integer hour bucket from the ns clock (epoch >= 0)
         "hour_s", F.expr("(ts_ns div 3600000000000) * 3600").cast("long")
@@ -244,10 +242,20 @@ def w_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(money("value")).cast("double").alias("v"),
     )
-    bounds = e.agg(
-        F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi")
-    )
-    keys = e.select("event_type").distinct()
+    return gapfill_locf_grid(hourly)
+
+
+def gapfill_locf_grid(hourly: DataFrame) -> DataFrame:
+    """THE gap-fill + LOCF tail over an hourly (event_type, hour_s, n, v)
+    aggregate — shared by the batch ``w_gapfill_locf`` and the streaming
+    ``sq_gapfill_locf_stream`` serve view, so the two definitions cannot
+    drift.  Grid bounds enter as a broadcast 1-row aggregate; the LOCF
+    running ``last()`` is per-key over the GRID, bounded by grid size
+    (|keys| x |hours|), never event count."""
+    from pyspark.sql import Window
+
+    bounds = hourly.agg(F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi"))
+    keys = hourly.select("event_type").distinct()
     grid = keys.crossJoin(F.broadcast(bounds)).select(
         "event_type",
         F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(3600))).alias("hour_s"),
