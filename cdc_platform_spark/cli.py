@@ -247,6 +247,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_span.add_argument("--limit", type=int, default=20)
 
+    p_sess = sub.add_parser(
+        "session-stats",
+        help="serve per-user session aggregates from a maintained "
+        "BucketedSessionStatsSink state dir (read-only; retriable "
+        "exit 2 mid-commit)",
+    )
+    p_sess.add_argument(
+        "session_root", help="the BucketedSessionStatsSink state directory"
+    )
+    p_sess.add_argument("--n-buckets", type=int, default=16)
+    p_sess.add_argument(
+        "--user-id", type=int, default=None, help="only this user's sessions"
+    )
+    p_sess.add_argument("--limit", type=int, default=20)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "validate":
@@ -597,6 +612,41 @@ def main(argv: list[str] | None = None) -> int:
 
         try:
             rows = _collect_stable(build_stats, sink.state_fingerprint)
+        except StateInFlightError as exc:
+            print(json.dumps({"error": str(exc), "retriable": True}), file=sys.stderr)
+            return 2
+        for row in rows:
+            print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.cmd == "session-stats":
+        from pyspark.sql import functions as F
+
+        from cdc_platform_spark.streaming.pipeline import StateInFlightError
+        from cdc_platform_spark.streaming.session_index import (
+            BucketedSessionStatsSink,
+        )
+
+        if not os.path.isdir(args.session_root):
+            print(
+                json.dumps({"error": f"no session index state at {args.session_root}"}),
+                file=sys.stderr,
+            )
+            return 1
+        sink = BucketedSessionStatsSink(
+            args.session_root, n_buckets=args.n_buckets, read_only=True
+        )
+
+        def build_sessions():
+            df = sink.session_stats(spark)
+            if args.user_id is not None:
+                df = df.filter(F.col("user_id") == args.user_id)
+            return df.orderBy(
+                F.col("n_events").desc(), "user_id", "session_start_us"
+            ).limit(args.limit)
+
+        try:
+            rows = _collect_stable(build_sessions, sink.state_fingerprint)
         except StateInFlightError as exc:
             print(json.dumps({"error": str(exc), "retriable": True}), file=sys.stderr)
             return 2

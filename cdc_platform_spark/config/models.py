@@ -89,6 +89,7 @@ class SinkConfig(BaseModel, extra="forbid"):
         "curated_corpus",
         "feature_store",
         "span_index",
+        "session_stats",
     ]
     path: str
     enabled: bool = True
@@ -115,10 +116,11 @@ class SinkConfig(BaseModel, extra="forbid"):
             "curated_corpus",
             "feature_store",
             "span_index",
+            "session_stats",
         ):
             raise ValueError(
                 "state_buckets is only supported on upsert/curated_corpus/"
-                "feature_store/span_index sinks"
+                "feature_store/span_index/session_stats sinks"
             )
         return self
 
@@ -158,12 +160,13 @@ class PipelineConfig(BaseModel, extra="forbid"):
         artifact = {
             s.id
             for s in enabled
-            if s.type in ("curated_corpus", "feature_store", "span_index")
+            if s.type
+            in ("curated_corpus", "feature_store", "span_index", "session_stats")
         }
         if self.source.envelope == "passthrough" and len(artifact) != len(enabled):
             raise ValueError(
                 "envelope=passthrough pipelines support only "
-                "curated_corpus/feature_store/span_index sinks"
+                "curated_corpus/feature_store/span_index/session_stats sinks"
             )
         if self.source.envelope == "events" and artifact:
             raise ValueError(

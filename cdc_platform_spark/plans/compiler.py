@@ -128,6 +128,14 @@ def compile_pipeline(
             from cdc_platform_spark.streaming.span_index import BucketedSpanIndexSink
 
             sinks[s.id] = BucketedSpanIndexSink(s.path, n_buckets=s.state_buckets or 16)
+        elif s.type == "session_stats":
+            from cdc_platform_spark.streaming.session_index import (
+                BucketedSessionStatsSink,
+            )
+
+            sinks[s.id] = BucketedSessionStatsSink(
+                s.path, n_buckets=s.state_buckets or 16
+            )
         else:  # pragma: no cover - pydantic Literal already forbids
             raise ValueError(f"unknown sink type {s.type!r}")
     stream_builder = None

@@ -236,3 +236,49 @@ def test_gap_boundary_exactly_30_minutes(spark, tmp_path):
     got = _got(spark, sink)
     assert got[(7, 0)] == (1, 1.0) and got[(7, SESSION_GAP_US)] == (1, 1.0)
     assert got[(8, 0)] == (2, 2.0)
+
+
+def test_session_stats_cli(spark, tmp_path, capsys):
+    """`cdc-spark session-stats`: the serve verb over a maintained
+    session index — read-only, n_events-descending, --user-id filter,
+    retriable exit 2 while a writer batch is mid-commit."""
+    import json
+
+    from cdc_platform_spark.cli import main
+
+    root = str(tmp_path / "sess")
+    sink = BucketedSessionStatsSink(root, n_buckets=4)
+    sink.write(_b(spark, WAVE1))
+
+    rc = main(["session-stats", root, "--n-buckets", "4", "--limit", "10"])
+    assert rc == 0
+    out = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert out and {
+        "user_id", "session_start_us", "n_events", "value_sum"
+    } <= set(out[0])
+    ne = [r["n_events"] for r in out]
+    assert ne == sorted(ne, reverse=True)
+
+    rc = main(["session-stats", root, "--n-buckets", "4", "--user-id", "2"])
+    assert rc == 0
+    rows = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert rows and all(r["user_id"] == 2 for r in rows)
+
+    # wrong path -> clear error, not an empty serve
+    assert main(["session-stats", str(tmp_path / "nope")]) == 1
+    capsys.readouterr()
+
+    # mid-batch marker -> retriable exit 2
+    with open(sink._stores_marker, "w") as fh:
+        fh.write("x")
+    assert main(["session-stats", root, "--n-buckets", "4"]) == 2
+    assert "retriable" in capsys.readouterr().err
+    os.remove(sink._stores_marker)
