@@ -282,3 +282,13 @@ def test_session_stats_cli(spark, tmp_path, capsys):
     assert main(["session-stats", root, "--n-buckets", "4"]) == 2
     assert "retriable" in capsys.readouterr().err
     os.remove(sink._stores_marker)
+
+
+def test_no_forced_broadcast_hints_in_sink_source():
+    """Same contract as the span index (verdict r12): touched-set joins
+    carry no forced broadcast — AQE decides, so a giant availableNow
+    first wave cannot push a corpus-sized broadcast."""
+    import cdc_platform_spark.streaming.session_index as m
+
+    src = open(m.__file__).read()
+    assert "F.broadcast" not in src

@@ -295,3 +295,18 @@ def test_delete_only_first_batch(spark, tmp_path):
     assert sink.span_stats(spark).count() == 0
     sink.write(_b(spark, WAVE1))
     assert _got(spark, sink) == _expected(spark, [(1, A), (2, B), (3, C)])
+
+
+def test_no_forced_broadcast_hints_in_sink_source():
+    """Verdict r12: the touched/cross_docs semi/anti joins must carry NO
+    broadcast hint — both sets are micro-batch-proportional (AQE
+    broadcasts them at runtime), but a giant availableNow first wave in
+    one batch must stay a shuffle join, not a corpus-sized broadcast.
+    Source-level pin because the write path only exists mid-batch."""
+    import cdc_platform_spark.streaming.span_index as m
+
+    src = open(m.__file__).read()
+    assert "F.broadcast" not in src, (
+        "span_index re-introduced a forced broadcast hint; the r12 verdict "
+        "adjudicated these joins to AQE"
+    )
