@@ -292,3 +292,107 @@ def test_no_forced_broadcast_hints_in_sink_source():
 
     src = open(m.__file__).read()
     assert "F.broadcast" not in src
+
+
+# --- property-based tier (hypothesis): ANY CDC sequence converges ---------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# (event_id small domain so updates/deletes really collide, user_id small
+# domain so sessions share users, t_us on a 10-minute lattice spanning
+# 0..2h so the 30-min gap boundary is hit constantly, integer values so
+# decimal and float sums agree exactly)
+session_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),              # event_id
+        st.sampled_from(["c", "u", "d"]),
+        st.integers(0, 3),              # user_id
+        st.integers(0, 12),             # t = k * 10 min
+        st.integers(0, 100),            # value
+    ),
+    min_size=1,
+    max_size=24,
+).map(
+    lambda rows: [
+        (off, eid, op, uid, t * 10 * MIN, float(val))
+        for off, (eid, op, uid, t, val) in enumerate(rows)
+    ]
+)
+
+
+def oracle_sessions(events):
+    """Single-delivery pure-Python oracle: latest per event_id, drop
+    deletes, gaps-and-islands per user at >= SESSION_GAP_US."""
+    latest: dict[int, tuple] = {}
+    for off, eid, op, uid, t, v in events:
+        if eid not in latest or off > latest[eid][0]:
+            latest[eid] = (off, op, uid, t, v)
+    by_user: dict[int, list[tuple[int, float]]] = {}
+    for off, op, uid, t, v in latest.values():
+        if op != "d":
+            by_user.setdefault(uid, []).append((t, v))
+    out: dict[tuple[int, int], tuple[int, float]] = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        start = None
+        prev = None
+        n = 0
+        s = 0.0
+        for t, v in evs:
+            if start is None or t - prev >= SESSION_GAP_US:
+                if start is not None:
+                    out[(uid, start)] = (n, s)
+                start, n, s = t, 0, 0.0
+            n += 1
+            s += v
+            prev = t
+        if start is not None:
+            out[(uid, start)] = (n, s)
+    return out
+
+
+@given(
+    events=session_events_strategy,
+    split_seed=st.integers(0, 2**16),
+    n_batches=st.integers(1, 4),
+    shuffle_batches=st.booleans(),
+    replay_suffix=st.booleans(),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_session_view_converges_under_any_batching(
+    spark, tmp_path_factory, events, split_seed, n_batches, shuffle_batches, replay_suffix
+):
+    """The maintained session view must equal the single-delivery oracle
+    under ANY partition of the CDC log into micro-batches, ANY batch
+    ordering, and ANY replay duplication — the same at-least-once
+    contract the keyed-merge property test pins, lifted to the
+    recompute-the-touched-group view."""
+    import random
+
+    rng = random.Random(split_seed)
+    batches: list[list] = [[] for _ in range(n_batches)]
+    for ev in events:
+        batches[rng.randrange(n_batches)].append(ev)
+    if replay_suffix and events:
+        batches[rng.randrange(n_batches)].extend(events[-max(1, len(events) // 3):])
+    if shuffle_batches:
+        rng.shuffle(batches)
+
+    sink = BucketedSessionStatsSink(
+        str(tmp_path_factory.mktemp("sessprop") / "state"), n_buckets=4
+    )
+    for batch in batches:
+        if batch:
+            sink.write(
+                spark.createDataFrame(
+                    [(eid, off, op, uid, t, v) for off, eid, op, uid, t, v in batch],
+                    _BATCH_SCHEMA,
+                )
+            )
+
+    assert _got(spark, sink) == oracle_sessions(events)
