@@ -717,3 +717,61 @@ def test_decon_hit_view_gc_fence_on_random_cdc(
     assert got_report == expected_report, (
         f"attribution diverged under GC: {got_report} vs {expected_report}"
     )
+
+
+# --- gapfill_locf_grid: the shared batch/stream gap-fill tail --------------
+
+hourly_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),   # event_type
+        st.integers(0, 10),                 # hour index
+        st.integers(1, 50),                 # n
+        st.integers(0, 100),                # v (int-valued double: exact)
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+def oracle_locf(rows):
+    """Pure-Python gap-fill + LOCF over the dense grid spanning ALL keys
+    and the GLOBAL [min, max] hour range."""
+    lo = min(h for _, h, _, _ in rows)
+    hi = max(h for _, h, _, _ in rows)
+    keys = sorted({k for k, _, _, _ in rows})
+    have = {(k, h): (n, float(v)) for k, h, n, v in rows}
+    out = {}
+    for k in keys:
+        carry = None
+        for h in range(lo, hi + 1):
+            n, v = have.get((k, h), (0, None))
+            if v is not None:
+                carry = v
+            out[(k, h * 3600)] = (n, carry)
+    return out
+
+
+@given(rows=hourly_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_gapfill_locf_grid_matches_pure_oracle(spark, rows):
+    """The shared grid+LOCF tail (batch w_gapfill_locf AND the
+    sq_gapfill_locf_stream serve view) must equal the pure-Python
+    dense-grid oracle for ANY sparse hourly aggregate: absent hours get
+    n=0 and the value carried forward; hours before a key's first
+    observation stay NULL."""
+    from cdc_platform_spark.operators.windows import gapfill_locf_grid
+
+    hourly = spark.createDataFrame(
+        [(k, h * 3600, n, float(v)) for k, h, n, v in rows],
+        "event_type string, hour_s long, n long, v double",
+    )
+    got = {
+        (r["event_type"], r["hour_start"]): (r["n"], r["v_locf"])
+        for r in gapfill_locf_grid(hourly).collect()
+    }
+    assert got == oracle_locf(rows)
