@@ -310,3 +310,101 @@ def test_no_forced_broadcast_hints_in_sink_source():
         "span_index re-introduced a forced broadcast hint; the r12 verdict "
         "adjudicated these joins to AQE"
     )
+
+
+# --- property-based tier (hypothesis): ANY CDC sequence converges ---------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# texts over a 4-word vocabulary, lengths straddling SPAN_NGRAM, so
+# cross-document shared spans (and df-threshold crossings on every
+# update/delete) occur constantly; doc_id domain small so updates and
+# deletes really collide
+span_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 4),                      # doc_id
+        st.sampled_from(["c", "u", "d"]),
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=8),
+    ),
+    min_size=1,
+    max_size=16,
+).map(
+    lambda rows: [
+        (off, did, op, " ".join(ws) if op != "d" else None)
+        for off, (did, op, ws) in enumerate(rows)
+    ]
+)
+
+
+def oracle_spans(events):
+    """Single-delivery pure-Python oracle: latest text per doc, live docs'
+    DISTINCT word-SPAN_NGRAM-grams, df over docs, per-doc shared count."""
+    latest: dict[int, tuple] = {}
+    for off, did, op, text in events:
+        if did not in latest or off > latest[did][0]:
+            latest[did] = (off, op, text)
+    grams: dict[int, set] = {}
+    for did, (off, op, text) in latest.items():
+        if op == "d":
+            continue
+        ws = text.split(" ") if text else []
+        if len(ws) >= SPAN_NGRAM:
+            grams[did] = {
+                " ".join(ws[i : i + SPAN_NGRAM])
+                for i in range(len(ws) - SPAN_NGRAM + 1)
+            }
+    df: dict[str, int] = {}
+    for gs in grams.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    return {
+        did: (len(gs), sum(1 for g in gs if df[g] >= 2))
+        for did, gs in grams.items()
+    }
+
+
+@given(
+    events=span_events_strategy,
+    split_seed=st.integers(0, 2**16),
+    n_batches=st.integers(1, 4),
+    shuffle_batches=st.booleans(),
+    replay_suffix=st.booleans(),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_span_stats_converge_under_any_batching(
+    spark, tmp_path_factory, events, split_seed, n_batches, shuffle_batches, replay_suffix
+):
+    """The maintained span view must equal the single-delivery pure-Python
+    oracle under ANY partition of the CDC log into micro-batches, ANY
+    batch ordering, and ANY replay duplication — randomized pressure on
+    the retraction + df-crossing-propagation paths the targeted wave
+    tests pin by hand."""
+    import random
+
+    rng = random.Random(split_seed)
+    batches: list[list] = [[] for _ in range(n_batches)]
+    for ev in events:
+        batches[rng.randrange(n_batches)].append(ev)
+    if replay_suffix and events:
+        batches[rng.randrange(n_batches)].extend(events[-max(1, len(events) // 3):])
+    if shuffle_batches:
+        rng.shuffle(batches)
+
+    sink = BucketedSpanIndexSink(
+        str(tmp_path_factory.mktemp("spanprop") / "state"), n_buckets=4
+    )
+    for batch in batches:
+        if batch:
+            sink.write(
+                spark.createDataFrame(
+                    [(did, off, op, text) for off, did, op, text in batch],
+                    _BATCH_SCHEMA,
+                )
+            )
+
+    assert _got(spark, sink) == oracle_spans(events)
