@@ -121,20 +121,25 @@ def _last_green() -> dict[str, str]:
 # configuration" and shipped 17 red registry entries; never again.  Prune
 # entries only once a post-change green row exists.
 _REVERIFY = {
-    # round 13: BucketedSpanIndexSink.write() dropped the forced
-    # touched/cross_docs broadcast hints (AQE decides now) and compact()
-    # gained the cross-store marker bracket — re-front BOTH streams whose
-    # runtime path goes through the sink body.
-    # (round-12 entries q65_top_supplier / dedup_span_ngram /
-    # lk_stats_pruned_scan pruned: each has a post-change r12 green row.)
-    "sq_span_dedup_stream",
-    "sq_span_filtered_curation_stream",
-    # round 13: w_gapfill_locf's grid+LOCF tail extracted into the shared
-    # gapfill_locf_grid (now also feeds sq_gapfill_locf_stream's serve
-    # view; the stream itself is never-verified and fronts itself)
-    "w_gapfill_locf",
+    # round 14: CosineNeighborIndexSink.write() dropped the seven forced
+    # touched/t2 broadcast hints (AQE decides now — VERDICT r13 #1, the
+    # same de-hinting the span sink got in r13).
+    # (round-13 entries sq_span_dedup_stream /
+    # sq_span_filtered_curation_stream / w_gapfill_locf pruned: each has
+    # a post-change r13 green row.  The r14 compact() read_only guards in
+    # the span/session sinks are NOT on any registered query's runtime
+    # path — maintenance CLI + tests only.)
+    "sq_neighbor_index_stream",
+    # round 14: _stage_event_session_cdc's update wave now moves the
+    # event_id % 14 = 0 slice to user_id + 1 (cross-user move, ADVICE
+    # r13) with the oracle's live CTE mirroring it — staged data AND
+    # oracle changed.
+    "sq_session_stats_stream",
+    # round 14: serve-path decode now casts value_sum to DOUBLE to match
+    # the batch w_gapfill_locf / oracle type (ADVICE r13).
+    "sq_gapfill_locf_stream",
 }
-_REVERIFY_ASOF = "CORRECTNESS_r12.json"  # last pre-change correctness file
+_REVERIFY_ASOF = "CORRECTNESS_r13.json"  # last pre-change correctness file
 
 
 def _priority_order(registry) -> list[str]:

@@ -3581,7 +3581,10 @@ def _stage_event_session_cdc(spark: SparkSession, sf_dir: str, work: str):
     """Stage the deterministic EVENT-level CDC stream for the session
     sink: full insert wave, then updates (ts shifted +45 min,
     event_id % 7 = 0 — a shift larger than the 30-min session gap, so
-    updates genuinely SPLIT and MERGE sessions) and deletes
+    updates genuinely SPLIT and MERGE sessions; the event_id % 14 = 0
+    slice ALSO reassigns user_id to user_id + 1, so the driver-checked
+    stream exercises the cross-user MOVE path — old owner and new owner
+    both recomputed — not just the unit tests, ADVICE r13) and deletes
     (event_id % 11 = 3 — removing bridge events splits sessions), split
     into 4 arbitrary chunks so the waves interleave across micro-batches
     and the offset-keyed merge must converge regardless of arrival
@@ -3608,7 +3611,10 @@ def _stage_event_session_cdc(spark: SparkSession, sf_dir: str, work: str):
         "event_id",
         off.alias("offset"),
         F.lit("u").alias("op"),
-        "user_id",
+        (
+            F.col("user_id")
+            + F.when(F.col("event_id") % 14 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("user_id"),
         (F.col("t_us") + F.lit(2_700_000_000)).alias("t_us"),
         "value",
     )
@@ -3638,11 +3644,13 @@ def _session_stats_oracle() -> str:
     w_session_per_user gaps-and-islands algebra evaluated over the
     POST-CDC live events — the same live CTE recipe as
     _stage_event_session_cdc (deletes event_id % 11 = 3 removed,
-    updates event_id % 7 = 0 time-shifted +45 min), with the same
-    30-minute (1 800 000 000 µs) gap rule and exact DECIMAL(18,2) sum."""
+    updates event_id % 7 = 0 time-shifted +45 min, the event_id % 14 = 0
+    slice moved to user_id + 1), with the same 30-minute
+    (1 800 000 000 µs) gap rule and exact DECIMAL(18,2) sum."""
     return """
         WITH live AS (
-            SELECT event_id, user_id,
+            SELECT event_id,
+                   user_id + CASE WHEN event_id % 14 = 0 THEN 1 ELSE 0 END AS user_id,
                    CAST(epoch_us(ts) AS BIGINT)
                      + CASE WHEN event_id % 7 = 0 THEN 2700000000 ELSE 0 END AS t_us,
                    CAST(value AS DECIMAL(18,2)) AS v
@@ -3684,7 +3692,9 @@ def _session_stats_oracle() -> str:
         "session, neither expressible with watermarked session windows). "
         "The staged stream is a full insert wave, then time-shift updates "
         "(event_id % 7 = 0, +45 min - past the 30-min gap, so sessions "
-        "genuinely split/merge) and deletes (event_id % 11 = 3), driven "
+        "genuinely split/merge; the event_id % 14 = 0 slice also MOVES to "
+        "user_id + 1, exercising the old-owner/new-owner dual recompute "
+        "end-to-end) and deletes (event_id % 11 = 3), driven "
         "availableNow through BucketedSessionStatsSink: per micro-batch it "
         "re-keys only its own events into the per-user event log "
         "(copy-on-write buckets, DPP-pruned), recomputes sessions for "
@@ -3801,6 +3811,9 @@ def sq_gapfill_locf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("pk", r"^(.*):(-?\d+)$", 1).alias("event_type"),
         F.regexp_extract("pk", r"^(.*):(-?\d+)$", 2).cast("long").alias("hour_s"),
         F.col("n_events").alias("n"),
-        F.col("value_sum").alias("v"),
+        # DOUBLE, not the sink's DECIMAL(28,2): the batch w_gapfill_locf
+        # casts v to double before the shared tail and the oracle emits
+        # DOUBLE — keep the served v_locf type identical (ADVICE r13)
+        F.col("value_sum").cast("double").alias("v"),
     )
     return gapfill_locf_grid(hourly)

@@ -440,6 +440,14 @@ class BucketedSessionStatsSink:
         the cross-store marker like :meth:`write` (see
         BucketedSpanIndexSink.compact for the rationale); idempotent, so
         the maintenance scheduler's retry clears a crashed attempt."""
+        if self.read_only:
+            # refuse BEFORE touching the marker (ADVICE r13): a read_only
+            # compact must not strand a cross-store marker that blocks
+            # every serve until the writer's next write clears it
+            raise RuntimeError(
+                f"{self.path}: sink opened read_only (serving mode) — "
+                "compaction belongs to the maintenance process"
+            )
         self._recover()
         _set_marker(self._stores_marker)
         if tombstone_horizon is not None:

@@ -443,6 +443,14 @@ class BucketedSpanIndexSink:
         serving a cross-store mix.  A crashed compact is retried by the
         maintenance scheduler (idempotent — each rewrite keeps live rows
         only); the retry re-sets and finally clears the marker."""
+        if self.read_only:
+            # refuse BEFORE touching the marker (ADVICE r13): a read_only
+            # compact must not strand a cross-store marker that blocks
+            # every serve until the writer's next write clears it
+            raise RuntimeError(
+                f"{self.path}: sink opened read_only (serving mode) — "
+                "compaction belongs to the maintenance process"
+            )
         self._recover()
         _set_marker(self._stores_marker)
         if tombstone_horizon is not None:

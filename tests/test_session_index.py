@@ -216,6 +216,11 @@ def test_read_only_refuses_writes(spark, tmp_path):
     ro = BucketedSessionStatsSink(str(tmp_path / "sess"), n_buckets=4, read_only=True)
     with pytest.raises(RuntimeError, match="read_only"):
         ro.write(_b(spark, WAVE2))
+    # compact refuses BEFORE touching the marker (ADVICE r13) — no
+    # stranded cross-store marker blocking subsequent serves
+    with pytest.raises(RuntimeError, match="read_only"):
+        ro.compact(spark)
+    assert not os.path.exists(sink._stores_marker)
     ro2 = BucketedSessionStatsSink(str(tmp_path / "nope"), n_buckets=4, read_only=True)
     assert ro2.session_stats(spark).count() == 0
     assert not os.path.exists(str(tmp_path / "nope"))
@@ -287,11 +292,19 @@ def test_session_stats_cli(spark, tmp_path, capsys):
 def test_no_forced_broadcast_hints_in_sink_source():
     """Same contract as the span index (verdict r12): touched-set joins
     carry no forced broadcast — AQE decides, so a giant availableNow
-    first wave cannot push a corpus-sized broadcast."""
-    import cdc_platform_spark.streaming.session_index as m
+    first wave cannot push a corpus-sized broadcast.  Round 14 extends
+    the pin to the neighbor and span sinks (the last instances of the
+    r12-flagged class, de-hinted per VERDICT r13 #1).  The ann_index
+    centroid/codebook broadcasts are NOT covered: those frames are
+    tiny constants (k centroids, 256-codeword tables), never
+    batch-proportional."""
+    import cdc_platform_spark.streaming.neighbor_index as nm
+    import cdc_platform_spark.streaming.session_index as sm
+    import cdc_platform_spark.streaming.span_index as pm
 
-    src = open(m.__file__).read()
-    assert "F.broadcast" not in src
+    for m in (sm, pm, nm):
+        src = open(m.__file__).read()
+        assert "F.broadcast" not in src, m.__file__
 
 
 # --- property-based tier (hypothesis): ANY CDC sequence converges ---------

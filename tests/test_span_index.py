@@ -203,6 +203,13 @@ def test_read_only_refuses_writes(spark, tmp_path):
     ro = BucketedSpanIndexSink(str(tmp_path / "span"), n_buckets=4, read_only=True)
     with pytest.raises(RuntimeError, match="read_only"):
         ro.write(_b(spark, WAVE2))
+    # compact refuses BEFORE touching the marker (ADVICE r13): a
+    # read-only compact must not strand a cross-store marker that would
+    # block every serve with StateInFlightError until the writer's next
+    # write clears it
+    with pytest.raises(RuntimeError, match="read_only"):
+        ro.compact(spark)
+    assert not os.path.exists(sink._stores_marker)
     # and a read-only open of a missing root creates nothing
     ro2 = BucketedSpanIndexSink(str(tmp_path / "nope"), n_buckets=4, read_only=True)
     assert ro2.span_stats(spark).count() == 0
