@@ -138,6 +138,12 @@ _REVERIFY = {
     # round 14: serve-path decode now casts value_sum to DOUBLE to match
     # the batch w_gapfill_locf / oracle type (ADVICE r13).
     "sq_gapfill_locf_stream",
+    # round 14: span_stats() grew the bucket-pruned point-serve branch
+    # (VERDICT r13 #3) — the no-doc_id path is refactored (src variable)
+    # and the constructor pins stats._STATE_SCHEMA, so both streams whose
+    # serve goes through span_stats() re-certify.
+    "sq_span_dedup_stream",
+    "sq_span_filtered_curation_stream",
 }
 _REVERIFY_ASOF = "CORRECTNESS_r13.json"  # last pre-change correctness file
 

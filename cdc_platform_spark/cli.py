@@ -245,6 +245,13 @@ def main(argv: list[str] | None = None) -> int:
         help="only documents over the shared-span flag threshold (the "
         "boilerplate/template-reuse suspects a curation pass drops)",
     )
+    p_span.add_argument(
+        "--doc-id",
+        type=int,
+        default=None,
+        help="point lookup: serve one document's span stats via a "
+        "single-bucket pruned read",
+    )
     p_span.add_argument("--limit", type=int, default=20)
 
     p_sess = sub.add_parser(
@@ -261,6 +268,27 @@ def main(argv: list[str] | None = None) -> int:
         "--user-id", type=int, default=None, help="only this user's sessions"
     )
     p_sess.add_argument("--limit", type=int, default=20)
+
+    p_hr = sub.add_parser(
+        "hourly-stats",
+        help="serve (event_type, hour) aggregates from a maintained "
+        "BucketedHourlyStatsSink state dir (read-only; retriable "
+        "exit 2 mid-commit); --gapfill serves the dense LOCF grid",
+    )
+    p_hr.add_argument(
+        "hourly_root", help="the BucketedHourlyStatsSink state directory"
+    )
+    p_hr.add_argument("--n-buckets", type=int, default=16)
+    p_hr.add_argument(
+        "--event-type", default=None, help="only this event type's hours"
+    )
+    p_hr.add_argument(
+        "--gapfill",
+        action="store_true",
+        help="project onto the dense hour grid with LOCF (the read-time "
+        "gapfill_locf_grid tail over the maintained aggregate)",
+    )
+    p_hr.add_argument("--limit", type=int, default=50)
 
     args = ap.parse_args(argv)
 
@@ -603,7 +631,9 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         def build_stats():
-            df = sink.span_stats(spark)
+            # --doc-id is a bucket-pruned POINT serve inside the sink
+            # (single-bucket file listing), not a full-scan-then-filter
+            df = sink.span_stats(spark, args.doc_id)
             if args.flagged_only:
                 df = df.filter(F.col("is_flagged") == 1)
             return df.orderBy(F.col("shared_fraction").desc(), "doc_id").limit(
@@ -638,15 +668,55 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         def build_sessions():
-            df = sink.session_stats(spark)
-            if args.user_id is not None:
-                df = df.filter(F.col("user_id") == args.user_id)
+            # --user-id is a bucket-pruned POINT serve inside the sink
+            # (single-bucket file listing), not a full-scan-then-filter
+            df = sink.session_stats(spark, args.user_id)
             return df.orderBy(
                 F.col("n_events").desc(), "user_id", "session_start_us"
             ).limit(args.limit)
 
         try:
             rows = _collect_stable(build_sessions, sink.state_fingerprint)
+        except StateInFlightError as exc:
+            print(json.dumps({"error": str(exc), "retriable": True}), file=sys.stderr)
+            return 2
+        for row in rows:
+            print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.cmd == "hourly-stats":
+        from pyspark.sql import functions as F
+
+        from cdc_platform_spark.operators.windows import gapfill_locf_grid
+        from cdc_platform_spark.streaming.hourly_index import (
+            BucketedHourlyStatsSink,
+        )
+        from cdc_platform_spark.streaming.pipeline import StateInFlightError
+
+        if not os.path.isdir(args.hourly_root):
+            print(
+                json.dumps({"error": f"no hourly index state at {args.hourly_root}"}),
+                file=sys.stderr,
+            )
+            return 1
+        sink = BucketedHourlyStatsSink(
+            args.hourly_root, n_buckets=args.n_buckets, read_only=True
+        )
+
+        def build_hourly():
+            df = sink.hourly_stats(spark)
+            if args.gapfill:
+                # the read-time tail over the maintained aggregate —
+                # bounded by grid size, never event count; applied BEFORE
+                # the --event-type filter so LOCF still carries values
+                # across the full grid exactly as the batch operator does
+                df = gapfill_locf_grid(df).withColumnRenamed("hour_start", "hour_s")
+            if args.event_type is not None:
+                df = df.filter(F.col("event_type") == args.event_type)
+            return df.orderBy("event_type", "hour_s").limit(args.limit)
+
+        try:
+            rows = _collect_stable(build_hourly, sink.state_fingerprint)
         except StateInFlightError as exc:
             print(json.dumps({"error": str(exc), "retriable": True}), file=sys.stderr)
             return 2

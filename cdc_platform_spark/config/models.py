@@ -90,6 +90,7 @@ class SinkConfig(BaseModel, extra="forbid"):
         "feature_store",
         "span_index",
         "session_stats",
+        "hourly_stats",
     ]
     path: str
     enabled: bool = True
@@ -117,10 +118,11 @@ class SinkConfig(BaseModel, extra="forbid"):
             "feature_store",
             "span_index",
             "session_stats",
+            "hourly_stats",
         ):
             raise ValueError(
                 "state_buckets is only supported on upsert/curated_corpus/"
-                "feature_store/span_index/session_stats sinks"
+                "feature_store/span_index/session_stats/hourly_stats sinks"
             )
         return self
 
@@ -161,12 +163,19 @@ class PipelineConfig(BaseModel, extra="forbid"):
             s.id
             for s in enabled
             if s.type
-            in ("curated_corpus", "feature_store", "span_index", "session_stats")
+            in (
+                "curated_corpus",
+                "feature_store",
+                "span_index",
+                "session_stats",
+                "hourly_stats",
+            )
         }
         if self.source.envelope == "passthrough" and len(artifact) != len(enabled):
             raise ValueError(
                 "envelope=passthrough pipelines support only "
-                "curated_corpus/feature_store/span_index/session_stats sinks"
+                "curated_corpus/feature_store/span_index/session_stats/"
+                "hourly_stats sinks"
             )
         if self.source.envelope == "events" and artifact:
             raise ValueError(

@@ -136,6 +136,14 @@ def compile_pipeline(
             sinks[s.id] = BucketedSessionStatsSink(
                 s.path, n_buckets=s.state_buckets or 16
             )
+        elif s.type == "hourly_stats":
+            from cdc_platform_spark.streaming.hourly_index import (
+                BucketedHourlyStatsSink,
+            )
+
+            sinks[s.id] = BucketedHourlyStatsSink(
+                s.path, n_buckets=s.state_buckets or 16
+            )
         else:  # pragma: no cover - pydantic Literal already forbids
             raise ValueError(f"unknown sink type {s.type!r}")
     stream_builder = None

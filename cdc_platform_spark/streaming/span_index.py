@@ -126,6 +126,7 @@ class BucketedSpanIndexSink:
         self.index = _SpanDocIndexSink(f"{path}/index", n_buckets, read_only=read_only)
         self.postings = _BucketStore(f"{path}/postings", n_buckets, read_only=read_only)
         self.stats = _BucketStore(f"{path}/stats", n_buckets, read_only=read_only)
+        self.stats._STATE_SCHEMA = _STATS_SCHEMA  # for empty point reads
         self.n_buckets = n_buckets
         self.read_only = read_only
         if not read_only:
@@ -407,17 +408,26 @@ class BucketedSpanIndexSink:
         return True
 
     # --- serve + maintenance ----------------------------------------------
-    def span_stats(self, spark: SparkSession) -> DataFrame:
+    def span_stats(self, spark: SparkSession, doc_id: int | None = None) -> DataFrame:
         """The serve view: exact duplicated-span statistics per live
         long-enough document — three narrow maintained columns plus two
-        derived expressions; no text, no grams, no postings touched."""
+        derived expressions; no text, no grams, no postings touched.
+        With ``doc_id``, a POINT serve: the read statically prunes to
+        the single ``pmod(hash(doc_id), n_buckets)`` bucket the way
+        every write-path read already does (VERDICT r13 #3)."""
         self._recover()
         if not self.stats.exists():
             return spark.createDataFrame([], _SPAN_STATS_SCHEMA)
         frac = F.col("n_shared_spans").cast("double") / F.col("n_spans")
+        if doc_id is not None:
+            from cdc_platform_spark.streaming.pipeline import spark_hash_bucket
+
+            b = spark_hash_bucket(spark, int(doc_id), "long", self.n_buckets)
+            src = self.stats.read_bucket(spark, b).filter(F.col("doc_id") == doc_id)
+        else:
+            src = spark.read.parquet(self.stats.path)
         return (
-            spark.read.parquet(self.stats.path)
-            .filter(~F.col("dead"))
+            src.filter(~F.col("dead"))
             .select(
                 "doc_id",
                 "n_spans",

@@ -1171,3 +1171,83 @@ def test_cli_serve_corpus_views(spark, tmp_path, capsys):
     assert main(["serve", "curated", bad]) == 1
     assert not os.path.isdir(bad)
     capsys.readouterr()
+
+
+def test_hourly_stats_pipeline_deploys_from_yaml(spark, tmp_path):
+    """hourly_stats sinks deploy from YAML too (round 14): a passthrough
+    pipeline over event CDC rows must leave the same hourly view as a
+    direct sink write, and the scheduled maintenance sweep must reach
+    the sink's compact() (dead markers reclaimed)."""
+    from pyspark.sql import functions as F
+
+    from cdc_platform_spark.config import load_pipeline_config
+    from cdc_platform_spark.plans.compiler import compile_pipeline
+    from cdc_platform_spark.streaming.hourly_index import BucketedHourlyStatsSink
+
+    from .conftest import SF_SMOKE
+
+    from cdc_platform_spark.operators.streaming_queries import _normalized_events
+
+    e = (
+        _normalized_events(spark, SF_SMOKE)
+        .select(
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+            "value",
+        )
+        .limit(400)
+    )
+    wave0 = e.select(
+        "event_id",
+        F.col("event_id").alias("offset"),
+        F.lit("c").alias("op"),
+        "event_type",
+        "t_us",
+        "value",
+    ).localCheckpoint(eager=True)
+    # an update+delete wave so the group_events store does real retraction
+    wave1 = (
+        e.filter("event_id % 5 = 0")
+        .select(
+            "event_id",
+            (F.col("event_id") + F.lit(10**9)).alias("offset"),
+            F.when(F.col("event_id") % 10 == 0, "d").otherwise("u").alias("op"),
+            "event_type",
+            (F.col("t_us") + F.lit(3_600_000_000)).alias("t_us"),
+            "value",
+        )
+        .localCheckpoint(eager=True)
+    )
+    wave0.unionByName(wave1).repartition(2).write.parquet(f"{tmp_path}/src")
+
+    cfg_file = tmp_path / "p.yaml"
+    cfg_file.write_text(
+        f"""
+pipeline_id: hourly-demo
+source:
+  path: {tmp_path}/src
+  envelope: passthrough
+  schema_ddl: "event_id long, offset long, op string, event_type string, t_us long, value double"
+checkpoint_dir: {tmp_path}/ck
+maintenance_every_n_batches: 1
+sinks:
+  - id: hourly
+    type: hourly_stats
+    path: {tmp_path}/hourly
+    state_buckets: 8
+"""
+    )
+    cfg = load_pipeline_config(str(cfg_file))
+    pipe = compile_pipeline(spark, cfg)
+    pipe.run_available_now()
+
+    direct = BucketedHourlyStatsSink(str(tmp_path / "direct"), n_buckets=8)
+    direct.write(wave0)
+    direct.write(wave1)  # separate batch: updates retract -> dead markers
+    got = sorted(map(tuple, pipe.sinks["hourly"].hourly_stats(spark).collect()))
+    want = sorted(map(tuple, direct.hourly_stats(spark).collect()))
+    assert got == want and got
+    # maintenance_every_n_batches=1 swept compact() after the last batch
+    assert pipe.sinks["hourly"].state_stats(spark)["group_events"]["tombstones"] == 0
+    assert direct.state_stats(spark)["group_events"]["tombstones"] > 0

@@ -243,6 +243,38 @@ def test_gap_boundary_exactly_30_minutes(spark, tmp_path):
     assert got[(8, 0)] == (2, 2.0)
 
 
+def test_point_serve_reads_single_bucket(spark, tmp_path):
+    """VERDICT r13 #3: a user_id point lookup must prune its FILE LISTING
+    to the single hash bucket — not scan the store then filter — and
+    still serve exactly the full view's rows for that user."""
+    from cdc_platform_spark.streaming.pipeline import spark_hash_bucket
+
+    sink = BucketedSessionStatsSink(str(tmp_path / "sess"), n_buckets=4)
+    sink.write(_b(spark, WAVE1))
+
+    point = sink.session_stats(spark, user_id=2)
+    files = point.inputFiles()
+    assert files, "point serve listed no files for a live user"
+    buckets = {f.split("bucket=")[1].split("/")[0] for f in files}
+    assert len(buckets) == 1
+    got = {
+        (r["user_id"], r["session_start_us"]): (r["n_events"], r["value_sum"])
+        for r in point.collect()
+    }
+    assert got == {k: v for k, v in _got(spark, sink).items() if k[0] == 2}
+
+    # a user hashing to a never-committed bucket serves empty, not error
+    uid = next(
+        u
+        for u in range(100, 400)
+        if not os.path.isdir(
+            f"{sink.sessions.path}/bucket="
+            f"{spark_hash_bucket(spark, u, 'long', 4)}"
+        )
+    )
+    assert sink.session_stats(spark, user_id=uid).count() == 0
+
+
 def test_session_stats_cli(spark, tmp_path, capsys):
     """`cdc-spark session-stats`: the serve verb over a maintained
     session index — read-only, n_events-descending, --user-id filter,

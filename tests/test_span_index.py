@@ -216,6 +216,37 @@ def test_read_only_refuses_writes(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "nope"))
 
 
+def test_point_serve_reads_single_bucket(spark, tmp_path):
+    """VERDICT r13 #3: a doc_id point lookup must prune its FILE LISTING
+    to the single hash bucket — not scan the store then filter — and
+    still serve exactly the full view's row for that doc."""
+    from cdc_platform_spark.streaming.pipeline import spark_hash_bucket
+
+    sink = BucketedSpanIndexSink(str(tmp_path / "span"), n_buckets=4)
+    sink.write(_b(spark, WAVE1))
+
+    point = sink.span_stats(spark, doc_id=1)
+    files = point.inputFiles()
+    assert files, "point serve listed no files for a live doc"
+    buckets = {f.split("bucket=")[1].split("/")[0] for f in files}
+    assert len(buckets) == 1
+    rows = point.collect()
+    assert len(rows) == 1 and (rows[0]["n_spans"], rows[0]["n_shared_spans"]) == _got(
+        spark, sink
+    )[1]
+
+    # a doc hashing to a never-committed bucket serves empty, not error
+    did = next(
+        d
+        for d in range(100, 400)
+        if not os.path.isdir(
+            f"{sink.stats.path}/bucket="
+            f"{spark_hash_bucket(spark, d, 'long', 4)}"
+        )
+    )
+    assert sink.span_stats(spark, doc_id=did).count() == 0
+
+
 def test_span_stats_cli(spark, tmp_path, capsys):
     """`cdc-spark span-stats`: the serve verb over a maintained span
     index — read-only, shared-fraction-descending, retriable exit 2
@@ -250,6 +281,16 @@ def test_span_stats_cli(spark, tmp_path, capsys):
         if line.startswith("{")
     ]
     assert all(r["is_flagged"] == 1 for r in flagged)
+
+    # --doc-id point lookup (bucket-pruned serve path)
+    rc = main(["span-stats", root, "--n-buckets", "4", "--doc-id", "1"])
+    assert rc == 0
+    rows = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert len(rows) == 1 and rows[0]["doc_id"] == 1
 
     # wrong path -> clear error, not an empty serve
     assert main(["span-stats", str(tmp_path / "nope")]) == 1
