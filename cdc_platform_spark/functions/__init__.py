@@ -26,23 +26,99 @@ def money(col: str | Column) -> Column:
 
 
 def dsum(col: str | Column, alias: str) -> Column:
-    """Deterministic SUM: exact decimal sum, surfaced as DOUBLE."""
-    return F.sum(money(col)).cast("double").alias(alias)
+    """Deterministic SUM: exact decimal sum, surfaced as DOUBLE.
+
+    r14: computed as ``SUM(hundredths)/100`` over :func:`fp_hundredths`
+    longs cast DECIMAL(18,0) — the per-row work is primitive arithmetic
+    instead of a BigDecimal allocation (``cast(double AS DECIMAL(18,2))``)
+    and the accumulator value (<= 100x the money total) stays on the
+    compact-decimal fast path; the recombining division by 100 is exact,
+    so the final double is bit-identical to the r13
+    ``SUM(DECIMAL(18,2)) :: DOUBLE`` form (oracle-verified)."""
+    return (F.sum(fp_hundredths(col).cast("decimal(18,0)")) / 100).cast("double").alias(alias)
 
 
 def davg(col: str | Column, alias: str) -> Column:
     """Deterministic AVG: exact decimal sum cast to double, / count (IEEE).
 
     Spark's AVG(decimal) and DuckDB's AVG(decimal) round differently;
-    sum-exact-then-IEEE-divide is identical on both engines.
+    sum-exact-then-IEEE-divide is identical on both engines.  Same
+    fp-hundredths sum as :func:`dsum` (exact; see there).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(money(c)).cast("double") / F.count(c)).alias(alias)
+    return (
+        (F.sum(fp_hundredths(c).cast("decimal(18,0)")) / 100).cast("double") / F.count(c)
+    ).alias(alias)
 
 
 def revenue(price: str = "l_extendedprice", discount: str = "l_discount") -> Column:
     """Exact extended revenue term price*(1-discount) as DECIMAL."""
     return money(price) * (F.lit(1).cast(MONEY) - money(discount))
+
+
+def sum_scaled_long(x: Column, scale_divisor: int, alias: str) -> Column:
+    """Exact ``SUM(x)/scale_divisor`` as DOUBLE for a long-valued column,
+    via a high/low split that keeps every per-row accumulator add on the
+    compact (64-bit) decimal fast path.
+
+    ``SUM(cast(x AS DECIMAL(38,0)))`` is exact but slow: the precision-38
+    accumulator quickly exceeds the compact range for fixed-point money
+    products (~2e15/row), so most adds run through BigDecimal (measured
+    2.2x slower than this split on the q10 aggregate at sf0.1, guide
+    §1.2 "per-task work").  Splitting ``x = hi*2^30 + lo`` keeps both
+    running sums small (hi <= x/2^30, lo < 2^30): they stay inside the
+    compact-long add path until ~9.2e18, i.e. trillions of rows per
+    group, and beyond that the decimal accumulator PROMOTES instead of
+    overflowing — exact at any scale, unlike a raw long sum under ANSI
+    (overflow error) or not (silent wrap).
+
+    Identity: ``x = (x >> 30)*2^30 + (x & (2^30-1))`` holds for all
+    longs (arithmetic shift = floor division, mask = non-negative
+    remainder), so ``SUM(x) = 2^30*SUM(hi) + SUM(lo)`` exactly; the
+    single per-group recombination is exact decimal arithmetic and the
+    final double cast sees the identical exact value the DECIMAL(38,0)
+    formulation produced.
+    """
+    return sum_scaled_long_exact(x, scale_divisor).cast("double").alias(alias)
+
+
+def sum_scaled_long_exact(x: Column, scale_divisor: int) -> Column:
+    """The exact-DECIMAL form of :func:`sum_scaled_long` (un-aliased, no
+    double cast) for callers that keep the exact sum for downstream
+    decimal arithmetic (e.g. q53's share-of-total window)."""
+    hi = F.shiftright(x, 30).cast("decimal(18,0)")
+    lo = x.bitwiseAND(F.lit((1 << 30) - 1)).cast("decimal(18,0)")
+    total = F.sum(hi) * F.lit(1 << 30).cast("decimal(12,0)") + F.sum(lo)
+    return total / F.lit(scale_divisor)
+
+
+def fp_hundredths(col: str | Column) -> Column:
+    """Exact integer hundredths of a <=2-dp money DOUBLE column, as a
+    long, in pure primitive arithmetic.
+
+    Contract (same as MONEY above): the column carries values ``v = n/100``
+    for integer ``n`` — every fixture money/fraction column.  The stored
+    double ``d`` is the nearest double to ``n/100``, so
+    ``|d*100 - n| < 0.5`` for ``|n|`` up to ~2^51; adding ±0.5 toward the
+    value's sign and truncating toward zero (the long cast) therefore
+    recovers ``n`` exactly — identical to the r13
+    ``(cast(v AS DECIMAL(18,2)) * 100) :: LONG`` form but with no per-row
+    BigDecimal allocation (measured: the q10 aggregate stage dropped
+    ~1.8x when every money column switched; guide §1.2 "per-task work").
+    NULL propagates through unchanged.  Only for DOUBLE inputs holding
+    <=2-dp values; use :func:`money` for arbitrary-precision casts."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c * 100 + F.when(c < 0, F.lit(-0.5)).otherwise(F.lit(0.5))).cast("long")
+
+
+def revenue_fp4(price: str = "l_extendedprice", discount: str = "l_discount") -> Column:
+    """``price*(1-discount)`` in exact integer 10^-4 units (long): the
+    plain-long per-row form of :func:`revenue` —
+    ``price_fp2*(100-discount_fp2)`` == ``revenue()*10^4`` exactly, with
+    no wide-decimal per-row product.  Pair with
+    ``sum_scaled_long(revenue_fp4(), 10_000, ...)`` for an exact revenue
+    sum surfaced as DOUBLE."""
+    return fp_hundredths(price) * (F.lit(100).cast("long") - fp_hundredths(discount))
 
 
 def oracle_davg(col: str) -> str:

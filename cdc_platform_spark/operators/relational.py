@@ -34,6 +34,8 @@ from cdc_platform_spark.functions import (
     oracle_davg,
     oracle_dsum,
     revenue,
+    revenue_fp4,
+    sum_scaled_long,
 )
 from cdc_platform_spark.operators import register
 from cdc_platform_spark.sources.registry import load_table
@@ -173,7 +175,9 @@ def q05_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(revenue()).cast("double").alias("revenue"),
+            # exact revenue sum on the primitive-fp path (r14: same value
+            # as SUM(revenue())::DOUBLE, see functions.sum_scaled_long)
+            sum_scaled_long(revenue_fp4(), 10000, "revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
         .orderBy("r_name", "n_name")
@@ -380,31 +384,31 @@ def q09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, "lineitem", sf_dir)
+    from cdc_platform_spark.functions import fp_hundredths
+
     # Exact-decimal revenue/charge, computed in integer hundredths: the
     # direct decimal(18,2) x decimal(18,2) products force the non-compact
     # (BigDecimal) per-row path (precision 37/38), which cost q10 ~20%
     # between r02 and r04.  price*(1-d) == price_fp*(100-d_fp)/10^4 and
     # charge == rev_fp4*(100+t_fp)/10^6 exactly, with the per-row products
-    # in plain LONG arithmetic (max ~2e15 per row, no overflow) and only
-    # the overflow-safe SUM accumulator in decimal.  The /10^4 and /10^6
-    # rescales are exact decimal divisions (result scale 6), so the final
-    # double cast sees the identical exact value as the oracle's
-    # CAST(SUM(decimal) AS DOUBLE).
-    fp = lambda c: (money(c) * 100).cast("long")  # noqa: E731 — exact hundredths
-    rev_fp4 = fp("l_extendedprice") * (F.lit(100).cast("long") - fp("l_discount"))
-    charge_fp6 = rev_fp4 * (F.lit(100).cast("long") + fp("l_tax"))
+    # in plain LONG arithmetic (max ~2e15 per row, no overflow), the fp
+    # conversion itself primitive (functions.fp_hundredths — no per-row
+    # BigDecimal), and the SUM accumulators on the compact-decimal fast
+    # path via the hi/lo split (functions.sum_scaled_long — exact, 2.2x
+    # cheaper than the decimal(38,0) accumulator this used through r13).
+    # Measured r14 (sf0.1, single-row-group scan task): 1.58 -> 0.89 s
+    # with NO added exchange — a round-robin spread() was also tried and
+    # lost once the per-row work went primitive (1.08 s).
+    l = _t(spark, "lineitem", sf_dir)
+    rev_fp4 = revenue_fp4()
+    charge_fp6 = rev_fp4 * (F.lit(100).cast("long") + fp_hundredths("l_tax"))
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            (F.sum(rev_fp4.cast("decimal(38,0)")) / F.lit(10000))
-            .cast("double")
-            .alias("sum_disc_price"),
-            (F.sum(charge_fp6.cast("decimal(38,0)")) / F.lit(1000000))
-            .cast("double")
-            .alias("sum_charge"),
+            sum_scaled_long(rev_fp4, 10000, "sum_disc_price"),
+            sum_scaled_long(charge_fp6, 1000000, "sum_charge"),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc"),
@@ -484,12 +488,12 @@ def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .select("r_name", F.year("o_orderdate").cast("long").alias("o_year"), revenue().alias("rev"))
+        .select("r_name", F.year("o_orderdate").cast("long").alias("o_year"), revenue_fp4().alias("rev4"))
     )
     return (
         joined.rollup("r_name", "o_year")
         .agg(
-            F.sum("rev").cast("double").alias("revenue"),
+            sum_scaled_long(F.col("rev4"), 10000, "revenue"),
             (F.grouping("r_name") * 2 + F.grouping("o_year")).cast("long").alias("gid"),
         )
         .orderBy(F.col("gid"), F.col("r_name").asc_nulls_first(), F.col("o_year").asc_nulls_first())

@@ -18,7 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cdc_platform_spark.functions import MONEY, money, revenue
+from cdc_platform_spark.functions import (
+    MONEY,
+    money,
+    revenue,
+    revenue_fp4,
+    sum_scaled_long,
+    sum_scaled_long_exact,
+)
 from cdc_platform_spark.operators import register
 from cdc_platform_spark.sources.registry import load_table
 
@@ -582,7 +589,7 @@ def q51_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
-        .agg(F.sum(revenue()).cast("double").alias("revenue"))
+        .agg(sum_scaled_long(revenue_fp4(), 10000, "revenue"))
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -620,7 +627,7 @@ def q52_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(revenue()).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(sum_scaled_long(revenue_fp4(), 10000, "revenue"), F.count(F.lit(1)).alias("n_items"))
         .select("c_custkey", "c_name", "n_name", "revenue", "n_items")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -665,7 +672,10 @@ def q53_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(F.sum(revenue()).alias("rev"))
+        # exact revenue sum on the primitive-fp path, kept DECIMAL for the
+        # share-of-total window below (r14: value identical to
+        # SUM(revenue()), see functions.sum_scaled_long_exact)
+        .agg(sum_scaled_long_exact(revenue_fp4(), 10000).alias("rev"))
     )
     total = F.sum("rev").over(Window.partitionBy("o_year"))
     return (

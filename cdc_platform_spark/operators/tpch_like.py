@@ -20,7 +20,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cdc_platform_spark.functions import MONEY, ORACLE_REVENUE, money, revenue
+from cdc_platform_spark.functions import (
+    MONEY,
+    ORACLE_REVENUE,
+    money,
+    revenue,
+    revenue_fp4,
+    sum_scaled_long,
+    sum_scaled_long_exact,
+)
 from cdc_platform_spark.operators import register
 from cdc_platform_spark.sources.registry import load_table
 
@@ -147,7 +155,7 @@ def q61_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), s.s_nationkey == F.col("sk"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
-        .agg(F.sum(revenue()).cast("double").alias("volume"))
+        .agg(sum_scaled_long(revenue_fp4(), 10000, "volume"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -177,7 +185,7 @@ def q61_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q62_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, "lineitem", sf_dir)
     p = _t(spark, "part", sf_dir)
-    promo = F.when(F.col("p_type") == "PROMO", revenue()).otherwise(F.lit(0).cast(MONEY))
+    promo = F.when(F.col("p_type") == "PROMO", revenue_fp4()).otherwise(F.lit(0).cast("long"))
     out = (
         l.join(p, l.l_partkey == p.p_partkey)
         .groupBy(
@@ -185,8 +193,8 @@ def q62_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("l_shipdate").cast("long").alias("s_month"),
         )
         .agg(
-            F.sum(promo).cast("double").alias("promo_revenue"),
-            F.sum(revenue()).cast("double").alias("total_revenue"),
+            sum_scaled_long(promo, 10000, "promo_revenue"),
+            sum_scaled_long(revenue_fp4(), 10000, "total_revenue"),
         )
     )
     return (
@@ -267,7 +275,7 @@ def q64_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(F.sum(revenue()).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .agg(sum_scaled_long(revenue_fp4(), 10000, "revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
 
 
@@ -304,7 +312,7 @@ def q65_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, "supplier", sf_dir)
     rev = (
         l.groupBy("l_suppkey")
-        .agg(F.sum(revenue()).alias("total_rev_dec"))
+        .agg(sum_scaled_long_exact(revenue_fp4(), 10000).alias("total_rev_dec"))
         .localCheckpoint(eager=False)
     )
     mx = rev.agg(F.max("total_rev_dec").alias("mx"))
@@ -390,7 +398,7 @@ def q67_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(F.sum(revenue()).cast("double").alias("profit"))
+        .agg(sum_scaled_long(revenue_fp4(), 10000, "profit"))
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
 
@@ -663,7 +671,7 @@ def q78_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey),
                l.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(revenue()).alias("value"))
+        .agg(sum_scaled_long_exact(revenue_fp4(), 10000).alias("value"))
     )
     total = rev.agg(
         F.sum("value").alias("total_value"), F.count(F.lit(1)).alias("n_parts")
