@@ -290,20 +290,26 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsorted near-dup pair set — the global sort exists only for the
     driver's hash-compare, so composites (dedup_clusters) consume this
     form and skip a full range-partition exchange of the pair set."""
-    # Signatures compute per-row (array_min over transform) — no explode, no
-    # shuffle; the 16 minhash values then explode to 16 narrow rows per doc
-    # for the band-bucket join. Exact Jaccard runs only on candidate pairs
-    # via array_intersect — never an all-pairs product. localCheckpoint
-    # materializes the shared subtrees once (docs feeds 3 joins, sig feeds 2);
-    # on a lakehouse deployment these are intermediate tables.
+    # Signatures compute per-row (one F.aggregate traversal) — no explode,
+    # no shuffle; the 16 minhash values then explode to 16 narrow rows per
+    # doc for the band-bucket join. Exact Jaccard runs only on candidate
+    # pairs via array_intersect — never an all-pairs product.
+    # localCheckpoint materializes the shared subtree once; on a lakehouse
+    # deployment these are intermediate tables.  r14: the checkpoint now
+    # carries ``sig`` (and drops the shingle-hash array ``bh``, which only
+    # sig needs) — previously sig sat ABOVE the checkpoint, so the band
+    # self-join's two branches each recomputed all 16 minhash functions
+    # over every shingle (the single most expensive compute in the plan,
+    # visible as duplicated Project nodes under both join inputs; guide
+    # §7.2 "duplicated subtrees").
     docs = (
         doc_shingle_arrays(spark, sf_dir)
         .filter(F.size("shingles") > 0)
         .withColumn("bh", F.transform(F.col("shingles"), lambda s: md5_60bit(s)))
+        .select("doc_id", "shingles", minhash_sig_col(F.col("bh")).alias("sig"))
         .localCheckpoint(eager=False)
     )
-    sig = docs.select("doc_id", minhash_sig_col(F.col("bh")).alias("sig"))
-    bands = sig.select("doc_id", F.posexplode("sig").alias("i", "h"))
+    bands = docs.select("doc_id", F.posexplode("sig").alias("i", "h"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))

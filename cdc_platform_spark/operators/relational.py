@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from cdc_platform_spark.functions import (
     MONEY,
+    fp_hundredths,
     ORACLE_REVENUE,
     davg,
     dsum,
@@ -204,7 +205,9 @@ def q06_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum(money("o_totalprice")), F.lit(0).cast(MONEY)).cast("double").alias("total_spend"),
+            F.coalesce(
+                F.sum(fp_hundredths("o_totalprice").cast("decimal(18,0)")) / 100, F.lit(0)
+            ).cast("double").alias("total_spend"),
         )
         .orderBy("c_custkey")
     )
@@ -384,8 +387,6 @@ def q09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdc_platform_spark.functions import fp_hundredths
-
     # Exact-decimal revenue/charge, computed in integer hundredths: the
     # direct decimal(18,2) x decimal(18,2) products force the non-compact
     # (BigDecimal) per-row path (precision 37/38), which cost q10 ~20%

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_platform_spark.functions import money
+from cdc_platform_spark.functions import dsum, money
 from cdc_platform_spark.operators import register
 from cdc_platform_spark.sources.registry import load_table
 
@@ -42,7 +42,7 @@ def w_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(money("value")).cast("double").alias("value_sum"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "value_sum"))
         .select(
             F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
             "event_type",
@@ -78,7 +78,7 @@ def w_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
     return (
         e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(money("value")).cast("double").alias("value_sum"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "value_sum"))
         .select(
             F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
             "n",
@@ -126,7 +126,7 @@ def w_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(money("value")).cast("double").alias("value_sum"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "value_sum"))
         .select(
             "user_id",
             F.unix_micros(F.col("w.start")).cast("long").alias("session_start_us"),
@@ -240,7 +240,7 @@ def w_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hourly = e.groupBy("event_type", "hour_s").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(money("value")).cast("double").alias("v"),
+        dsum("value", "v"),
     )
     return gapfill_locf_grid(hourly)
 
