@@ -302,12 +302,20 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over every shingle (the single most expensive compute in the plan,
     # visible as duplicated Project nodes under both join inputs; guide
     # §7.2 "duplicated subtrees").
+    # r14: the empty-shingles filter sits ABOVE the checkpoint — written
+    # inside the checkpointed subtree, Catalyst alias-substitutes it to
+    # size(transform(split(text)))>0 and pushes it through the spread()
+    # exchange, computing the full shingle transform for every row in the
+    # SINGLE scan task (measured 3.7 s of one-core time at sf0.1; guide
+    # §2.4 "check explain() for work you did not expect below an
+    # Exchange").  Filtering the materialized arrays instead costs one
+    # size() per row.
     docs = (
         doc_shingle_arrays(spark, sf_dir)
-        .filter(F.size("shingles") > 0)
         .withColumn("bh", F.transform(F.col("shingles"), lambda s: md5_60bit(s)))
         .select("doc_id", "shingles", minhash_sig_col(F.col("bh")).alias("sig"))
         .localCheckpoint(eager=False)
+        .filter(F.size("shingles") > 0)
     )
     bands = docs.select("doc_id", F.posexplode("sig").alias("i", "h"))
     a, b = bands.alias("a"), bands.alias("b")
@@ -315,16 +323,37 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
+        # the distinct's post-shuffle output is a few hundred KB, so AQE
+        # coalesces it to ONE partition — and the exact-Jaccard stage
+        # below (the heaviest per-row compute in the query) would run
+        # single-task.  Re-spread the narrow (da, db) pair set; at scale
+        # the pair set is large enough that AQE never collapses it and
+        # this exchange stays proportionally free.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     da = docs.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sa"))
     db = docs.select(F.col("doc_id").alias("db"), F.col("shingles").alias("sb"))
-    ni = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    jac = ni.cast("double") / (F.size("sa") + F.size("sb") - ni)
+    # Evaluate array_intersect ONCE per candidate: written naively, the
+    # jaccard filter is pushed into the db join condition and the project
+    # re-derives it — six size(array_intersect(...)) evaluations per pair
+    # (3 in the condition, 3 in the projection; see
+    # plans/r14/dedup_minhash_lsh_before.txt node (25)/(26)).  The
+    # 0*monotonically_increasing_id term is arithmetically zero but marks
+    # the column non-deterministic, which bars Catalyst from duplicating
+    # or pushing it (the built-in-expression analogue of guide §4.4).
+    ni = (
+        F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+        + F.monotonically_increasing_id() * 0
+    )
     return (
         cand.join(da, "da")
         .join(db, "db")
-        .withColumn("n_common", ni.cast("long"))
-        .withColumn("jaccard", jac)
+        .withColumn("ni", ni)
+        .withColumn("n_common", F.col("ni").cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("ni").cast("double") / (F.size("sa") + F.size("sb") - F.col("ni")),
+        )
         .filter(F.col("jaccard") >= MINHASH_JACCARD_THRESHOLD)
         .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), "n_common", "jaccard")
     )
@@ -379,28 +408,30 @@ def _simhash_oracle_sql() -> str:
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_platform_spark.functions import spread
 
+    # r14 single-shuffle form.  The bit votes are LINEAR in word
+    # occurrences: sum over distinct (doc, word) of cnt*(2*bit(h)-1)
+    # equals the sum over raw occurrences of (2*bit(h)-1), so the
+    # word-frequency pre-count — a second exchange keyed by
+    # (doc_id, word-string) plus a string-keyed aggregation hash table —
+    # was pure overhead.  One groupBy(doc_id) with map-side partial
+    # aggregation ships a single 33-long row per doc through the only
+    # remaining exchange.  The votes themselves also drop the 32 CASE
+    # branches: bit b is set iff 2*S_b > T where S_b = sum((h>>b)&1)
+    # and T = count(*) — identical integers to the weighted ±1 sum.
     d = spread(load_table(spark, "documents", sf_dir))
-    wc = (
-        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", md5_60bit(F.col("word")))
-    )
-    bit_cols = [
-        F.when(
-            F.sum(
-                F.col("cnt")
-                * F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            )
-            > 0,
-            F.lit(1 << b),
-        )
-        .otherwise(0)
-        .alias(f"b{b}")
+    occ = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).select("doc_id", md5_60bit(F.col("word")).alias("h"))
+    s_cols = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
-    agg = wc.groupBy("doc_id").agg(*bit_cols)
-    fingerprint = sum((F.col(f"b{b}") for b in range(1, SIMHASH_BITS)), F.col("b0"))
+    agg = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("t"), *s_cols)
+    bit_terms = [
+        F.when(F.col(f"s{b}") * 2 > F.col("t"), F.lit(1 << b)).otherwise(0)
+        for b in range(SIMHASH_BITS)
+    ]
+    fingerprint = sum(bit_terms[1:], bit_terms[0])
     return agg.select("doc_id", fingerprint.cast("long").alias("simhash"))
 
 
@@ -1067,10 +1098,21 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load_table(spark, "documents", sf_dir))
     words = F.split(F.col("text"), " ")
+    # r14: the length guard is a when() INSIDE the projection, not a
+    # pre-exchange filter — filter(size(split(text)) >= N) written below
+    # would be pushed through the spread() exchange and re-split every
+    # text row in the single scan task (the q=minhash pushdown trap,
+    # see _minhash_pairs).  NULL marks short docs; the post-checkpoint
+    # filter drops them against materialized arrays.
     g = (
-        d.filter(F.size(words) >= SPAN_NGRAM)
-        .select("doc_id", span_gram_hashes_col(words).alias("grams"))
+        d.select(
+            "doc_id",
+            F.when(F.size(words) >= SPAN_NGRAM, span_gram_hashes_col(words)).alias(
+                "grams"
+            ),
+        )
         .localCheckpoint(eager=False)
+        .filter(F.col("grams").isNotNull())
     )
     # materialized once: the (doc_id, gh) stream feeds BOTH the df aggregate
     # and the hit join; without this the explode runs twice
