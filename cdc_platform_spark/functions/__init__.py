@@ -136,6 +136,25 @@ ORACLE_REVENUE = (
 )
 
 
+def sorted_view(df, *cols):
+    """Global ORDER BY over a MATERIALIZED child.
+
+    A bare ``.orderBy(...)`` plans a range-partition exchange, and
+    RangePartitioner samples the child by running it a second time —
+    so every operator above the query's last shuffle (window functions,
+    Arrow/Python stages, candidate verification joins) executes twice
+    per action (guide §7.2 "duplicated subtrees"; measured r14: q16
+    1.62 -> 0.62 s, mm_decode_metadata 1.01 -> 0.73 s at sf0.1).
+    ``localCheckpoint`` materializes the child once; the sampling pass
+    and the shuffle map stage then read the same blocks.  On a lakehouse
+    deployment this is "write the result table, then sort-export it" —
+    the checkpoint is the intermediate table.  Row set and final order
+    are unchanged; only for tails whose pre-sort compute is substantial
+    (for a cheap final aggregate the materialization costs more than the
+    re-run, so those keep the bare orderBy)."""
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
 def spread(df, min_factor: int = 2):
     """Repartition a coarsely-partitioned input ahead of compute-bound narrow
     transforms (single-row-group fixture files read as one split). On a real

@@ -207,7 +207,11 @@ _ORACLE_MINHASH_PAIR_CTES = f"""sh AS ({ORACLE_SHINGLES}),
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _minhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+    from cdc_platform_spark.functions import sorted_view
+
+    # sorted_view: the Jaccard verification join must not run twice
+    # for the range-partition sample (functions.sorted_view)
+    return sorted_view(_minhash_pairs(spark, sf_dir), "doc_a", "doc_b")
 
 
 @register(
@@ -446,7 +450,9 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_simhash_oracle_sql(),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _simhash_df(spark, sf_dir).orderBy("doc_id")
+    from cdc_platform_spark.functions import sorted_view
+
+    return sorted_view(_simhash_df(spark, sf_dir), "doc_id")
 
 
 def simhash_banded(sh: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
@@ -528,6 +534,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hamming <= SIMHASH_MAX_HAMMING)
         .distinct()
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .localCheckpoint(eager=False)  # sorted_view inline: 1M-pair dedup
+        # must not re-run for the range-partition sample
         .orderBy("doc_a", "doc_b")
     )
 
@@ -1138,6 +1146,7 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             shared_fraction.alias("shared_fraction"),
             (shared_fraction > SPAN_FLAG_THRESHOLD).cast("long").alias("is_flagged"),
         )
+        .localCheckpoint(eager=False)  # see functions.sorted_view
         .orderBy("doc_id")
     )
 

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_platform_spark.functions import spread
+from cdc_platform_spark.functions import sorted_view, spread
 from cdc_platform_spark.operators import register
 from cdc_platform_spark.sources.registry import load_table
 
@@ -179,7 +179,9 @@ def decoded_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decoded_meta(spark, sf_dir).orderBy("doc_id")
+    # sorted_view: the Arrow decode stage must not run twice for the
+    # range-partition sample (functions.sorted_view)
+    return sorted_view(decoded_meta(spark, sf_dir), "doc_id")
 
 
 @register(
@@ -228,9 +230,12 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return payloads.mapInPandas(
-        sample_frames, schema="doc_id long, frame_idx long, ts_ms long"
-    ).orderBy("doc_id", "frame_idx")
+    return sorted_view(
+        payloads.mapInPandas(
+            sample_frames, schema="doc_id long, frame_idx long, ts_ms long"
+        ),
+        "doc_id", "frame_idx",
+    )
 
 
 RESIZE_TARGET = 256  # fit longest side to 256, preserve aspect (integer math)
@@ -267,13 +272,16 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = decoded_meta(spark, sf_dir)
     w, h = F.col("width"), F.col("height")
     t = F.lit(RESIZE_TARGET)
-    return meta.select(
+    return sorted_view(
+        meta.select(
+            "doc_id",
+            "width",
+            "height",
+            F.when(w >= h, t).otherwise((w * t).cast("long") / h).cast("long").alias("out_width"),
+            F.when(w >= h, (h * t).cast("long") / w).otherwise(t).cast("long").alias("out_height"),
+        ),
         "doc_id",
-        "width",
-        "height",
-        F.when(w >= h, t).otherwise((w * t).cast("long") / h).cast("long").alias("out_width"),
-        F.when(w >= h, (h * t).cast("long") / w).otherwise(t).cast("long").alias("out_height"),
-    ).orderBy("doc_id")
+    )
 
 
 N_FEATURES = 8
@@ -316,4 +324,4 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     schema = "doc_id long, " + ", ".join(f"f{i} long" for i in range(N_FEATURES))
-    return payloads.mapInPandas(extract, schema=schema).orderBy("doc_id")
+    return sorted_view(payloads.mapInPandas(extract, schema=schema), "doc_id")

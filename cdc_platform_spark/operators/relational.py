@@ -607,7 +607,9 @@ def q16_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("qty_band_n", F.sum("qn").over(wq).cast("long"))
         .drop("qn")
     )
-    return (
+    from cdc_platform_spark.functions import sorted_view
+
+    return sorted_view(
         l.join(F.broadcast(band), ["l_returnflag", "l_quantity"])
         .select(
             "l_orderkey",
@@ -616,10 +618,10 @@ def q16_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("mavg3"),
             "qty_band_n",
-        )
+        ),
         # (l_orderkey, l_linenumber) is not unique; the derived columns
         # break the remaining ties so row ORDER is engine-independent
-        .orderBy("l_orderkey", "l_linenumber", "mavg3", "qty_band_n")
+        "l_orderkey", "l_linenumber", "mavg3", "qty_band_n",
     )
 
 
@@ -659,10 +661,12 @@ def q17_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, "orders", sf_dir)
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
+    from cdc_platform_spark.functions import sorted_view
+
+    return sorted_view(
         o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).cast("long").alias("rn"))
-        .filter(F.col("rn") <= 3)
-        .orderBy("o_custkey", "rn")
+        .filter(F.col("rn") <= 3),
+        "o_custkey", "rn",
     )
 
 

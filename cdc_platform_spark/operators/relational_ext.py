@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from cdc_platform_spark.functions import (
     MONEY,
+    dsum,
     money,
     revenue,
     revenue_fp4,
@@ -1108,7 +1109,7 @@ def q84_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(money("value")).cast("double").alias("value_sum"),
+            dsum("value", "value_sum"),
         )
         .orderBy("window_id")
     )

@@ -102,6 +102,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nid").alias("neighbor_id"),
             F.col("c").alias("cosine"),
         )
+        .localCheckpoint(eager=False)  # see functions.sorted_view
         .orderBy("query_id", "rank")
     )
 
@@ -159,6 +160,7 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nid").alias("neighbor_id"),
             F.col("dot").cast("long").alias("dot"),
         )
+        .localCheckpoint(eager=False)  # see functions.sorted_view
         .orderBy("query_id", "rank")
     )
 
@@ -298,6 +300,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nid").alias("neighbor_id"),
             F.col("c").alias("cosine"),
         )
+        .localCheckpoint(eager=False)  # see functions.sorted_view
         .orderBy("query_id", "rank")
     )
 
@@ -519,6 +522,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select(F.col("qid").alias("query_id"), "rank", F.col("nid").alias("neighbor_id"), F.col("c").alias("cosine"))
+        .localCheckpoint(eager=False)  # see functions.sorted_view
         .orderBy("query_id", "rank")
     )
 
@@ -1152,6 +1156,7 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select(F.col("qid").alias("query_id"), "rank", F.col("nid").alias("neighbor_id"), F.col("c").alias("cosine"))
+        .localCheckpoint(eager=False)  # see functions.sorted_view
         .orderBy("query_id", "rank")
     )
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_platform_spark.operators import register
-from cdc_platform_spark.functions import spread
+from cdc_platform_spark.functions import sorted_view, spread
 from cdc_platform_spark.operators.dedup import ORACLE_MD5_60BIT, md5_60bit
 from cdc_platform_spark.sources.registry import load_table
 
@@ -98,6 +98,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.score").alias("score"),
             F.when(F.col("best.cand") == F.col("lang"), 1).otherwise(0).cast("long").alias("is_correct"),
         )
+        .localCheckpoint(eager=False)  # see functions.sorted_view
         .orderBy("doc_id")
     )
 
@@ -131,7 +132,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_chars = F.aggregate(
         F.transform(words, lambda w: F.length(w).cast("long")), F.lit(0).cast("long"), lambda acc, v: acc + v
     )
-    return (
+    return sorted_view(
         d.select(
             "doc_id",
             F.col("n_chars").cast("long").alias("n_chars"),
@@ -140,8 +141,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_distinct.cast("double") / n_words).alias("distinct_ratio"),
             (n_stop.cast("double") / n_words).alias("stopword_ratio"),
             (total_chars.cast("double") / n_words).alias("mean_word_len"),
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -181,6 +182,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             sub.alias("subword_tokens"),
             chars.alias("total_chars"),
         )
+        .localCheckpoint(eager=False)  # see functions.sorted_view
         .orderBy("doc_id")
     )
 
@@ -231,6 +233,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"),
             min_fp.cast("long").alias("rolling_min_fp"),
         )
+        .localCheckpoint(eager=False)  # see functions.sorted_view
         .orderBy("doc_id")
     )
 
@@ -329,6 +332,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("is_repetitive"),
         )
+        .localCheckpoint(eager=False)  # see functions.sorted_view
         .orderBy("doc_id")
     )
 
@@ -440,6 +444,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (n_hits > 0).cast("long").alias("is_contaminated"),
         )
+        .localCheckpoint(eager=False)  # see functions.sorted_view
         .orderBy("doc_id")
     )
 
@@ -687,6 +692,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length(contact) - F.length(redacted)).cast("long").alias("chars_redacted"),
             F.md5(redacted).alias("redacted_md5"),
         )
+        .localCheckpoint(eager=False)  # see functions.sorted_view
         .orderBy("doc_id")
     )
 
@@ -912,6 +918,7 @@ def text_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             F.expr(f"start div {SHARD_TOKEN_BUDGET}").alias("shard_id"),
         )
+        .localCheckpoint(eager=False)  # see functions.sorted_view
         .orderBy("doc_id")
     )
 
@@ -1051,6 +1058,7 @@ def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             last_seq.alias("last_seq"),
             (first_seq != last_seq).cast("long").alias("crosses_boundary"),
         )
+        .localCheckpoint(eager=False)  # see functions.sorted_view
         .orderBy("doc_id")
     )
 
@@ -1121,6 +1129,7 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hapax").cast("long").alias("n_hapax"),
             (F.col("freq_sum").cast("double") / F.col("n_bigrams")).alias("mean_freq"),
         )
+        .localCheckpoint(eager=False)  # see functions.sorted_view
         .orderBy("doc_id")
     )
 
@@ -1182,5 +1191,6 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("df").cast("long").alias("df"),
             score.alias("score"),
         )
+        .localCheckpoint(eager=False)  # see functions.sorted_view
         .orderBy("doc_id", "rank")
     )

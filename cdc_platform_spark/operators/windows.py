@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_platform_spark.functions import dsum, money
+from cdc_platform_spark.functions import dsum, money, sorted_view
 from cdc_platform_spark.operators import register
 from cdc_platform_spark.sources.registry import load_table
 
@@ -124,7 +124,7 @@ def w_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
-    return (
+    return sorted_view(
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "value_sum"))
         .select(
@@ -132,8 +132,8 @@ def w_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("w.start")).cast("long").alias("session_start_us"),
             "n_events",
             "value_sum",
-        )
-        .orderBy("user_id", "session_start_us")
+        ),
+        "user_id", "session_start_us",
     )
 
 
