@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_platform_spark.functions import sorted_view, spread
+from cdc_platform_spark.functions import sorted_view
 from cdc_platform_spark.operators import register
 from cdc_platform_spark.sources.registry import load_table
 
@@ -153,7 +153,15 @@ def decoded_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 arithmetic.  Note: the decode stage itself is a Python
     mapInPandas, NOT whole-stage codegen; only the downstream shape math
     is codegen."""
-    d = spread(load_table(spark, "documents", sf_dir))
+    # No spread() here (r14): the round-robin exchange ships the payload
+    # bytes — the heavy opaque column — just to parallelize a trivially
+    # cheap Arrow stage, and each of the 32 post-exchange tasks pays a
+    # Python-worker round trip (guide §8: never shuffle payloads to
+    # parallelize cheap work; §2.3 project-before-exchange).  On a real
+    # deployment scan parallelism tracks input splits, which is where the
+    # decode stage's parallelism comes from.  Measured at sf0.1:
+    # 0.68 -> 0.27 s (interleaved A/B, min of 5).
+    d = load_table(spark, "documents", sf_dir)
     payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     return decode_binary_column(payloads, use_real=False)
 
@@ -206,7 +214,10 @@ def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(load_table(spark, "documents", sf_dir))
+    # no spread(): see decoded_meta — split-tracked parallelism at scale,
+    # and locally the exchange + 32 Python worker round trips cost more
+    # than the single-stream Arrow pass saves
+    d = load_table(spark, "documents", sf_dir)
     payload = F.encode(F.col("text"), "utf-8")
     payloads = d.select(
         "doc_id", (md5_h60(payload) % 4 + 1).cast("long").alias("n_frames")
@@ -304,7 +315,8 @@ N_FEATURES = 8
     """,
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(load_table(spark, "documents", sf_dir))
+    # no spread(): see decoded_meta
+    d = load_table(spark, "documents", sf_dir)
     payload = F.encode(F.col("text"), "utf-8")
     # the md5 chaining runs JVM-side; the Arrow stage below is the pure-numpy
     # batch transform a real model UDF would replace
