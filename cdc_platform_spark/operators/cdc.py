@@ -145,9 +145,11 @@ def q26_cdc_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q27_cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_platform_spark.functions import sorted_view
+
     env = envelope(spark, sf_dir)
     w = Window.partitionBy("pk").orderBy(F.col("offset").desc())
-    return (
+    latest = (
         env.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("op") != "d"))
         .select(
@@ -156,8 +158,10 @@ def q27_cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("last_event_type"),
             F.col("value").alias("last_value"),
         )
-        .orderBy("pk")
     )
+    # the final ORDER BY's range sampling must not re-run the per-key
+    # window over the full change stream (guide §7.2 duplicated subtrees)
+    return sorted_view(latest, "pk")
 
 
 @register(

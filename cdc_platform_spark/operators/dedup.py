@@ -509,7 +509,12 @@ def simhash_banded(sh: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the fingerprint subtree once — it feeds both sides of the
-    # band self-join (Spark does not dedupe common subplans across joins)
+    # band self-join (Spark does not dedupe common subplans across joins).
+    # Re-measured r14 session 3: hash-repartitioning the checkpoint before
+    # banding (to parallelize the single-task band-explode stage) LOST the
+    # interleaved A/B 0.50 vs 0.73 s min-of-5 — the extra exchange plus a
+    # 32-map-task band stage costs more than the one-task stage it replaces
+    # at this scale, so the checkpoint feeds the banding directly.
     sh = _simhash_df(spark, sf_dir).localCheckpoint(eager=False)
     banded = simhash_banded(sh)
     a, b = banded.alias("a"), banded.alias("b")

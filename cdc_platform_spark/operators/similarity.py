@@ -803,7 +803,16 @@ def _l2_long(a, b):
 
 
 def pq_subvectors(e: DataFrame) -> DataFrame:
-    """``e(vec_id, a)`` -> one row per (vec_id, sub) with the sub-vector slice."""
+    """``e(vec_id, a)`` -> one row per (vec_id, sub) with the sub-vector slice.
+
+    Hash-repartitioned on (vec_id, sub) before the checkpoint: the fixture
+    embeddings arrive as one input split, and every Lloyd assign pass plus
+    the final encode is a compute-bound broadcast-join stage whose
+    parallelism is exactly the checkpoint's partitioning (profiled r14:
+    three sequential single-task ~300 ms L2-assign stages at sf0.1).  The
+    exchange moves only the narrow subvector rows once; on a many-split
+    cluster read it is a near-no-op rebalance of the same rows."""
+    spread_n = e.sparkSession.sparkContext.defaultParallelism
     return (
         e.select(
             "vec_id",
@@ -815,6 +824,7 @@ def pq_subvectors(e: DataFrame) -> DataFrame:
             ).alias("sub", "sa"),
         )
         .withColumn("sub", F.col("sub").cast("long"))
+        .repartition(spread_n, "vec_id", "sub")
         .localCheckpoint(eager=False)
     )
 

@@ -254,6 +254,11 @@ def gapfill_locf_grid(hourly: DataFrame) -> DataFrame:
     (|keys| x |hours|), never event count."""
     from pyspark.sql import Window
 
+    # the hourly aggregate feeds THREE subtrees (bounds, keys, the grid
+    # left-join) plus the final sort's range-partition sampling pass; it is
+    # grid-bounded (|keys| x |hours| rows), so materialize it once instead
+    # of re-running the upstream aggregation per consumer (guide §7.2)
+    hourly = hourly.localCheckpoint(eager=False)
     bounds = hourly.agg(F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi"))
     keys = hourly.select("event_type").distinct()
     grid = keys.crossJoin(F.broadcast(bounds)).select(
