@@ -302,7 +302,7 @@ def q30_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     redelivered = env.unionAll(replay)
     deduped = redelivered.dropDuplicates(["partition", "offset"])
     w = Window.partitionBy("pk").orderBy(F.col("offset").desc())
-    return (
+    latest = (
         deduped.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("op") != "d"))
         .select(
@@ -311,8 +311,12 @@ def q30_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("last_event_type"),
             F.col("value").alias("last_value"),
         )
-        .orderBy("pk")
     )
+    # sorted_view inline (the q27 fix): the final ORDER BY's range sampling
+    # must not re-run the dedup + per-key window over the replayed stream
+    from cdc_platform_spark.functions import sorted_view
+
+    return sorted_view(latest, "pk")
 
 
 @register(
