@@ -152,7 +152,12 @@ def sorted_view(df, *cols):
     are unchanged; only for tails whose pre-sort compute is substantial
     (for a cheap final aggregate the materialization costs more than the
     re-run, so those keep the bare orderBy)."""
-    return df.localCheckpoint(eager=False).orderBy(*cols)
+    out = df.localCheckpoint(eager=False).orderBy(*cols)
+    # explain() of a checkpointed frame shows only `Scan ExistingRDD`; keep
+    # the pre-checkpoint child reachable so plan-shape tests (and humans)
+    # can still inspect the real subtree. Pure metadata — never executed.
+    out._plan_child = df
+    return out
 
 
 def spread(df, min_factor: int = 2):

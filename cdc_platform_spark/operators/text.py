@@ -433,7 +433,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = g.filter(~is_bench).select("doc_id", F.size("grams").alias("n_grams"))
     n_hits = F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long")
-    return (
+    out = (
         base.join(hits, "doc_id", "left")
         .select(
             "doc_id",
@@ -444,9 +444,8 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (n_hits > 0).cast("long").alias("is_contaminated"),
         )
-        .localCheckpoint(eager=False)  # see functions.sorted_view
-        .orderBy("doc_id")
     )
+    return sorted_view(out, "doc_id")
 
 
 @register(
@@ -1114,7 +1113,7 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # feeds both the count and the lookup side; lineage kept
     )
     counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
-    return (
+    out = (
         bg.join(counts, "bigram")
         .groupBy("doc_id")
         .agg(
@@ -1129,9 +1128,8 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hapax").cast("long").alias("n_hapax"),
             (F.col("freq_sum").cast("double") / F.col("n_bigrams")).alias("mean_freq"),
         )
-        .localCheckpoint(eager=False)  # see functions.sorted_view
-        .orderBy("doc_id")
     )
+    return sorted_view(out, "doc_id")
 
 
 TFIDF_TOP_K = 3
@@ -1181,7 +1179,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     score = F.col("tf").cast("double") / F.col("df")
     w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
-    return (
+    out = (
         tf.join(df, "term")
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TFIDF_TOP_K)
@@ -1191,6 +1189,5 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("df").cast("long").alias("df"),
             score.alias("score"),
         )
-        .localCheckpoint(eager=False)  # see functions.sorted_view
-        .orderBy("doc_id", "rank")
     )
+    return sorted_view(out, "doc_id", "rank")

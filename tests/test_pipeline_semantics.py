@@ -20,10 +20,17 @@ def plan_text(df) -> str:
     import contextlib
     import io
 
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    out = []
+    # sorted_view tails materialize their child (explain then shows only
+    # `Scan ExistingRDD`); follow the _plan_child seam so plan assertions
+    # keep seeing the real pre-sort subtree
+    while df is not None:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        out.append(buf.getvalue())
+        df = getattr(df, "_plan_child", None)
+    return "\n".join(out)
 
 
 def test_envelope_invariants(spark):
