@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cdc_platform_spark.functions import money
+from cdc_platform_spark.functions import money, sorted_view
 from cdc_platform_spark.operators import register
 from cdc_platform_spark.sources.registry import load_table
 
@@ -145,8 +145,6 @@ def q26_cdc_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q27_cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdc_platform_spark.functions import sorted_view
-
     env = envelope(spark, sf_dir)
     w = Window.partitionBy("pk").orderBy(F.col("offset").desc())
     latest = (
@@ -314,8 +312,6 @@ def q30_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # sorted_view inline (the q27 fix): the final ORDER BY's range sampling
     # must not re-run the dedup + per-key window over the replayed stream
-    from cdc_platform_spark.functions import sorted_view
-
     return sorted_view(latest, "pk")
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_platform_spark.functions import materialize
 from cdc_platform_spark.operators import register
 from cdc_platform_spark.sources.registry import load_table
 
@@ -322,7 +323,7 @@ def temperature_resample(d: DataFrame, prefilter: bool = False) -> DataFrame:
     ivf_candidates pattern): the lineage computes once per action and
     every pass reuses the materialized blocks."""
     if prefilter:
-        d = d.select("lang", "source", "doc_id").localCheckpoint(eager=False)
+        d = d.select("lang", "source", "doc_id").transform(materialize)
     dom = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
     tgt = dom.select(
         "lang",
@@ -512,7 +513,7 @@ def token_budget_sample(d: DataFrame, prefilter: bool = False) -> DataFrame:
     domain — the serving read a training scheduler provisions must not
     sort the corpus per call."""
     if prefilter:
-        d = d.select("lang", "source", "doc_id", "n_words").localCheckpoint(eager=False)
+        d = d.select("lang", "source", "doc_id", "n_words").transform(materialize)
     dom = d.groupBy("lang", "source").agg(F.sum("n_words").alias("total_tokens"))
     tgt = dom.select(
         "lang",

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_platform_spark.functions import materialize
 from cdc_platform_spark.operators import register
 from cdc_platform_spark.sources.registry import load_table
 
@@ -318,7 +319,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_shingle_arrays(spark, sf_dir)
         .withColumn("bh", F.transform(F.col("shingles"), lambda s: md5_60bit(s)))
         .select("doc_id", "shingles", minhash_sig_col(F.col("bh")).alias("sig"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
         .filter(F.size("shingles") > 0)
     )
     bands = docs.select("doc_id", F.posexplode("sig").alias("i", "h"))
@@ -515,7 +516,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interleaved A/B 0.50 vs 0.73 s min-of-5 — the extra exchange plus a
     # 32-map-task band stage costs more than the one-task stage it replaces
     # at this scale, so the checkpoint feeds the banding directly.
-    sh = _simhash_df(spark, sf_dir).localCheckpoint(eager=False)
+    sh = _simhash_df(spark, sf_dir).transform(materialize)
     banded = simhash_banded(sh)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
@@ -539,7 +540,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hamming <= SIMHASH_MAX_HAMMING)
         .distinct()
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
-        .localCheckpoint(eager=False)  # sorted_view inline: 1M-pair dedup
+        .transform(materialize)  # sorted_view inline: 1M-pair dedup
         # must not re-run for the range-partition sample
         .orderBy("doc_a", "doc_b")
     )
@@ -611,7 +612,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = doc_words(spark, sf_dir)
     docs = w.select(
         "doc_id", "lang", "source", F.array_distinct("words").alias("words")
-    ).withColumn("n", F.size("words")).localCheckpoint(eager=False)
+    ).withColumn("n", F.size("words")).transform(materialize)
     prefix = ngram_prefix_keys(spark, sf_dir, docs=docs)
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -790,7 +791,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "embeddings", sf_dir)
         .select("vec_id", fixed_point(F.col("embedding")).alias("a"))
         .withColumn("norm", dot_long(F.col("a"), F.col("a")))
-        .localCheckpoint(eager=False)  # reused by bands + both re-rank sides
+        .transform(materialize)  # reused by bands + both re-rank sides
     )
     # zero-norm vectors (all coords quantize to 0) have undefined cosine;
     # banding them would put 0/0 into the re-rank (ANSI DIVIDE_BY_ZERO).
@@ -863,7 +864,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (
@@ -889,7 +890,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))).alias("label"),
             )
-            .localCheckpoint(eager=True)  # truncate the iterative lineage
+            .transform(materialize, eager=True)  # truncate the iterative lineage
         )
         changed = (
             new_labels.alias("n")
@@ -1124,14 +1125,12 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "grams"
             ),
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize)
         .filter(F.col("grams").isNotNull())
     )
     # materialized once: the (doc_id, gh) stream feeds BOTH the df aggregate
     # and the hit join; without this the explode runs twice
-    exploded = g.select("doc_id", F.explode("grams").alias("gh")).localCheckpoint(
-        eager=False
-    )
+    exploded = g.select("doc_id", F.explode("grams").alias("gh")).transform(materialize)
     # df >= 2 spans only: the duplicated subset is what joins back (at real
     # corpus scale the unique-span long tail — most of the vocabulary —
     # never enters the join).
@@ -1151,7 +1150,7 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             shared_fraction.alias("shared_fraction"),
             (shared_fraction > SPAN_FLAG_THRESHOLD).cast("long").alias("is_flagged"),
         )
-        .localCheckpoint(eager=False)  # see functions.sorted_view
+        .transform(materialize)  # see functions.sorted_view
         .orderBy("doc_id")
     )
 
@@ -1213,7 +1212,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     lens = load_table(spark, "documents", sf_dir).select(
         "doc_id", F.length("text").alias("len")
     )
-    sh = _simhash_df(spark, sf_dir).join(lens, "doc_id").localCheckpoint(eager=False)
+    sh = _simhash_df(spark, sf_dir).join(lens, "doc_id").transform(materialize)
     banded = simhash_banded(sh, extra_cols=("len",))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

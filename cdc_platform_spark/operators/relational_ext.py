@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from cdc_platform_spark.functions import (
     MONEY,
+    materialize,
     dsum,
     money,
     revenue,
@@ -683,7 +684,7 @@ def q53_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-planned the whole probe subtree into extra exchanges
         # (measured r14, interleaved A/B at sf0.1: window form min
         # 1.31 / median 2.03 s vs this form 0.23 / 0.42 s)
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     # share-of-total as a broadcast join against the per-year totals
     # instead of SUM() OVER (PARTITION BY o_year): decimal addition over

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_platform_spark.functions import materialize
 from cdc_platform_spark.operators import register
 from cdc_platform_spark.operators.dedup import (
     ORACLE_EMB_UNNEST,
@@ -102,7 +103,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nid").alias("neighbor_id"),
             F.col("c").alias("cosine"),
         )
-        .localCheckpoint(eager=False)  # see functions.sorted_view
+        .transform(materialize)  # see functions.sorted_view
         .orderBy("query_id", "rank")
     )
 
@@ -160,7 +161,7 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nid").alias("neighbor_id"),
             F.col("dot").cast("long").alias("dot"),
         )
-        .localCheckpoint(eager=False)  # see functions.sorted_view
+        .transform(materialize)  # see functions.sorted_view
         .orderBy("query_id", "rank")
     )
 
@@ -265,7 +266,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(LSH_BANDS)
         ]
     )
-    with_sig = e.join(sigs, "vec_id").localCheckpoint(eager=False)
+    with_sig = e.join(sigs, "vec_id").transform(materialize)
     bands = with_sig.select("vec_id", F.explode(band_structs).alias("bv")).select(
         "vec_id", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval")
     )
@@ -300,7 +301,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nid").alias("neighbor_id"),
             F.col("c").alias("cosine"),
         )
-        .localCheckpoint(eager=False)  # see functions.sorted_view
+        .transform(materialize)  # see functions.sorted_view
         .orderBy("query_id", "rank")
     )
 
@@ -373,7 +374,7 @@ def train_ivf_centroids(e: DataFrame, n_cells: int = N_CELLS, iters: int = IVF_T
     cents = (
         md5_sample(e, n_cells)
         .select(F.col("vec_id").alias("cent_id"), F.col("a").alias("ca"), F.col("norm").alias("cn"))
-        .localCheckpoint(eager=True)
+        .transform(materialize, eager=True)
     )
     for _ in range(iters):
         vc = e.crossJoin(F.broadcast(cents)).select(
@@ -405,7 +406,7 @@ def train_ivf_centroids(e: DataFrame, n_cells: int = N_CELLS, iters: int = IVF_T
         missing = cents.join(newc.select("cent_id"), "cent_id", "left_anti").select(
             "cent_id", "ca", "cn"
         )
-        cents = newc.unionByName(missing).localCheckpoint(eager=True)
+        cents = newc.unionByName(missing).transform(materialize, eager=True)
     return cents
 
 
@@ -424,7 +425,7 @@ def ivf_candidates(e: DataFrame, cents: DataFrame) -> DataFrame:
         "cent_id",
         (dot_long(F.col("a"), F.col("ca")) / (F.sqrt("norm") * F.sqrt("cn"))).alias("c"),
     )
-    vc = vc.localCheckpoint(eager=False)
+    vc = vc.transform(materialize)
     assign = vc.groupBy("vec_id").agg(
         F.max_by("cent_id", F.struct(F.col("c"), (-F.col("cent_id")).alias("t"))).alias("cent_id")
     )
@@ -510,7 +511,7 @@ def ivf_candidates(e: DataFrame, cents: DataFrame) -> DataFrame:
     """,
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _fixed_embeddings(spark, sf_dir).localCheckpoint(eager=False)
+    e = _fixed_embeddings(spark, sf_dir).transform(materialize)
     cand = ivf_candidates(e, train_ivf_centroids(e))
     q = e.select(F.col("vec_id").alias("qid"), F.col("a").alias("qa"), F.col("norm").alias("qn"))
     n = e.select(F.col("vec_id").alias("nid"), F.col("a").alias("na"), F.col("norm").alias("nn"))
@@ -522,7 +523,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select(F.col("qid").alias("query_id"), "rank", F.col("nid").alias("neighbor_id"), F.col("c").alias("cosine"))
-        .localCheckpoint(eager=False)  # see functions.sorted_view
+        .transform(materialize)  # see functions.sorted_view
         .orderBy("query_id", "rank")
     )
 
@@ -613,7 +614,7 @@ def ivf_drift_rollup(assigned: DataFrame) -> DataFrame:
     """,
 )
 def sim_ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _fixed_embeddings(spark, sf_dir).localCheckpoint(eager=False)
+    e = _fixed_embeddings(spark, sf_dir).transform(materialize)
     cents = train_ivf_centroids(e)
     vc = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
@@ -825,7 +826,7 @@ def pq_subvectors(e: DataFrame) -> DataFrame:
         )
         .withColumn("sub", F.col("sub").cast("long"))
         .repartition(spread_n, "vec_id", "sub")
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
 
 
@@ -833,9 +834,7 @@ def pq_seeds(e: DataFrame) -> DataFrame:
     """Deterministic md5-ordered codebook seeds, shared by every subspace.
     Checkpointed: both codebook training and the code-rank assignment read
     it, and without the checkpoint the corpus TakeOrdered ran twice."""
-    return md5_sample(e, PQ_K).select(F.col("vec_id").alias("cent_id")).localCheckpoint(
-        eager=False
-    )
+    return md5_sample(e, PQ_K).select(F.col("vec_id").alias("cent_id")).transform(materialize)
 
 
 def md5_sample(df: DataFrame, k: int) -> DataFrame:
@@ -853,7 +852,7 @@ def train_pq_codebooks(subvecs: DataFrame, seeds: DataFrame) -> DataFrame:
     cents = (
         subvecs.join(seeds, subvecs.vec_id == seeds.cent_id)
         .select("sub", "cent_id", F.col("sa").alias("ca"))
-        .localCheckpoint(eager=True)
+        .transform(materialize, eager=True)
     )
     for _ in range(PQ_ITERS):
         pairs = subvecs.join(F.broadcast(cents), "sub").select(
@@ -877,7 +876,7 @@ def train_pq_codebooks(subvecs: DataFrame, seeds: DataFrame) -> DataFrame:
             )
         )
         missing = cents.join(newc.select("sub", "cent_id"), ["sub", "cent_id"], "left_anti")
-        cents = newc.unionByName(missing).localCheckpoint(eager=True)
+        cents = newc.unionByName(missing).transform(materialize, eager=True)
     return cents
 
 
@@ -918,7 +917,7 @@ def train_pq_codebooks(subvecs: DataFrame, seeds: DataFrame) -> DataFrame:
     """,
 )
 def sim_pq_recon_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _fixed_embeddings(spark, sf_dir).localCheckpoint(eager=False)
+    e = _fixed_embeddings(spark, sf_dir).transform(materialize)
     sv = pq_subvectors(e.select("vec_id", "a"))
     cb = train_pq_codebooks(sv, pq_seeds(e))
     best = (
@@ -1122,7 +1121,7 @@ assert _PQ_FINAL_NS == _PQ_FINAL
     """,
 )
 def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _fixed_embeddings(spark, sf_dir).localCheckpoint(eager=False)
+    e = _fixed_embeddings(spark, sf_dir).transform(materialize)
 
     # --- IVF candidate selection (the exact machinery of sim_ann_ivf) ---
     cand = ivf_candidates(e, train_ivf_centroids(e))
@@ -1133,7 +1132,7 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = train_pq_codebooks(subvecs, pq_seeds(plain))
     dist = subvecs.join(F.broadcast(cb), "sub").select(
         "vec_id", "sub", "cent_id", _l2_long(F.col("sa"), F.col("ca")).alias("d")
-    ).localCheckpoint(eager=False)  # feeds codes AND dtab: the corpus-wide
+    ).transform(materialize)  # feeds codes AND dtab: the corpus-wide
     # L2 evaluation (the widest map stage of the PQ path) must run once
     codes = dist.groupBy("vec_id", "sub").agg(
         F.min_by("cent_id", F.struct("d", "cent_id")).alias("cent_id")
@@ -1166,7 +1165,7 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select(F.col("qid").alias("query_id"), "rank", F.col("nid").alias("neighbor_id"), F.col("c").alias("cosine"))
-        .localCheckpoint(eager=False)  # see functions.sorted_view
+        .transform(materialize)  # see functions.sorted_view
         .orderBy("query_id", "rank")
     )
 
@@ -1241,7 +1240,7 @@ _ASSIGN_CTES = f"""u AS ({ORACLE_EMB_UNNEST}),
     """,
 )
 def sim_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _fixed_embeddings(spark, sf_dir).localCheckpoint(eager=False)
+    e = _fixed_embeddings(spark, sf_dir).transform(materialize)
     cents = train_ivf_centroids(e)
     vc = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",

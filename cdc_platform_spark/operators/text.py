@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_platform_spark.operators import register
-from cdc_platform_spark.functions import sorted_view, spread
+from cdc_platform_spark.functions import materialize, sorted_view, spread
 from cdc_platform_spark.operators.dedup import ORACLE_MD5_60BIT, md5_60bit
 from cdc_platform_spark.sources.registry import load_table
 
@@ -98,7 +98,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.score").alias("score"),
             F.when(F.col("best.cand") == F.col("lang"), 1).otherwise(0).cast("long").alias("is_correct"),
         )
-        .localCheckpoint(eager=False)  # see functions.sorted_view
+        .transform(materialize)  # see functions.sorted_view
         .orderBy("doc_id")
     )
 
@@ -182,7 +182,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             sub.alias("subword_tokens"),
             chars.alias("total_chars"),
         )
-        .localCheckpoint(eager=False)  # see functions.sorted_view
+        .transform(materialize)  # see functions.sorted_view
         .orderBy("doc_id")
     )
 
@@ -233,7 +233,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"),
             min_fp.cast("long").alias("rolling_min_fp"),
         )
-        .localCheckpoint(eager=False)  # see functions.sorted_view
+        .transform(materialize)  # see functions.sorted_view
         .orderBy("doc_id")
     )
 
@@ -332,7 +332,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("is_repetitive"),
         )
-        .localCheckpoint(eager=False)  # see functions.sorted_view
+        .transform(materialize)  # see functions.sorted_view
         .orderBy("doc_id")
     )
 
@@ -691,7 +691,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length(contact) - F.length(redacted)).cast("long").alias("chars_redacted"),
             F.md5(redacted).alias("redacted_md5"),
         )
-        .localCheckpoint(eager=False)  # see functions.sorted_view
+        .transform(materialize)  # see functions.sorted_view
         .orderBy("doc_id")
     )
 
@@ -917,7 +917,7 @@ def text_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             F.expr(f"start div {SHARD_TOKEN_BUDGET}").alias("shard_id"),
         )
-        .localCheckpoint(eager=False)  # see functions.sorted_view
+        .transform(materialize)  # see functions.sorted_view
         .orderBy("doc_id")
     )
 
@@ -1057,7 +1057,7 @@ def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             last_seq.alias("last_seq"),
             (first_seq != last_seq).cast("long").alias("crosses_boundary"),
         )
-        .localCheckpoint(eager=False)  # see functions.sorted_view
+        .transform(materialize)  # see functions.sorted_view
         .orderBy("doc_id")
     )
 

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from cdc_platform_spark.functions import (
     MONEY,
+    materialize,
     ORACLE_REVENUE,
     money,
     revenue,
@@ -313,7 +314,7 @@ def q65_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         l.groupBy("l_suppkey")
         .agg(sum_scaled_long_exact(revenue_fp4(), 10000).alias("total_rev_dec"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     mx = rev.agg(F.max("total_rev_dec").alias("mx"))
     return (

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_platform_spark.functions import dsum, money, sorted_view
+from cdc_platform_spark.functions import dsum, materialize, money, sorted_view
 from cdc_platform_spark.operators import register
 from cdc_platform_spark.sources.registry import load_table
 
@@ -258,7 +258,7 @@ def gapfill_locf_grid(hourly: DataFrame) -> DataFrame:
     # left-join) plus the final sort's range-partition sampling pass; it is
     # grid-bounded (|keys| x |hours| rows), so materialize it once instead
     # of re-running the upstream aggregation per consumer (guide §7.2)
-    hourly = hourly.localCheckpoint(eager=False)
+    hourly = hourly.transform(materialize)
     bounds = hourly.agg(F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi"))
     keys = hourly.select("event_type").distinct()
     grid = keys.crossJoin(F.broadcast(bounds)).select(

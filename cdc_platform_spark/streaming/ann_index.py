@@ -39,6 +39,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_platform_spark.functions import materialize
 from cdc_platform_spark.operators.dedup import dot_long
 from cdc_platform_spark.streaming.pipeline import (
     BucketedUpsertSink,
@@ -65,7 +66,7 @@ class IvfIndexSink:
         self, path: str, centroids: DataFrame, read_only: bool = False
     ) -> None:
         self.path = path
-        self.cents = centroids.localCheckpoint(eager=True)
+        self.cents = centroids.transform(materialize, eager=True)
         # read_only: serving-process mode — state() recovery never mutates
         # (raises StateInFlightError on a mid-swap dir), write() refuses
         self.read_only = read_only
@@ -152,8 +153,8 @@ class IvfPqIndexSink(IvfIndexSink):
         read_only: bool = False,
     ) -> None:
         super().__init__(path, centroids, read_only=read_only)
-        self.codebooks = codebooks.localCheckpoint(eager=True)
-        self.ranks = ranks.localCheckpoint(eager=True)
+        self.codebooks = codebooks.transform(materialize, eager=True)
+        self.ranks = ranks.transform(materialize, eager=True)
 
     def _assign(self, batch: DataFrame) -> DataFrame:
         from cdc_platform_spark.operators.similarity import (
@@ -240,7 +241,7 @@ class BucketedIvfIndexSink(BucketedUpsertSink):
         read_only: bool = False,
     ) -> None:
         BucketedUpsertSink.__init__(self, path, n_buckets, read_only=read_only)
-        self.cents = centroids.localCheckpoint(eager=True)
+        self.cents = centroids.transform(materialize, eager=True)
 
     _assign = IvfIndexSink._assign
 
@@ -302,8 +303,8 @@ class BucketedIvfPqIndexSink(BucketedIvfIndexSink):
         BucketedIvfIndexSink.__init__(
             self, path, centroids, n_buckets, read_only=read_only
         )
-        self.codebooks = codebooks.localCheckpoint(eager=True)
-        self.ranks = ranks.localCheckpoint(eager=True)
+        self.codebooks = codebooks.transform(materialize, eager=True)
+        self.ranks = ranks.transform(materialize, eager=True)
 
     _assign = IvfPqIndexSink._assign
 
@@ -720,14 +721,14 @@ def load_quantizer(
             f"{q}: no persisted quantizer — save_quantizer() it at train/"
             "rotate time, or pass the tables explicitly"
         )
-    cents = spark.read.parquet(f"{q}/centroids").localCheckpoint(eager=True)
+    cents = spark.read.parquet(f"{q}/centroids").transform(materialize, eager=True)
     cb = (
-        spark.read.parquet(f"{q}/codebooks").localCheckpoint(eager=True)
+        spark.read.parquet(f"{q}/codebooks").transform(materialize, eager=True)
         if os.path.isdir(f"{q}/codebooks")
         else None
     )
     rk = (
-        spark.read.parquet(f"{q}/ranks").localCheckpoint(eager=True)
+        spark.read.parquet(f"{q}/ranks").transform(materialize, eager=True)
         if os.path.isdir(f"{q}/ranks")
         else None
     )

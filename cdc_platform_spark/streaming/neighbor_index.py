@@ -53,6 +53,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_platform_spark.functions import materialize
 from cdc_platform_spark.operators.dedup import (
     COSINE_DUP_THRESHOLD,
     dot_long,
@@ -148,7 +149,7 @@ class CosineNeighborIndexSink:
             probe.join(lb, ["bucket", "band", "val"])
             .filter(F.col("vec_id") != F.col("other_id"))
             .withColumn("ob", F.pmod(F.hash("other_id"), nb))
-            .localCheckpoint(eager=True)
+            .transform(materialize, eager=True)
         )
         partners = (
             self.index.pruned_read(
@@ -196,7 +197,7 @@ class CosineNeighborIndexSink:
         spark = batch.sparkSession
         nb = F.lit(self.n_buckets)
 
-        rows = self._batch_rows(batch).localCheckpoint(eager=True)
+        rows = self._batch_rows(batch).transform(materialize, eager=True)
         touched = rows.select("vec_id")  # distinct by construction
 
         # 1. signature index merge
@@ -208,7 +209,7 @@ class CosineNeighborIndexSink:
             self.index.pruned_read(spark, tb)
             .join(touched, "vec_id", "leftsemi")
             .filter((F.col("op") != "d") & F.col("bvals").isNotNull())
-            .localCheckpoint(eager=True)
+            .transform(materialize, eager=True)
         )
 
         # 3. band view: superset maintenance with opportunistic clean
@@ -234,7 +235,7 @@ class CosineNeighborIndexSink:
                 .select(F.col("o").alias("vec_id"))
             )
             t2 = t2.unionByName(rev_targets)
-        t2 = t2.distinct().localCheckpoint(eager=True)
+        t2 = t2.distinct().transform(materialize, eager=True)
         t2b = t2.select(F.pmod(F.hash("vec_id"), nb).alias("bucket"))
 
         # 5. recompute best for the live T2 vectors: candidates from
@@ -243,7 +244,7 @@ class CosineNeighborIndexSink:
             self.index.pruned_read(spark, t2b)
             .join(t2, "vec_id", "leftsemi")
             .filter((F.col("op") != "d") & F.col("bvals").isNotNull())
-            .localCheckpoint(eager=True)
+            .transform(materialize, eager=True)
         )
         qb = self._band_rows(t2_live)
         fresh = spark.createDataFrame([], "k long, o long, cosine double")
@@ -255,7 +256,7 @@ class CosineNeighborIndexSink:
                 qb.join(lb, ["bucket", "band", "val"])
                 .filter(F.col("vec_id") != F.col("other_id"))
                 .withColumn("ob", F.pmod(F.hash("other_id"), nb))
-                .localCheckpoint(eager=True)
+                .transform(materialize, eager=True)
             )
             partners = (
                 self.index.pruned_read(
@@ -269,7 +270,7 @@ class CosineNeighborIndexSink:
                     F.col("a").alias("oa"),
                     F.col("norm").alias("onorm"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(materialize, eager=True)
             )
             cand = (
                 cand0.join(partners.select("other_id", "ob", "obvals"), ["other_id", "ob"])
@@ -320,7 +321,7 @@ class CosineNeighborIndexSink:
             )
             .withColumn("bucket", F.pmod(F.hash("k"), nb))
             .withColumn("dead", F.lit(False))
-            .localCheckpoint(eager=True)
+            .transform(materialize, eager=True)
         )
         content = fresh_rows
         if self.best.exists():
@@ -336,7 +337,7 @@ class CosineNeighborIndexSink:
                 t2b.unionByName(p_old)
                 .unionByName(fresh_rows.select("bucket"))
                 .distinct()
-                .localCheckpoint(eager=True)  # <= n_buckets rows
+                .transform(materialize, eager=True)  # <= n_buckets rows
             )
             tk = t2.select(F.col("vec_id").alias("k"), F.lit(True).alias("_tk"))
             to = t2.select(F.col("vec_id").alias("o"), F.lit(True).alias("_to"))

@@ -26,6 +26,7 @@ def main() -> int:
     ap.add_argument("--tag", default="before")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--no-plan", action="store_true", help="skip writing the plan file")
+    ap.add_argument("--plans-subdir", default="r14", help="plans/<subdir>/ for plan captures")
     ap.add_argument("--stages", action="store_true", help="dump per-stage REST metrics of the last run")
     ap.add_argument("--sql", action="store_true", help="dump per-node SQL metrics of the last run")
     args = ap.parse_args()
@@ -42,7 +43,7 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plandir = os.path.join(here, "plans", "r14")
+    plandir = os.path.join(here, "plans", args.plans_subdir)
     os.makedirs(plandir, exist_ok=True)
 
     app_id = spark.sparkContext.applicationId

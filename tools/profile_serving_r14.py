@@ -20,8 +20,17 @@ import urllib.request
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--runs", type=int, default=3)
+    def _at_least_one(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            # --stages reads jobs_before (set inside the run loop) after the
+            # loop, and min(samples) needs a non-empty array (ADVICE r14)
+            raise argparse.ArgumentTypeError("--runs must be >= 1")
+        return n
+
+    ap.add_argument("--runs", type=_at_least_one, default=3)
     ap.add_argument("--tag", default=None, help="write plans/r14/<name>_<tag>.txt")
+    ap.add_argument("--plans-subdir", default="r14", help="plans/<subdir>/ for plan captures")
     ap.add_argument("--stages", action="store_true")
     ap.add_argument("--names", nargs="*", default=None)
     args = ap.parse_args()
@@ -63,7 +72,7 @@ def main() -> int:
             return json.load(r)
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plandir = os.path.join(here, "plans", "r14")
+    plandir = os.path.join(here, "plans", args.plans_subdir)
     os.makedirs(plandir, exist_ok=True)
 
     SF_DIR = args.sf
