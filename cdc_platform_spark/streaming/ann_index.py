@@ -865,6 +865,13 @@ def ivf_pq_search_from_index(
             F.col("a").alias("qa"),
             F.col("norm").alias("qn"),
         )
+    # pv feeds THREE subtrees (probe cells, the ADC lookup table, the final
+    # re-rank join); unmaterialized, each consumer re-derived it from a full
+    # cold-store scan+filter (4 vec_state scans in the r14 plan).  The probe
+    # set is bounded (N_PROBES rows / one query batch) — materialize it once
+    # (VERDICT r14 item 5; interleaved A/B on the serving state: min 0.740
+    # -> 0.500 s, results bit-identical).
+    pv = materialize(pv)
     pc = pv.crossJoin(F.broadcast(centroids)).select(
         "qid",
         "cent_id",
