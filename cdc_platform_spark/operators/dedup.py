@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cdc_platform_spark.functions import materialize
+from cdc_platform_spark.functions import materialize, sorted_view
 from cdc_platform_spark.operators import register
 from cdc_platform_spark.sources.registry import load_table
 
@@ -208,8 +208,6 @@ _ORACLE_MINHASH_PAIR_CTES = f"""sh AS ({ORACLE_SHINGLES}),
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdc_platform_spark.functions import sorted_view
-
     # sorted_view: the Jaccard verification join must not run twice
     # for the range-partition sample (functions.sorted_view)
     return sorted_view(_minhash_pairs(spark, sf_dir), "doc_a", "doc_b")
@@ -451,8 +449,6 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_simhash_oracle_sql(),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdc_platform_spark.functions import sorted_view
-
     return sorted_view(_simhash_df(spark, sf_dir), "doc_id")
 
 
@@ -540,9 +536,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hamming <= SIMHASH_MAX_HAMMING)
         .distinct()
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
-        .transform(materialize)  # sorted_view inline: 1M-pair dedup
-        # must not re-run for the range-partition sample
-        .orderBy("doc_a", "doc_b")
+        .transform(sorted_view, "doc_a", "doc_b")  # the 1M-pair dedup must
+        # not re-run for the range-partition sample
     )
 
 
@@ -1150,8 +1145,7 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             shared_fraction.alias("shared_fraction"),
             (shared_fraction > SPAN_FLAG_THRESHOLD).cast("long").alias("is_flagged"),
         )
-        .transform(materialize)  # see functions.sorted_view
-        .orderBy("doc_id")
+        .transform(sorted_view, "doc_id")
     )
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cdc_platform_spark.functions import materialize
+from cdc_platform_spark.functions import materialize, sorted_view
 from cdc_platform_spark.operators import register
 from cdc_platform_spark.operators.dedup import (
     ORACLE_EMB_UNNEST,
@@ -103,8 +103,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nid").alias("neighbor_id"),
             F.col("c").alias("cosine"),
         )
-        .transform(materialize)  # see functions.sorted_view
-        .orderBy("query_id", "rank")
+        .transform(sorted_view, "query_id", "rank")
     )
 
 
@@ -161,8 +160,7 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nid").alias("neighbor_id"),
             F.col("dot").cast("long").alias("dot"),
         )
-        .transform(materialize)  # see functions.sorted_view
-        .orderBy("query_id", "rank")
+        .transform(sorted_view, "query_id", "rank")
     )
 
 
@@ -301,8 +299,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nid").alias("neighbor_id"),
             F.col("c").alias("cosine"),
         )
-        .transform(materialize)  # see functions.sorted_view
-        .orderBy("query_id", "rank")
+        .transform(sorted_view, "query_id", "rank")
     )
 
 
@@ -530,8 +527,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select(F.col("qid").alias("query_id"), "rank", F.col("nid").alias("neighbor_id"), F.col("c").alias("cosine"))
-        .transform(materialize)  # see functions.sorted_view
-        .orderBy("query_id", "rank")
+        .transform(sorted_view, "query_id", "rank")
     )
 
 
@@ -1179,8 +1175,7 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select(F.col("qid").alias("query_id"), "rank", F.col("nid").alias("neighbor_id"), F.col("c").alias("cosine"))
-        .transform(materialize)  # see functions.sorted_view
-        .orderBy("query_id", "rank")
+        .transform(sorted_view, "query_id", "rank")
     )
 
 

@@ -98,8 +98,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.score").alias("score"),
             F.when(F.col("best.cand") == F.col("lang"), 1).otherwise(0).cast("long").alias("is_correct"),
         )
-        .transform(materialize)  # see functions.sorted_view
-        .orderBy("doc_id")
+        .transform(sorted_view, "doc_id")
     )
 
 
@@ -182,8 +181,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             sub.alias("subword_tokens"),
             chars.alias("total_chars"),
         )
-        .transform(materialize)  # see functions.sorted_view
-        .orderBy("doc_id")
+        .transform(sorted_view, "doc_id")
     )
 
 
@@ -233,8 +231,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"),
             min_fp.cast("long").alias("rolling_min_fp"),
         )
-        .transform(materialize)  # see functions.sorted_view
-        .orderBy("doc_id")
+        .transform(sorted_view, "doc_id")
     )
 
 
@@ -332,8 +329,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("is_repetitive"),
         )
-        .transform(materialize)  # see functions.sorted_view
-        .orderBy("doc_id")
+        .transform(sorted_view, "doc_id")
     )
 
 
@@ -691,8 +687,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length(contact) - F.length(redacted)).cast("long").alias("chars_redacted"),
             F.md5(redacted).alias("redacted_md5"),
         )
-        .transform(materialize)  # see functions.sorted_view
-        .orderBy("doc_id")
+        .transform(sorted_view, "doc_id")
     )
 
 
@@ -917,8 +912,7 @@ def text_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             F.expr(f"start div {SHARD_TOKEN_BUDGET}").alias("shard_id"),
         )
-        .transform(materialize)  # see functions.sorted_view
-        .orderBy("doc_id")
+        .transform(sorted_view, "doc_id")
     )
 
 
@@ -1057,8 +1051,7 @@ def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             last_seq.alias("last_seq"),
             (first_seq != last_seq).cast("long").alias("crosses_boundary"),
         )
-        .transform(materialize)  # see functions.sorted_view
-        .orderBy("doc_id")
+        .transform(sorted_view, "doc_id")
     )
 
 
