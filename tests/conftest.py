@@ -11,6 +11,24 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long property/hypothesis tier — skipped by default so the "
+        "default suite fits the driver's verify window (VERDICT r14 item 2); "
+        "run with SPARK_GRAFT_SLOW_TESTS=1 (the builder's own gate does)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_SLOW_TESTS", "") not in ("", "0"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: set SPARK_GRAFT_SLOW_TESTS=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     from cdc_platform_spark.session import get_spark

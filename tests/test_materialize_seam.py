@@ -79,9 +79,20 @@ def test_sorted_view_plan_child_seam(spark):
     child = getattr(out, "_plan_child", None)
     assert child is not None, "_plan_child seam missing from sorted_view result"
     # the seam exposes the REAL pre-checkpoint subtree (the checkpointed
-    # frame itself explains as only `Scan ExistingRDD`)
+    # frame itself explains as only `Scan ExistingRDD`); explain_text
+    # follows the seam, so the raw (seam-less) explain shows the difference
+    import contextlib
+    import io
+
+    def raw_explain(frame) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            frame.explain("formatted")
+        return buf.getvalue()
+
     assert "HashAggregate" in explain_text(child)
-    assert "HashAggregate" not in explain_text(out)
+    assert "HashAggregate" not in raw_explain(out)
+    assert "HashAggregate" in explain_text(out)  # seam-following view
     # membership-only contract (ADVICE r14): a transformation on top of the
     # sorted_view result is a NEW DataFrame without the seam — tests that
     # rely on the attribute must read it from sorted_view's direct result
