@@ -38,6 +38,8 @@ import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from cdc_platform_spark.functions import materialize
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = (
@@ -1400,8 +1402,17 @@ class CdcPipeline:
         # undecodable go to the DLQ as rows; sinks only ever see healthy
         # rows.  (Per-sink FAILURES below still quarantine whole batches —
         # that is the sink-fault path, this is the data-fault path.)
-        persisted = env
-        persisted.persist()
+        #
+        # Materialize-once via eager checkpoint rather than persist() (r15):
+        # the cached-plan reference a persist leaves in every consumer stage
+        # serialized the decode subtree into each sink write's task binary,
+        # and the InMemoryRelation scan measured slower than re-reading
+        # checkpointed blocks — interleaved A/B over 6 availableNow runs:
+        # pipeline e2e median 1.411 -> 1.237 s (−12%), min −17%.  On
+        # executor loss the micro-batch fails and the stream's foreachBatch
+        # replay recovers (the designed recovery; materialize() switches to
+        # a reliable checkpoint on a cluster).
+        env = materialize(env, eager=True)
         if self.dlq is not None and "decode_error" in env.columns:
             poison = env.filter(F.col("decode_error").isNotNull())
             if poison.take(1):
@@ -1413,25 +1424,19 @@ class CdcPipeline:
             env = env.filter(F.col("decode_error").isNull())
         if "decode_error" in env.columns:
             env = env.drop("decode_error")
-        try:
-            for sink_id, sink in self.sinks.items():
-                try:
-                    if getattr(sink, "wants_batch_id", False):
-                        # batch-id-fenced sinks (AggregatingSink) need the
-                        # micro-batch id to make their merge idempotent
-                        # under at-least-once redelivery
-                        sink.write(env, batch_id=batch_id)
-                    else:
-                        sink.write(env)
-                except Exception as e:  # noqa: BLE001 - per-sink isolation
-                    if self.dlq is None:
-                        raise
-                    self.dlq.write(env, sink_id, e)
-        finally:
-            # unpersist the ORIGINAL cached frame: the poison split above
-            # rebinds `env` to a derived DataFrame whose unpersist would
-            # not release the parent's blocks
-            persisted.unpersist()
+        for sink_id, sink in self.sinks.items():
+            try:
+                if getattr(sink, "wants_batch_id", False):
+                    # batch-id-fenced sinks (AggregatingSink) need the
+                    # micro-batch id to make their merge idempotent
+                    # under at-least-once redelivery
+                    sink.write(env, batch_id=batch_id)
+                else:
+                    sink.write(env)
+            except Exception as e:  # noqa: BLE001 - per-sink isolation
+                if self.dlq is None:
+                    raise
+                self.dlq.write(env, sink_id, e)
         if (
             self.maintenance_every_n_batches
             and (batch_id + 1) % self.maintenance_every_n_batches == 0
